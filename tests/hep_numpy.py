@@ -1,0 +1,157 @@
+"""Pure numpy/pandas reimplementation of the HEP fixture (FIXTURES.md B.2)
+and the phaseII analysis chain — the independent golden-output oracle for
+the Spark engine (SURVEY.md §5 test plan).
+
+Deliberately written row-at-a-time over python dicts: slow but obviously
+correct and structurally unrelated to the Spark implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+PI = 3.141592653589793
+TWO_PI = 2.0 * PI
+
+
+def load_events(sf_dir: str) -> dict[int, dict]:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    events: dict[int, dict] = {}
+    for okey, tot in zip(orders["o_orderkey"], orders["o_totalprice"]):
+        events[int(okey)] = {"elec": [], "muon": [], "jet": [], "met": float(tot) / 2000.0}
+    for r in li.itertuples(index=False):
+        kind = int(r.l_linenumber) % 3
+        pt = float(r.l_extendedprice) / 500.0
+        eta = min(5.0, max(-5.0, 5.0 * (2.0 * float(r.l_discount) / 0.10 - 1.0)))
+        phi = ((int(r.l_partkey) * 2654435761) % 6283185307) / 1e9 - PI
+        mass = [0.000511, 0.1057, float(r.l_quantity)][kind]
+        charge = -1 if int(r.l_suppkey) % 2 == 0 else 1
+        mask = int(r.l_partkey) % 16
+        obj = {
+            "pt": pt, "eta": eta, "phi": phi, "mass": mass,
+            "charge": charge, "isopass": mask, "idpass": mask, "btag": mask,
+        }
+        events[int(r.l_orderkey)][["elec", "muon", "jet"][kind]].append(obj)
+    for ev in events.values():
+        for k in ("elec", "muon", "jet"):
+            ev[k].sort(key=lambda o: (-o["pt"], o["phi"], o["eta"], o["mass"]))
+    return events
+
+
+def delta_phi(a: float, b: float) -> float:
+    d = a - b
+    return d - TWO_PI * math.floor((d + PI) / TWO_PI)
+
+
+def delta_r(o1: dict, o2: dict) -> float:
+    de = o1["eta"] - o2["eta"]
+    dp = delta_phi(o1["phi"], o2["phi"])
+    return math.sqrt(de * de + dp * dp)
+
+
+def invariant_mass(o1: dict, o2: dict) -> float:
+    def p4(o):
+        px = o["pt"] * math.cos(o["phi"])
+        py = o["pt"] * math.sin(o["phi"])
+        pz = o["pt"] * math.sinh(o["eta"])
+        e = math.sqrt(o["pt"] ** 2 + pz**2 + o["mass"] ** 2)
+        return px, py, pz, e
+
+    px1, py1, pz1, e1 = p4(o1)
+    px2, py2, pz2, e2 = p4(o2)
+    m2 = (e1 + e2) ** 2 - (px1 + px2) ** 2 - (py1 + py2) ** 2 - (pz1 + pz2) ** 2
+    return math.sqrt(max(m2, 0.0))
+
+
+def bit2(x: int) -> bool:
+    return (x & 4) != 0
+
+
+def phase2_objects(ev: dict) -> dict:
+    electrons = [o for o in ev["elec"] if o["pt"] > 20.0 and abs(o["eta"]) < 2.5]
+    muons = [o for o in ev["muon"] if o["pt"] > 20.0 and abs(o["eta"]) < 2.5]
+    cleaned_el = [
+        e for e in electrons if not any(delta_r(e, m) < 0.3 for m in muons)
+    ]
+    cleaned_mu = [
+        m for m in muons if not any(delta_r(m, e) < 0.3 for e in electrons)
+    ]
+    ident_el = [e for e in cleaned_el if bit2(e["isopass"]) and bit2(e["idpass"])]
+    ident_mu = [m for m in cleaned_mu if bit2(m["isopass"]) and bit2(m["idpass"])]
+    cleaned_jets = [
+        j
+        for j in ev["jet"]
+        if not any(delta_r(e, j) < 0.3 for e in ident_el)
+        and not any(delta_r(m, j) < 0.3 for m in ident_mu)
+    ]
+    good_jets = [j for j in cleaned_jets if j["pt"] > 30 and abs(j["eta"]) < 2.5]
+    btagged = [j for j in good_jets if bit2(j["btag"])]
+    return {
+        "muons": muons,
+        "ident_mu": ident_mu,
+        "good_jets": good_jets,
+        "btagged": btagged,
+        "cleaned_jets": cleaned_jets,
+        "met": ev["met"],
+    }
+
+
+def phase2_cutflow_and_masses(events: dict[int, dict]):
+    """Returns (counts per selection node, InvMass values of events passing
+    sel1) — the reference chain phaseII-analysis.py:349-363."""
+    counts = {"noSel": 0, "nmumu": 0, "InvM": 0, "njet": 0, "btag": 0, "MET": 0}
+    inv_sel1: list[float] = []
+    for ev in events.values():
+        counts["noSel"] += 1
+        o = phase2_objects(ev)
+        mu = o["ident_mu"]
+        if not (len(mu) > 1 and mu[0]["charge"] * mu[1]["charge"] < 0):
+            continue
+        counts["nmumu"] += 1
+        m = invariant_mass(mu[0], mu[1])
+        inv_sel1.append(m)
+        if 76 < m < 106:
+            continue
+        counts["InvM"] += 1
+        gj = o["good_jets"]
+        if not len(gj) > 1:
+            continue
+        counts["njet"] += 1
+        if not (bit2(gj[0]["btag"]) or bit2(gj[1]["btag"])):
+            continue
+        counts["btag"] += 1
+        if not o["met"] > 40:
+            continue
+        counts["MET"] += 1
+    return counts, inv_sel1
+
+
+def jet_test_cutflow(events: dict[int, dict]):
+    """jet_test.py:728-734 cutflow: >=1 cleaned jet above 30/50/100 GeV."""
+    counts = {"noSel": 0, "nJet30": 0, "nJet50": 0, "nJet100": 0}
+    for ev in events.values():
+        counts["noSel"] += 1
+        cj = phase2_objects(ev)["cleaned_jets"]
+        for thr in (30, 50, 100):
+            if any(j["pt"] > thr for j in cj):
+                counts[f"nJet{thr}"] += 1
+    return counts
+
+
+def histogram_eqb(values, n, lo, hi):
+    """Reference binning: -1 underflow, 0..n-1 in-range, n overflow."""
+    out = {}
+    w = (hi - lo) / n
+    for v in values:
+        if v < lo:
+            b = -1
+        elif v >= hi:
+            b = n
+        else:
+            b = min(int(math.floor((v - lo) / w)), n - 1)
+        out[b] = out.get(b, 0) + 1
+    return out

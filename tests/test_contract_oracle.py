@@ -1,0 +1,78 @@
+"""Driver-mimic correctness gate: run every registered contract query on
+Spark at sf0.01 AND its DuckDB oracle on the same parquet, compare
+row-count + schema (column names) + order-insensitive values — the same
+shape of check the driver records in CORRECTNESS_r{N}.json."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks(sf_oracle):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_oracle}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _compare(name, spark_pdf, duck_pdf):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            assert np.array_equal(
+                a[c].to_numpy(), b[c].to_numpy(), equal_nan=True
+            ), f"{name}: float column {c} differs"
+        else:
+            assert a[c].equals(b[c]), f"{name}: column {c} differs"
+
+
+def _all_query_names():
+    from bambooanalysis_spark.contract import ORACLES, QUERIES
+
+    return sorted(QUERIES), ORACLES
+
+
+def pytest_generate_tests(metafunc):
+    if "query_name" in metafunc.fixturenames:
+        names, _ = _all_query_names()
+        metafunc.parametrize("query_name", names)
+
+
+def test_query_matches_oracle(spark, ducks, sf_oracle, query_name):
+    from bambooanalysis_spark.contract import ORACLES, QUERIES
+
+    sdf = QUERIES[query_name](spark, sf_oracle)
+    spark_pdf = sdf.toPandas()
+    assert len(spark_pdf) >= 0  # materialized
+    if query_name not in ORACLES:
+        pytest.skip(f"{query_name}: rows-only check (non-SQL-expressible)")
+    duck_pdf = ducks.execute(ORACLES[query_name]).df()
+    _compare(query_name, spark_pdf, duck_pdf)

@@ -1,0 +1,109 @@
+"""Single-pass histogrammer unit tests against numpy.histogram."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.plans import (
+    CutFlowReport,
+    EquidistantBinning,
+    Plot,
+    Selection,
+    VariableBinning,
+    run_analysis,
+)
+from bambooanalysis_spark.plans.histogrammer import cutflow_table
+
+
+@pytest.fixture(scope="module")
+def values():
+    rng = np.random.default_rng(7)
+    return rng.uniform(-20, 120, size=500)
+
+
+@pytest.fixture(scope="module")
+def df(spark, values):
+    return spark.createDataFrame([Row(x=float(v)) for v in values])
+
+
+def _hist_dict(hist_df, plot):
+    return {
+        r["bin"]: (r["sumw"], r["n"])
+        for r in hist_df.where(F.col("plot") == plot).collect()
+    }
+
+
+def test_equidistant_with_overflow(df, values):
+    sel = Selection.root()
+    hist = run_analysis(df, [Plot.make1D("h", F.col("x"), sel, EquidistantBinning(10, 0.0, 100.0))])
+    got = _hist_dict(hist, "h")
+    counts, _ = np.histogram(values, bins=10, range=(0, 100))
+    for i, c in enumerate(counts):
+        if c:
+            assert got[i] == (pytest.approx(float(c)), c)
+    assert got[-1][1] == int((values < 0).sum())  # underflow
+    assert got[10][1] == int((values >= 100).sum())  # overflow
+    assert sum(n for _, n in got.values()) == len(values)
+
+
+def test_variable_binning(df, values):
+    edges = [0.0, 5.0, 20.0, 50.0, 100.0]
+    sel = Selection.root()
+    hist = run_analysis(df, [Plot.make1D("hv", F.col("x"), sel, VariableBinning(edges))])
+    got = _hist_dict(hist, "hv")
+    counts, _ = np.histogram(values, bins=edges)
+    # np.histogram makes the last bin right-inclusive; our bins are all
+    # right-open, so recompute the last bin by hand
+    for i, c in enumerate(counts[:-1]):
+        if c:
+            assert got[i][1] == c
+    last = int(((values >= 50) & (values < 100)).sum())
+    assert got[len(edges) - 2][1] == last
+
+
+def test_multi_plot_single_pass_with_selection_and_weights(spark):
+    rows = [Row(x=float(i), w=float(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    root = Selection.root(weight=F.col("w"))
+    sel = root.refine("big", cut=F.col("x") >= 50)
+    plots = [
+        Plot.make1D("all_x", F.col("x"), root, EquidistantBinning(4, 0, 100)),
+        Plot.make1D("big_x", F.col("x"), sel, EquidistantBinning(2, 0, 100)),
+    ]
+    cfr = CutFlowReport("yields").add(root).add(sel)
+    hist = run_analysis(df, plots, [cfr])
+    big = _hist_dict(hist, "big_x")
+    assert big[1][1] == 50
+    assert big[1][0] == pytest.approx(sum(i % 3 for i in range(50, 100)))
+    assert 0 not in big  # nothing below 50 passes
+    cf = cutflow_table(hist, "yields", ["noSel", "big"]).collect()
+    assert [r["selection"] for r in cf] == ["noSel", "big"]
+    assert cf[0]["num_events"] == 100
+    assert cf[1]["num_events"] == 50
+    assert cf[1]["sum_weights"] == pytest.approx(sum(i % 3 for i in range(50, 100)))
+
+
+def test_make2d(spark):
+    rows = [Row(x=float(i % 10), y=float(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    root = Selection.root()
+    p = Plot.make2D(
+        "xy",
+        [F.col("x"), F.col("y")],
+        root,
+        [EquidistantBinning(10, 0, 10), EquidistantBinning(4, 0, 4)],
+    )
+    hist = run_analysis(df, [p])
+    rows = hist.where(F.col("plot") == "xy").collect()
+    assert sum(r["n"] for r in rows) == 40
+    cell = {(r["bin"], r["bin2"]): r["n"] for r in rows}
+    assert cell[(0, 0)] == 2  # i=0 and i=20
+    assert cell[(1, 1)] == 2  # i=1 and i=21
+
+
+def test_null_value_dropped(spark):
+    df = spark.createDataFrame([Row(x=1.0), Row(x=None), Row(x=2.0)])
+    root = Selection.root()
+    hist = run_analysis(df, [Plot.make1D("h", F.col("x"), root, EquidistantBinning(4, 0, 4))])
+    assert sum(r["n"] for r in hist.collect()) == 2
