@@ -294,3 +294,404 @@ register("hep_select_rng_len", q_select_rng_len, ORACLE_SELECT_RNG_LEN)
 register("hep_cleaned_jets_not_exists", q_cleaned_jets, ORACLE_CLEANED_JETS)
 register("hep_histogram_met", q_histogram_met, ORACLE_HISTOGRAM_MET)
 register("hep_cutflow_phase2", q_cutflow_phase2, ORACLE_CUTFLOW_PHASE2)
+
+
+# --- element_at / leading-object kinematics (op indexing, SURVEY §2.5) ------
+
+def q_leading_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    mu = op.Collection(F.col("muon"))
+    out = hep.select(
+        "event_id",
+        mu[0].pt.alias("mu1_pt"),
+        mu[0].eta.alias("mu1_eta"),
+        mu[1].pt.alias("mu2_pt"),
+        mu[1].eta.alias("mu2_eta"),
+    )
+    return out.where(F.col("mu1_pt").isNotNull())
+
+
+ORACLE_LEADING_KINEMATICS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+mu AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 1
+)
+SELECT a.event_id,
+       a.pt AS mu1_pt, a.eta AS mu1_eta,
+       b.pt AS mu2_pt, b.eta AS mu2_eta
+FROM (SELECT * FROM mu WHERE rn = 1) a
+LEFT JOIN (SELECT * FROM mu WHERE rn = 2) b ON b.event_id = a.event_id
+"""
+
+
+# --- op.rng_any: correlated EXISTS over another collection ------------------
+
+def q_rng_any_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    elec = op.Collection(F.col("elec"))
+    muon = op.Collection(F.col("muon"))
+    # electrons having some muon within DeltaR < 0.5 (EXISTS / semi-join)
+    matched = op.select(
+        elec, lambda e: op.rng_any(muon, lambda m: op.deltaR(e.p4, m.p4) < 0.5)
+    )
+    return hep.select(
+        "event_id",
+        op.rng_len(matched).cast("long").alias("n_matched_elec"),
+        op.rng_any(muon, lambda m: m.pt > 100.0).alias("has_hard_muon"),
+    )
+
+
+ORACLE_RNG_ANY = f"""
+WITH objs AS ({HEP_OBJECTS_SQL})
+SELECT o.o_orderkey AS event_id,
+       (SELECT COUNT(*) FROM objs e
+        WHERE e.event_id = o.o_orderkey AND e.kind = 0
+          AND EXISTS (SELECT 1 FROM objs m
+                      WHERE m.event_id = e.event_id AND m.kind = 1
+                        AND {_dr('e', 'm')} < 0.5)) AS n_matched_elec,
+       EXISTS (SELECT 1 FROM objs m
+               WHERE m.event_id = o.o_orderkey AND m.kind = 1 AND m.pt > 100.0)
+           AS has_hard_muon
+FROM orders o
+"""
+
+
+# --- op.invariant_mass + op.product + strict in_range ------------------------
+
+def q_invariant_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    mu = op.Collection(F.col("muon"))
+    out = hep.select(
+        "event_id",
+        F.round(op.invariant_mass(mu[0].p4, mu[1].p4), 6).alias("m_mumu"),
+        (op.product(mu[0].charge, mu[1].charge) < 0).alias("opposite_sign"),
+        op.in_range(76, op.invariant_mass(mu[0].p4, mu[1].p4), 106).alias("in_z_window"),
+    )
+    return out.where(F.col("m_mumu").isNotNull())
+
+
+ORACLE_INVARIANT_MASS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+mu AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 1
+)
+SELECT a.event_id,
+       ROUND({_invmass('a', 'b')}, 6) AS m_mumu,
+       a.charge * b.charge < 0 AS opposite_sign,
+       ({_invmass('a', 'b')} > 76 AND {_invmass('a', 'b')} < 106) AS in_z_window
+FROM (SELECT * FROM mu WHERE rn = 1) a
+JOIN (SELECT * FROM mu WHERE rn = 2) b ON b.event_id = a.event_id
+"""
+
+
+# --- op.deltaR as a value (trig-free: bit-exact across engines) --------------
+
+def q_delta_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    el = op.Collection(F.col("elec"))
+    mu = op.Collection(F.col("muon"))
+    out = hep.select(
+        "event_id",
+        op.deltaR(el[0].p4, mu[0].p4).alias("dr_elmu"),
+    )
+    return out.where(F.col("dr_elmu").isNotNull())
+
+
+ORACLE_DELTA_R = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+el AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+       FROM objs WHERE kind = 0),
+mu AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+       FROM objs WHERE kind = 1)
+SELECT a.event_id, {_dr('a', 'b')} AS dr_elmu
+FROM (SELECT * FROM el WHERE rn = 1) a
+JOIN (SELECT * FROM mu WHERE rn = 1) b ON b.event_id = a.event_id
+"""
+
+
+# --- rng_sum / rng_max / rng_min / rng_count (Bamboo range-op family [B]) ----
+
+def q_rng_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    jets = op.Collection(F.col("jetpuppi"))
+    return hep.select(
+        "event_id",
+        # integer-valued sum -> exact under any accumulation order
+        op.rng_sum(jets, lambda j: j.btag, zero=0, dtype="long").alias("sum_btag"),
+        op.rng_max(jets, lambda j: j.pt).alias("max_jet_pt"),
+        op.rng_min(jets, lambda j: j.pt).alias("min_jet_pt"),
+        op.rng_count(jets, lambda j: j.pt > 50.0).cast("long").alias("n_hard_jets"),
+    )
+
+
+ORACLE_RNG_AGGREGATES = f"""
+WITH objs AS ({HEP_OBJECTS_SQL})
+SELECT o.o_orderkey AS event_id,
+       COALESCE(SUM(btag) FILTER (WHERE kind = 2), 0)::BIGINT AS sum_btag,
+       MAX(pt) FILTER (WHERE kind = 2) AS max_jet_pt,
+       MIN(pt) FILTER (WHERE kind = 2) AS min_jet_pt,
+       COUNT(*) FILTER (WHERE kind = 2 AND pt > 50.0) AS n_hard_jets
+FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+GROUP BY 1
+"""
+
+
+# --- op.sort / top-k within event (k-th order statistic) ---------------------
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    jets = op.Collection(F.col("jetpuppi"))
+    by_mass = op.sort(jets, [(lambda j: j.mass, True), (lambda j: j.pt, False)])
+    out = hep.select(
+        "event_id",
+        jets[2].pt.alias("jet3_pt"),          # 3rd-highest pt (ingest order)
+        by_mass[0].mass.alias("heaviest_mass"),
+    )
+    return out.where(F.col("jet3_pt").isNotNull() | F.col("heaviest_mass").isNotNull())
+
+
+ORACLE_SORT_TOPK = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+jets AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn_pt,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY mass DESC, pt, phi, eta) AS rn_mass
+    FROM objs WHERE kind = 2
+)
+SELECT e.event_id, p3.pt AS jet3_pt, hm.mass AS heaviest_mass
+FROM (SELECT DISTINCT event_id FROM jets) e
+LEFT JOIN (SELECT * FROM jets WHERE rn_pt = 3) p3 ON p3.event_id = e.event_id
+LEFT JOIN (SELECT * FROM jets WHERE rn_mass = 1) hm ON hm.event_id = e.event_id
+"""
+
+
+# --- op.combine: within-event pair combinatorics ------------------------------
+
+def q_combine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    mu = op.Collection(F.col("muon"))
+    pairs = op.combine(mu)
+    os_pairs = op.combine(mu, pred=lambda a, b: a.charge * b.charge < 0)
+    return hep.select(
+        "event_id",
+        op.rng_len(pairs).cast("long").alias("n_pairs"),
+        op.rng_len(os_pairs).cast("long").alias("n_os_pairs"),
+    )
+
+
+ORACLE_COMBINE_PAIRS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+mu AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 1
+)
+SELECT o.o_orderkey AS event_id,
+       (SELECT COUNT(*) FROM mu a JOIN mu b
+          ON a.event_id = b.event_id AND a.rn < b.rn
+        WHERE a.event_id = o.o_orderkey) AS n_pairs,
+       (SELECT COUNT(*) FROM mu a JOIN mu b
+          ON a.event_id = b.event_id AND a.rn < b.rn
+        WHERE a.event_id = o.o_orderkey AND a.charge * b.charge < 0) AS n_os_pairs
+FROM orders o
+"""
+
+
+# --- histogram under a refined selection (InvMassTwoMuonsSel1) ---------------
+
+def q_histogram_invmass_sel1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analyses import define_phase2
+    from ..plans import run_analysis
+
+    df, plots, cfr, _sels = define_phase2(_hep(spark, sf_dir))
+    hist = run_analysis(df, [p for p in plots if p.name == "InvMassTwoMuonsSel1"])
+    return hist.select("bin", "sumw", F.col("n").alias("n_entries"))
+
+
+ORACLE_HISTOGRAM_INVMASS_SEL1 = f"""{CHAIN_CTES}
+SELECT CASE WHEN inv_mass < 0.0 THEN -1
+            WHEN inv_mass >= 300.0 THEN 30
+            ELSE LEAST(CAST(FLOOR(inv_mass / 10.0) AS INT), 29) END AS bin,
+       SUM(1.0) AS sumw,
+       COUNT(*) AS n_entries
+FROM flags WHERE pass1
+GROUP BY 1
+"""
+
+
+# --- VariableBinning histogram ------------------------------------------------
+
+def q_histogram_variable_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+    from ..plans import Plot, Selection, VariableBinning, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    root = Selection.root()
+    n_jets = op.rng_len(op.Collection(F.col("jetpuppi"))).cast("double")
+    hist = run_analysis(
+        hep, [Plot.make1D("njets_var", n_jets, root, VariableBinning([0.0, 1.0, 2.0, 4.0, 8.0]))]
+    )
+    return hist.select("bin", "sumw", F.col("n").alias("n_entries"))
+
+
+ORACLE_HISTOGRAM_VARIABLE_BINS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+nj AS (
+    SELECT o.o_orderkey AS event_id,
+           CAST(COUNT(*) FILTER (WHERE kind = 2) AS DOUBLE) AS x
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY 1
+)
+SELECT CAST(
+         (CASE WHEN x >= 0.0 THEN 1 ELSE 0 END) + (CASE WHEN x >= 1.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= 2.0 THEN 1 ELSE 0 END) + (CASE WHEN x >= 4.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= 8.0 THEN 1 ELSE 0 END) - 1 AS INT) AS bin,
+       SUM(1.0) AS sumw,
+       COUNT(*) AS n_entries
+FROM nj
+GROUP BY 1
+"""
+
+
+# --- 2D histogram (Plot.make2D, framework capability [B]) --------------------
+
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+    from ..plans import EquidistantBinning, Plot, Selection, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    root = Selection.root()
+    n_jets = op.rng_len(op.Collection(F.col("jetpuppi"))).cast("double")
+    n_mu = op.rng_len(op.Collection(F.col("muon"))).cast("double")
+    p = Plot.make2D(
+        "njets_nmu",
+        [n_jets, n_mu],
+        root,
+        [EquidistantBinning(8, 0.0, 8.0), EquidistantBinning(8, 0.0, 8.0)],
+    )
+    hist = run_analysis(hep, [p])
+    return hist.select("bin", "bin2", "sumw", F.col("n").alias("n_entries"))
+
+
+ORACLE_HISTOGRAM2D = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+nn AS (
+    SELECT o.o_orderkey AS event_id,
+           CAST(COUNT(*) FILTER (WHERE kind = 2) AS DOUBLE) AS nj,
+           CAST(COUNT(*) FILTER (WHERE kind = 1) AS DOUBLE) AS nm
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY 1
+)
+SELECT CASE WHEN nj < 0.0 THEN -1 WHEN nj >= 8.0 THEN 8
+            ELSE LEAST(CAST(FLOOR(nj / 1.0) AS INT), 7) END AS bin,
+       CASE WHEN nm < 0.0 THEN -1 WHEN nm >= 8.0 THEN 8
+            ELSE LEAST(CAST(FLOOR(nm / 1.0) AS INT), 7) END AS bin2,
+       SUM(1.0) AS sumw,
+       COUNT(*) AS n_entries
+FROM nn
+GROUP BY 1, 2
+"""
+
+
+# --- weighted fill (refine(weight=...), framework capability [B]) ------------
+
+def q_weighted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import EquidistantBinning, Plot, Selection, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    # integer-valued per-event weight -> order-independent exact double sums
+    weighted = hep.withColumn("w", (F.col("event_id") % 5).cast("double"))
+    root = Selection.root(weight=F.col("w"))
+    sel = root.refine("met20", cut=F.col("metpuppi")["pt"] > 20.0)
+    hist = run_analysis(
+        weighted,
+        [Plot.make1D("met_w", F.col("metpuppi")["pt"], sel, EquidistantBinning(25, 0.0, 250.0))],
+    )
+    return hist.select("bin", "sumw", "sumw2", F.col("n").alias("n_entries"))
+
+
+ORACLE_WEIGHTED_HISTOGRAM = """
+WITH met AS (
+    SELECT o_totalprice / 2000.0 AS x,
+           CAST(o_orderkey % 5 AS DOUBLE) AS w
+    FROM orders
+)
+SELECT CASE WHEN x < 0.0 THEN -1
+            WHEN x >= 250.0 THEN 25
+            ELSE LEAST(CAST(FLOOR(x / 10.0) AS INT), 24) END AS bin,
+       SUM(w) AS sumw,
+       SUM(w * w) AS sumw2,
+       COUNT(*) AS n_entries
+FROM met WHERE x > 20.0
+GROUP BY 1
+"""
+
+
+# --- jet_test cutflow (52-node fan-out module, 4 report entries) -------------
+
+_JETTEST_ORDER = ["noSel", "nJet30", "nJet50", "nJet100"]
+
+
+def q_cutflow_jet_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analyses import define_jet_test
+    from ..plans import run_analysis
+    from ..plans.histogrammer import cutflow_table
+
+    df, plots, cfr, _sels = define_jet_test(_hep(spark, sf_dir))
+    hist = run_analysis(df, plots, [cfr])
+    cf = cutflow_table(hist, "yields", _JETTEST_ORDER)
+    return cf.select("selection", "seq", "num_events", "sum_weights")
+
+
+ORACLE_CUTFLOW_JET_TEST = f"""{CHAIN_CTES}
+, jet_flags AS (
+    SELECT ev.event_id,
+           EXISTS (SELECT 1 FROM cleaned_jets j
+                   WHERE j.event_id = ev.event_id AND j.pt > 30) AS j30,
+           EXISTS (SELECT 1 FROM cleaned_jets j
+                   WHERE j.event_id = ev.event_id AND j.pt > 50) AS j50,
+           EXISTS (SELECT 1 FROM cleaned_jets j
+                   WHERE j.event_id = ev.event_id AND j.pt > 100) AS j100
+    FROM ev
+)
+SELECT s.selection, s.seq, c.num_events, CAST(c.num_events AS DOUBLE) AS sum_weights
+FROM (VALUES ('noSel', 0), ('nJet30', 1), ('nJet50', 2), ('nJet100', 3))
+     AS s(selection, seq)
+JOIN (
+    SELECT 0 AS seq, COUNT(*) AS num_events FROM jet_flags
+    UNION ALL SELECT 1, COUNT(*) FILTER (WHERE j30) FROM jet_flags
+    UNION ALL SELECT 2, COUNT(*) FILTER (WHERE j50) FROM jet_flags
+    UNION ALL SELECT 3, COUNT(*) FILTER (WHERE j100) FROM jet_flags
+) c ON c.seq = s.seq
+WHERE c.num_events > 0
+"""
+
+
+register("hep_element_at_leading", q_leading_kinematics, ORACLE_LEADING_KINEMATICS)
+register("hep_rng_any_exists", q_rng_any_exists, ORACLE_RNG_ANY)
+register("hep_invariant_mass", q_invariant_mass, ORACLE_INVARIANT_MASS)
+register("hep_delta_r", q_delta_r, ORACLE_DELTA_R)
+register("hep_rng_aggregates", q_rng_aggregates, ORACLE_RNG_AGGREGATES)
+register("hep_sort_topk", q_sort_topk, ORACLE_SORT_TOPK)
+register("hep_combine_pairs", q_combine_pairs, ORACLE_COMBINE_PAIRS)
+register("hep_histogram_invmass_sel1", q_histogram_invmass_sel1, ORACLE_HISTOGRAM_INVMASS_SEL1)
+register("hep_histogram_variable_bins", q_histogram_variable_bins, ORACLE_HISTOGRAM_VARIABLE_BINS)
+register("hep_histogram2d", q_histogram2d, ORACLE_HISTOGRAM2D)
+register("hep_weighted_histogram", q_weighted_histogram, ORACLE_WEIGHTED_HISTOGRAM)
+register("hep_cutflow_jet_test", q_cutflow_jet_test, ORACLE_CUTFLOW_JET_TEST)

@@ -60,7 +60,9 @@ def invariant_mass(pt1, eta1, phi1, m1, pt2, eta2, phi2, m2) -> Column:
     esum = e1 + e2
     px, py, pz = px1 + px2, py1 + py2, pz1 + pz2
     m2val = esum * esum - (px * px + py * py + pz * pz)
-    return F.sqrt(F.greatest(m2val, F.lit(0.0)))
+    # clamp tiny negative round-off at 0 while PRESERVING NULL inputs:
+    # F.greatest would skip NULLs and turn missing objects into mass 0.0
+    return F.sqrt(F.when(m2val < 0.0, F.lit(0.0)).otherwise(m2val))
 
 
 def invariant_mass_p4(p4a, p4b) -> Column:
