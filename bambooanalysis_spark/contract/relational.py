@@ -1,0 +1,315 @@
+"""Relational operator surface — joins, aggregation, windows, set ops,
+sort/limit — on the driver's TPC-H-ish tables.
+
+The reference has no inter-table joins (SURVEY.md §2.3: "equi-joins ...
+absent"), but the Spark engine carries the full relational algebra "for
+free"; these queries pin down that surface (and feed bench.py's headline
+timings) with DuckDB oracles.
+
+Determinism notes:
+- additive money aggregates go through DECIMAL (exact, order-independent)
+  and are OUTPUT as scaled BIGINT fixed-point (cents / 1e-4 units): integer
+  columns survive every engine/pandas/arrow conversion bit-exactly, while
+  decimal->double conversions differ by 1 ulp between engines;
+- every top-k/order-by has a total tie-break;
+- count/count-distinct are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- scan + filter + group aggregate (TPC-H Q1 shape): pushdown showcase ----
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = "decimal(18,4)"
+    disc = "decimal(8,6)"
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(price)).cast("bigint").alias("sum_qty"),
+            (F.sum(F.col("l_extendedprice").cast(price)) * 100).cast("bigint").alias("sum_base_price_cents"),
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast(price)
+                        * (F.lit(1).cast(disc) - F.col("l_discount").cast(disc))
+                    ).cast("decimal(38,10)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                AS DECIMAL(38,10))) * 10000 AS BIGINT) AS sum_disc_price_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- multi-way join + aggregation (broadcast-friendly dims) -----------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = "decimal(28,6)"
+    # dims are small: explicit broadcast keeps the plan shuffle-free on the
+    # probe side at any scale
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(dec)) * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) * 100 AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- semi / anti joins (EXISTS / NOT EXISTS between tables) -----------------
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 150000.0)
+    with_big = customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("status")
+    )
+    without = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return with_big.unionAll(without)
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_big_order' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- window functions: rank within partition + running aggregate ------------
+
+def q_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "rnk",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, rnk, o_orderkey, totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w) * 100)
+        .cast("bigint")
+        .alias("running_spend_cents"),
+    )
+
+
+ORACLE_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+           AS running_spend_cents
+FROM orders
+"""
+
+
+# --- distinct aggregates -----------------------------------------------------
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- set operations ----------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    only_cust = cust_nations.exceptAll(supp_nations).select(
+        "nationkey", F.lit("customers_only").alias("side")
+    )
+    both = cust_nations.intersect(supp_nations).select(
+        "nationkey", F.lit("both").alias("side")
+    )
+    return only_cust.unionAll(both)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'customers_only' AS side FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'both' AS side FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+# --- sort + limit (global top-k with total tie-break) ------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"), "o_orderpriority")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice AS totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# --- rollup (grouping sets) --------------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- correlated scalar subquery shape: part below-average price per type ----
+
+def q_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    avg_by_type = part.groupBy(F.col("p_type").alias("t")).agg(
+        # decimal sum (exact, order-free) then double divide: deterministic
+        # across engines, unlike avg() over doubles
+        (F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_price")
+    )
+    return (
+        part.join(F.broadcast(avg_by_type), part.p_type == avg_by_type.t)
+        .where(F.col("p_retailprice") < F.col("avg_price"))
+        .select("p_partkey", "p_type", F.col("p_retailprice").alias("retailprice"))
+    )
+
+
+ORACLE_BELOW_AVG_PARTS = """
+SELECT p_partkey, p_type, p_retailprice AS retailprice
+FROM part p
+WHERE p_retailprice < (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM part p2 WHERE p2.p_type = p.p_type)
+"""
+
+
+register("rel_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY)
+register("rel_join_revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION)
+register("rel_semi_anti_join", q_semi_anti_join, ORACLE_SEMI_ANTI_JOIN)
+register("rel_window_topk_per_customer", q_window_topk_per_customer, ORACLE_WINDOW_TOPK)
+register("rel_window_running_sum", q_window_running_sum, ORACLE_WINDOW_RUNNING_SUM)
+register("rel_distinct_agg", q_distinct_agg, ORACLE_DISTINCT_AGG)
+register("rel_set_ops", q_set_ops, ORACLE_SET_OPS)
+register("rel_top_orders", q_top_orders, ORACLE_TOP_ORDERS)
+register("rel_rollup", q_rollup, ORACLE_ROLLUP)
+register("rel_below_avg_parts", q_below_avg_parts, ORACLE_BELOW_AVG_PARTS)
