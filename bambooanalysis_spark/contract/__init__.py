@@ -26,3 +26,4 @@ def register(name: str, fn: Callable, oracle: str | None = None) -> None:
 
 from . import hep  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
+from . import extensions  # noqa: E402,F401

@@ -1,0 +1,480 @@
+"""Training-data-pipeline extension queries: text analysis, dedup families,
+similarity search, multimodal plumbing, event-time windows.
+
+Everything hash-derived uses md5 (standardized), so even MinHash signatures
+and LSH band keys are replicated EXACTLY by the DuckDB oracles — these are
+not approximate comparisons. Fixed-point integer outputs throughout (see
+contract/relational.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+
+# DuckDB equivalents of operators/text.py primitives
+_D_TOKENS = "list_filter(string_split({t}, ' '), x -> length(x) > 0)"
+_D_HASH64 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+_D_NORM = "regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g')"
+_STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default. Read nanos as long and convert to a microsecond
+    timestamp (driver data is microsecond-aligned, so lossless); integer
+    `div` keeps the arithmetic exact where doubles could not hold ns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.char_count(t).alias("n_chars_m"),
+        T.punct_count(t).alias("n_punct"),
+        T.stopword_count(t).alias("n_stop"),
+        T.avg_token_len_e4(t).alias("avg_tok_len_e4"),
+        T.quality_score_e4(t).alias("quality_e4"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           {_D_TOKENS.format(t='text')} AS toks,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+    FROM documents
+),
+s AS (
+    SELECT doc_id, nc, np,
+           len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns
+    FROM d
+)
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars_m,
+       CAST(np AS BIGINT) AS n_punct,
+       CAST(ns AS BIGINT) AS n_stop,
+       CASE WHEN nt > 0 THEN CAST(FLOOR(total_len * 10000 / nt) AS BIGINT) ELSE 0 END AS avg_tok_len_e4,
+       CAST(FLOOR(
+           CAST(FLOOR(LEAST(nc * 10000 / 500, 10000.0)) AS BIGINT)
+         * (CASE WHEN nc > 0 THEN CAST(FLOOR(10000 - np * 10000 / nc) AS BIGINT) ELSE 0 END)
+         / 10000
+         * (CASE WHEN nt > 0 THEN CAST(FLOOR(10000 - ns * 10000 / nt) AS BIGINT) ELSE 0 END)
+         / 10000) AS BIGINT) AS quality_e4
+FROM s
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    d = _docs(spark, sf_dir)
+    scores = T.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        *[scores[lang].alias(f"score_{lang}") for lang in T.LANG_MARKERS],
+    )
+
+
+def _markers_sql() -> dict[str, str]:
+    from ..operators import text as T
+
+    return {
+        lang: "[" + ",".join(f"'{m}'" for m in ms) + "]"
+        for lang, ms in T.LANG_MARKERS.items()
+    }
+
+
+def _oracle_langid() -> str:
+    m = _markers_sql()
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+        for lang, arr in m.items()
+    }
+    # argmax with first-wins tie-break in registration order en, de, es, fr
+    return f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST({score['en']} AS BIGINT) AS score_en,
+           CAST({score['de']} AS BIGINT) AS score_de,
+           CAST({score['es']} AS BIGINT) AS score_es,
+           CAST({score['fr']} AS BIGINT) AS score_fr
+    FROM d
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       score_en, score_de, score_es, score_fr
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.hash64(F.col("text")).alias("h64"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_D_NORM.format(t='text')}) AS fp,
+       {_D_HASH64.format(s='text')} AS h64
+FROM documents
+"""
+
+
+# --- dedup: exact ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_D_NORM.format(t='text')}) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- dedup: minhash signatures + LSH candidate pairs -------------------------
+
+_D_SHINGLES = f"""
+list_transform(
+    range(1, GREATEST(len(toks) - 1, 1)),
+    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
+)
+"""
+
+_D_SIG = f"""
+list_transform(
+    range(0, 16),
+    p -> COALESCE(
+        list_min(list_transform(sh,
+            s -> {_D_HASH64.format(s="concat(CAST(p AS VARCHAR), ':', s)")})),
+        -1)
+)
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    sig = D.minhash_signature(F.col("text"), k=16, shingle_k=3)
+    # first 4 signature slots as columns (full array types are awkward to
+    # hash portably; 4 slots pin the computation exactly)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+ORACLE_DEDUP_MINHASH_SIG = f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM d),
+sig AS (SELECT doc_id, {_D_SIG} AS sig FROM sh)
+SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2, sig[4] AS mh3
+FROM sig
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_transform(range(1, GREATEST(len(toks), 1)),
+                          i -> concat_ws(' ', toks[i], toks[i + 1])) AS sh
+    FROM d
+),
+sig AS (SELECT doc_id, {_D_SIG} AS sig FROM sh),
+banded AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, 8),
+               b -> md5(concat(CAST(b AS VARCHAR), ':',
+                    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+                                                   v -> CAST(v AS VARCHAR)), '-')))))
+               AS band_key
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# --- dedup: simhash ----------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", D.simhash_bits(F.col("text"), nbits=32).alias("simhash"))
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_transform(list_distinct({_D_TOKENS.format(t='text')}),
+                          t -> {_D_HASH64.format(s='t')}) AS hs
+    FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+           list_transform(range(31, -1, -1),
+               j -> CASE WHEN CAST(list_aggregate(
+                        list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
+                        'sum') AS BIGINT) >= 0
+                    THEN '1' ELSE '0' END),
+           '') AS simhash
+FROM d
+"""
+
+
+# --- dedup: exact n-gram jaccard via posting-list join -----------------------
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold_e4=6000)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest({_D_TOKENS.format(t='text')}) AS tok
+    FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(n_inter * 10000 / (sa.n_tok + sb.n_tok - n_inter)) AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE FLOOR(n_inter * 10000 / (sa.n_tok + sb.n_tok - n_inter)) >= 6000
+"""
+
+
+# --- similarity: brute-force cosine top-k ------------------------------------
+
+_D_COS = """
+(
+  list_aggregate(list_transform(list_zip({a}, {b}),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+  / (
+      sqrt(list_aggregate(list_transform({a},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+    * sqrt(list_aggregate(list_transform({b},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+    )
+)
+"""
+
+
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+ORACLE_SIMILARITY_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(FLOOR({_D_COS.format(a='qv', b='cv')} * 1000000) AS BIGINT) AS cosine_e6
+    FROM c CROSS JOIN q
+    WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_e6 DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine_e6
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --- similarity: embedding near-dup pairs ------------------------------------
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    return S.near_dup_pairs_cosine(_emb(spark, sf_dir), threshold_e6=800000)
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+SELECT id_a, id_b,
+       CAST(FLOOR({_D_COS.format(a='va', b='vb')} * 1000000) AS BIGINT) AS cosine_e6
+FROM a CROSS JOIN b
+WHERE id_a < id_b
+  AND FLOOR({_D_COS.format(a='va', b='vb')} * 1000000) >= 800000
+"""
+
+
+# --- similarity: LSH ANN (approximate — rows-only driver check) --------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ann_lsh_topk(emb, queries, k=10, nplanes=6)
+
+
+# --- multimodal: binary payload plumbing (Arrow mapInPandas path) ------------
+
+def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    blobs = M.attach_blob(_docs(spark, sf_dir), "doc_id", "text")
+    return M.extract_blob_meta(blobs)
+
+
+ORACLE_MULTIMODAL_BLOB_META = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS md5_hex,
+       64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64 AS fake_width,
+       64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 64 AS fake_height
+FROM documents
+"""
+
+
+# --- event-time windows (batch form; streaming form tested in tests/) --------
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windowed_event_stats
+
+    out = windowed_event_stats(_events(spark, sf_dir), window="1 hour")
+    # epoch-seconds integer output: timestamps round-trip differently
+    # (ns vs us) across engine->pandas conversions, integers do not
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "value_cents",
+        "n_users",
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sessionize
+
+    s = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM ordered
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
+register("text_langid", q_text_langid, _oracle_langid())
+register("text_fingerprint", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT)
+register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
+register("dedup_minhash_signature", q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG)
+register("dedup_minhash_lsh_pairs", q_dedup_minhash_lsh_pairs, ORACLE_DEDUP_MINHASH_LSH)
+register("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH)
+register("dedup_ngram_jaccard_pairs", q_dedup_jaccard_pairs, ORACLE_DEDUP_JACCARD)
+register("similarity_cosine_topk", q_similarity_cosine_topk, ORACLE_SIMILARITY_TOPK)
+register("embedding_near_dup_pairs", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
+register("ann_lsh_topk", q_ann_lsh_topk)  # approximate: rows-only check
+register("multimodal_blob_meta", q_multimodal_blob_meta, ORACLE_MULTIMODAL_BLOB_META)
+register("events_tumbling_window", q_events_tumbling_window, ORACLE_EVENTS_TUMBLING)
+register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)

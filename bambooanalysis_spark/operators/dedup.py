@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed partition-parallel (no driver-side row data):
+
+- exact:   hash-groupBy on a canonical fingerprint (one shuffle on a short
+           hash key — never on the full text).
+- minhash: word-shingle MinHash signatures computed per-row with
+           higher-order functions (zero shuffle), then LSH banding; the
+           only shuffle is the band-key self-join, which at 100 TB is the
+           standard "explode 16 small keys per doc, join on key" pattern.
+- simhash: 64-bit sign-aggregated token hashes per row (zero shuffle);
+           near-dup candidates share the hash (or a band of it).
+- ngram jaccard: exact pairwise similarity via token-posting join
+           (explode distinct tokens -> join on token -> count
+           intersections) — the relational form of "inverted index".
+- embedding cosine: see operators/similarity.py for the kNN machinery;
+           here only thresholded near-dup pairs.
+
+Hashing is md5-derived (operators/text.hash64), so every result is
+bit-reproducible in any engine — the DuckDB oracles replicate signatures
+exactly rather than "approximately".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct canonical text: representative id (min), dup
+    count. Shuffle key = md5 fingerprint (36 bytes), not the document."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), T.fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The actual dedup: keep the min-id representative of each group."""
+    groups = exact_dedup_groups(df, id_col, text_col)
+    return df.join(
+        groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+def minhash_signature(text: Column, k: int = 16, shingle_k: int = 3) -> Column:
+    """k-element MinHash signature over word-shingles, entirely in-row.
+
+    h_i(s) = hash64(i || ':' || s): one md5 per (permutation, shingle) —
+    portable and exactly reproducible, no big-integer modular arithmetic.
+    Empty shingle set -> signature of -1 sentinels (doc too short).
+    """
+    sh = T.shingles(text, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda s: T.hash64(F.concat_ws(":", i.cast("string"), s)))
+            ),
+            F.lit(-1).cast("long"),
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: band b's key = md5 of 'b:' + joined rows."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ":",
+                b.cast("string"),
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(sig, b * rows + 1, rows), lambda v: v.cast("string")
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Plan shape: per-row signature (no shuffle) -> explode bands (k small
+    keys/doc) -> self-join on band key -> distinct pairs. The join key is a
+    32-char md5; skew only occurs for genuinely repeated content, which is
+    exactly what we want to find.
+    """
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_k)
+    banded = (
+        df.select(F.col(id_col).alias("doc_id"), lsh_band_keys(sig, bands, rows).alias("bk"))
+        .select("doc_id", F.explode("bk").alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- simhash ----------------------------------------------------------------
+
+def simhash_bits(text: Column, nbits: int = 32) -> Column:
+    """SimHash as an nbits-char '0'/'1' string (MSB first, bit j = nbits-1-j).
+
+    bit j is 1 iff sum over distinct tokens of (+1 if token-hash bit j set
+    else -1) >= 0. String output avoids 64-bit sign pitfalls across engines.
+    The bit loop runs in Python (literal masks): shift amounts must be plain
+    ints in Spark, and Catalyst CSE shares the token-hash subexpression
+    across the per-bit aggregates.
+    """
+    toks = F.array_distinct(T.tokens(text))
+    hashes = F.transform(toks, T.hash64)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(nbits - 1, -1, -1)
+    ]
+    return F.concat(*bits)
+
+
+# --- exact n-gram / token jaccard via posting-list join ---------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_e4: int = 5000,
+) -> DataFrame:
+    """All pairs (a < b) with distinct-token Jaccard >= threshold (1e-4
+    fixed point), via the scalable inverted-index shape:
+
+    tokens -> explode -> join on token -> groupBy pair -> |A ∩ B|;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Output jaccard_e4 = floor(inter * 10000
+    / union) — integer, engine-exact.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("tok"),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("n_inter") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+        .where(F.col("jaccard_e4") >= threshold_e4)
+    )

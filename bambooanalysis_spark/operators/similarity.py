@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+
+- brute-force cosine top-k: the exact baseline. Corpus x queries via a
+  broadcast of the (small) query set — the corpus side streams, never
+  shuffles; per-pair math is zip_with/aggregate higher-order functions
+  (JVM-side, no Python).
+- LSH-bucketed ANN: deterministic random-hyperplane signs derived from
+  md5 (portable), bucket join instead of full cross product. Recall is
+  approximate; the bucket key join is the scale path.
+
+Scores: dot/norm sums run in array-index order with double accumulators on
+both engines, so brute-force cosines are bit-reproducible doubles; output is
+floor(cosine * 1e6) fixed-point (floor of an identical double is identical —
+no engine-specific decimal rounding in the path), with vec_id as the total
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query among the corpus
+    (self-matches excluded). Returns (query_id, neighbor_id, rank,
+    cosine_e6)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000)
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_e6")
+    )
+
+
+def near_dup_pairs_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_e6: int = 950000,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold. Brute force here; at
+    scale, pre-bucket with lsh_signs and join buckets first."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1000000)
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+        .where(F.col("cosine_e6") >= threshold_e6)
+    )
+
+
+def lsh_signs(vec: Column, nplanes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as an nplanes-char '0'/'1' string.
+
+    Plane p's coefficient for dimension d is a deterministic +-1 from
+    hash64(p ':' d) — fully portable, no RNG state. sign bit p = 1 iff
+    sum_d coef(p,d) * vec[d] >= 0.
+    """
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(nplanes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(dim)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.when(
+                    T.hash64(F.concat_ws(":", p.cast("string"), d.cast("string")))
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                * F.try_element_at(vec, d.cast("int")).cast("double"),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nplanes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to equal LSH sign buckets,
+    then exact cosine rank within the bucket. At 100 TB the bucket join
+    replaces the cross product; recall is tunable via nplanes (fewer planes
+    -> bigger buckets -> higher recall, more compute)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_signs(F.col(vec_col), nplanes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_signs(F.col(vec_col), nplanes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000)
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_e6")
+    )

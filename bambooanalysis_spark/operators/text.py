@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly, shuffle-free per
+row) — the patterns a 100 TB document pipeline needs: tokenization, quality
+scoring, language-ID heuristics, fingerprinting, shingling, and a 62-bit
+md5-derived hash used by the dedup family.
+
+Determinism contract: every function here is a deterministic function of its
+input text using only engine-portable primitives (split on a literal,
+regexp_replace with simple character classes, md5), so DuckDB oracles can
+replicate results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small english stopword set used by quality scoring (public, standard list
+# prefix) — deliberately tiny so oracle SQL can inline it
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split, empties dropped)."""
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    """Number of ASCII punctuation characters . , ! ? ; :"""
+    return (F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("long")
+
+
+def stopword_count(text: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def avg_token_len_e4(text: Column) -> Column:
+    """Mean token length in 1e-4 fixed-point (BIGINT-safe for oracles).
+
+    floor() before every integer cast: Spark's double->long cast truncates
+    while DuckDB's rounds, so the explicit floor is what keeps engines
+    agreeing.
+    """
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n > 0, F.floor(total * 10000 / n).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def quality_score_e4(text: Column) -> Column:
+    """Heuristic document quality in [0, 10000] fixed-point:
+    rewards moderate length and low punctuation/stopword density.
+
+    score = clamp(len/500, 0, 1) * (1 - punct_ratio) * (1 - stop_ratio),
+    each term floored to 1e-4 fixed-point (see avg_token_len_e4 on floor).
+    """
+    n_char = char_count(text)
+    n_tok = token_count(text)
+    len_term = F.floor(F.least(n_char * 10000 / 500, F.lit(10000.0))).cast("long")
+    punct_term = F.when(
+        n_char > 0, F.floor(10000 - punct_count(text) * 10000 / n_char)
+    ).otherwise(F.lit(0)).cast("long")
+    stop_term = F.when(
+        n_tok > 0, F.floor(10000 - stopword_count(text) * 10000 / n_tok)
+    ).otherwise(F.lit(0)).cast("long")
+    return F.floor(len_term * punct_term / 10000 * stop_term / 10000).cast("long")
+
+
+# Marker words per language for the n-gram/marker language-ID heuristic.
+# (The driver's synthetic documents share one vocabulary, so this is
+# exercised as a deterministic scoring function, not a classifier claim.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "value", "fast"],
+    "de": ["der", "und", "nicht", "das", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "une", "est"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; deterministic tie-break by language
+    code order en < de < es < fr (first registered wins ties)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def normalize(text: Column) -> Column:
+    """lowercase + strip everything outside [a-z0-9 ] — the canonical form
+    used by fingerprinting and exact dedup."""
+    return F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 hex of the normalized text. md5 is
+    standardized, so any engine reproduces it byte-for-byte."""
+    return F.md5(normalize(text))
+
+
+def hash64(s: Column) -> Column:
+    """62-bit positive integer hash: first 15 hex chars of md5, parsed
+    base-16. Portable: DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT
+    yields the identical value."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined) over whitespace tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark, so
+    # short texts get an explicit empty shingle list
+    empty = F.array().cast("array<string>")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(empty)

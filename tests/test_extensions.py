@@ -1,0 +1,140 @@
+"""Unit tests for extension operators: streaming path, multimodal stubs,
+dedup/similarity behavior on constructed near-duplicates."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path, sf_oracle):
+    """The SAME transformation runs as a real Structured Streaming query
+    (file source, availableNow trigger, memory sink) and as batch — results
+    must agree. This is the engine's streaming execution path, not a
+    simulation."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.streaming import windowed_event_stats
+
+    events = _events(spark, sf_oracle)
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in windowed_event_stats(events, "1 hour").collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_stats(stream, "1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_multimodal_stub_and_fake_path(spark):
+    from bambooanalysis_spark.operators import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    meta = M.extract_blob_meta(M.attach_blob(df, "doc_id", "text")).collect()[0]
+    import hashlib
+
+    assert meta["n_bytes"] == len(b"hello world")
+    assert meta["md5_hex"] == hashlib.md5(b"hello world").hexdigest()
+    w, h = M.fake_decode_meta(b"hello world")
+    assert (meta["fake_width"], meta["fake_height"]) == (w, h)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Planted near-duplicates (one token changed) must collide in >=1 LSH
+    band; unrelated docs must not."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok7", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=other)]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", k=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups_close(spark):
+    from bambooanalysis_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=other)]
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash_bits(F.col("text")).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+    assert hamming(rows[1], rows[2]) <= 6
+
+
+def test_exact_dedup_keeps_one_per_group(spark):
+    from bambooanalysis_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, text="Hello, World!"),
+            Row(doc_id=9, text="hello world"),  # same normalized form
+            Row(doc_id=2, text="different entirely"),
+        ]
+    )
+    kept = {r["doc_id"] for r in D.exact_dedup(df, "doc_id", "text").collect()}
+    assert kept == {5, 2}  # min doc_id representative wins
+
+
+def test_cosine_topk_ranks_identical_vector_first(spark):
+    from bambooanalysis_spark.operators import similarity as S
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[2.0, 0.0, 0.0]),  # same direction as 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = S.cosine_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order[0] == 1  # cosine 1.0
+    assert order[-1] == 3  # cosine -1.0
+
+
+def test_lang_id_markers(spark):
+    from bambooanalysis_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="der hund und die katze ist ein tier"),
+            Row(doc_id=2, text="the value of the fast table is fast"),
+            Row(doc_id=3, text="xyzzy qwerty plugh"),
+        ]
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "de"
+    assert got[2] == "en"
+    assert got[3] == "und"
