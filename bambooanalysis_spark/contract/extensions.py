@@ -259,7 +259,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", D.simhash_bits(F.col("text"), nbits=32).alias("simhash"))
+    nparts = max(spark.sparkContext.defaultParallelism, 4)
+    d = d.repartition(nparts, "doc_id")  # fan out the per-row bit aggregation
+    # token hashes as a column: not CSE'd across the 32 per-bit lambdas
+    d = d.withColumn("__hs", D.token_hashes(F.col("text")))
+    return d.select(
+        "doc_id", D.simhash_bits_from_hashes(F.col("__hs"), nbits=32).alias("simhash")
+    )
 
 
 ORACLE_DEDUP_SIMHASH = f"""

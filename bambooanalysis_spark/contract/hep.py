@@ -159,10 +159,20 @@ flags AS (
 """
 
 
+_HEP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _hep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized + Spark-cached fixture: the driver runs many hep queries in
+    one session, and the fixture build (groupBy + array sorts) is identical
+    for all of them. The cached table is small (events with bounded
+    arrays), so MEMORY_AND_DISK is safe at any tested sf."""
     from ..sources import build_hep_events
 
-    return build_hep_events(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _HEP_CACHE:
+        _HEP_CACHE[key] = build_hep_events(spark, sf_dir).cache()
+    return _HEP_CACHE[key]
 
 
 # --- op.select + op.rng_len: within-event filter and count ------------------

@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 from . import text as T
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Optimization barrier: a 1-element explode inserts a Generate node,
+    which CollapseProject cannot merge across — the columns computed below
+    it are evaluated exactly once. No row multiplication, negligible cost.
+    """
+    out = df.withColumn("__barrier", F.explode(F.array(F.lit(0))))
+    return out.drop("__barrier")
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,14 +63,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --- minhash + LSH ----------------------------------------------------------
 
-def minhash_signature(text: Column, k: int = 16, shingle_k: int = 3) -> Column:
-    """k-element MinHash signature over word-shingles, entirely in-row.
+def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
+    """k-element MinHash signature over a PRE-MATERIALIZED shingle column.
 
     h_i(s) = hash64(i || ':' || s): one md5 per (permutation, shingle) —
     portable and exactly reproducible, no big-integer modular arithmetic.
     Empty shingle set -> signature of -1 sentinels (doc too short).
+
+    Take the shingles from a named column: Catalyst does NOT eliminate
+    common subexpressions across lambda bodies, so an inline shingle
+    expression would be recomputed k times (measured 8-16x slowdowns).
     """
-    sh = T.shingles(text, shingle_k)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.coalesce(
@@ -71,6 +83,13 @@ def minhash_signature(text: Column, k: int = 16, shingle_k: int = 3) -> Column:
             F.lit(-1).cast("long"),
         ),
     )
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_k: int = 3) -> Column:
+    """Inline-expression form (convenient for single-use contexts; for
+    anything hot, materialize shingles first — see
+    minhash_signature_from_shingles)."""
+    return minhash_signature_from_shingles(T.shingles(text, shingle_k), k)
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -108,33 +127,78 @@ def minhash_lsh_pairs(
     exactly what we want to find.
     """
     rows = k // bands
-    sig = minhash_signature(F.col(text_col), k, shingle_k)
-    banded = (
-        df.select(F.col(id_col).alias("doc_id"), lsh_band_keys(sig, bands, rows).alias("bk"))
-        .select("doc_id", F.explode("bk").alias("band_key"))
+    spark = df.sparkSession
+    # local small-file inputs arrive as 1 split; fan the compute-heavy
+    # signature stage out across cores (at 100 TB the source has thousands
+    # of splits and this repartition is a no-op cost-wise)
+    nparts = max(spark.sparkContext.defaultParallelism, 4)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    src = src.repartition(nparts, "doc_id")
+    # Materialize each HOF stage ONCE: lambda bodies are not CSE'd AND
+    # CollapseProject re-inlines adjacent withColumns, so without a barrier
+    # the signature would be recomputed per band (measured 10x slower).
+    # _barrier() = explode of a 1-element array: a Generate node projections
+    # cannot collapse across, with zero row multiplication.
+    staged = _barrier(src.withColumn("__sh", T.shingles(F.col("__text"), shingle_k)))
+    staged = _barrier(
+        staged.withColumn("__sig", minhash_signature_from_shingles(F.col("__sh"), k))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Docs too short to shingle share the sentinel signature; banding them
+    # would create an all-pairs clique of unrelated short docs. The guard
+    # lives INSIDE the projection (explode of a conditional array — NULL
+    # emits nothing) rather than a .where(): Catalyst pushes filters all
+    # the way into the parquet scan, cloning the full signature expression
+    # into a single-threaded pre-shuffle evaluation (measured 65s of 88s).
+    banded = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.try_element_at(F.col("__sig"), F.lit(1)) != -1,
+                lsh_band_keys(F.col("__sig"), bands, rows),
+            )
+        ).alias("band_key"),
+    )
+    # bucket-collect instead of a self-join: ONE pass over the signatures
+    # (a self-join would execute the whole signature subplan twice), one
+    # shuffle on the band key, pairs expanded in-row per bucket
+    buckets = banded.groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    n = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.where(n > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
 # --- simhash ----------------------------------------------------------------
 
-def simhash_bits(text: Column, nbits: int = 32) -> Column:
+def token_hashes(text: Column) -> Column:
+    """Distinct-token hash64 array — materialize this as a column before
+    feeding simhash_bits_from_hashes (lambda bodies are not CSE'd; inlining
+    it would recompute the md5s once per bit)."""
+    return F.transform(F.array_distinct(T.tokens(text)), T.hash64)
+
+
+def simhash_bits_from_hashes(hashes: Column, nbits: int = 32) -> Column:
     """SimHash as an nbits-char '0'/'1' string (MSB first, bit j = nbits-1-j).
 
     bit j is 1 iff sum over distinct tokens of (+1 if token-hash bit j set
     else -1) >= 0. String output avoids 64-bit sign pitfalls across engines.
     The bit loop runs in Python (literal masks): shift amounts must be plain
-    ints in Spark, and Catalyst CSE shares the token-hash subexpression
-    across the per-bit aggregates.
+    ints in Spark.
     """
-    toks = F.array_distinct(T.tokens(text))
-    hashes = F.transform(toks, T.hash64)
     bits = [
         F.when(
             F.aggregate(
@@ -149,6 +213,12 @@ def simhash_bits(text: Column, nbits: int = 32) -> Column:
         for j in range(nbits - 1, -1, -1)
     ]
     return F.concat(*bits)
+
+
+def simhash_bits(text: Column, nbits: int = 32) -> Column:
+    """Inline-expression form; hot paths should materialize token_hashes
+    as a column first and use simhash_bits_from_hashes."""
+    return simhash_bits_from_hashes(token_hashes(text), nbits)
 
 
 # --- exact n-gram / token jaccard via posting-list join ---------------------
@@ -166,10 +236,13 @@ def jaccard_pairs(
     |A ∪ B| = |A| + |B| - |A ∩ B|. Output jaccard_e4 = floor(inter * 10000
     / union) — integer, engine-exact.
     """
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
     toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("tok"),
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .repartition(nparts, "doc_id")  # small-file inputs: fan out compute
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(T.tokens(F.col("__text")))).alias("tok"),
         )
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))

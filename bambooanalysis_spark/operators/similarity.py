@@ -58,7 +58,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    nparts = max(corpus.sparkSession.sparkContext.defaultParallelism, 4)
+    c = corpus.repartition(nparts, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -88,8 +91,10 @@ def near_dup_pairs_cosine(
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold. Brute force here; at
     scale, pre-bucket with lsh_signs and join buckets first."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    src = df.repartition(nparts, id_col)  # small-file inputs: fan out compute
+    a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -104,33 +109,41 @@ def near_dup_pairs_cosine(
     )
 
 
+def _plane_coeffs(nplanes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplane coefficients from md5 of 'p:d' (bit 0
+    of the 62-bit hash) — identical values to hashing inside the engine,
+    but computed ONCE in Python: the coefficients are row-independent, so
+    per-row md5 evaluation (nplanes x dim per vector) would be pure waste.
+    """
+    import hashlib
+
+    out = []
+    for p in range(nplanes):
+        row = []
+        for d in range(1, dim + 1):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if (h & 1) == 1 else -1.0)
+        out.append(row)
+    return out
+
+
 def lsh_signs(vec: Column, nplanes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as an nplanes-char '0'/'1' string.
 
-    Plane p's coefficient for dimension d is a deterministic +-1 from
-    hash64(p ':' d) — fully portable, no RNG state. sign bit p = 1 iff
-    sum_d coef(p,d) * vec[d] >= 0.
+    sign bit p = 1 iff sum_d coef(p,d) * vec[d] >= 0, with coefficients
+    baked in as literal arrays (see _plane_coeffs).
     """
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(nplanes - 1)),
-        lambda p: F.when(
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(dim)),
-                F.lit(0.0),
-                lambda acc, d: acc
-                + F.when(
-                    T.hash64(F.concat_ws(":", p.cast("string"), d.cast("string")))
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                * F.try_element_at(vec, d.cast("int")).cast("double"),
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.concat_ws("", bits)
+    coeffs = _plane_coeffs(nplanes, dim)
+    bits = []
+    for p in range(nplanes):
+        coef = F.array(*[F.lit(c) for c in coeffs[p]])
+        s = F.aggregate(
+            F.zip_with(vec, coef, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 def ann_lsh_topk(

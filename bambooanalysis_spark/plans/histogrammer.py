@@ -6,32 +6,86 @@ all in ONE event-loop pass per sample (RDataFrame lazy model). The naive
 Spark translation — one groupBy job per plot — would scan the data 127
 times. Instead:
 
-    events --withColumn--> object collections + selection masks (shared,
-                           deduped by Catalyst CSE inside codegen)
+    events --withColumn--> object collections (analysis modules)
+           --withColumn--> selection masks+weights, level by level:
+                           mask(child) = mask(parent) AND local_cut —
+                           every shared selection prefix is evaluated
+                           exactly ONCE per event as a named column
+           --withColumn--> distinct plotted value expressions (deduped
+                           across plots that reuse them)
            --select-----> contribs: array<struct<pid, bin, bin2, w>>
-                           (one entry per plot whose selection passes;
-                            cutflow node = pid with bin 0)
+                           referencing only those named columns
            --explode----> groupBy(pid, bin, bin2).agg(sum(w), sum(w*w), n)
 
 One scan, one shuffle whose key space is tiny (#plots x #bins, ~7k keys),
 partial aggregation map-side — at 100 TB this is scan-bound, exactly like
 the reference's event loop. No RDDs, no Python UDFs: the whole pass is
-whole-stage-codegen'd.
+whole-stage-codegen'd. The mask/value materialization exists because a
+127-wide when()-array that inlines each selection's full conjunction would
+re-evaluate deep expression trees per plot (measured ~2x slower at sf0.1).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .cutflow import CutFlowReport
 from .plots import Plot
+from .selection import Selection
 
 # Cutflow entries are 1-bin "histograms", exactly how bamboo stores yields
 # (phaseII-analysis.py:224-230: EqB(1, 0., 1.)).
 _CUTFLOW_BIN = 0
+
+
+def _materialize_dag(df: DataFrame, selections: list[Selection]):
+    """Add one boolean mask column and one weight column per selection
+    node, parents before children so each mask is parent_mask AND
+    local_cut. Returns (df, {id(sel): (mask_col, weight_col)})."""
+    # transitive closure up to the root(s)
+    seen: dict[int, Selection] = {}
+
+    def visit(s: Selection):
+        while s is not None and id(s) not in seen:
+            seen[id(s)] = s
+            s = s.parent
+
+    for s in selections:
+        visit(s)
+
+    # group by depth so each withColumns layer only references earlier ones
+    def depth(s: Selection) -> int:
+        d = 0
+        while s.parent is not None:
+            s, d = s.parent, d + 1
+        return d
+
+    by_depth: dict[int, list[Selection]] = {}
+    for s in seen.values():
+        by_depth.setdefault(depth(s), []).append(s)
+
+    names: dict[int, tuple[str, str]] = {}
+    for d in sorted(by_depth):
+        layer: dict[str, Column] = {}
+        for s in by_depth[d]:
+            i = len(names)
+            m, w = f"__mask_{i}", f"__w_{i}"
+            names[id(s)] = (m, w)
+            if s.parent is None:
+                layer[m] = s.cond
+                layer[w] = s.weight
+            else:
+                pm, pw = names[id(s.parent)]
+                local = getattr(s, "local_cut", None)
+                cond = F.col(pm) if local is None else (F.col(pm) & local)
+                lw = getattr(s, "local_weight", None)
+                layer[m] = cond
+                layer[w] = F.col(pw) if lw is None else (F.col(pw) * lw)
+        df = df.withColumns(layer)
+    return df, names
 
 
 def run_analysis(
@@ -45,15 +99,52 @@ def run_analysis(
         plot: string, kind: string ('plot'|'cutflow'), bin: int, bin2: int
         (0 for 1D), sumw: double, sumw2: double, n: long
     """
-    structs = []
-    pid_name: list[tuple[str, str]] = []  # (name, kind) indexed by pid
+    plots = list(plots)
+    cutflows = list(cutflows)
+    sels = [p.selection for p in plots] + [
+        sel for cfr in cutflows for (sel, _t) in cfr.entries
+    ]
+    if not sels:
+        raise ValueError("nothing booked")
+    # Catalyst constraint propagation is super-linear in the number of
+    # boolean mask columns (hundreds here) and contributes nothing to this
+    # plan shape — disabling it halves wall time at sf0.1 (measured)
+    df.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    df, mask_names = _materialize_dag(df, sels)
 
-    def book(name: str, kind: str, cond, bins, weight):
-        pid = len(pid_name)
-        pid_name.append((name, kind))
+    # dedupe plotted value expressions: plots routinely reuse the same
+    # Column object (n_jets across 6 selections etc.) — one column each
+    val_names: dict[int, str] = {}
+    val_layer: dict[str, Column] = {}
+
+    def val_col(expr: Column) -> Column:
+        key = id(expr)
+        if key not in val_names:
+            name = f"__val_{len(val_names)}"
+            val_names[key] = name
+            val_layer[name] = expr
+        return F.col(val_names[key])
+
+    bookings = []  # (name, kind, mask Column, [bin Columns], weight Column)
+    pid_name: list[tuple[str, str]] = []
+    for p in plots:
+        m, w = mask_names[id(p.selection)]
+        bins = [b.bin_col(val_col(e)) for e, b in zip(p.exprs, p.binnings)]
+        pid_name.append((p.name, "plot"))
+        bookings.append((F.col(m), bins, F.col(w)))
+    for cfr in cutflows:
+        for sel, _title in cfr.entries:
+            m, w = mask_names[id(sel)]
+            pid_name.append((f"{cfr.name}/{sel.name}", "cutflow"))
+            bookings.append((F.col(m), [F.lit(_CUTFLOW_BIN)], F.col(w)))
+    if val_layer:
+        df = df.withColumns(val_layer)
+
+    structs = []
+    for pid, (mask, bins, weight) in enumerate(bookings):
         b1 = bins[0].cast("int")
         b2 = (bins[1] if len(bins) > 1 else F.lit(0)).cast("int")
-        valid = cond & b1.isNotNull() & b2.isNotNull()
+        valid = mask & b1.isNotNull() & b2.isNotNull()
         structs.append(
             F.when(
                 valid,
@@ -65,15 +156,6 @@ def run_analysis(
                 ),
             )
         )
-
-    for p in plots:
-        book(p.name, "plot", p.selection.cond, p.bin_cols(), p.selection.weight)
-    for cfr in cutflows:
-        for sel, _title in cfr.entries:
-            book(f"{cfr.name}/{sel.name}", "cutflow", sel.cond, [F.lit(_CUTFLOW_BIN)], sel.weight)
-
-    if not structs:
-        raise ValueError("nothing booked")
 
     contribs = F.filter(F.array(*structs), lambda c: c.isNotNull())
     agg = (

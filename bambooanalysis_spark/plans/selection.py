@@ -55,16 +55,25 @@ class Selection:
         otherwise propagate NULL into the mask.
         """
         cuts = cut if isinstance(cut, (list, tuple)) else ([cut] if cut is not None else [])
-        cond = self.cond
+        local_cut = None
         for c in cuts:
-            cond = cond & F.coalesce(c.cast("boolean"), F.lit(False))
+            c = F.coalesce(c.cast("boolean"), F.lit(False))
+            local_cut = c if local_cut is None else (local_cut & c)
+        cond = self.cond if local_cut is None else (self.cond & local_cut)
         w = self.weight
+        local_weight = None
         weights = (
             weight if isinstance(weight, (list, tuple)) else ([weight] if weight is not None else [])
         )
         for wf in weights:
+            local_weight = wf if local_weight is None else (local_weight * wf)
             w = w * wf
         child = Selection(name, cond, w, parent=self)
+        # incremental pieces kept so the histogrammer can evaluate the DAG
+        # hierarchically (each node's mask = parent mask column AND local
+        # cut — shared prefixes computed exactly once per event)
+        child.local_cut = local_cut
+        child.local_weight = local_weight
         self.children.append(child)
         return child
 

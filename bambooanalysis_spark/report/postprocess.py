@@ -1,0 +1,213 @@
+"""Post-processing over the per-sample histogram tables — the reference's
+second pipeline phase (SURVEY.md §2.11, §3.2-3.3).
+
+All of this consumes the SMALL aggregated outputs of the single-pass jobs
+(#plots x #bins rows per sample), so it runs driver-side with pandas /
+numpy / matplotlib — the same division of labor as the reference, where
+printCutFlowReports and plotIt operate on saved histograms, not events.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def write_histograms(hist: DataFrame, out_dir: str, sample: str) -> str:
+    """Histogram sink: long-format parquet per sample — the analog of the
+    per-sample {sample}.root output (phaseII-analysis.py:209)."""
+    path = f"{out_dir}/{sample}/hists.parquet"
+    hist.write.mode("overwrite").parquet(path)
+    return path
+
+
+def cutflow_efficiencies(cutflow: pd.DataFrame, gen_events: float | None = None) -> pd.DataFrame:
+    """Per printCutFlowReports (phaseII-analysis.py:190-199): for each node
+    Eff = SumW / SumW_parent (sequential, phaseII-analysis.py:105-111) and
+    TotalEff = SumW / genEvents. Input: ordered rows with columns
+    (selection, num_events, sum_weights)."""
+    df = cutflow.copy().reset_index(drop=True)
+    prev = df["sum_weights"].shift(1)
+    df["eff_pct"] = (df["sum_weights"] / prev * 100.0).where(prev.notna())
+    base = gen_events if gen_events is not None else (
+        df["sum_weights"].iloc[0] if len(df) else None
+    )
+    df["total_eff_pct"] = df["sum_weights"] / base * 100.0 if base else None
+    return df
+
+
+def normalize_histograms(
+    hists: dict[str, pd.DataFrame], scales: dict[str, float]
+) -> pd.DataFrame:
+    """Scale each MC sample's histograms by lumi x xsec / genEvents
+    (phaseII-analysis.py:210-217 + writePlotIt inputs): sumw and sumw2
+    scale by s and s^2. Returns one long frame with a sample column."""
+    frames = []
+    for sample, h in hists.items():
+        s = scales.get(sample, 1.0)
+        out = h.copy()
+        out["sumw"] = out["sumw"] * s
+        out["sumw2"] = out["sumw2"] * (s * s)
+        out["sample"] = sample
+        frames.append(out)
+    return pd.concat(frames, ignore_index=True)
+
+
+def stack_by_group(
+    normalized: pd.DataFrame, groups: dict[str, str]
+) -> pd.DataFrame:
+    """Stack per legend group (jet_test.yml:9,40-51): sum sumw/sumw2 over
+    samples of the same group per (plot, bin)."""
+    df = normalized.copy()
+    df["group"] = df["sample"].map(groups).fillna(df["sample"])
+    return (
+        df.groupby(["plot", "bin", "group"], as_index=False)[["sumw", "sumw2", "n"]]
+        .sum()
+    )
+
+
+def data_mc_ratio(
+    data_sumw: float, mc_sumw: float, data_err: float, mc_err: float, mc_syst: float = 0.0
+) -> tuple[float, float]:
+    """Data/MC ratio with the reference's error formula
+    (phaseII-analysis.py:146-152):
+    ratio = data/mc,
+    err = sqrt(mc^2*sigma_data^2 + data^2*(sigma_mc^2 + syst_mc^2)) / mc^2.
+    """
+    import math
+
+    ratio = data_sumw / mc_sumw
+    err = (
+        math.sqrt(
+            mc_sumw**2 * data_err**2 + data_sumw**2 * (mc_err**2 + mc_syst**2)
+        )
+        / mc_sumw**2
+    )
+    return ratio, err
+
+
+def _tex_escape(s: str) -> str:
+    # phaseII-analysis.py:50-57 escaping
+    for a, b in [
+        ("\\", r"\textbackslash{}"), ("&", r"\&"), ("%", r"\%"), ("$", r"\$"),
+        ("#", r"\#"), ("_", r"\_"), ("{", r"\{"), ("}", r"\}"),
+    ]:
+        s = s.replace(a, b)
+    return s
+
+
+def yields_table_tex(
+    yields: pd.DataFrame,
+    sample_columns: list[str],
+    signal_xsec: dict[str, float] | None = None,
+) -> str:
+    """LaTeX yields table, samples x selections (phaseII-analysis.py:59-166):
+    one row per selection title, one column per sample (SIGNAL columns
+    annotated with their cross-section, phaseII-analysis.py:89)."""
+    signal_xsec = signal_xsec or {}
+    heads = []
+    for s in sample_columns:
+        h = _tex_escape(s)
+        if s in signal_xsec:
+            h += rf" ($\sigma = {signal_xsec[s]:g}$ pb)"
+        heads.append(h)
+    lines = [
+        r"\begin{tabular}{l" + "r" * len(sample_columns) + "}",
+        r"\hline",
+        "Selection & " + " & ".join(heads) + r" \\",
+        r"\hline",
+    ]
+    for _, row in yields.iterrows():
+        cells = [f"{row[s]:.2f}" if pd.notna(row[s]) else "-" for s in sample_columns]
+        lines.append(_tex_escape(str(row["selection"])) + " & " + " & ".join(cells) + r" \\")
+    lines += [r"\hline", r"\end{tabular}"]
+    return "\n".join(lines)
+
+
+def cutflow_png(
+    cutflows: dict[str, pd.DataFrame], out_path: str, log_y: bool = True
+) -> str:
+    """Overlaid cutflow comparison image (phaseII-analysis.py:113-136:
+    FS red vs Delphes blue, log-y). Uses matplotlib when available;
+    otherwise renders a dependency-free SVG (this container has no
+    matplotlib) — same content, different encoder."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return _cutflow_svg(cutflows, out_path, log_y)
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    colors = ["red", "blue", "green", "orange", "purple"]
+    for (label, cf), color in zip(cutflows.items(), colors):
+        ax.step(
+            range(len(cf)), cf["sum_weights"], where="mid", label=label, color=color
+        )
+    ax.set_xticks(range(max(len(cf) for cf in cutflows.values())))
+    first = next(iter(cutflows.values()))
+    ax.set_xticklabels(first["selection"], rotation=45, ha="right")
+    if log_y:
+        ax.set_yscale("log")
+    ax.set_ylabel("SumW")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def _cutflow_svg(
+    cutflows: dict[str, pd.DataFrame], out_path: str, log_y: bool
+) -> str:
+    import math as m
+
+    if not out_path.endswith(".svg"):
+        out_path = out_path.rsplit(".", 1)[0] + ".svg"
+    width, height, pad = 640, 400, 50
+    colors = ["red", "blue", "green", "orange", "purple"]
+    all_vals = [
+        v for cf in cutflows.values() for v in cf["sum_weights"] if v > 0
+    ]
+    vmax = max(all_vals) if all_vals else 1.0
+    vmin = min(all_vals) if all_vals else 0.1
+
+    def y(v):
+        if log_y:
+            v = max(v, vmin)
+            frac = (m.log10(v) - m.log10(vmin)) / max(
+                m.log10(vmax) - m.log10(vmin), 1e-9
+            )
+        else:
+            frac = v / vmax
+        return height - pad - frac * (height - 2 * pad)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+    ]
+    n = max(len(cf) for cf in cutflows.values())
+    step = (width - 2 * pad) / max(n - 1, 1)
+    for (label, cf), color in zip(cutflows.items(), colors):
+        pts = " ".join(
+            f"{pad + i * step:.1f},{y(v):.1f}" for i, v in enumerate(cf["sum_weights"])
+        )
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{color}" stroke-width="2"/>'
+        )
+    first = next(iter(cutflows.values()))
+    for i, name in enumerate(first["selection"]):
+        parts.append(
+            f'<text x="{pad + i * step:.0f}" y="{height - pad + 15}" font-size="10" '
+            f'text-anchor="middle">{name}</text>'
+        )
+    for j, (label, _cf) in enumerate(cutflows.items()):
+        parts.append(
+            f'<text x="{width - pad - 100}" y="{pad + 15 * j}" font-size="12" '
+            f'fill="{colors[j % len(colors)]}">{label}</text>'
+        )
+    parts.append("</svg>")
+    with open(out_path, "w") as f:
+        f.write("\n".join(parts))
+    return out_path

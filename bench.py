@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <scale factor>}
+
+Each query is executed to completion (count() over the result — full
+materialization, nothing cached between queries beyond the shared session
+and OS page cache). A small warm-up query first so JVM/codegen startup is
+not billed to the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> contract query key (queries() callables are the benchmarked units)
+HEADLINE = {
+    "phase2_full_pass": "hep_cutflow_phase2",        # 61 plots + cutflow, one job
+    "jet_test_full_pass": "hep_cutflow_jet_test",    # 66 plots + 52 selections
+    "hep_cleaning_chain": "hep_cleaned_jets_not_exists",
+    "pricing_summary": "rel_pricing_summary",
+    "join_revenue_by_nation": "rel_join_revenue_by_nation",
+    "window_topk": "rel_window_topk_per_customer",
+    "dedup_minhash_lsh": "dedup_minhash_lsh_pairs",
+    "dedup_jaccard": "dedup_ngram_jaccard_pairs",
+    "similarity_topk": "similarity_cosine_topk",
+    "text_stats": "text_stats",
+    "events_window": "events_tumbling_window",
+}
+
+
+def main() -> None:
+    from bambooanalysis_spark.contract import QUERIES
+    from bambooanalysis_spark.session import get_spark
+
+    spark = get_spark("bamboo-bench")
+    # warm-up: JVM, parquet footer reads, codegen
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for label, key in HEADLINE.items():
+        t0 = time.perf_counter()
+        n = QUERIES[key](spark, SF_DIR).count()
+        timings[label] = round(time.perf_counter() - t0, 3)
+        print(f"# {label}: {timings[label]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline engine queries (phaseII/jet_test single-pass analyses, "
+        "relational joins/windows, dedup, similarity, text, event windows)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

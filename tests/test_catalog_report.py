@@ -1,0 +1,115 @@
+"""Catalog + normalization + report layer tests (SURVEY.md §1.5, §2.11)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from bambooanalysis_spark.report import (
+    cutflow_efficiencies,
+    cutflow_png,
+    data_mc_ratio,
+    normalize_histograms,
+    stack_by_group,
+    yields_table_tex,
+)
+from bambooanalysis_spark.sources.catalog import Sample, parse_catalog
+
+# mirrors jet_test.yml / phaseII-analysis-FS.yml structure
+CFG = {
+    "tree": "myana/mytree",
+    "eras": {"HL-LHC": {"luminosity": 3000000}},
+    "samples": {
+        "TT_FS": {
+            "era": "HL-LHC",
+            "type": "MC",
+            "group": "FS",
+            "files": ["a.parquet", "b.parquet"],
+            "generated-events": 1000000,
+            "cross-section": 950.0,
+        },
+        "DY_Delphes": {
+            "era": "HL-LHC",
+            "type": "SIGNAL",
+            "group": "Delphes",
+            "files": ["c.parquet"],
+            "generated-events": "genEvents",
+            "cross-section": 5620.0,
+            "stack-index": 1,
+        },
+        "obs": {"era": "HL-LHC", "type": "DATA", "files": ["d.parquet"]},
+    },
+    "plotIt": {"plotdefaults": {"log-y": True, "show-overflow": True}},
+}
+
+
+def test_catalog_parse_and_scale():
+    cat = parse_catalog(CFG)
+    assert cat.tree == "myana/mytree"
+    assert cat.luminosity("HL-LHC") == 3000000
+    # lumi * xsec / genEvents (phaseII-analysis.py:210-217)
+    assert cat.scale("TT_FS") == pytest.approx(3000000 * 950.0 / 1000000)
+    # counter-name resolution (phaseII-analysis.py:212-216)
+    assert cat.scale("DY_Delphes", {"genEvents": 2_000_000.0}) == pytest.approx(
+        3000000 * 5620.0 / 2_000_000
+    )
+    with pytest.raises(KeyError):
+        cat.scale("DY_Delphes", {})
+    # DATA never scaled
+    assert cat.scale("obs") == 1.0
+    assert cat.samples["DY_Delphes"].stack_index == 1
+
+
+def test_cutflow_efficiencies():
+    cf = pd.DataFrame(
+        {
+            "selection": ["noSel", "nmumu", "InvM"],
+            "num_events": [1000, 100, 80],
+            "sum_weights": [1000.0, 100.0, 80.0],
+        }
+    )
+    out = cutflow_efficiencies(cf, gen_events=2000.0)
+    assert math.isnan(out["eff_pct"][0]) or out["eff_pct"][0] is None
+    assert out["eff_pct"][1] == pytest.approx(10.0)
+    assert out["eff_pct"][2] == pytest.approx(80.0)
+    assert out["total_eff_pct"][2] == pytest.approx(4.0)
+
+
+def test_normalize_and_stack():
+    h = pd.DataFrame({"plot": ["m", "m"], "bin": [0, 1], "sumw": [10.0, 20.0], "sumw2": [10.0, 20.0], "n": [10, 20]})
+    normalized = normalize_histograms({"TT_FS": h, "TT2": h}, {"TT_FS": 2.0, "TT2": 3.0})
+    assert set(normalized["sample"]) == {"TT_FS", "TT2"}
+    row = normalized[(normalized["sample"] == "TT_FS") & (normalized["bin"] == 0)].iloc[0]
+    assert row["sumw"] == 20.0 and row["sumw2"] == 40.0
+    stacked = stack_by_group(normalized, {"TT_FS": "tt", "TT2": "tt"})
+    srow = stacked[stacked["bin"] == 0].iloc[0]
+    assert srow["sumw"] == 20.0 + 30.0
+
+
+def test_data_mc_ratio_formula():
+    # phaseII-analysis.py:146-152
+    ratio, err = data_mc_ratio(90.0, 100.0, 3.0, 4.0, 1.0)
+    assert ratio == pytest.approx(0.9)
+    expect = math.sqrt(100.0**2 * 3.0**2 + 90.0**2 * (4.0**2 + 1.0**2)) / 100.0**2
+    assert err == pytest.approx(expect)
+
+
+def test_yields_tex_and_png(tmp_path):
+    y = pd.DataFrame(
+        {
+            "selection": ["Sel0: No selection", "Sel1: nMuMu >= 2"],
+            "TT_FS": [1000.0, 100.0],
+            "DY_Delphes": [500.0, 50.0],
+        }
+    )
+    tex = yields_table_tex(y, ["TT_FS", "DY_Delphes"], signal_xsec={"DY_Delphes": 5620.0})
+    assert r"TT\_FS" in tex
+    assert r"\sigma = 5620" in tex
+    assert "1000.00" in tex
+    cf = pd.DataFrame(
+        {"selection": ["noSel", "sel1"], "sum_weights": [1000.0, 100.0]}
+    )
+    p = cutflow_png({"FS": cf, "Delphes": cf}, str(tmp_path / "cutflow.png"))
+    import os
+
+    assert os.path.getsize(p) > 0
