@@ -705,3 +705,119 @@ register("hep_histogram_variable_bins", q_histogram_variable_bins, ORACLE_HISTOG
 register("hep_histogram2d", q_histogram2d, ORACLE_HISTOGRAM2D)
 register("hep_weighted_histogram", q_weighted_histogram, ORACLE_WEIGHTED_HISTOGRAM)
 register("hep_cutflow_jet_test", q_cutflow_jet_test, ORACLE_CUTFLOW_JET_TEST)
+
+
+# --- DerivedPlot: post-hoc ratio of two booked histograms --------------------
+
+def q_derived_plot_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection efficiency per nJets bin: nJetsSel1 / nJetsNoSel — a
+    DerivedPlot over the single-pass output (phaseII-analysis.py:274-276)."""
+    from ..analyses import define_phase2
+    from ..plans import run_analysis
+    from ..plans.derived import derived_ratio
+
+    df, plots, cfr, _sels = define_phase2(_hep(spark, sf_dir))
+    hist = run_analysis(
+        df, [p for p in plots if p.name in ("nJetsNoSel", "nJetsSel1")]
+    )
+    out = derived_ratio(hist, "nJetsSel1_over_NoSel", "nJetsSel1", "nJetsNoSel")
+    # fixed-point outputs for engine-exact comparison; n counts are exact
+    return out.select(
+        "bin",
+        F.floor(F.col("ratio") * 1000000).cast("long").alias("ratio_e6"),
+    )
+
+
+ORACLE_DERIVED_PLOT = f"""{CHAIN_CTES}
+, nj AS (
+    SELECT f.event_id, f.n_jets, f.pass1
+    FROM flags f
+),
+bins AS (
+    SELECT CASE WHEN n_jets < 0 THEN -1 WHEN n_jets >= 10 THEN 10
+                ELSE LEAST(CAST(FLOOR(n_jets / 1.0) AS INT), 9) END AS bin,
+           SUM(1.0) AS den_w,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS num_w
+    FROM nj GROUP BY 1
+)
+SELECT bin,
+       CAST(FLOOR(num_w / den_w * 1000000) AS BIGINT) AS ratio_e6
+FROM bins
+"""
+
+
+# --- counters + normalization: the catalog layer as a query ------------------
+
+def q_counters_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeCounters + lumi*xsec/genEvents scaling (SURVEY.md §2.1, §2.11)
+    over two pseudo-samples (events split by parity): per sample nEvents,
+    the normalization scale (1e-6 fixed point) and the scaled selected
+    yield. Exercises sources/catalog end to end."""
+    from ..operators import collections as op
+    from ..sources.catalog import parse_catalog
+
+    cat = parse_catalog(
+        {
+            "eras": {"HL-LHC": {"luminosity": 3000000}},
+            "samples": {
+                "even": {"era": "HL-LHC", "type": "MC",
+                         "cross-section": 950.0, "generated-events": "nEvents"},
+                "odd": {"era": "HL-LHC", "type": "MC",
+                        "cross-section": 5620.0, "generated-events": "nEvents"},
+            },
+        }
+    )
+    hep = _hep(spark, sf_dir)
+    tagged = hep.withColumn(
+        "sample", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+    )
+    mu = op.Collection(F.col("muon"))
+    per_sample = (
+        tagged.groupBy("sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(op.rng_len(mu) > 1, F.lit(1))).alias("n_selected"),
+        )
+    )
+    rows = {r["sample"]: r for r in per_sample.collect()}
+    scales = {
+        s: cat.scale(s, {"nEvents": float(rows[s]["n_events"])}) for s in rows
+    }
+    scale_map = F.create_map(
+        *[x for s, v in scales.items() for x in (F.lit(s), F.lit(v))]
+    )
+    return per_sample.select(
+        "sample",
+        "n_events",
+        "n_selected",
+        F.floor(scale_map[F.col("sample")] * 1000000).cast("long").alias("scale_e6"),
+        F.floor(scale_map[F.col("sample")] * F.col("n_selected") * 1000).cast("long").alias("scaled_yield_e3"),
+    )
+
+
+ORACLE_COUNTERS_NORMALIZATION = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+tagged AS (
+    SELECT o.o_orderkey AS event_id,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS sample,
+           (SELECT COUNT(*) FROM objs m
+            WHERE m.event_id = o.o_orderkey AND m.kind = 1) AS n_mu
+    FROM orders o
+),
+per_sample AS (
+    SELECT sample,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE n_mu > 1) AS n_selected
+    FROM tagged GROUP BY 1
+)
+SELECT sample, n_events, n_selected,
+       CAST(FLOOR(3000000 * (CASE sample WHEN 'even' THEN 950.0 ELSE 5620.0 END)
+                  / n_events * 1000000) AS BIGINT) AS scale_e6,
+       CAST(FLOOR(3000000 * (CASE sample WHEN 'even' THEN 950.0 ELSE 5620.0 END)
+                  / n_events * n_selected * 1000) AS BIGINT) AS scaled_yield_e3
+FROM per_sample
+"""
+
+
+register("hep_derived_plot_ratio", q_derived_plot_ratio, ORACLE_DERIVED_PLOT)
+register("hep_counters_normalization", q_counters_normalization, ORACLE_COUNTERS_NORMALIZATION)

@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+the executed plan (SURVEY.md §4.1 'built-in vs custom' table).
+
+These tests would catch regressions like a filter silently not pushing to
+parquet, a dimension join degrading to sort-merge, or the single-pass
+histogrammer growing extra shuffles.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pruning_pushdown(spark, sf_oracle):
+    df = (
+        spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    # predicate reaches the scan (no IsNotNull: constraint propagation is
+    # deliberately off, session.py)
+    assert "PushedFilters: [GreaterThan(l_quantity,45.0)" in plan
+    # scan reads only the two needed columns (plan string truncates the
+    # schema; the opening of the struct is the informative part)
+    assert "ReadSchema: struct<l_orderkey" in plan
+    assert "l_shipdate" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dimension_join_is_broadcast(spark, sf_oracle):
+    from bambooanalysis_spark.contract.relational import q_revenue_by_nation
+
+    plan = _plan(q_revenue_by_nation(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogrammer_single_shuffle(spark, sf_small):
+    """The whole 61-plot analysis adds exactly ONE aggregation shuffle on
+    top of the fixture build (SURVEY.md §4.2)."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.sources import build_hep_events
+
+    hep = build_hep_events(spark, sf_small).cache()
+    hep.count()
+    df, plots, cfr, _ = define_phase2(hep)
+    hist = run_analysis(df, plots, [cfr])
+    hist.collect()  # execute so AQE finalizes and codegen markers appear
+    plan = _plan(hist)
+    assert "InMemoryTableScan" in plan  # reads the cached fixture
+    # only count the plan ABOVE the cache scan: InMemoryTableScan prints
+    # its (not re-executed) build plan below, which contains exchanges
+    live = plan.split("InMemoryTableScan")[0]
+    n_exchanges = live.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in final plans
+    assert "*(" in live, "no whole-stage codegen span in the aggregation path"
+
+
+def test_histogrammer_no_python_udfs(spark, sf_small):
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.sources import build_hep_events
+
+    hep = build_hep_events(spark, sf_small)
+    df, plots, cfr, _ = define_phase2(hep)
+    plan = _plan(run_analysis(df, plots, [cfr]))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_stages_not_duplicated(spark, sf_oracle):
+    """PERFORMANCE.md findings 1-3: one md5-bearing stage per pipeline
+    step, no signature clone in the parquet scan's data filters."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = _plan(D.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=8, shingle_k=2))
+    scan = plan[plan.index("FileScan") :]
+    first_line = scan.split("\n")[0]
+    assert "md5" not in first_line, "signature expression leaked into the scan filters"
+    # barriers present: the staged projections are separated by Generates
+    assert plan.count("Generate explode([0])") >= 2
+
+
+def test_topk_orders_uses_takeordered_or_limit(spark, sf_oracle):
+    from bambooanalysis_spark.contract.relational import q_top_orders
+
+    plan = _plan(q_top_orders(spark, sf_oracle))
+    assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
