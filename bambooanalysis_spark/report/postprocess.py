@@ -211,3 +211,74 @@ def _cutflow_svg(
     with open(out_path, "w") as f:
         f.write("\n".join(parts))
     return out_path
+
+
+def write_plotit_yml(
+    plots: list,
+    catalog,
+    out_path: str,
+    counters: dict[str, dict[str, float]] | None = None,
+) -> str:
+    """writePlotIt analog (phaseII-analysis.py:283-286 / SURVEY.md §3.3):
+    serialize the rendering configuration — files (per-sample scales from
+    the catalog), groups, plot axes/binning, defaults — to a plots.yml a
+    renderer consumes. We emit the same structure plotIt reads; rendering
+    itself is cutflow_png / stack_by_group here."""
+    counters = counters or {}
+    cfg: dict = {
+        "configuration": {
+            "luminosity": {
+                era: spec["luminosity"] for era, spec in catalog.eras.items()
+            },
+            "luminosity-error": catalog.plot_defaults.get("luminosity-error", 0.0),
+        },
+        "files": {},
+        "groups": {},
+        "plots": {},
+    }
+    for name, s in catalog.samples.items():
+        entry: dict = {"type": s.type.lower(), "era": s.era}
+        if s.is_mc:
+            entry["cross-section"] = s.cross_section
+            entry["scale"] = catalog.scale(name, counters.get(name))
+        if s.group:
+            entry["group"] = s.group
+            cfg["groups"].setdefault(s.group, {"order": s.stack_index})
+        cfg["files"][name] = entry
+    for p in plots:
+        b = p.binnings[0]
+        cfg["plots"][p.name] = {
+            "title": p.title,
+            "n-bins": getattr(b, "n", None),
+            "x-range": [b.edges()[0], b.edges()[-1]],
+            "selection": p.selection.name,
+        }
+    try:
+        import yaml
+
+        text = yaml.safe_dump(cfg, sort_keys=True)
+    except ImportError:  # pragma: no cover
+        import json
+
+        text = json.dumps(cfg, indent=2, sort_keys=True)
+    with open(out_path, "w") as f:
+        f.write(text)
+    return out_path
+
+
+def split_reports_by_era(
+    cutflows_by_sample: dict[str, "pd.DataFrame"], catalog, mode: str = "split"
+) -> dict[str, dict[str, "pd.DataFrame"]]:
+    """Era selection/combination (phaseII-analysis.py:186-188,246-250):
+    'split' -> one report set per era, 'combined' -> single merged set,
+    'all' -> both."""
+    by_era: dict[str, dict] = {}
+    for sample, cf in cutflows_by_sample.items():
+        era = catalog.samples[sample].era or "default"
+        by_era.setdefault(era, {})[sample] = cf
+    out: dict[str, dict] = {}
+    if mode in ("split", "all"):
+        out.update(by_era)
+    if mode in ("combined", "all"):
+        out["combined"] = dict(cutflows_by_sample)
+    return out

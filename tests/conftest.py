@@ -10,7 +10,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     # small core/partition counts keep test latency down; prod sizing is in
     # session.get_spark defaults
-    s = get_spark("bamboo-tests", cpus=8, shuffle_partitions=8)
+    s = get_spark(
+        "bamboo-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        # static conf: must be set at session creation (bucketed-table test)
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/bamboo-test-warehouse"},
+    )
     yield s
 
 

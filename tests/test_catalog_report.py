@@ -113,3 +113,29 @@ def test_yields_tex_and_png(tmp_path):
     import os
 
     assert os.path.getsize(p) > 0
+
+
+def test_write_plotit_yml_and_era_split(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.plans import EquidistantBinning, Plot, Selection
+    from bambooanalysis_spark.report.postprocess import (
+        split_reports_by_era,
+        write_plotit_yml,
+    )
+
+    cat = parse_catalog(CFG)
+    root = Selection.root()
+    plots = [
+        Plot.make1D("METpt", F.lit(0.0), root, EquidistantBinning(50, 0.0, 250.0), title="MET"),
+    ]
+    p = write_plotit_yml(
+        plots, cat, str(tmp_path / "plots.yml"), counters={"DY_Delphes": {"genEvents": 2e6}}
+    )
+    text = open(p).read()
+    assert "METpt" in text and "cross-section" in text and "3000000" in text
+
+    cf = pd.DataFrame({"selection": ["noSel"], "sum_weights": [1.0]})
+    split = split_reports_by_era({"TT_FS": cf, "obs": cf}, cat, mode="all")
+    assert "HL-LHC" in split and "combined" in split
+    assert set(split["combined"]) == {"TT_FS", "obs"}

@@ -239,3 +239,55 @@ def test_root_ingest_arrow_path(spark):
 
         with _pytest.raises(ImportError):
             R.ingest_root_files(["x.root"], "myana/mytree", "/tmp/out")
+
+
+def test_salted_join_equivalence_and_spread(spark, sf_oracle):
+    """salted_join must produce exactly the plain join's rows, with the
+    hot key spread across salt partitions."""
+    from bambooanalysis_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_oracle}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = (
+        li.join(part, "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+    )
+    salted = (
+        salted_join(li, part, "l_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+    )
+    a = {r["p_brand"]: (r["n"], r["q"]) for r in plain.collect()}
+    b = {r["p_brand"]: (r["n"], r["q"]) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_oracle, tmp_path):
+    """Tables bucketed+sorted on the join key must join without Exchange."""
+    import shutil
+
+    from bambooanalysis_spark.operators.joins import write_bucketed
+
+    # the in-memory catalog forgets tables between sessions but their files
+    # persist in the warehouse dir — clear both
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/bamboo-test-warehouse/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", buckets=8)
+    write_bucketed(li, "lineitem_b", "o_orderkey", buckets=8)
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "bucketed join should not shuffle"
+    assert joined.count() == li.count()
