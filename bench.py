@@ -24,10 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # name -> contract query key (queries() callables are the benchmarked units)
+# cleaning chain first: it materializes the shared (memoized) hep fixture,
+# so the two full-analysis numbers measure the single-pass jobs themselves
 HEADLINE = {
+    "hep_cleaning_chain": "hep_cleaned_jets_not_exists",
     "phase2_full_pass": "hep_cutflow_phase2",        # 61 plots + cutflow, one job
     "jet_test_full_pass": "hep_cutflow_jet_test",    # 66 plots + 52 selections
-    "hep_cleaning_chain": "hep_cleaned_jets_not_exists",
     "pricing_summary": "rel_pricing_summary",
     "join_revenue_by_nation": "rel_join_revenue_by_nation",
     "window_topk": "rel_window_topk_per_customer",

@@ -1,0 +1,135 @@
+"""End-to-end two-sample pipeline — the reference's full workflow
+(SURVEY.md §3): per-sample single-pass analysis -> histogram sinks +
+counters -> normalization (lumi x xsec / genEvents) -> group stacking ->
+yields table + cutflow report + plots.yml, like running
+`bambooRun -m phaseII-analysis.py ...` followed by postProcess.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.analyses import define_phase2
+from bambooanalysis_spark.plans import run_analysis
+from bambooanalysis_spark.plans.histogrammer import cutflow_table
+from bambooanalysis_spark.report.postprocess import (
+    cutflow_efficiencies,
+    cutflow_png,
+    normalize_histograms,
+    stack_by_group,
+    write_histograms,
+    write_plotit_yml,
+    yields_table_tex,
+)
+from bambooanalysis_spark.sources import build_hep_events
+from bambooanalysis_spark.sources.catalog import parse_catalog
+
+ORDER = ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
+
+CATALOG = {
+    "eras": {"HL-LHC": {"luminosity": 3000000}},
+    "samples": {
+        "TT_FS": {
+            "era": "HL-LHC", "type": "MC", "group": "FS",
+            "cross-section": 950.0, "generated-events": "nEvents",
+        },
+        "TT_Delphes": {
+            "era": "HL-LHC", "type": "SIGNAL", "group": "Delphes",
+            "cross-section": 950.0, "generated-events": "nEvents",
+            "stack-index": 1,
+        },
+    },
+    "plotIt": {"luminosity-error": 0.025},
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark, sf_small, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("analysis_out"))
+    cat = parse_catalog(CATALOG)
+    hep = build_hep_events(spark, sf_small).cache()
+    # two pseudo-samples (event parity), like the FS/Delphes pair
+    samples = {
+        "TT_FS": hep.where(F.col("event_id") % 2 == 0),
+        "TT_Delphes": hep.where(F.col("event_id") % 2 == 1),
+    }
+    hists, cutflows, counters, plots_ref = {}, {}, {}, None
+    for name, df in samples.items():
+        counters[name] = {"nEvents": float(df.count())}
+        adf, plots, cfr, _ = define_phase2(df)
+        plots_ref = plots
+        hist = run_analysis(adf, plots, [cfr])
+        write_histograms(hist, out_dir, name)
+        hists[name] = (
+            spark.read.parquet(f"{out_dir}/{name}/hists.parquet")
+            .where(F.col("kind") == "plot")
+            .toPandas()
+        )
+        cutflows[name] = cutflow_table(hist, "yields", ORDER).toPandas()
+    return dict(
+        out_dir=out_dir, cat=cat, hists=hists, cutflows=cutflows,
+        counters=counters, plots=plots_ref,
+    )
+
+
+def test_sinks_written(pipeline_outputs):
+    o = pipeline_outputs
+    for name in ("TT_FS", "TT_Delphes"):
+        assert os.path.isdir(f"{o['out_dir']}/{name}/hists.parquet")
+        assert len(o["hists"][name]) > 0
+
+
+def test_counters_and_scales(pipeline_outputs):
+    o = pipeline_outputs
+    n_fs = o["counters"]["TT_FS"]["nEvents"]
+    scale = o["cat"].scale("TT_FS", o["counters"]["TT_FS"])
+    assert scale == pytest.approx(3000000 * 950.0 / n_fs)
+
+
+def test_normalize_stack_and_yields(pipeline_outputs):
+    o = pipeline_outputs
+    scales = {s: o["cat"].scale(s, o["counters"][s]) for s in o["hists"]}
+    normalized = normalize_histograms(o["hists"], scales)
+    groups = {s: o["cat"].samples[s].group for s in o["hists"]}
+    stacked = stack_by_group(normalized, groups)
+    assert set(stacked["group"]) == {"FS", "Delphes"}
+    # stacking preserves the (scaled) total weight
+    met = normalized[normalized["plot"] == "METptNoSel"]
+    assert stacked[stacked["plot"] == "METptNoSel"]["sumw"].sum() == pytest.approx(
+        met["sumw"].sum()
+    )
+
+    import pandas as pd
+
+    y = pd.DataFrame(
+        {
+            "selection": ORDER,
+            **{
+                s: [
+                    float(
+                        cf.loc[cf["selection"] == sel, "sum_weights"].sum()
+                    ) * scales[s]
+                    for sel in ORDER
+                ]
+                for s, cf in o["cutflows"].items()
+            },
+        }
+    )
+    tex = yields_table_tex(y, list(o["hists"]), signal_xsec={"TT_Delphes": 950.0})
+    assert "\\sigma = 950" in tex and "nmumu" in tex
+
+
+def test_efficiencies_and_images(pipeline_outputs, tmp_path):
+    o = pipeline_outputs
+    for name, cf in o["cutflows"].items():
+        eff = cutflow_efficiencies(cf, gen_events=o["counters"][name]["nEvents"])
+        seq = eff["sum_weights"].tolist()
+        assert all(a >= b for a, b in zip(seq, seq[1:]))  # monotone
+    img = cutflow_png(o["cutflows"], str(tmp_path / "cutflow.png"))
+    assert os.path.getsize(img) > 0
+    yml = write_plotit_yml(
+        o["plots"], o["cat"], str(tmp_path / "plots.yml"), counters=o["counters"]
+    )
+    text = open(yml).read()
+    assert "InvMassTwoMuonsSel1" in text and "luminosity-error" in text
