@@ -484,3 +484,16 @@ register("ann_lsh_topk", q_ann_lsh_topk)  # approximate: rows-only check
 register("multimodal_blob_meta", q_multimodal_blob_meta, ORACLE_MULTIMODAL_BLOB_META)
 register("events_tumbling_window", q_events_tumbling_window, ORACLE_EVENTS_TUMBLING)
 register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
+
+
+# --- similarity: IVF ANN (approximate — rows-only driver check) --------------
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
+
+
+register("ann_ivf_topk", q_ann_ivf_topk)  # approximate: rows-only check

@@ -821,3 +821,54 @@ FROM per_sample
 
 register("hep_derived_plot_ratio", q_derived_plot_ratio, ORACLE_DERIVED_PLOT)
 register("hep_counters_normalization", q_counters_normalization, ORACLE_COUNTERS_NORMALIZATION)
+
+
+# --- 3D histogram (Plot.make3D, framework capability [B]) --------------------
+
+def q_histogram3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collections as op
+    from ..plans import EquidistantBinning, Plot, Selection, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    root = Selection.root()
+    n_jets = op.rng_len(op.Collection(F.col("jetpuppi"))).cast("double")
+    n_mu = op.rng_len(op.Collection(F.col("muon"))).cast("double")
+    met = F.col("metpuppi")["pt"]
+    p = Plot.make3D(
+        "njets_nmu_met",
+        [n_jets, n_mu, met],
+        root,
+        [
+            EquidistantBinning(4, 0.0, 4.0),
+            EquidistantBinning(4, 0.0, 4.0),
+            EquidistantBinning(5, 0.0, 250.0),
+        ],
+    )
+    hist = run_analysis(hep, [p])
+    return hist.select("bin", "bin2", "bin3", "sumw", F.col("n").alias("n_entries"))
+
+
+ORACLE_HISTOGRAM3D = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+nn AS (
+    SELECT o.o_orderkey AS event_id,
+           CAST(COUNT(*) FILTER (WHERE kind = 2) AS DOUBLE) AS nj,
+           CAST(COUNT(*) FILTER (WHERE kind = 1) AS DOUBLE) AS nm,
+           ANY_VALUE(o.o_totalprice) / 2000.0 AS met
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY o.o_orderkey
+)
+SELECT CASE WHEN nj < 0.0 THEN -1 WHEN nj >= 4.0 THEN 4
+            ELSE LEAST(CAST(FLOOR(nj / 1.0) AS INT), 3) END AS bin,
+       CASE WHEN nm < 0.0 THEN -1 WHEN nm >= 4.0 THEN 4
+            ELSE LEAST(CAST(FLOOR(nm / 1.0) AS INT), 3) END AS bin2,
+       CASE WHEN met < 0.0 THEN -1 WHEN met >= 250.0 THEN 5
+            ELSE LEAST(CAST(FLOOR(met / 50.0) AS INT), 4) END AS bin3,
+       SUM(1.0) AS sumw,
+       COUNT(*) AS n_entries
+FROM nn
+GROUP BY 1, 2, 3
+"""
+
+
+register("hep_histogram3d", q_histogram3d, ORACLE_HISTOGRAM3D)

@@ -313,3 +313,32 @@ register("rel_set_ops", q_set_ops, ORACLE_SET_OPS)
 register("rel_top_orders", q_top_orders, ORACLE_TOP_ORDERS)
 register("rel_rollup", q_rollup, ORACLE_ROLLUP)
 register("rel_below_avg_parts", q_below_avg_parts, ORACLE_BELOW_AVG_PARTS)
+
+
+# --- exact percentiles (Spark `percentile` == DuckDB quantile_cont,
+#     verified bit-exact on this data) ---------------------------------------
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.min("l_extendedprice").alias("pmin"),
+            F.max("l_extendedprice").alias("pmax"),
+        )
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       MIN(l_extendedprice) AS pmin,
+       MAX(l_extendedprice) AS pmax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+register("rel_percentiles", q_percentiles, ORACLE_PERCENTILES)

@@ -188,3 +188,96 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_e6")
     )
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
+    """Assign each vector to its nearest centroid (max cosine). Centroids
+    are literal arrays (driver-side metadata, like a trained IVF codebook).
+
+    Argmax via array_max over (score, cid) structs — LINEAR expression
+    size. A chained when(score > best, ...) fold would embed the previous
+    best twice per step: a 2^C-node expression tree at C centroids (this
+    hung the planner at C=16 before the rewrite).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (norm(F.col(vec_col)) * norm(F.array(*[F.lit(float(x)) for x in cvec])))
+                ).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    # struct comparison is lexicographic: max by score, ties -> max cid
+    return df.withColumn("__ivf_cell", F.array_max(cells)["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: corpus bucketed by nearest centroid; each query probes
+    its n_probe nearest cells and ranks exactly within them.
+
+    The 'codebook' here is deterministic (the first n_centroids corpus
+    vectors) rather than k-means-trained — the scale mechanics are the
+    point: the probe join replaces the full cross product, shrinking the
+    candidate set by ~n_probe/n_centroids. At 100 TB the centroid list is
+    broadcast metadata and the bucketed corpus is partitioned by cell.
+    """
+    cents = [
+        (int(r[id_col]), list(r[vec_col]))
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    c = ivf_assign(
+        corpus.repartition(
+            max(corpus.sparkSession.sparkContext.defaultParallelism, 4), id_col
+        ),
+        cents,
+        vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell")
+    # per query: scores against every centroid, keep the n_probe best cells
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_rows = []
+    for cid, cvec in cents:
+        coef = F.array(*[F.lit(float(x)) for x in cvec])
+        probe_rows.append(
+            F.struct(
+                F.lit(cid).alias("cell"),
+                (dot(F.col("qv"), coef) / (norm(F.col("qv")) * norm(coef))).alias("s"),
+            )
+        )
+    cells = F.slice(
+        F.array_sort(
+            F.array(*probe_rows), lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)
+        ),
+        1,
+        n_probe,
+    )
+    q = q.withColumn("__cells", F.transform(cells, lambda x: x["cell"]))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.array_contains(F.col("__cells"), F.col("__ivf_cell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000).cast("long").alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_e6")
+    )

@@ -96,8 +96,8 @@ def run_analysis(
     """Compute every booked plot and cutflow counter in one job.
 
     Returns a long-format histogram table:
-        plot: string, kind: string ('plot'|'cutflow'), bin: int, bin2: int
-        (0 for 1D), sumw: double, sumw2: double, n: long
+        plot: string, kind: string ('plot'|'cutflow'), bin: int, bin2: int,
+        bin3: int (0 for unused axes), sumw: double, sumw2: double, n: long
     """
     plots = list(plots)
     cutflows = list(cutflows)
@@ -144,7 +144,8 @@ def run_analysis(
     for pid, (mask, bins, weight) in enumerate(bookings):
         b1 = bins[0].cast("int")
         b2 = (bins[1] if len(bins) > 1 else F.lit(0)).cast("int")
-        valid = mask & b1.isNotNull() & b2.isNotNull()
+        b3 = (bins[2] if len(bins) > 2 else F.lit(0)).cast("int")
+        valid = mask & b1.isNotNull() & b2.isNotNull() & b3.isNotNull()
         structs.append(
             F.when(
                 valid,
@@ -152,6 +153,7 @@ def run_analysis(
                     F.lit(pid).alias("pid"),
                     b1.alias("bin"),
                     b2.alias("bin2"),
+                    b3.alias("bin3"),
                     weight.cast("double").alias("w"),
                 ),
             )
@@ -160,8 +162,8 @@ def run_analysis(
     contribs = F.filter(F.array(*structs), lambda c: c.isNotNull())
     agg = (
         df.select(F.explode(contribs).alias("c"))
-        .select("c.pid", "c.bin", "c.bin2", "c.w")
-        .groupBy("pid", "bin", "bin2")
+        .select("c.pid", "c.bin", "c.bin2", "c.bin3", "c.w")
+        .groupBy("pid", "bin", "bin2", "bin3")
         .agg(
             F.sum("w").alias("sumw"),
             F.sum(F.col("w") * F.col("w")).alias("sumw2"),
@@ -180,6 +182,7 @@ def run_analysis(
         kind_map[F.col("pid")].alias("kind"),
         "bin",
         "bin2",
+        "bin3",
         "sumw",
         "sumw2",
         "n",

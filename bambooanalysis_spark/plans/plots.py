@@ -71,9 +71,12 @@ class VariableBinning:
 class Plot:
     """A booked histogram: name + value expression(s) + selection + binning.
 
-    ``exprs``/``binnings`` have one entry for 1D, two for 2D (the reference
-    exercises 1D only; make2D is framework capability [B], SURVEY.md §2.7).
+    ``exprs``/``binnings`` have one entry for 1D, two for 2D, three for 3D
+    (the reference exercises 1D only; make2D/make3D are framework
+    capability [B], SURVEY.md §2.7).
     """
+
+    MAX_DIMS = 3
 
     def __init__(self, name: str, exprs, selection, binnings, title: str = ""):
         self.name = name
@@ -83,6 +86,8 @@ class Plot:
         self.title = title
         if len(self.exprs) != len(self.binnings):
             raise ValueError("one binning per axis expression")
+        if not 1 <= len(self.exprs) <= self.MAX_DIMS:
+            raise ValueError("1 to 3 axes supported")
 
     @classmethod
     def make1D(cls, name, expr, selection, binning, title: str = "") -> "Plot":
@@ -92,6 +97,14 @@ class Plot:
     def make2D(cls, name, exprs, selection, binnings, title: str = "") -> "Plot":
         if len(exprs) != 2:
             raise ValueError("make2D takes two expressions")
+        return cls(name, exprs, selection, binnings, title)
+
+    @classmethod
+    def make3D(cls, name, exprs, selection, binnings, title: str = "") -> "Plot":
+        """Framework capability [B] (SURVEY.md §2.7): composite bucket key
+        (bx, by, bz); the histogrammer carries one bin column per axis."""
+        if len(exprs) != 3:
+            raise ValueError("make3D takes three expressions")
         return cls(name, exprs, selection, binnings, title)
 
     @property

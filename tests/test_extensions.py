@@ -291,3 +291,91 @@ def test_bucketed_join_has_no_shuffle(spark, sf_oracle, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, "bucketed join should not shuffle"
     assert joined.count() == li.count()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_oracle):
+    """IVF with n_probe=6/16 cells must recover most of the exact top-10
+    (recall >= 0.5 on this data) and rank candidates identically where it
+    finds them."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_scores[(r["query_id"], r["neighbor_id"])] = r["cosine_e6"]
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # scores of common neighbors must be identical (same cosine math)
+    for r in exact:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in approx_scores:
+            assert approx_scores[key] == r["cosine_e6"]
+
+
+def test_make3d_histogram(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.plans import EquidistantBinning, Plot, Selection, run_analysis
+
+    rng = np.random.default_rng(3)
+    rows = [
+        Row(x=float(a), y=float(b), z=float(c))
+        for a, b, c in rng.uniform(0, 4, size=(200, 3))
+    ]
+    df = spark.createDataFrame(rows)
+    p = Plot.make3D(
+        "xyz",
+        [F.col("x"), F.col("y"), F.col("z")],
+        Selection.root(),
+        [EquidistantBinning(4, 0, 4)] * 3,
+    )
+    hist = run_analysis(df, [p]).collect()
+    assert sum(r["n"] for r in hist) == 200
+    got = {(r["bin"], r["bin2"], r["bin3"]): r["n"] for r in hist}
+    expect = {}
+    for r in rows:
+        key = (min(int(r.x), 3), min(int(r.y), 3), min(int(r.z), 3))
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+
+
+def test_aqe_skew_join_handled(spark, sf_oracle):
+    """A deliberately skewed join (90% of fact rows on one key) must
+    complete and produce exact counts — AQE skew splitting plus the salted
+    fallback both exist; this pins the correctness side."""
+    from bambooanalysis_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(F.col("l_orderkey"))
+    )
+    dim = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    plain = skewed.join(dim, "k").count()
+    salted = salted_join(skewed, dim, "k", salt=16).count()
+    assert plain == salted
+
+
+def test_csv_json_sources_roundtrip(spark, sf_oracle, tmp_path):
+    """Source-format breadth: the engine consumes CSV and JSON with
+    explicit schemas and produces identical results to the parquet path."""
+    nation = spark.read.parquet(f"{sf_oracle}/nation.parquet")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.option("header", True).csv(csv_p)
+    nation.write.json(json_p)
+    from_csv = spark.read.schema(nation.schema).option("header", True).csv(csv_p)
+    from_json = spark.read.schema(nation.schema).json(json_p)
+    base = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in from_csv.collect()} == base
+    assert {tuple(r) for r in from_json.collect()} == base
