@@ -342,3 +342,20 @@ FROM lineitem GROUP BY l_returnflag
 
 
 register("rel_percentiles", q_percentiles, ORACLE_PERCENTILES)
+
+
+# --- sketches: HLL approximate distinct (rows-only: approximate by design) ---
+
+def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per group — the constant-memory
+    path a 100 TB rollup uses where exact COUNT(DISTINCT) would shuffle
+    every key. Approximate, so driver records a rows-only check; the unit
+    test bounds the error against the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+register("sketch_approx_distinct", q_sketch_approx_distinct)  # rows-only

@@ -140,20 +140,28 @@ def run_analysis(
     if val_layer:
         df = df.withColumns(val_layer)
 
+    # Carry ONLY the bin axes some booked plot actually uses: at ~130
+    # bookings the contribs array sits near whole-stage-codegen size limits,
+    # and one extra struct field tipped the 61-plot phaseII projection into
+    # interpreted fallback (measured 7x slower). Missing axes are padded
+    # with literal zeros AFTER aggregation, where rows number #plots x #bins.
+    ndims = max(len(bins) for (_m, bins, _w) in bookings)
+    axis_names = ["bin", "bin2", "bin3"][:ndims]
+
     structs = []
     for pid, (mask, bins, weight) in enumerate(bookings):
-        b1 = bins[0].cast("int")
-        b2 = (bins[1] if len(bins) > 1 else F.lit(0)).cast("int")
-        b3 = (bins[2] if len(bins) > 2 else F.lit(0)).cast("int")
-        valid = mask & b1.isNotNull() & b2.isNotNull() & b3.isNotNull()
+        bcols = [
+            (bins[i] if i < len(bins) else F.lit(0)).cast("int") for i in range(ndims)
+        ]
+        valid = mask
+        for b in bcols:
+            valid = valid & b.isNotNull()
         structs.append(
             F.when(
                 valid,
                 F.struct(
                     F.lit(pid).alias("pid"),
-                    b1.alias("bin"),
-                    b2.alias("bin2"),
-                    b3.alias("bin3"),
+                    *[b.alias(n) for b, n in zip(bcols, axis_names)],
                     weight.cast("double").alias("w"),
                 ),
             )
@@ -162,14 +170,16 @@ def run_analysis(
     contribs = F.filter(F.array(*structs), lambda c: c.isNotNull())
     agg = (
         df.select(F.explode(contribs).alias("c"))
-        .select("c.pid", "c.bin", "c.bin2", "c.bin3", "c.w")
-        .groupBy("pid", "bin", "bin2", "bin3")
+        .select("c.pid", *[f"c.{n}" for n in axis_names], "c.w")
+        .groupBy("pid", *axis_names)
         .agg(
             F.sum("w").alias("sumw"),
             F.sum(F.col("w") * F.col("w")).alias("sumw2"),
             F.count(F.lit(1)).alias("n"),
         )
     )
+    for missing in ["bin", "bin2", "bin3"][ndims:]:
+        agg = agg.withColumn(missing, F.lit(0))
 
     name_map = F.create_map(
         *[x for pid, (name, _k) in enumerate(pid_name) for x in (F.lit(pid), F.lit(name))]

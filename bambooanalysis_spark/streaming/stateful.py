@@ -51,3 +51,45 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "doc_id bigint, fp string"
+DEDUP_STATE_SCHEMA = "seen int"
+
+
+def _dedup_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    first_id = None
+    for pdf in pdf_iter:
+        if len(pdf) and first_id is None:
+            first_id = int(pdf["doc_id"].min())
+        elif len(pdf):
+            first_id = min(first_id, int(pdf["doc_id"].min()))
+    if state.exists or first_id is None:
+        # fingerprint already emitted in an earlier batch (or empty group)
+        return
+    state.update((1,))
+    yield pd.DataFrame({"doc_id": [first_id], "fp": [key[0]]})
+
+
+def streaming_exact_dedup(docs_with_fp: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document seen per
+    fingerprint across the whole stream — per-key operator state is the
+    seen-set, sharded by the shuffle on fp (scales horizontally; at 100 TB
+    the state is one tiny record per distinct doc, evictable via timeout
+    if the dedup window is bounded).
+
+    Input: streaming DataFrame with (doc_id, fp) — fp from
+    operators.text.fingerprint. Within a batch the min doc_id wins,
+    matching batch exact_dedup's representative choice.
+    """
+    return docs_with_fp.groupBy("fp").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -379,3 +379,63 @@ def test_csv_json_sources_roundtrip(spark, sf_oracle, tmp_path):
     base = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in from_csv.collect()} == base
     assert {tuple(r) for r in from_json.collect()} == base
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches must be suppressed by the
+    stateful seen-set; first-batch originals all emit."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators import text as T
+    from bambooanalysis_spark.streaming.stateful import streaming_exact_dedup
+
+    batch1 = [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta")]
+    batch2 = [
+        Row(doc_id=3, text="ALPHA beta!"),  # dup of 1 after normalization
+        Row(doc_id=4, text="epsilon zeta"),
+    ]
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(src + "/b2")
+    merged = str(tmp_path / "docs_merged")
+    # preserve batch separation: two files, 1 per trigger
+    spark.read.parquet(src + "/b1").coalesce(1).write.mode("overwrite").parquet(merged)
+    spark.read.parquet(src + "/b2").coalesce(1).write.mode("append").parquet(merged)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(merged)
+        .select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # 1 or 3 kept depending on batch arrival order (files may arrive either
+    # order) but never both; 2 and 4 always kept
+    assert 2 in kept and 4 in kept
+    assert (1 in kept) != (3 in kept)
+    assert len(kept) == 3
+
+
+def test_sketch_approx_distinct_error_bound(spark, sf_oracle):
+    from bambooanalysis_spark.contract.relational import q_sketch_approx_distinct
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in q_sketch_approx_distinct(spark, sf_oracle).collect()
+    }
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.1, (k, approx[k], exact[k])

@@ -92,3 +92,21 @@ def test_topk_orders_uses_takeordered_or_limit(spark, sf_oracle):
 
     plan = _plan(q_top_orders(spark, sf_oracle))
     assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
+
+
+def test_1d_analysis_carries_no_extra_bin_axes(spark, sf_small):
+    """Codegen-width economy (PERFORMANCE.md: one extra struct field tipped
+    the 61-plot projection into interpreted fallback): a 1D-only analysis
+    must not carry bin2/bin3 through the explode — they are padded after
+    aggregation."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.sources import build_hep_events
+
+    hep = build_hep_events(spark, sf_small)
+    df, plots, cfr, _ = define_phase2(hep)
+    hist = run_analysis(df, plots, [cfr])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    gen = plan[plan.index("Generate explode") :].split("\n")[0]
+    assert "bin2" not in gen and "bin3" not in gen
+    assert "bin2" in hist.columns and "bin3" in hist.columns  # padded after
