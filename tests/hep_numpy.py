@@ -155,3 +155,37 @@ def histogram_eqb(values, n, lo, hi):
             b = min(int(math.floor((v - lo) / w)), n - 1)
         out[b] = out.get(b, 0) + 1
     return out
+
+
+def jet_test_collections(ev: dict) -> dict:
+    """jet_test.py:379-414 jet slices over cleaned jets (reference preserves
+    the degenerate 1_5to3 predicate => pt-only)."""
+    cj = phase2_objects(ev)["cleaned_jets"]
+    out = {}
+    for pt in (30, 50, 100):
+        out[(pt, None)] = [j for j in cj if j["pt"] > pt]
+        out[(pt, "0to1_5")] = [j for j in cj if j["pt"] > pt and abs(j["eta"]) < 1.5]
+        out[(pt, "1_5to3")] = [j for j in cj if j["pt"] > pt]  # as written
+        out[(pt, "3toInf")] = [j for j in cj if j["pt"] > pt and abs(j["eta"]) > 3]
+    return out
+
+
+def jet_test_histograms(events: dict[int, dict]):
+    """Golden values for three representative jet_test plots."""
+    njets30 = []
+    jet1_pt30 = []  # under sel nJet30_1 (>=1 jet30)
+    jet2_eta50 = []  # under sel nJet50_2 (>=2 jet50)
+    for ev in events.values():
+        colls = jet_test_collections(ev)
+        j30 = colls[(30, None)]
+        j50 = colls[(50, None)]
+        njets30.append(len(j30))
+        if len(j30) > 0:
+            jet1_pt30.append(j30[0]["pt"])
+        if len(j50) > 1:
+            jet2_eta50.append(j50[1]["eta"])
+    return {
+        "nJets_jetPT_30GeV": histogram_eqb(njets30, 15, 0.0, 15.0),
+        "Jet1_pT_jetPT_30GeV": histogram_eqb(jet1_pt30, 50, 0.0, 4000.0),
+        "Jet2_eta_jetPT_50GeV": histogram_eqb(jet2_eta50, 30, -3.0, 3.0),
+    }

@@ -89,3 +89,17 @@ def test_nosel_histograms_cover_all_events(hep_df, oracle_events):
         .collect()[0]["s"]
     )
     assert tot == len(oracle_events)
+
+
+def test_jet_test_histograms_golden(hep_df, oracle_events):
+    """Three representative jet_test plots (count, leading-pt under >=1
+    selection, subleading-eta under >=2 selection) bin-exact vs numpy."""
+    df, plots, cfr, sels = define_jet_test(hep_df)
+    wanted = {"nJets_jetPT_30GeV", "Jet1_pT_jetPT_30GeV", "Jet2_eta_jetPT_50GeV"}
+    hist = run_analysis(df, [p for p in plots if p.name in wanted])
+    got = {}
+    for r in hist.collect():
+        got.setdefault(r["plot"], {})[r["bin"]] = r["n"]
+    expect = oracle.jet_test_histograms(oracle_events)
+    for name in wanted:
+        assert got.get(name, {}) == expect[name], name
