@@ -18,8 +18,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _with_utc(fn: Callable) -> Callable:
+    """The driver runs queries in ITS session, whose timezone we don't
+    control; timestamp literals parse in session-local time, so a non-UTC
+    session would shift them relative to DuckDB's naive timestamps. Pin
+    UTC (runtime-settable) before every query."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def register(name: str, fn: Callable, oracle: str | None = None) -> None:
-    QUERIES[name] = fn
+    QUERIES[name] = _with_utc(fn)
     if oracle is not None:
         ORACLES[name] = oracle
 
