@@ -70,3 +70,26 @@ def test_phase2_binnings_match_reference_source(hep_df):
     for p in plots:
         b = p.binnings[0]
         assert (b.n, b.lo, b.hi) == ref[p.name], p.name
+
+
+def test_jet_test_binnings_match_reference_source(hep_df):
+    """jet_test uses EquidistantBinning(...) spelled out; extract (name,
+    n, lo, hi) per plot from the reference source and compare."""
+    from bambooanalysis_spark.analyses import define_jet_test
+
+    src = open(f"{REF}/jet_test.py").read()
+    pattern = re.compile(
+        r'Plot\.make1D\(\s*["\']([^"\']+)["\'].*?EquidistantBinning\(\s*'
+        r"([\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)",
+        re.S,
+    )
+    ref = {}
+    for m in pattern.finditer(src):
+        ref[m.group(1)] = (
+            int(float(m.group(2))), float(m.group(3)), float(m.group(4))
+        )
+    assert len(ref) == 66
+    _df, plots, _cfr, _sels = define_jet_test(hep_df)
+    for p in plots:
+        b = p.binnings[0]
+        assert (b.n, b.lo, b.hi) == ref[p.name], p.name
