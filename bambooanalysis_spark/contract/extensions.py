@@ -497,3 +497,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivf_topk", q_ann_ivf_topk)  # approximate: rows-only check
+
+
+# --- text: BPE-ish regex token counting --------------------------------------
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        T.token_count(t).alias("n_ws_tokens"),
+        # subword expansion factor in 1e-4 fixed point
+        F.when(
+            T.token_count(t) > 0,
+            F.floor(T.bpe_token_count(t) * 10000 / T.token_count(t)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expansion_e4"),
+    )
+
+
+ORACLE_TEXT_BPE_TOKENS = f"""
+WITH d AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nb,
+           len({_D_TOKENS.format(t='text')}) AS nw
+    FROM documents
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bpe_tokens,
+       CAST(nw AS BIGINT) AS n_ws_tokens,
+       CASE WHEN nw > 0 THEN CAST(FLOOR(nb * 10000 / nw) AS BIGINT) ELSE 0 END AS expansion_e4
+FROM d
+"""
+
+
+register("text_bpe_tokens", q_text_bpe_tokens, ORACLE_TEXT_BPE_TOKENS)

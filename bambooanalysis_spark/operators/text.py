@@ -145,3 +145,20 @@ def shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.when(n >= k, grams).otherwise(empty)
+
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alnum marks — the regex level of a byte-pair tokenizer's pre-split
+# (portable subset: identical semantics in Java regex and RE2/DuckDB)
+BPE_SPLIT_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization over the lowercased text: letter runs,
+    digit runs, individual punctuation marks. A deterministic proxy for
+    subword token counting in data-pipeline budgeting."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
