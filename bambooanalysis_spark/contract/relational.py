@@ -359,3 +359,59 @@ def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sketch_approx_distinct", q_sketch_approx_distinct)  # rows-only
+
+
+# --- TPC-H Q3 shape: filtered multi-join + grouped revenue top-k -------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = "decimal(18,4)"
+    disc = "decimal(8,6)"
+    revenue = (
+        F.col("l_extendedprice").cast(price)
+        * (F.lit(1).cast(disc) - F.col("l_discount").cast(disc))
+    ).cast("decimal(38,10)")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue) * 10000).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            # o_orderdate arrives TIMESTAMP_NTZ; the UTC-pinned session makes
+            # the cast equal DuckDB's naive epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+            "revenue_e4",
+        )
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT o_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+            AS DECIMAL(38,10))) * 10000 AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 20
+"""
+
+
+register("rel_shipping_priority_topk", q_shipping_priority, ORACLE_SHIPPING_PRIORITY)
