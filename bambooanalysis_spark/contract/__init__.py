@@ -19,13 +19,16 @@ ORACLES: dict[str, str] = {}
 
 
 def _with_utc(fn: Callable) -> Callable:
-    """The driver runs queries in ITS session, whose timezone we don't
-    control; timestamp literals parse in session-local time, so a non-UTC
-    session would shift them relative to DuckDB's naive timestamps. Pin
-    UTC (runtime-settable) before every query."""
+    """The driver runs queries in ITS session, whose conf we don't control:
+    timestamp literals parse in session-local time (so pin UTC to match
+    DuckDB's naive timestamps), and the wide-mask analysis plans need
+    constraint propagation off (super-linear planning cost, zero benefit —
+    PERFORMANCE.md §4; session.get_spark sets the same). Both are
+    runtime-settable, pinned before every query."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
@@ -42,3 +45,4 @@ def register(name: str, fn: Callable, oracle: str | None = None) -> None:
 from . import hep  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401

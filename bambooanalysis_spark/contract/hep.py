@@ -159,7 +159,14 @@ flags AS (
 """
 
 
-_HEP_CACHE: dict[tuple[int, str], DataFrame] = {}
+import weakref
+
+# Keyed by the live session object (weakly — a stopped/collected session
+# drops its cache entries instead of leaking them to an id()-reusing
+# successor), then by sf_dir.
+_HEP_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _hep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,10 +176,10 @@ def _hep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays), so MEMORY_AND_DISK is safe at any tested sf."""
     from ..sources import build_hep_events
 
-    key = (id(spark), sf_dir)
-    if key not in _HEP_CACHE:
-        _HEP_CACHE[key] = build_hep_events(spark, sf_dir).cache()
-    return _HEP_CACHE[key]
+    per_session = _HEP_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = build_hep_events(spark, sf_dir).cache()
+    return per_session[sf_dir]
 
 
 # --- op.select + op.rng_len: within-event filter and count ------------------

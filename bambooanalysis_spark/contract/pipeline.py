@@ -1,0 +1,68 @@
+"""Contract entry for the full bambooRun-analog pipeline (driver.py).
+
+Runs the reference's complete two-phase workflow (README.md:63-84) — two
+pseudo-samples (FS/Delphes event-parity split, as in the reference's
+FS-vs-Delphes comparison), per-sample single-pass analysis, histogram +
+counter sinks, then postprocessing (yields.tex, cutflow image, plots.yml,
+stacked plot images) — and returns a deterministic artifact manifest.
+
+Rows-only check by design: the pipeline's verifiable numbers (histogram
+contents, cutflows) are already oracle-checked query-by-query
+(hep_cutflow_phase2, hep_histogram_* ...); this entry verifies the
+end-to-end wiring and tracks its cost in the bench.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..driver import run_pipeline
+from ..sources.catalog import parse_catalog
+
+_CATALOG = {
+    "eras": {"HL-LHC": {"luminosity": 3000000}},
+    "samples": {
+        "TT_FS": {
+            "era": "HL-LHC", "type": "MC", "group": "FS",
+            "cross-section": 950.0, "generated-events": "nEvents",
+        },
+        "TT_Delphes": {
+            "era": "HL-LHC", "type": "SIGNAL", "group": "Delphes",
+            "cross-section": 950.0, "generated-events": "nEvents",
+            "stack-index": 1,
+        },
+    },
+    "plotIt": {"luminosity-error": 0.025},
+}
+
+
+def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hep import _hep  # memoized fixture build
+
+    hep = _hep(spark, sf_dir)
+    samples = {
+        "TT_FS": hep.where(F.col("event_id") % 2 == 0),
+        "TT_Delphes": hep.where(F.col("event_id") % 2 == 1),
+    }
+    out_dir = tempfile.mkdtemp(prefix="bamboo-pipeline-")
+    manifest = run_pipeline(
+        spark, "phase2", parse_catalog(_CATALOG), out_dir, events_by_sample=samples
+    )
+    rows = [
+        (f"hists/{s}", int(spark.read.parquet(p).count()))
+        for s, p in sorted(manifest["hists"].items())
+    ]
+    rows += [
+        ("cutflow_rows/TT_FS", len(manifest["cutflows"]["TT_FS"])),
+        ("cutflow_rows/TT_Delphes", len(manifest["cutflows"]["TT_Delphes"])),
+        ("plot_images", len(manifest["plot_images"])),
+        ("stacked_groups", int(manifest["stacked"]["group"].nunique())),
+    ]
+    return spark.createDataFrame(rows, "artifact string, n bigint").orderBy("artifact")
+
+
+register("pipeline_full_run", pipeline_full_run)  # rows-only: wiring check

@@ -1,0 +1,240 @@
+"""End-to-end pipeline driver — the ``bambooRun`` analog (SURVEY.md §3).
+
+The reference's primary entry point is one command
+(``bambooRun -m phaseII-analysis.py config.yml -o out/`` —
+/root/reference/README.md:63-75): load the YAML sample catalog, run the
+analysis module once per sample, write per-sample histogram outputs, then
+post-process (cutflow report, yields table, plot config, images —
+phaseII-analysis.py:270-286). This module wires the already-tested pieces
+(catalog, single-pass histogrammer, report writers) into that one command:
+
+    python -m bambooanalysis_spark run phase2 catalog.yml -o out/
+
+Scale notes: the per-sample analysis is the single-shuffle fused pass
+(plans/histogrammer.py) — the only full-data jobs. Everything after
+consumes #plots x #bins aggregate rows per sample (driver-side pandas),
+exactly the reference's division of labor where plotIt and
+printCutFlowReports operate on saved histograms, not events.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyses import define_jet_test, define_phase2
+from .plans import run_analysis
+from .plans.histogrammer import cutflow_table
+from .report.postprocess import (
+    cutflow_efficiencies,
+    cutflow_png,
+    normalize_histograms,
+    stack_by_group,
+    write_histograms,
+    write_plotit_yml,
+    yields_table_tex,
+)
+from .sources.catalog import Catalog, Sample, load_catalog, merge_counters
+
+# Built-in analysis modules (the reference ships two — README.md:24-28).
+ANALYSES: dict[str, Callable] = {
+    "phase2": define_phase2,
+    "jet_test": define_jet_test,
+}
+
+
+def resolve_analysis(spec: str) -> Callable:
+    """Resolve an analysis: a built-in name, or ``path/to/module.py:func``
+    like ``bambooRun -m module.py:ClassName`` (README.md:63-66)."""
+    if spec in ANALYSES:
+        return ANALYSES[spec]
+    if ":" in spec:
+        path, func = spec.rsplit(":", 1)
+        mod_spec = importlib.util.spec_from_file_location("user_analysis", path)
+        if mod_spec is None or mod_spec.loader is None:
+            raise ValueError(f"cannot load analysis module {path!r}")
+        mod = importlib.util.module_from_spec(mod_spec)
+        mod_spec.loader.exec_module(mod)
+        return getattr(mod, func)
+    raise ValueError(
+        f"unknown analysis {spec!r}; built-ins: {sorted(ANALYSES)} "
+        "or use path/to/module.py:function"
+    )
+
+
+def load_sample_events(spark: SparkSession, sample: Sample) -> DataFrame:
+    """Multi-file sample scan (jet_test.yml:10-11): each sample is a list of
+    event files; one DataFrame per sample. Parquet is the native format; a
+    ``.root`` suffix routes through the env-gated ROOT ingest."""
+    if not sample.files:
+        raise ValueError(f"sample {sample.name!r} has no files")
+    if all(f.endswith(".root") for f in sample.files):
+        # env-gated (uproot): ROOT -> parquet staging, then the normal scan
+        from .sources.root_ingest import ingest_root_files
+
+        staged = f"/tmp/bamboo-root-staging/{sample.name}"
+        ingest_root_files(sample.files, tree="events", out_dir=staged)
+        return spark.read.parquet(staged)
+    return spark.read.parquet(*sample.files)
+
+
+def run_sample(
+    spark: SparkSession,
+    analysis: Callable,
+    sample: Sample,
+    out_dir: str,
+    events: DataFrame | None = None,
+    counters: dict[str, float] | None = None,
+):
+    """One sample's full pass: events -> analysis definition -> fused
+    single-shuffle job -> hists.parquet + counters.json on disk
+    (phaseII-analysis.py:209 per-sample output file)."""
+    if events is None:
+        events = load_sample_events(spark, sample)
+    if counters is None:
+        counters = (
+            merge_counters(spark, sample)
+            if sample.files
+            else {"nEvents": float(events.count())}
+        )
+    adf, plots, cfr, _sels = analysis(events)
+    hist = run_analysis(adf, plots, [cfr])
+    write_histograms(hist, out_dir, sample.name)
+    os.makedirs(f"{out_dir}/{sample.name}", exist_ok=True)
+    with open(f"{out_dir}/{sample.name}/counters.json", "w") as f:
+        json.dump(counters, f, indent=2, sort_keys=True)
+    return plots, cfr, counters
+
+
+def run_pipeline(
+    spark: SparkSession,
+    analysis_spec: str | Callable,
+    catalog: Catalog,
+    out_dir: str,
+    events_by_sample: dict[str, DataFrame] | None = None,
+) -> dict:
+    """The full two-phase workflow (README.md:63-84): per-sample analysis
+    jobs, then postprocessing into yields.tex / cutflow image / plots.yml /
+    stacked plot images. ``events_by_sample`` overrides file loading (used
+    by tests and notebook callers that already hold DataFrames).
+
+    Returns a manifest dict of everything written.
+    """
+    analysis = (
+        analysis_spec if callable(analysis_spec) else resolve_analysis(analysis_spec)
+    )
+    events_by_sample = events_by_sample or {}
+    os.makedirs(out_dir, exist_ok=True)
+
+    hists, cutflows, counters_all = {}, {}, {}
+    plots_ref, cfr_ref = None, None
+    for name, sample in catalog.samples.items():
+        plots, cfr, counters = run_sample(
+            spark, analysis, sample, out_dir, events=events_by_sample.get(name)
+        )
+        plots_ref, cfr_ref = plots, cfr
+        counters_all[name] = counters
+        table = spark.read.parquet(f"{out_dir}/{name}/hists.parquet")
+        hists[name] = table.where(F.col("kind") == "plot").toPandas()
+        order = [sel.name for sel, _t in cfr.entries]
+        cutflows[name] = cutflow_table(table, cfr.name, order).toPandas()
+
+    # ---- postprocess phase (driver-side, aggregate-sized inputs) ----
+    scales = {s: catalog.scale(s, counters_all[s]) for s in hists}
+    normalized = normalize_histograms(hists, scales)
+    groups = {s: catalog.samples[s].group for s in hists}
+    stacked = stack_by_group(normalized, groups)
+
+    order = [sel.name for sel, _t in cfr_ref.entries] if cfr_ref else []
+    import pandas as pd
+
+    yields = pd.DataFrame(
+        {
+            "selection": order,
+            **{
+                s: [
+                    float(cf.loc[cf["selection"] == sel, "sum_weights"].sum())
+                    * scales[s]
+                    for sel in order
+                ]
+                for s, cf in cutflows.items()
+            },
+        }
+    )
+    signal_xsec = {
+        s.name: s.cross_section
+        for s in catalog.samples.values()
+        if s.type.upper() == "SIGNAL" and s.cross_section is not None
+    }
+    tex = yields_table_tex(yields, list(hists), signal_xsec=signal_xsec)
+    with open(f"{out_dir}/yields.tex", "w") as f:
+        f.write(tex)
+
+    effs = {
+        s: cutflow_efficiencies(cf, gen_events=counters_all[s].get("nEvents"))
+        for s, cf in cutflows.items()
+    }
+    cutflow_img = cutflow_png(cutflows, f"{out_dir}/cutflow.png")
+    plotit_yml = write_plotit_yml(
+        plots_ref, catalog, f"{out_dir}/plots.yml", counters=counters_all
+    )
+
+    from .report.render import render_stacks
+
+    plot_images = render_stacks(stacked, plots_ref, f"{out_dir}/plots")
+
+    return {
+        "out_dir": out_dir,
+        "samples": list(catalog.samples),
+        "hists": {s: f"{out_dir}/{s}/hists.parquet" for s in hists},
+        "counters": counters_all,
+        "scales": scales,
+        "cutflows": cutflows,
+        "efficiencies": effs,
+        "yields_tex": f"{out_dir}/yields.tex",
+        "cutflow_image": cutflow_img,
+        "plotit_yml": plotit_yml,
+        "plot_images": plot_images,
+        "stacked": stacked,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(
+        prog="python -m bambooanalysis_spark",
+        description="bambooRun-style driver: analysis module + YAML catalog "
+        "-> per-sample histograms + reports (reference README.md:63-75)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run an analysis over a sample catalog")
+    runp.add_argument("analysis", help="built-in name (phase2|jet_test) or module.py:func")
+    runp.add_argument("catalog", help="YAML sample catalog (jet_test.yml shape)")
+    runp.add_argument("-o", "--output", default="out", help="output directory")
+    runp.add_argument("--master", default=None, help="Spark master override")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"bamboo:{args.analysis}", master=args.master)
+    manifest = run_pipeline(spark, args.analysis, load_catalog(args.catalog), args.output)
+    print(
+        json.dumps(
+            {
+                "out_dir": manifest["out_dir"],
+                "samples": manifest["samples"],
+                "yields_tex": manifest["yields_tex"],
+                "cutflow_image": manifest["cutflow_image"],
+                "plotit_yml": manifest["plotit_yml"],
+                "plot_images": len(manifest["plot_images"]),
+            },
+            indent=2,
+        )
+    )
+    return 0

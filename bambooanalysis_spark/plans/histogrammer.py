@@ -106,10 +106,13 @@ def run_analysis(
     ]
     if not sels:
         raise ValueError("nothing booked")
-    # Catalyst constraint propagation is super-linear in the number of
-    # boolean mask columns (hundreds here) and contributes nothing to this
-    # plan shape — disabling it halves wall time at sf0.1 (measured)
-    df.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    # NOTE: Catalyst constraint propagation is super-linear in the number
+    # of boolean mask columns (hundreds here) and contributes nothing to
+    # this plan shape — disabling it halves wall time at sf0.1 (measured,
+    # PERFORMANCE.md §4). It is session tuning, so it belongs to the
+    # session owner: session.get_spark sets it, and the driver-contract
+    # wrapper pins it per query. We deliberately do NOT mutate the caller's
+    # session here.
     df, mask_names = _materialize_dag(df, sels)
 
     # dedupe plotted value expressions: plots routinely reuse the same

@@ -18,6 +18,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -25,13 +26,20 @@ def get_spark(
     default to the core count — at 100 TB on a real cluster this would be
     sized to ~128 MB per shuffle partition instead; AQE coalescing makes the
     exact number forgiving in both regimes.
+
+    ``master`` (or $SPARK_GRAFT_MASTER, or an externally-set spark.master —
+    e.g. spark-submit) overrides the local[N] default so the same code runs
+    unchanged on a cluster; all tuning confs below are suggestions that an
+    existing session or submit-time conf wins over.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -40,6 +40,9 @@ HEADLINE = {
     "dedup_simhash": "dedup_simhash",
     "text_stats": "text_stats",
     "events_window": "events_tumbling_window",
+    # end-to-end bambooRun-analog pipeline: 2 samples x single-pass phase2
+    # job + sinks + postprocess artifacts (driver.run_pipeline)
+    "pipeline_full_run": "pipeline_full_run",
 }
 
 

@@ -1,0 +1,119 @@
+"""The bambooRun-analog CLI driver end-to-end (reference README.md:63-84):
+`python -m bambooanalysis_spark run phase2 catalog.yml -o out/` on an
+FS/Delphes-style two-sample catalog -> per-sample hists.parquet + counters,
+yields.tex, cutflow image, plots.yml, stacked plot images — all on disk."""
+
+import json
+import os
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark import driver
+from bambooanalysis_spark.sources import build_hep_events
+
+
+@pytest.fixture(scope="module")
+def cli_run(spark, sf_small, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_driver")
+    hep = build_hep_events(spark, sf_small)
+    files = {}
+    for name, parity in (("TT_FS", 0), ("TT_Delphes", 1)):
+        path = str(root / f"{name}.parquet")
+        hep.where(F.col("event_id") % 2 == parity).write.parquet(path)
+        files[name] = path
+    catalog = {
+        "tree": "events",
+        "eras": {"HL-LHC": {"luminosity": 3000000}},
+        "samples": {
+            "TT_FS": {
+                "era": "HL-LHC", "type": "MC", "group": "FS",
+                "files": [files["TT_FS"]],
+                "cross-section": 950.0, "generated-events": "nEvents",
+            },
+            "TT_Delphes": {
+                "era": "HL-LHC", "type": "SIGNAL", "group": "Delphes",
+                "files": [files["TT_Delphes"]],
+                "cross-section": 950.0, "generated-events": "nEvents",
+                "stack-index": 1,
+            },
+        },
+        "plotIt": {"luminosity-error": 0.025},
+    }
+    yml = str(root / "catalog.yml")
+    with open(yml, "w") as f:
+        yaml.safe_dump(catalog, f)
+    out = str(root / "out")
+    rc = driver.main(["run", "phase2", yml, "-o", out])
+    assert rc == 0
+    return out
+
+
+def test_per_sample_outputs(cli_run):
+    for name in ("TT_FS", "TT_Delphes"):
+        assert os.path.isdir(f"{cli_run}/{name}/hists.parquet")
+        counters = json.load(open(f"{cli_run}/{name}/counters.json"))
+        assert counters["nEvents"] > 0
+
+
+def test_yields_and_cutflow_artifacts(cli_run):
+    tex = open(f"{cli_run}/yields.tex").read()
+    assert "\\sigma = 950" in tex  # SIGNAL column annotated
+    assert "nmumu" in tex and "MET" in tex  # all six selections present
+    assert os.path.getsize(f"{cli_run}/cutflow.svg") > 0
+    cfg = yaml.safe_load(open(f"{cli_run}/plots.yml"))
+    assert "InvMassTwoMuonsSel1" in cfg["plots"]
+    assert cfg["files"]["TT_FS"]["group"] == "FS"
+    assert cfg["configuration"]["luminosity-error"] == 0.025
+
+
+def test_stacked_plot_images(cli_run):
+    # >=2 rendered stacked plots, each containing both legend groups
+    plot_dir = f"{cli_run}/plots"
+    images = [f for f in os.listdir(plot_dir) if f.endswith(".svg")]
+    assert len(images) >= 2
+    checked = 0
+    for img in ("METptNoSel.svg", "InvMassTwoMuonsSel1.svg"):
+        if img in images:
+            text = open(f"{plot_dir}/{img}").read()
+            assert ">FS<" in text and ">Delphes<" in text
+            checked += 1
+    assert checked >= 1
+
+
+def test_user_module_resolution(tmp_path):
+    # bambooRun -m module.py:func analog (README.md:63-66)
+    mod = tmp_path / "my_analysis.py"
+    mod.write_text("def define(df):\n    return 'sentinel'\n")
+    fn = driver.resolve_analysis(f"{mod}:define")
+    assert fn(None) == "sentinel"
+    with pytest.raises(ValueError):
+        driver.resolve_analysis("nonexistent")
+
+
+def test_get_spark_master_override(monkeypatch):
+    # cluster-friendly session (VERDICT item 9): explicit master is honored
+    import bambooanalysis_spark.session as session_mod
+
+    captured = {}
+
+    class FakeBuilder:
+        def master(self, m):
+            captured["master"] = m
+            return self
+
+        def __getattr__(self, name):
+            def chain(*a, **k):
+                return self
+
+            return chain
+
+    monkeypatch.setattr(
+        session_mod.SparkSession, "builder", FakeBuilder(), raising=False
+    )
+    try:
+        session_mod.get_spark(master="spark://cluster:7077")
+    except Exception:
+        pass  # FakeBuilder's getOrCreate returns self; downstream calls may fail
+    assert captured["master"] == "spark://cluster:7077"
