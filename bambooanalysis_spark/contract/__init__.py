@@ -29,6 +29,17 @@ def _with_utc(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        try:
+            # dataFrameDebugging is a STATIC conf — unsettable on a session
+            # we didn't build — but PySpark reads it once into this process-
+            # wide cache. Pinning the cache False disables the per-Column
+            # origin-capture JVM round-trip (measured 3-5s of driver latency
+            # per fused plan); worst case we only lose debug call frames.
+            from pyspark.errors import utils as _errutils
+
+            _errutils._enable_debugging_cache = False
+        except Exception:  # pragma: no cover - pyspark internals moved
+            pass
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")

@@ -118,10 +118,11 @@ def run_pipeline(
     out_dir: str,
     events_by_sample: dict[str, DataFrame] | None = None,
 ) -> dict:
-    """The full two-phase workflow (README.md:63-84): per-sample analysis
-    jobs, then postprocessing into yields.tex / cutflow image / plots.yml /
-    stacked plot images. ``events_by_sample`` overrides file loading (used
-    by tests and notebook callers that already hold DataFrames).
+    """The full two-phase workflow (README.md:63-84): ONE fused analysis
+    job over every sample in the catalog, then postprocessing into
+    yields.tex / cutflow image / plots.yml / stacked plot images.
+    ``events_by_sample`` overrides file loading (used by tests and notebook
+    callers that already hold DataFrames).
 
     Returns a manifest dict of everything written.
     """
@@ -131,18 +132,61 @@ def run_pipeline(
     events_by_sample = events_by_sample or {}
     os.makedirs(out_dir, exist_ok=True)
 
-    hists, cutflows, counters_all = {}, {}, {}
-    plots_ref, cfr_ref = None, None
+    # ---- ONE fused job for the whole catalog: tag + union the samples and
+    # let '__sample' ride the aggregation key (run_analysis extra_keys).
+    # N samples cost one scan + one shuffle instead of N jobs; the fixed
+    # per-job costs (plan build, codegen, scheduling) are paid once, and
+    # small samples stop under-utilizing the cluster between jobs.
+    from functools import reduce
+
+    tagged = {}
     for name, sample in catalog.samples.items():
-        plots, cfr, counters = run_sample(
-            spark, analysis, sample, out_dir, events=events_by_sample.get(name)
+        ev = events_by_sample.get(name)
+        if ev is None:
+            ev = load_sample_events(spark, sample)
+        tagged[name] = ev.withColumn("__sample", F.lit(name))
+    union = reduce(lambda a, b: a.unionByName(b), tagged.values())
+
+    plots_ref: list
+    adf, plots_ref, cfr_ref, _sels = analysis(union)
+    hist_all = run_analysis(adf, plots_ref, [cfr_ref], extra_keys=["__sample"])
+    # aggregate-sized (#samples x #plots x #bins rows): pin it so the
+    # per-sample sinks/reports below reuse one materialization
+    hist_all = hist_all.persist()
+    hist_all.count()
+
+    # counters: parquet-footer counts for file-backed samples (metadata-only
+    # jobs); one grouped count pass for DataFrame-provided ones
+    uncounted = [n for n, s in catalog.samples.items() if not s.files]
+    grouped_counts = (
+        {
+            r["__sample"]: float(r["count"])
+            for r in union.where(F.col("__sample").isin(uncounted))
+            .groupBy("__sample")
+            .count()
+            .collect()
+        }
+        if uncounted
+        else {}
+    )
+
+    hists, cutflows, counters_all = {}, {}, {}
+    order = [sel.name for sel, _t in cfr_ref.entries]
+    for name, sample in catalog.samples.items():
+        table = hist_all.where(F.col("__sample") == name).drop("__sample")
+        write_histograms(table, out_dir, name)
+        counters = (
+            merge_counters(spark, sample)
+            if sample.files
+            else {"nEvents": grouped_counts.get(name, 0.0)}
         )
-        plots_ref, cfr_ref = plots, cfr
+        os.makedirs(f"{out_dir}/{name}", exist_ok=True)
+        with open(f"{out_dir}/{name}/counters.json", "w") as f:
+            json.dump(counters, f, indent=2, sort_keys=True)
         counters_all[name] = counters
-        table = spark.read.parquet(f"{out_dir}/{name}/hists.parquet")
         hists[name] = table.where(F.col("kind") == "plot").toPandas()
-        order = [sel.name for sel, _t in cfr.entries]
-        cutflows[name] = cutflow_table(table, cfr.name, order).toPandas()
+        cutflows[name] = cutflow_table(table, cfr_ref.name, order).toPandas()
+    hist_all.unpersist()
 
     # ---- postprocess phase (driver-side, aggregate-sized inputs) ----
     scales = {s: catalog.scale(s, counters_all[s]) for s in hists}
@@ -150,7 +194,6 @@ def run_pipeline(
     groups = {s: catalog.samples[s].group for s in hists}
     stacked = stack_by_group(normalized, groups)
 
-    order = [sel.name for sel, _t in cfr_ref.entries] if cfr_ref else []
     import pandas as pd
 
     yields = pd.DataFrame(

@@ -88,25 +88,93 @@ def near_dup_pairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_e6: int = 950000,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold. Brute force here; at
-    scale, pre-bucket with lsh_signs and join buckets first."""
+    """Pairs (a < b) with cosine >= threshold.
+
+    Default path is banded sign-LSH candidate generation + EXACT rescoring:
+    a bands*rows_per_band hyperplane sign signature per vector (one pass,
+    zero shuffle), per-band bucket keys, bucket-collect pair expansion
+    (the minhash_lsh_pairs shape — one shuffle on a short band key, never
+    all-pairs), then the exact cosine filter on the candidates. Rescoring
+    makes false positives impossible; the only approximation is a missed
+    candidate, with per-pair miss probability
+    (1 - (1 - theta/pi)^rows_per_band)^bands — at the 0.95 default
+    threshold and 16x8 default geometry that is <2e-4, shrinking fast as
+    similarity rises (near-1 dups are essentially never missed). At 100 TB
+    raise rows_per_band (and bands to keep recall) so bucket occupancy
+    stays ~n/2^rows_per_band, and persist the signature stage.
+
+    ``exact=True`` keeps the brute-force all-pairs baseline (O(n^2) —
+    validation scale only).
+    """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    src = df.repartition(nparts, id_col)  # small-file inputs: fan out compute
-    a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.floor(cosine(F.col("va"), F.col("vb")) * 1000000)
-            .cast("long")
-            .alias("cosine_e6"),
-        )
-        .where(F.col("cosine_e6") >= threshold_e6)
+    src = df.repartition(nparts, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
+    a = src.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = src.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+    if exact:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        from .dedup import _barrier
+
+        # signature computed ONCE per row (barrier: band substrings below
+        # would otherwise re-inline the full 128-plane expression per band)
+        staged = _barrier(
+            src.withColumn(
+                "__sig", lsh_signs(F.col("__v"), bands * rows_per_band, dim)
+            )
+        )
+        banded = staged.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{bi}:"),
+                            F.substring(
+                                "__sig", bi * rows_per_band + 1, rows_per_band
+                            ),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        # bucket-collect instead of a self-join: one pass over signatures,
+        # one shuffle; pairs expanded in-row per bucket, de-duped across
+        # bands before the (more expensive) exact rescoring join
+        buckets = banded.groupBy("band_key").agg(
+            F.array_sort(F.collect_list("__id")).alias("ids")
+        )
+        n = F.size(F.col("ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        pairs = (
+            buckets.where(n > 1)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.floor(cosine(F.col("va"), F.col("vb")) * 1000000)
+        .cast("long")
+        .alias("cosine_e6"),
+    ).where(F.col("cosine_e6") >= threshold_e6)
 
 
 def _plane_coeffs(nplanes: int, dim: int) -> list[list[float]]:

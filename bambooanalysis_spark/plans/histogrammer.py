@@ -92,13 +92,22 @@ def run_analysis(
     df: DataFrame,
     plots: Iterable[Plot],
     cutflows: Iterable[CutFlowReport] = (),
+    extra_keys: Iterable[str] = (),
 ) -> DataFrame:
     """Compute every booked plot and cutflow counter in one job.
 
     Returns a long-format histogram table:
         plot: string, kind: string ('plot'|'cutflow'), bin: int, bin2: int,
         bin3: int (0 for unused axes), sumw: double, sumw2: double, n: long
+
+    ``extra_keys`` names pass-through columns of ``df`` that ride the
+    aggregation key (prepended to the output schema). The driver uses this
+    to fuse a whole multi-sample catalog into ONE job: a '__sample' tag
+    multiplies the tiny (#plots x #bins) key space by #samples — still
+    aggregate-sized — while the event scan and the per-job fixed costs
+    (planning, codegen, scheduling) are paid once instead of per sample.
     """
+    extra_keys = list(extra_keys)
     plots = list(plots)
     cutflows = list(cutflows)
     sels = [p.selection for p in plots] + [
@@ -172,9 +181,9 @@ def run_analysis(
 
     contribs = F.filter(F.array(*structs), lambda c: c.isNotNull())
     agg = (
-        df.select(F.explode(contribs).alias("c"))
-        .select("c.pid", *[f"c.{n}" for n in axis_names], "c.w")
-        .groupBy("pid", *axis_names)
+        df.select(*extra_keys, F.explode(contribs).alias("c"))
+        .select(*extra_keys, "c.pid", *[f"c.{n}" for n in axis_names], "c.w")
+        .groupBy(*extra_keys, "pid", *axis_names)
         .agg(
             F.sum("w").alias("sumw"),
             F.sum(F.col("w") * F.col("w")).alias("sumw2"),
@@ -191,6 +200,7 @@ def run_analysis(
         *[x for pid, (_n, kind) in enumerate(pid_name) for x in (F.lit(pid), F.lit(kind))]
     )
     return agg.select(
+        *extra_keys,
         name_map[F.col("pid")].alias("plot"),
         kind_map[F.col("pid")].alias("kind"),
         "bin",

@@ -50,6 +50,12 @@ def get_spark(
         # constraint propagation super-linear; the engine's plans gain
         # nothing from it
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # PySpark's per-call origin capture (error call sites) costs a JVM
+        # round-trip for EVERY Column/function call — measured 3-5s of pure
+        # driver latency building a 61-plot fused plan. Plans here are
+        # machine-generated; the debug frames point at the engine, not user
+        # code, so the info is worthless and the cost is not.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # 8g measured FASTER than 48g for these workloads (A/B: 4.8s vs
         # 29.6s warm on the phaseII pass — big-heap GC/barrier costs with

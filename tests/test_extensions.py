@@ -439,3 +439,38 @@ def test_sketch_approx_distinct_error_bound(spark, sf_oracle):
     }
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.1, (k, approx[k], exact[k])
+
+
+def test_near_dup_bucketed_matches_exact(spark):
+    """The default (LSH-bucketed) near-dup path must return the same pairs
+    as the exact all-pairs baseline on planted near-duplicates: rescoring
+    makes false positives impossible, and the 8x4 signature at 16-dim
+    leaves ~1e-8 per-pair miss probability at cosine ~0.99 (deterministic
+    here: md5-derived planes, fixed vectors)."""
+    import numpy as np
+
+    from bambooanalysis_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(30)
+    ]
+    for j in range(6):  # planted clones with tiny perturbations
+        v = base[j] + rng.normal(scale=0.01, size=16)
+        rows.append(Row(vec_id=100 + j, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine_e6"])
+        for r in S.near_dup_pairs_cosine(
+            df, threshold_e6=950000, exact=True
+        ).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine_e6"])
+        for r in S.near_dup_pairs_cosine(
+            df, threshold_e6=950000, bands=8, rows_per_band=4, dim=16
+        ).collect()
+    }
+    assert len(exact) >= 6
+    assert bucketed == exact

@@ -110,3 +110,15 @@ def test_1d_analysis_carries_no_extra_bin_axes(spark, sf_small):
     gen = plan[plan.index("Generate explode") :].split("\n")[0]
     assert "bin2" not in gen and "bin3" not in gen
     assert "bin2" in hist.columns and "bin3" in hist.columns  # padded after
+
+
+def test_near_dup_default_has_no_cartesian_product(spark, sf_oracle):
+    """The default embedding near-dup path must be LSH-bucketed: no
+    all-pairs join node anywhere in the physical plan (the exact=True
+    baseline is the only sanctioned cross join)."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    plan = _plan(S.near_dup_pairs_cosine(emb, threshold_e6=800000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
