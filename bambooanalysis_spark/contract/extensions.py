@@ -292,13 +292,26 @@ FROM d
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
-    return D.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold_e4=6000)
+    # df-cutoff (fan-out guard) live in the contract plan; at the fixture's
+    # 0.9 fraction nothing is dropped (31-token synthetic vocab), so the
+    # values stay comparable across rounds while the guard is exercised —
+    # its teeth are unit-tested on a planted corpus-wide token
+    return D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold_e4=6000, max_df_frac=0.9
+    )
 
 
 ORACLE_DEDUP_JACCARD = f"""
-WITH toks AS (
+WITH toks0 AS (
     SELECT DISTINCT doc_id, unnest({_D_TOKENS.format(t='text')}) AS tok
     FROM documents
+),
+toks AS (
+    SELECT * FROM toks0
+    WHERE tok NOT IN (
+        SELECT tok FROM toks0 GROUP BY tok
+        HAVING COUNT(*) > CAST(FLOOR(0.9 * (SELECT COUNT(*) FROM documents)) AS BIGINT)
+    )
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
 inter AS (

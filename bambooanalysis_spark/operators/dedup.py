@@ -223,18 +223,20 @@ def simhash_bits(text: Column, nbits: int = 32) -> Column:
 
 # --- exact n-gram / token jaccard via posting-list join ---------------------
 
-def jaccard_pairs(
+def token_postings(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold_e4: int = 5000,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with distinct-token Jaccard >= threshold (1e-4
-    fixed point), via the scalable inverted-index shape:
+    """Distinct (doc_id, tok) posting list, optionally dropping tokens with
+    document frequency > ``max_df``.
 
-    tokens -> explode -> join on token -> groupBy pair -> |A ∩ B|;
-    |A ∪ B| = |A| + |B| - |A ∩ B|. Output jaccard_e4 = floor(inter * 10000
-    / union) — integer, engine-exact.
+    The df-cutoff is the inverted-index fan-out guard: a token in k docs
+    produces k^2/2 join rows, so one corpus-wide token ('the') makes the
+    posting join quadratic AND maximally skewed on that key. Capping df
+    bounds per-token fan-out at max_df^2/2 and removes only tokens too
+    common to discriminate between documents.
     """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
     toks = (
@@ -245,6 +247,47 @@ def jaccard_pairs(
             F.explode(F.array_distinct(T.tokens(F.col("__text")))).alias("tok"),
         )
     )
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        # the hot set is small by construction (few tokens exceed the
+        # cutoff); AQE turns this anti-join into a broadcast at runtime
+        toks = toks.join(hot.select("tok"), "tok", "left_anti")
+    return toks
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_e4: int = 5000,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with distinct-token Jaccard >= threshold (1e-4
+    fixed point), via the scalable inverted-index shape:
+
+    tokens -> explode -> join on token -> groupBy pair -> |A ∩ B|;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Output jaccard_e4 = floor(inter * 10000
+    / union) — integer, engine-exact.
+
+    ``max_df`` (absolute) or ``max_df_frac`` (fraction of the corpus,
+    floor) drops tokens with document frequency above the cutoff from BOTH
+    the posting join and the per-doc set sizes — i.e. the similarity
+    becomes Jaccard over the <=max_df vocabulary. That changes values only
+    through non-discriminative tokens: a hot token's presence says nothing
+    about whether two specific documents duplicate each other, while its
+    posting join fan-out is quadratic in df (see token_postings). At 100 TB
+    run with a cutoff always; unguarded mode is validation-scale only.
+    """
+    if max_df_frac is not None:
+        if max_df is not None:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        max_df = int(max_df_frac * df.count())
+    toks = token_postings(df, id_col, text_col, max_df=max_df)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")

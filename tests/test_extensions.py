@@ -474,3 +474,28 @@ def test_near_dup_bucketed_matches_exact(spark):
     }
     assert len(exact) >= 6
     assert bucketed == exact
+
+
+def test_jaccard_df_cutoff_bounds_hot_token_fanout(spark):
+    """A corpus-wide token must contribute ZERO posting-join rows under the
+    df-cutoff (fan-out is bounded at max_df^2 per token), and the Jaccard
+    becomes the <=max_df-vocabulary similarity on both engine paths."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    docs = [Row(doc_id=i, text=f"common uniq{i}a uniq{i}b") for i in range(20)]
+    docs += [
+        Row(doc_id=100, text="common alpha beta gamma"),
+        Row(doc_id=101, text="common alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(docs)
+    posts = D.token_postings(df, "doc_id", "text", max_df=10)
+    assert posts.where(F.col("tok") == "common").count() == 0
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+        for r in D.jaccard_pairs(
+            df, "doc_id", "text", threshold_e4=5000, max_df=10
+        ).collect()
+    }
+    # only the planted near-dup survives; hot token excluded from the
+    # union too: 3/4 filtered (not 4/5 raw)
+    assert pairs == {(100, 101): 7500}
