@@ -82,7 +82,13 @@ def define_objects(df: DataFrame) -> DataFrame:
     # dimuon invariant mass of the two leading identified muons
     # (phaseII-analysis.py:331); NULL when fewer than 2 — guarded by sel1.
     inv = op.invariant_mass(ident_mu[0].p4, ident_mu[1].p4)
-    return df.withColumn("InvMassMuMu", inv)
+    # 6-decimal rounding before any consumer (Z-window cut, histogram
+    # binning): the DuckDB oracle computes sinh via the exp identity
+    # (<=1 ulp from JVM sinh), and an unrounded value within 1 ulp of a
+    # strict threshold or bin edge would flip between engines. Physics
+    # effect: none (the quantity is in GeV; 1e-6 is far below detector
+    # resolution).
+    return df.withColumn("InvMassMuMu", F.round(inv, 6))
 
 
 def define_phase2(df: DataFrame):

@@ -245,7 +245,10 @@ banded AS (
                     array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
                                                    v -> CAST(v AS VARCHAR)), '-')))))
                AS band_key
-    FROM sig
+    -- sentinel guard, mirroring dedup.py minhash_lsh_pairs: docs too short
+    -- to shingle share the all--1 signature and would otherwise band into
+    -- one giant spurious clique
+    FROM sig WHERE sig[1] <> -1
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b

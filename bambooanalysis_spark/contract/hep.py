@@ -115,9 +115,13 @@ good_jets AS (
     FROM cleaned_jets WHERE pt > 30 AND abs(eta) < 2.5
 ),
 mu_pair AS (
+    -- 6-decimal rounding BEFORE the Z-window cut and binning: the oracle's
+    -- sinh is the exp identity (<=1 ulp from JVM sinh), and a value within
+    -- 1 ulp of a strict threshold/bin edge would otherwise flip between
+    -- engines. Spark rounds identically at InvMassMuMu definition.
     SELECT a.event_id,
            a.charge AS q1, b.charge AS q2,
-           {_invmass('a', 'b')} AS inv_mass
+           ROUND({_invmass('a', 'b')}, 6) AS inv_mass
     FROM ident_mu a JOIN ident_mu b
       ON a.event_id = b.event_id AND a.rn = 1 AND b.rn = 2
 ),
@@ -389,7 +393,11 @@ def q_invariant_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(op.invariant_mass(mu[0].p4, mu[1].p4), 6).alias("m_mumu"),
         (op.product(mu[0].charge, mu[1].charge) < 0).alias("opposite_sign"),
-        op.in_range(76, op.invariant_mass(mu[0].p4, mu[1].p4), 106).alias("in_z_window"),
+        # rounded before the strict window: boundary behavior engine-exact
+        # (oracle sinh is the exp identity, <=1 ulp off JVM sinh)
+        op.in_range(
+            76, F.round(op.invariant_mass(mu[0].p4, mu[1].p4), 6), 106
+        ).alias("in_z_window"),
     )
     return out.where(F.col("m_mumu").isNotNull())
 
@@ -403,7 +411,7 @@ mu AS (
 SELECT a.event_id,
        ROUND({_invmass('a', 'b')}, 6) AS m_mumu,
        a.charge * b.charge < 0 AS opposite_sign,
-       ({_invmass('a', 'b')} > 76 AND {_invmass('a', 'b')} < 106) AS in_z_window
+       (ROUND({_invmass('a', 'b')}, 6) > 76 AND ROUND({_invmass('a', 'b')}, 6) < 106) AS in_z_window
 FROM (SELECT * FROM mu WHERE rn = 1) a
 JOIN (SELECT * FROM mu WHERE rn = 2) b ON b.event_id = a.event_id
 """

@@ -54,7 +54,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 DEDUP_OUTPUT_SCHEMA = "doc_id bigint, fp string"
-DEDUP_STATE_SCHEMA = "seen int"
+DEDUP_STATE_SCHEMA = "min_id bigint"
 
 
 def _dedup_update(
@@ -62,34 +62,38 @@ def _dedup_update(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    first_id = None
+    batch_min = None
     for pdf in pdf_iter:
-        if len(pdf) and first_id is None:
-            first_id = int(pdf["doc_id"].min())
-        elif len(pdf):
-            first_id = min(first_id, int(pdf["doc_id"].min()))
-    if state.exists or first_id is None:
-        # fingerprint already emitted in an earlier batch (or empty group)
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            batch_min = m if batch_min is None else min(batch_min, m)
+    if batch_min is None:
         return
-    state.update((1,))
-    yield pd.DataFrame({"doc_id": [first_id], "fp": [key[0]]})
+    if state.exists:
+        (cur,) = state.get
+        if batch_min >= cur:
+            return  # current representative already the smaller id
+    state.update((batch_min,))
+    yield pd.DataFrame({"doc_id": [batch_min], "fp": [key[0]]})
 
 
 def streaming_exact_dedup(docs_with_fp: DataFrame) -> DataFrame:
-    """Streaming exact dedup: emit only the FIRST document seen per
-    fingerprint across the whole stream — per-key operator state is the
-    seen-set, sharded by the shuffle on fp (scales horizontally; at 100 TB
-    the state is one tiny record per distinct doc, evictable via timeout
-    if the dedup window is bounded).
+    """Streaming exact dedup with BATCH-equivalent semantics: per-key state
+    holds the minimum doc_id seen so far; a new emission happens only when
+    a smaller id arrives (output mode 'update'). The LATEST emission per
+    fingerprint therefore equals batch exact_dedup's representative (the
+    global min doc_id) regardless of how the corpus is split into batches
+    or replayed. State is sharded by the shuffle on fp — horizontally
+    scalable, checkpointable; at 100 TB it is one tiny record per distinct
+    doc, evictable via timeout if the dedup window is bounded.
 
     Input: streaming DataFrame with (doc_id, fp) — fp from
-    operators.text.fingerprint. Within a batch the min doc_id wins,
-    matching batch exact_dedup's representative choice.
+    operators.text.fingerprint.
     """
     return docs_with_fp.groupBy("fp").applyInPandasWithState(
         _dedup_update,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
-        outputMode="append",
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -382,8 +382,9 @@ def test_csv_json_sources_roundtrip(spark, sf_oracle, tmp_path):
 
 
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
-    """Duplicates arriving in LATER micro-batches must be suppressed by the
-    stateful seen-set; first-batch originals all emit."""
+    """Streaming dedup must converge to BATCH semantics (global min doc_id
+    per fingerprint) regardless of micro-batch arrival order: a smaller id
+    arriving later re-emits the representative in update mode."""
     from pyspark.sql import Row
 
     from bambooanalysis_spark.operators import text as T
@@ -412,17 +413,19 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         streaming_exact_dedup(stream)
         .writeStream.format("memory")
         .queryName("dedup_out")
-        .outputMode("append")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
-    # 1 or 3 kept depending on batch arrival order (files may arrive either
-    # order) but never both; 2 and 4 always kept
-    assert 2 in kept and 4 in kept
-    assert (1 in kept) != (3 in kept)
-    assert len(kept) == 3
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    # updates only ever shrink the representative id, so min per fp = the
+    # final state; it must equal batch exact_dedup's choice (global min)
+    # in either file arrival order
+    latest: dict = {}
+    for r in rows:
+        latest[r["fp"]] = min(latest.get(r["fp"], r["doc_id"]), r["doc_id"])
+    assert set(latest.values()) == {1, 2, 4}
 
 
 def test_sketch_approx_distinct_error_bound(spark, sf_oracle):
