@@ -761,6 +761,45 @@ FROM bins
 """
 
 
+def q_derived_plot_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General DerivedPlot arithmetic (difference with independent-sum
+    errors) over two booked MET spectra: events FAILING Sel1 per MET bin =
+    METptNoSel - METptSel1. Exercises plans/derived.derived() — the
+    generic N-source machinery, not the ratio special case."""
+    from ..analyses import define_phase2
+    from ..plans import run_analysis
+    from ..plans.derived import derived_difference
+
+    df, plots, _cfr, _sels = define_phase2(_hep(spark, sf_dir))
+    hist = run_analysis(
+        df, [p for p in plots if p.name in ("METptNoSel", "METptSel1")]
+    )
+    out = derived_difference(hist, "MET_fail_sel1", "METptNoSel", "METptSel1")
+    # unit weights -> integer-valued sums (exact longs); error fixed-point
+    return out.select(
+        "bin",
+        F.col("value").cast("long").alias("diff_w"),
+        F.floor(F.col("error") * 1000000).cast("long").alias("err_e6"),
+    )
+
+
+ORACLE_DERIVED_DIFFERENCE = f"""{CHAIN_CTES}
+, binned AS (
+    SELECT CASE WHEN met < 0.0 THEN -1 WHEN met >= 250.0 THEN 50
+                ELSE LEAST(CAST(FLOOR(met / 5.0) AS INT), 49) END AS bin,
+           SUM(1.0) AS all_w,
+           SUM(1.0) AS all_w2,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS sel_w,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS sel_w2
+    FROM flags GROUP BY 1
+)
+SELECT bin,
+       CAST(all_w - sel_w AS BIGINT) AS diff_w,
+       CAST(FLOOR(sqrt(all_w2 + sel_w2) * 1000000) AS BIGINT) AS err_e6
+FROM binned
+"""
+
+
 # --- counters + normalization: the catalog layer as a query ------------------
 
 def q_counters_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +874,9 @@ FROM per_sample
 
 
 register("hep_derived_plot_ratio", q_derived_plot_ratio, ORACLE_DERIVED_PLOT)
+register(
+    "hep_derived_plot_difference", q_derived_plot_difference, ORACLE_DERIVED_DIFFERENCE
+)
 register("hep_counters_normalization", q_counters_normalization, ORACLE_COUNTERS_NORMALIZATION)
 
 

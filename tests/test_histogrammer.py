@@ -107,3 +107,36 @@ def test_null_value_dropped(spark):
     root = Selection.root()
     hist = run_analysis(df, [Plot.make1D("h", F.col("x"), root, EquidistantBinning(4, 0, 4))])
     assert sum(r["n"] for r in hist.collect()) == 2
+
+
+def test_derived_general_efficiency_and_sum(spark):
+    """General DerivedPlot machinery on a toy histogram table: binomial
+    efficiency errors and N-source sums over full-outer-joined bins."""
+    from bambooanalysis_spark.plans.derived import derived_efficiency, derived_sum
+
+    rows = [
+        # (plot, bin, bin2, bin3, sumw, sumw2, n)
+        ("den", 0, 0, 0, 100.0, 100.0, 100),
+        ("den", 1, 0, 0, 50.0, 50.0, 50),
+        ("num", 0, 0, 0, 25.0, 25.0, 25),
+        # bin 1 missing from num -> efficiency 0; bin 2 only in num
+        ("num", 2, 0, 0, 10.0, 10.0, 10),
+    ]
+    hist = spark.createDataFrame(
+        rows, "plot string, bin int, bin2 int, bin3 int, sumw double, sumw2 double, n long"
+    )
+    eff = {
+        r["bin"]: (r["value"], r["error"])
+        for r in derived_efficiency(hist, "eff", "num", "den").collect()
+    }
+    assert eff[0][0] == 0.25
+    assert abs(eff[0][1] - (0.25 * 0.75 / 100.0) ** 0.5) < 1e-12
+    assert eff[1] == (0.0, 0.0)
+    assert eff[2][0] is None  # no denominator -> undefined
+    tot = {
+        r["bin"]: (r["value"], r["error"])
+        for r in derived_sum(hist, "tot", ["num", "den"]).collect()
+    }
+    assert tot[0] == (125.0, (125.0) ** 0.5)
+    assert tot[1] == (50.0, 50.0 ** 0.5)
+    assert tot[2] == (10.0, 10.0 ** 0.5)
