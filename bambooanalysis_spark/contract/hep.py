@@ -713,7 +713,55 @@ register("hep_rng_any_exists", q_rng_any_exists, ORACLE_RNG_ANY)
 register("hep_invariant_mass", q_invariant_mass, ORACLE_INVARIANT_MASS)
 register("hep_delta_r", q_delta_r, ORACLE_DELTA_R)
 register("hep_rng_aggregates", q_rng_aggregates, ORACLE_RNG_AGGREGATES)
+def q_rng_find_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining Bamboo range-op family [B] (SURVEY.md §2.5):
+    rng_min_element_by (lightest jet), rng_find (first |eta|<1 jet in pT
+    order), switch/multiSwitch (MET regime label)."""
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    jets = op.Collection(F.col("jetpuppi"))
+    met = F.col("metpuppi")["pt"]
+    return hep.select(
+        "event_id",
+        op.rng_min_element_by(jets, lambda j: j.mass).pt.alias("min_mass_pt"),
+        op.rng_find(jets, lambda j: F.abs(j.eta) < 1.0).pt.alias("first_central_pt"),
+        op.multi_switch(
+            (met > 80, F.lit("high")), (met > 40, F.lit("mid")), F.lit("low")
+        ).alias("met_regime"),
+        op.switch(op.rng_len(jets) > 2, F.lit(1), F.lit(0))
+        .cast("long")
+        .alias("multijet"),
+    )
+
+
+ORACLE_RNG_FIND_MIN_BY = f"""{CHAIN_CTES}
+, alljets AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY mass, {_ORDER}) AS rn_minmass,
+           COUNT(*) OVER (PARTITION BY event_id) AS n_jets_all
+    FROM objs WHERE kind = 2
+),
+central AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 2 AND abs(eta) < 1.0
+)
+SELECT ev.event_id,
+       mm.pt AS min_mass_pt,
+       c.pt AS first_central_pt,
+       CASE WHEN ev.met > 80 THEN 'high'
+            WHEN ev.met > 40 THEN 'mid'
+            ELSE 'low' END AS met_regime,
+       CAST(CASE WHEN COALESCE(mm.n_jets_all, 0) > 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS multijet
+FROM ev
+LEFT JOIN (SELECT * FROM alljets WHERE rn_minmass = 1) mm ON mm.event_id = ev.event_id
+LEFT JOIN (SELECT * FROM central WHERE rn = 1) c ON c.event_id = ev.event_id
+"""
+
+
 register("hep_sort_topk", q_sort_topk, ORACLE_SORT_TOPK)
+register("hep_rng_find_min_by", q_rng_find_min_by, ORACLE_RNG_FIND_MIN_BY)
 register("hep_combine_pairs", q_combine_pairs, ORACLE_COMBINE_PAIRS)
 register("hep_histogram_invmass_sel1", q_histogram_invmass_sel1, ORACLE_HISTOGRAM_INVMASS_SEL1)
 register("hep_histogram_variable_bins", q_histogram_variable_bins, ORACLE_HISTOGRAM_VARIABLE_BINS)

@@ -138,6 +138,43 @@ def rng_max_element_by(coll, fn: Callable) -> Obj:
     return Obj(F.try_element_at(sorted_arr, F.lit(1)))
 
 
+def rng_min_element_by(coll, fn: Callable) -> Obj:
+    """Item minimizing fn(item) (Bamboo rng_min_element_by [B]): stable
+    ascending sort by the key, take the head — ties keep collection order
+    (the ingest pT-descending invariant), mirrored by the oracles' explicit
+    tie-break keys."""
+    arr = _as_arr(coll)
+    sorted_arr = F.array_sort(
+        arr,
+        lambda a, b: F.when(fn(Obj(a)) < fn(Obj(b)), F.lit(-1))
+        .when(fn(Obj(a)) > fn(Obj(b)), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return Obj(F.try_element_at(sorted_arr, F.lit(1)))
+
+
+def rng_find(coll, pred: Callable) -> Obj:
+    """First item satisfying pred, in collection order (Bamboo rng_find
+    [B]); NULL-valued Obj when none matches. F.filter preserves order, so
+    head-of-filtered is exactly 'first match'."""
+    return Obj(F.try_element_at(F.filter(_as_arr(coll), _wrap_pred(pred)), F.lit(1)))
+
+
+def switch(cond: Column, if_true, if_false) -> Column:
+    """op.switch [B]: two-way conditional expression."""
+    return F.when(cond, if_true).otherwise(if_false)
+
+
+def multi_switch(*args) -> Column:
+    """op.multiSwitch [B]: ((cond, value), ..., default) — first matching
+    condition wins, like a chained CASE WHEN."""
+    *cases, default = args
+    out = None
+    for cond, val in cases:
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return default if out is None else out.otherwise(default)
+
+
 def sort(coll, keys: list[tuple[Callable, bool]]) -> Collection:
     """op.sort [B]: stable multi-key sort. ``keys`` = [(fn, descending)].
 
