@@ -45,12 +45,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _maybe_broadcast(q: DataFrame, limit: int) -> DataFrame:
+    """Broadcast the query side only when it is PROVABLY small: count up to
+    limit+1 rows (cheap — query sides are dimension-sized or arrive from a
+    small filter). Above the limit, return the plain DataFrame so the
+    planner falls back to a shuffled join instead of silently materializing
+    an unbounded broadcast in every executor (and the driver)."""
+    n = q.limit(limit + 1).count()
+    return F.broadcast(q) if n <= limit else q
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among the corpus
     (self-matches excluded). Returns (query_id, neighbor_id, rank,
@@ -63,7 +74,7 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(_maybe_broadcast(q, broadcast_limit))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -214,6 +225,25 @@ def lsh_signs(vec: Column, nplanes: int = 16, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def _probe_buckets(sig: Column, nplanes: int, hamming: int) -> Column:
+    """Probe set for multi-probe LSH: the signature itself plus, at
+    hamming=1, every single-bit flip (nplanes+1 probes total). The flipped
+    buckets are exactly the ones a near-neighbor most likely landed in when
+    one hyperplane narrowly separated the pair."""
+    probes = [sig]
+    if hamming >= 1:
+        for i in range(nplanes):
+            flipped = F.when(
+                F.substring(sig, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, nplanes - i - 1)
+                )
+            )
+    return F.array(*probes)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,11 +252,17 @@ def ann_lsh_topk(
     k: int = 10,
     nplanes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 1,
+    broadcast_limit: int = 10_000,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to equal LSH sign buckets,
-    then exact cosine rank within the bucket. At 100 TB the bucket join
+    """Approximate top-k: candidates restricted to LSH sign buckets within
+    Hamming distance ``probe_hamming`` of the query's bucket (multi-probe),
+    then exact cosine rank within the candidates. At 100 TB the bucket join
     replaces the cross product; recall is tunable via nplanes (fewer planes
-    -> bigger buckets -> higher recall, more compute)."""
+    -> bigger buckets -> higher recall) and probe_hamming (more probes ->
+    higher recall at ~nplanes x the candidate volume). Each corpus vector
+    lives in ONE bucket and probe buckets are distinct, so no candidate
+    dedup is needed."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -235,10 +271,12 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_signs(F.col(vec_col), nplanes, dim).alias("bucket"),
+        F.explode(
+            _probe_buckets(lsh_signs(F.col(vec_col), nplanes, dim), nplanes, probe_hamming)
+        ).alias("bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(_maybe_broadcast(q, broadcast_limit), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -291,6 +329,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    broadcast_limit: int = 10_000,
 ) -> DataFrame:
     """IVF-style ANN: corpus bucketed by nearest centroid; each query probes
     its n_probe nearest cells and ranks exactly within them.
@@ -333,7 +372,7 @@ def ivf_topk(
     q = q.withColumn("__cells", F.transform(cells, lambda x: x["cell"]))
     scored = (
         c.join(
-            F.broadcast(q),
+            _maybe_broadcast(q, broadcast_limit),
             F.array_contains(F.col("__cells"), F.col("__ivf_cell"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )

@@ -502,3 +502,49 @@ def test_jaccard_df_cutoff_bounds_hot_token_fanout(spark):
     # only the planted near-dup survives; hot token excluded from the
     # union too: 3/4 filtered (not 4/5 raw)
     assert pairs == {(100, 101): 7500}
+
+
+def test_ann_lsh_multiprobe_recall(spark, sf_oracle):
+    """Multi-probe (Hamming-1) LSH must strictly beat exact-bucket recall
+    vs brute force, and must find planted near-identical neighbors.
+    Deterministic: md5-derived planes, fixed data."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ann_lsh_topk(
+                emb, queries, k=10, nplanes=6, probe_hamming=probe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0  # multi-probe recovers 1-plane near-misses
+    assert r1 >= 0.25  # measured 0.30 on this (neighbor-free) fixture
+
+    # planted near-identical neighbors: recall@1 must be perfect under
+    # multi-probe (cosine ~0.999 pairs flip >=2 of 6 planes with prob ~4e-3)
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(40)]
+    for j in range(10):
+        v = base[j] + rng.normal(scale=0.02, size=64)
+        rows.append(Row(vec_id=200 + j, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    qs = df.where(F.col("vec_id") >= 200)
+    got1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.ann_lsh_topk(df, qs, k=1, nplanes=6, probe_hamming=1).collect()
+        if r["rank"] == 1
+    }
+    assert all(got1.get(200 + j) == j for j in range(10))

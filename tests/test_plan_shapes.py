@@ -122,3 +122,37 @@ def test_near_dup_default_has_no_cartesian_product(spark, sf_oracle):
     plan = _plan(S.near_dup_pairs_cosine(emb, threshold_e6=800000))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_broadcast_guard_fallback(spark, sf_oracle):
+    """Oversized query sides must NOT be broadcast: with a lowered limit the
+    bucket join falls back to a shuffled strategy, with identical results."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+
+    # disable size-based auto-broadcast so only the guard's explicit hint
+    # can force one (AQE correctly re-broadcasting a measured-small side is
+    # fine in production; here we isolate the hint behavior)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = S.ann_lsh_topk(emb, queries, k=5, nplanes=6, broadcast_limit=10_000)
+        big = S.ann_lsh_topk(emb, queries, k=5, nplanes=6, broadcast_limit=10)
+        assert "BroadcastHashJoin" in _plan(small)
+        assert "BroadcastHashJoin" not in _plan(big)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+    as_set = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_e6"])
+        for r in df.collect()
+    }
+    assert as_set(small) == as_set(big)
