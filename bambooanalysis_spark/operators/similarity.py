@@ -296,6 +296,47 @@ def ann_lsh_topk(
     )
 
 
+def _py_norm(v: list[float]) -> float:
+    s = 0.0
+    for x in v:
+        s += float(x) * float(x)
+    return s ** 0.5
+
+
+def _centroid_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<s,cid>> of (dot(vec, c)/||c||, cid) per centroid.
+
+    Two driver-latency/scale properties matter here:
+
+    - The whole codebook ships as TWO literal Columns (`F.lit(list)` —
+      one py4j call each), not C*dim individual `F.lit` calls: at C=16,
+      dim=64 the per-float form cost ~4 s of pure driver plan-build time
+      per query (measured), dwarfing the actual execution.
+    - Scores are dot(v, c/||c||): the row's own norm ||v|| is a common
+      positive factor across every centroid, so it cancels out of any
+      per-row ranking of cells; centroid norms are folded into the literal
+      vectors in Python. Zero vectors score 0.0 against every cell (the
+      previous form gave all-NaN) — either way the rank is a pure
+      tie-break, so cell choice stays deterministic.
+    """
+    scaled = [
+        [float(x) / (_py_norm(cvec) or 1.0) for x in cvec] for _, cvec in centroids
+    ]
+    ids = [int(cid) for cid, _ in centroids]
+    # one SQL text literal, parsed JVM-side: F.lit(nested_list) converts
+    # element-by-element over py4j (~1 s for 16x64 floats, measured); repr()
+    # round-trips doubles exactly and 'D' marks a double literal
+    codebook = F.expr(
+        "array(%s)"
+        % ",".join("array(%s)" % ",".join(f"{x!r}D" for x in cv) for cv in scaled)
+    )
+    return F.zip_with(
+        F.transform(codebook, lambda cv: dot(vec, cv)),
+        F.lit(ids),
+        lambda s, cid: F.struct(s.alias("s"), cid.alias("cid")),
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
     """Assign each vector to its nearest centroid (max cosine). Centroids
     are literal arrays (driver-side metadata, like a trained IVF codebook).
@@ -305,20 +346,10 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col:
     best twice per step: a 2^C-node expression tree at C centroids (this
     hung the planner at C=16 before the rewrite).
     """
-    cells = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
-                    / (norm(F.col(vec_col)) * norm(F.array(*[F.lit(float(x)) for x in cvec])))
-                ).alias("s"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
     # struct comparison is lexicographic: max by score, ties -> max cid
-    return df.withColumn("__ivf_cell", F.array_max(cells)["cid"])
+    return df.withColumn(
+        "__ivf_cell", F.array_max(_centroid_scores(F.col(vec_col), centroids))["cid"]
+    )
 
 
 def ivf_topk(
@@ -352,30 +383,27 @@ def ivf_topk(
         vec_col,
     ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell")
     # per query: scores against every centroid, keep the n_probe best cells
+    # (same cancelled-norm literal codebook as ivf_assign)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probe_rows = []
-    for cid, cvec in cents:
-        coef = F.array(*[F.lit(float(x)) for x in cvec])
-        probe_rows.append(
-            F.struct(
-                F.lit(cid).alias("cell"),
-                (dot(F.col("qv"), coef) / (norm(F.col("qv")) * norm(coef))).alias("s"),
-            )
-        )
     cells = F.slice(
         F.array_sort(
-            F.array(*probe_rows), lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)
+            _centroid_scores(F.col("qv"), cents),
+            lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,
         n_probe,
     )
-    q = q.withColumn("__cells", F.transform(cells, lambda x: x["cell"]))
+    # explode the probe cells so the candidate join is an EQUI-join on the
+    # cell id (hashable key -> BroadcastHashJoin / shuffled hash at scale)
+    # instead of an array_contains theta-join, which plans as a nested-loop
+    # scan of every query per corpus row. Each corpus vector lives in ONE
+    # cell and a query's probe cells are distinct, so no candidate dedup.
+    q = q.withColumn(
+        "__ivf_cell", F.explode(F.transform(cells, lambda x: x["cid"]))
+    )
     scored = (
-        c.join(
-            _maybe_broadcast(q, broadcast_limit),
-            F.array_contains(F.col("__cells"), F.col("__ivf_cell"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
+        c.join(_maybe_broadcast(q, broadcast_limit), "__ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -156,3 +156,18 @@ def test_similarity_broadcast_guard_fallback(spark, sf_oracle):
         for r in df.collect()
     }
     assert as_set(small) == as_set(big)
+
+
+def test_ivf_candidate_join_is_hash_join(spark, sf_oracle):
+    """IVF's probe-cell candidate join must be an equi (hash) join on the
+    cell id — an array_contains theta-join plans as BroadcastNestedLoopJoin,
+    which scans every query per corpus row and cannot shuffle-partition at
+    scale."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    plan = _plan(S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast- or shuffled-hash on __ivf_cell
