@@ -44,13 +44,16 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .hep import _hep  # memoized fixture build
 
     hep = _hep(spark, sf_dir)
-    samples = {
-        "TT_FS": hep.where(F.col("event_id") % 2 == 0),
-        "TT_Delphes": hep.where(F.col("event_id") % 2 == 1),
-    }
+    # samples as a COLUMN of one table (events_tagged): the fused job scans
+    # the fixture once; a union of two event_id-parity filters would scan
+    # (and codegen) it once per sample
+    tagged = hep.withColumn(
+        "__sample",
+        F.when(F.col("event_id") % 2 == 0, "TT_FS").otherwise("TT_Delphes"),
+    )
     out_dir = tempfile.mkdtemp(prefix="bamboo-pipeline-")
     manifest = run_pipeline(
-        spark, "phase2", parse_catalog(_CATALOG), out_dir, events_by_sample=samples
+        spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
     )
     rows = [
         (f"hists/{s}", int(spark.read.parquet(p).count()))

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from .analyses import define_jet_test, define_phase2
 from .plans import run_analysis
-from .plans.histogrammer import cutflow_table
 from .report.postprocess import (
     cutflow_efficiencies,
     cutflow_png,
@@ -117,12 +116,18 @@ def run_pipeline(
     catalog: Catalog,
     out_dir: str,
     events_by_sample: dict[str, DataFrame] | None = None,
+    events_tagged: DataFrame | None = None,
 ) -> dict:
     """The full two-phase workflow (README.md:63-84): ONE fused analysis
     job over every sample in the catalog, then postprocessing into
     yields.tex / cutflow image / plots.yml / stacked plot images.
     ``events_by_sample`` overrides file loading (used by tests and notebook
-    callers that already hold DataFrames).
+    callers that already hold DataFrames). ``events_tagged`` goes further:
+    a SINGLE DataFrame already carrying a ``__sample`` column — the natural
+    shape when samples live as partitions of one lake table. It must cover
+    exactly the catalog's samples; it is scanned once, where a
+    union-of-filters over a shared source would scan once per sample (and
+    pay codegen per union branch).
 
     Returns a manifest dict of everything written.
     """
@@ -137,22 +142,26 @@ def run_pipeline(
     # N samples cost one scan + one shuffle instead of N jobs; the fixed
     # per-job costs (plan build, codegen, scheduling) are paid once, and
     # small samples stop under-utilizing the cluster between jobs.
-    from functools import reduce
+    if events_tagged is not None:
+        union = events_tagged
+    else:
+        from functools import reduce
 
-    tagged = {}
-    for name, sample in catalog.samples.items():
-        ev = events_by_sample.get(name)
-        if ev is None:
-            ev = load_sample_events(spark, sample)
-        tagged[name] = ev.withColumn("__sample", F.lit(name))
-    union = reduce(lambda a, b: a.unionByName(b), tagged.values())
+        tagged = {}
+        for name, sample in catalog.samples.items():
+            ev = events_by_sample.get(name)
+            if ev is None:
+                ev = load_sample_events(spark, sample)
+            tagged[name] = ev.withColumn("__sample", F.lit(name))
+        union = reduce(lambda a, b: a.unionByName(b), tagged.values())
 
     plots_ref: list
     adf, plots_ref, cfr_ref, _sels = analysis(union)
     hist_all = run_analysis(adf, plots_ref, [cfr_ref], extra_keys=["__sample"])
-    # aggregate-sized (#samples x #plots x #bins rows): pin it so the
-    # per-sample sinks/reports below reuse one materialization
-    hist_all = hist_all.persist()
+    # aggregate-sized (#samples x #plots x #bins rows) -> ONE partition
+    # before pinning: every downstream sink/report action then schedules a
+    # single task instead of shuffle-partition-count near-empty ones
+    hist_all = hist_all.coalesce(1).persist()
     hist_all.count()
 
     # counters: parquet-footer counts for file-backed samples (metadata-only
@@ -170,8 +179,15 @@ def run_pipeline(
         else {}
     )
 
+    # the whole aggregate comes to the driver ONCE (it is #samples x #plots
+    # x #bins rows by construction); per-sample report frames are pandas
+    # slices of it, not one Spark action per sample per frame
+    pdf_all = hist_all.toPandas()
+    prefix = cfr_ref.name + "/"
+    seq_of = {s: i for i, s in enumerate([sel.name for sel, _t in cfr_ref.entries])}
+    order = list(seq_of)
+
     hists, cutflows, counters_all = {}, {}, {}
-    order = [sel.name for sel, _t in cfr_ref.entries]
     for name, sample in catalog.samples.items():
         table = hist_all.where(F.col("__sample") == name).drop("__sample")
         write_histograms(table, out_dir, name)
@@ -184,8 +200,20 @@ def run_pipeline(
         with open(f"{out_dir}/{name}/counters.json", "w") as f:
             json.dump(counters, f, indent=2, sort_keys=True)
         counters_all[name] = counters
-        hists[name] = table.where(F.col("kind") == "plot").toPandas()
-        cutflows[name] = cutflow_table(table, cfr_ref.name, order).toPandas()
+        sub = pdf_all[pdf_all["__sample"] == name]
+        hists[name] = (
+            sub[sub["kind"] == "plot"].drop(columns="__sample").reset_index(drop=True)
+        )
+        cf = sub[(sub["kind"] == "cutflow") & sub["plot"].str.startswith(prefix)].copy()
+        cf["selection"] = cf["plot"].str[len(prefix):]
+        cf["seq"] = cf["selection"].map(seq_of)
+        cutflows[name] = (
+            cf.sort_values("seq")
+            .rename(columns={"n": "num_events", "sumw": "sum_weights"})[
+                ["selection", "seq", "num_events", "sum_weights"]
+            ]
+            .reset_index(drop=True)
+        )
     hist_all.unpersist()
 
     # ---- postprocess phase (driver-side, aggregate-sized inputs) ----
