@@ -553,3 +553,40 @@ FROM d
 
 
 register("text_bpe_tokens", q_text_bpe_tokens, ORACLE_TEXT_BPE_TOKENS)
+
+
+# --- dedup: near-dup clustering (LSH pairs -> connected components) ----------
+
+def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.near_dup_clusters(
+        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
+    ).orderBy("doc_id")
+
+
+# Same banded-LSH pair graph as ORACLE_DEDUP_MINHASH_LSH, then connected
+# components via a recursive CTE: anc propagates along (symmetric) edges, so
+# per node MIN(anc) over everything reachable is the component's min id —
+# exactly the engine's min-label fixpoint. Singletons come from the
+# all-documents seed row (id, id).
+ORACLE_DEDUP_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_DEDUP_MINHASH_LSH}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(anc) AS cluster_id, MIN(anc) = id AS is_representative
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+register(
+    "dedup_near_dup_clusters", q_dedup_near_dup_clusters, ORACLE_DEDUP_NEAR_DUP_CLUSTERS
+)

@@ -312,3 +312,80 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard_e4") >= threshold_e4)
     )
+
+
+# --- near-dup clustering: connected components over a pair graph ------------
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph: every node gets
+    cluster_id = the MINIMUM node id reachable from it (singletons cluster
+    with themselves). Output: (id_col, cluster_id, is_representative) where
+    the representative is the min-id member — i.e. the row a keep-one-
+    per-cluster dedup keeps, matching exact_dedup's min-id convention.
+
+    Min-label propagation: labels start as own id; each round every node
+    takes the min of its own and its neighbors' labels, until the label
+    vector reaches a fixpoint. Rounds = graph eccentricity of the min-id
+    node, and near-dup graphs are dense near-cliques (bands link most
+    members pairwise), so 2-3 rounds is typical; max_iter bounds pathological
+    chains. Per round: one broadcast/shuffled hash join edges x labels + one
+    groupBy min — both partition-parallel, nothing driver-sized except the
+    1-row convergence aggregate. Lineage is cut every round
+    (localCheckpoint) so the plan does not grow with the iteration count —
+    on a cluster with a checkpoint dir configured, prefer df.checkpoint()
+    for fault-tolerance across long chains.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    nparts = max(pairs.sparkSession.sparkContext.defaultParallelism, 4)
+    # edges re-used every round: shuffle onto the join key once and pin
+    edges = sym.repartition(nparts, "src").persist()
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+        # labels are element-wise non-increasing and integral: the sum is
+        # strictly decreasing until the fixpoint, so equality == converged
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_representative"),
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs -> connected components -> cluster table
+    (id, cluster_id, is_representative): the standard large-scale near-dup
+    dedup pipeline (candidates are transitive — a~b and b~c cluster a,b,c
+    even when a,c share no band). Filtering to is_representative gives the
+    deduplicated keep-list."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k)
+    return connected_components(pairs, df, id_col)

@@ -548,3 +548,33 @@ def test_ann_lsh_multiprobe_recall(spark, sf_oracle):
         if r["rank"] == 1
     }
     assert all(got1.get(200 + j) == j for j in range(10))
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b and b-c edges (no a-c) must land a,b,c in one cluster with the
+    min id as representative; isolated nodes cluster with themselves. A long
+    path graph checks multi-round propagation converges to the global min."""
+    from bambooanalysis_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    # chain 0-1-2, pair 4-5, path 6-7-8-9 (forces >=3 propagation rounds)
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=0, doc_b=1),
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=4, doc_b=5),
+            Row(doc_a=9, doc_b=8),
+            Row(doc_a=8, doc_b=7),
+            Row(doc_a=7, doc_b=6),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_representative"])
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True),
+        4: (4, True), 5: (4, False),
+        6: (6, True), 7: (6, False), 8: (6, False), 9: (6, False),
+    }
