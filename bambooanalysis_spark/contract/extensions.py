@@ -590,3 +590,85 @@ FROM reach GROUP BY id ORDER BY doc_id
 register(
     "dedup_near_dup_clusters", q_dedup_near_dup_clusters, ORACLE_DEDUP_NEAR_DUP_CLUSTERS
 )
+
+
+# --- text: Gopher-style repetition rules ------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics (the Gopher repetition-removal
+    rules): most frequent word 2-gram + the character fraction it covers,
+    and the character fraction inside duplicated 5-grams. One scan, zero
+    shuffle — pure per-row HOF aggregates over staged token arrays."""
+    from ..operators import text as T
+    from ..operators.dedup import _barrier
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # stage tokens once (HOF lambdas get no CSE), then both widths' stats
+    staged = _barrier(d.withColumn("__toks", T.tokens(F.col("text"))))
+    staged = _barrier(
+        staged.select(
+            "doc_id",
+            "text",
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 2))
+            ).alias("__r2"),
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 5))
+            ).alias("__r5"),
+        )
+    )
+    t = F.col("text")
+    return staged.select(
+        "doc_id",
+        F.col("__r2")["top"].alias("top_2gram"),
+        F.col("__r2")["top_count"].alias("top2_count"),
+        T.top_ngram_char_frac_e4(F.col("__r2"), t).alias("top2_frac_e4"),
+        T.dup_ngram_char_frac_e4(F.col("__r5"), t).alias("dup5_frac_e4"),
+    )
+
+
+def _ngram_cte(n: int) -> str:
+    """doc_id, gram rows for word n-grams (1-based inclusive list_slice)."""
+    return (
+        f"SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))) AS gram "
+        f"FROM d WHERE len(toks) >= {n}"
+    )
+
+
+# Tie-break contract: the engine's sorted run-length argmax keeps the
+# lexicographically smallest gram among equal max counts, hence
+# ORDER BY c DESC, gram. Coverage counts only actual repetition (c > 1).
+ORACLE_TEXT_REPETITION = f"""
+WITH d AS (
+    SELECT doc_id, text, LENGTH(text) AS nc,
+           {_D_TOKENS.format(t='text')} AS toks
+    FROM documents
+),
+g2 AS ({_ngram_cte(2)}),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c2
+),
+g5 AS ({_ngram_cte(5)}),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+    SELECT doc_id, SUM(c * LENGTH(gram)) AS dup_chars FROM c5 WHERE c > 1
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       t2.gram AS top_2gram,
+       CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2_count,
+       CASE WHEN COALESCE(t2.c, 0) > 1
+            THEN LEAST(10000, CAST(FLOOR(t2.c * LENGTH(t2.gram) * 10000 / d.nc) AS BIGINT))
+            ELSE 0 END AS top2_frac_e4,
+       LEAST(10000, CAST(FLOOR(COALESCE(d5.dup_chars, 0) * 10000 / d.nc) AS BIGINT)) AS dup5_frac_e4
+FROM d
+LEFT JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+LEFT JOIN d5 ON d5.doc_id = d.doc_id
+"""
+
+
+register("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION)

@@ -131,9 +131,10 @@ def hash64(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles (space-joined) over whitespace tokens."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Word k-gram shingles (space-joined) over a precomputed token array —
+    use this form when several shingle widths share one staged token column
+    (HOF lambdas get no CSE, so recomputing tokens() per width is k× work)."""
     n = F.size(toks)
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark, so
     # short texts get an explicit empty shingle list
@@ -145,6 +146,101 @@ def shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.when(n >= k, grams).otherwise(empty)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined) over whitespace tokens."""
+    return shingles_from_tokens(tokens(text), k)
+
+
+def run_stats(sorted_arr: Column) -> Column:
+    """Repetition statistics over a SORTED string array in ONE aggregate
+    pass: struct(top string, top_count long, dup_chars long) where `top` is
+    the most frequent element (ties -> lexicographically smallest, which is
+    the first max run in sorted order), `top_count` its multiplicity, and
+    `dup_chars` = sum over elements occurring >1 times of count*length —
+    the "characters inside duplicated grams" mass of the Gopher repetition
+    rules. Empty array -> (NULL, 0, 0).
+
+    Run-length trick: on a sorted array equal elements are adjacent, so a
+    5-field accumulator (prev, run, best, arg, dup) computes argmax-by-count
+    and the duplicate mass without any map-building or a second pass.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("arg"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        # a run reaching 2 retro-credits the first occurrence (2*len); each
+        # further repeat adds len -> total contribution = count*len
+        dup2 = acc["dup"] + F.when(run2 == 2, F.length(x) * 2).otherwise(
+            F.when(run2 > 2, F.length(x)).otherwise(F.lit(0))
+        ).cast("long")
+        better = run2 > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["arg"]).alias("arg"),
+            dup2.alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["arg"].alias("top"),
+            acc["best"].alias("top_count"),
+            acc["dup"].alias("dup_chars"),
+        ),
+    )
+
+
+def _frac_e4(chars: Column, total_chars: Column) -> Column:
+    """least(10000, floor(chars*10000/total)) — capped because overlapping
+    n-grams can carry more characters than the document holds. floor-then-
+    cast keeps Spark/DuckDB integer semantics identical (see avg_token_len_e4)."""
+    return F.when(
+        total_chars > 0,
+        F.least(F.lit(10000).cast("long"), F.floor(chars * 10000 / total_chars).cast("long")),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def top_ngram_char_frac_e4(stats: Column, text: Column) -> Column:
+    """Gopher rule for small n (2-4): fraction of characters covered by the
+    single most frequent word n-gram, from a run_stats struct."""
+    covered = F.when(
+        stats["top_count"] > 1, stats["top_count"] * F.length(stats["top"])
+    ).otherwise(F.lit(0).cast("long"))
+    return _frac_e4(covered, F.length(text))
+
+
+def dup_ngram_char_frac_e4(stats: Column, text: Column) -> Column:
+    """Gopher rule for large n (5-10): fraction of characters inside word
+    n-grams that occur more than once, from a run_stats struct."""
+    return _frac_e4(stats["dup_chars"], F.length(text))
+
+
+def lines(text: Column) -> Column:
+    """Non-empty lines."""
+    return F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+
+
+def dup_line_char_frac_e4(text: Column) -> Column:
+    """Fraction of characters sitting in duplicated lines (C4/Gopher line
+    dedup rule), 1e-4 fixed point. Same run-length machinery as the n-gram
+    rules with whole lines as the grams."""
+    return _frac_e4(
+        run_stats(F.array_sort(lines(text)))["dup_chars"], F.length(text)
+    )
 
 
 # BPE-ish pre-tokenization classes: letter runs, digit runs, single

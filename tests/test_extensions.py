@@ -578,3 +578,54 @@ def test_connected_components_transitive_chain(spark):
         4: (4, True), 5: (4, False),
         6: (6, True), 7: (6, False), 8: (6, False), 9: (6, False),
     }
+
+
+def test_run_stats_and_repetition_fracs(spark):
+    """run_stats over a sorted gram array: argmax-by-count with lexicographic
+    tie-break, duplicate char mass = count*len for every gram occurring >1
+    times; the e4 fraction helpers floor and cap at 10000."""
+    from bambooanalysis_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            # "b b" x2, "a a" x2 -> tie, lexicographic min "a a" wins
+            Row(text="x", grams=["b b", "a a", "b b", "a a", "c c"]),
+            Row(text="x", grams=[]),  # empty -> (NULL, 0, 0)
+            Row(text="x", grams=["solo gram"]),  # no repetition
+        ]
+    )
+    rows = df.select(
+        T.run_stats(F.array_sort(F.col("grams"))).alias("s")
+    ).collect()
+    assert rows[0]["s"]["top"] == "a a"
+    assert rows[0]["s"]["top_count"] == 2
+    # dup mass: "a a" 2*3 + "b b" 2*3 = 12
+    assert rows[0]["s"]["dup_chars"] == 12
+    assert rows[1]["s"]["top"] is None
+    assert (rows[1]["s"]["top_count"], rows[1]["s"]["dup_chars"]) == (0, 0)
+    assert rows[2]["s"]["top_count"] == 1
+    assert rows[2]["s"]["dup_chars"] == 0
+
+
+def test_dup_line_char_frac(spark):
+    """Duplicated-line character fraction (C4/Gopher line rule): lines
+    occurring >1 times contribute count*len characters; single newline-free
+    docs score 0; a fully-duplicated doc caps at 10000."""
+    from bambooanalysis_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            # "dup" x2 (3 chars each) over 14 total chars -> floor(6e4/14)=4285
+            Row(doc_id=1, text="dup\nunique\ndup"),
+            Row(doc_id=2, text="no newlines here"),
+            Row(doc_id=3, text="same\nsame\nsame"),  # 12/14 -> 8571
+            Row(doc_id=4, text=""),  # empty -> 0, no div-by-zero
+        ]
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", T.dup_line_char_frac_e4(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert got == {1: 4285, 2: 0, 3: 8571, 4: 0}
