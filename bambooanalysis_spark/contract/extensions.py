@@ -672,3 +672,85 @@ LEFT JOIN d5 ON d5.doc_id = d.doc_id
 
 
 register("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION)
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter: per-rule booleans (length, mean word
+    length, stopword floor, 2-gram / 5-gram repetition caps) and the
+    combined keep decision. One scan, zero shuffle — the decision a 100 TB
+    cleaning pipeline applies before any dedup shuffle."""
+    from ..operators import text as T
+    from ..operators.dedup import _barrier
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = _barrier(d.withColumn("__toks", T.tokens(F.col("text"))))
+    staged = _barrier(
+        staged.select(
+            "doc_id",
+            "text",
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 2))
+            ).alias("__r2"),
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 5))
+            ).alias("__r5"),
+        )
+    )
+    flags = T.quality_flags(F.col("text"), F.col("__r2"), F.col("__r5"))
+    return staged.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+# thresholds mirrored from operators/text.py GOPHER_* constants
+ORACLE_TEXT_QUALITY_FILTER = f"""
+WITH d AS (
+    SELECT doc_id, text, LENGTH(text) AS nc,
+           {_D_TOKENS.format(t='text')} AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, nc,
+           len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns
+    FROM d
+),
+g2 AS ({_ngram_cte(2)}),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c2
+),
+g5 AS ({_ngram_cte(5)}),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+    SELECT doc_id, SUM(c * LENGTH(gram)) AS dup_chars FROM c5 WHERE c > 1
+    GROUP BY doc_id
+),
+f AS (
+    SELECT s.doc_id,
+           s.nt BETWEEN 20 AND 100000 AS keep_len,
+           CASE WHEN s.nt > 0
+                THEN CAST(FLOOR(s.total_len * 10000 / s.nt) AS BIGINT)
+                     BETWEEN 30000 AND 100000
+                ELSE FALSE END AS keep_avg_len,
+           s.ns >= 2 AS keep_stop,
+           (CASE WHEN COALESCE(t2.c, 0) > 1 AND s.nc > 0
+                 THEN LEAST(10000, CAST(FLOOR(t2.c * LENGTH(t2.gram) * 10000 / s.nc) AS BIGINT))
+                 ELSE 0 END) <= 2000 AS keep_rep2,
+           (CASE WHEN s.nc > 0
+                 THEN LEAST(10000, CAST(FLOOR(COALESCE(d5.dup_chars, 0) * 10000 / s.nc) AS BIGINT))
+                 ELSE 0 END) <= 1500 AS keep_rep5
+    FROM s
+    LEFT JOIN t2 ON t2.doc_id = s.doc_id AND t2.rn = 1
+    LEFT JOIN d5 ON d5.doc_id = s.doc_id
+)
+SELECT doc_id, keep_len, keep_avg_len, keep_stop, keep_rep2, keep_rep5,
+       keep_len AND keep_avg_len AND keep_stop AND keep_rep2 AND keep_rep5 AS keep
+FROM f
+"""
+
+
+register("text_quality_filter", q_text_quality_filter, ORACLE_TEXT_QUALITY_FILTER)

@@ -78,6 +78,42 @@ def quality_score_e4(text: Column) -> Column:
     return F.floor(len_term * punct_term / 10000 * stop_term / 10000).cast("long")
 
 
+# Gopher-style corpus-filter thresholds (Rae et al. 2021, appendix A1
+# subset, adapted to the signals above; 1e-4 fixed-point for fractions so
+# the rule evaluation is integer-exact across engines)
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_TOK_LEN_E4 = 30_000  # mean word length >= 3 chars
+GOPHER_MAX_AVG_TOK_LEN_E4 = 100_000  # mean word length <= 10 chars
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP2_FRAC_E4 = 2_000  # top 2-gram covers <= 20% of chars
+GOPHER_MAX_DUP5_FRAC_E4 = 1_500  # <= 15% of chars in duplicated 5-grams
+
+
+def quality_flags(text: Column, r2: Column, r5: Column) -> dict[str, Column]:
+    """Per-rule Gopher keep/drop booleans plus the combined ``keep``.
+
+    ``r2``/``r5`` are staged ``run_stats`` structs over the sorted 2-gram /
+    5-gram arrays — the caller stages them (HOF lambdas get no CSE, so
+    passing precomputed structs avoids recomputing each gram pass per rule).
+    All rules are per-row integer comparisons: one scan, zero shuffle.
+    """
+    nt = token_count(text)
+    flags = {
+        "keep_len": (nt >= GOPHER_MIN_TOKENS) & (nt <= GOPHER_MAX_TOKENS),
+        "keep_avg_len": (avg_token_len_e4(text) >= GOPHER_MIN_AVG_TOK_LEN_E4)
+        & (avg_token_len_e4(text) <= GOPHER_MAX_AVG_TOK_LEN_E4),
+        "keep_stop": stopword_count(text) >= GOPHER_MIN_STOPWORDS,
+        "keep_rep2": top_ngram_char_frac_e4(r2, text) <= GOPHER_MAX_TOP2_FRAC_E4,
+        "keep_rep5": dup_ngram_char_frac_e4(r5, text) <= GOPHER_MAX_DUP5_FRAC_E4,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    flags["keep"] = keep
+    return flags
+
+
 # Marker words per language for the n-gram/marker language-ID heuristic.
 # (The driver's synthetic documents share one vocabulary, so this is
 # exercised as a deterministic scoring function, not a classifier claim.)

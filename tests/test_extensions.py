@@ -629,3 +629,41 @@ def test_dup_line_char_frac(spark):
         ).collect()
     }
     assert got == {1: 4285, 2: 0, 3: 8571, 4: 0}
+
+
+def test_quality_flags_rule_branches(spark):
+    """Each Gopher rule flips on the document built to violate it — including
+    the two branches the synthetic fixture never exercises (mean-word-length
+    bounds, duplicated-5-gram cap)."""
+    from bambooanalysis_spark.operators import text as T
+
+    good = "the quick brown fox jumps over a lazy dog near the old stone " \
+           "bridge while many other animals watch from tall grass in " \
+           "morning light and the day begins slowly for everyone there now"
+    long_words = " ".join(["extraordinarily"] * 30)  # avg len 15 > 10
+    rep5 = ("one two three four five " * 10) + "the of a and is tail"  # dup 5-grams
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=long_words),
+            Row(doc_id=3, text=rep5),
+            Row(doc_id=4, text="short of the"),  # < 20 tokens
+        ]
+    )
+    staged = df.select(
+        "doc_id",
+        "text",
+        T.run_stats(F.array_sort(T.shingles(F.col("text"), 2))).alias("r2"),
+        T.run_stats(F.array_sort(T.shingles(F.col("text"), 5))).alias("r5"),
+    )
+    flags = T.quality_flags(F.col("text"), F.col("r2"), F.col("r5"))
+    got = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert got[1]["keep"]
+    assert not got[2]["keep_avg_len"] and not got[2]["keep_stop"]
+    assert not got[3]["keep_rep5"] and not got[3]["keep_rep2"]
+    assert not got[4]["keep_len"]
