@@ -754,3 +754,87 @@ FROM f
 
 
 register("text_quality_filter", q_text_quality_filter, ORACLE_TEXT_QUALITY_FILTER)
+
+
+# --- temporal: as-of join + multi-granularity rollup -------------------------
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each 'click' event picks up the value and age of
+    the same user's most recent 'view' at-or-before it. Union-tag-window
+    plan — ONE shuffle on user_id, no range-join expansion
+    (operators/temporal.py docstring)."""
+    from ..operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join(
+        clicks, views, on="user_id",
+        payload={"value": "view_value", "ts": "view_ts"},
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("click_cents"),
+        F.round(F.col("view_value") * 100).cast("long").alias("view_cents"),
+        F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+    )
+
+
+# DuckDB has native ASOF JOIN (backward, inclusive) — the exact oracle.
+ORACLE_EVENTS_ASOF = """
+SELECT c.event_id,
+       c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(ROUND(c.value * 100) AS BIGINT) AS click_cents,
+       CAST(ROUND(v.value * 100) AS BIGINT) AS view_cents,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF)
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts + value sums per
+    event_type at day/hour/minute granularity, all three from ONE scan and
+    ONE shuffle (bucket array exploded before the groupBy)."""
+    from ..operators.temporal import time_rollup
+
+    ev = _events(spark, sf_dir)
+    out = time_rollup(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        ],
+    )
+    return out.select(
+        "unit",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+ORACLE_EVENTS_TIME_ROLLUP = """
+SELECT u.unit,
+       CAST(epoch_us(date_trunc(u.unit, e.ts)) AS BIGINT) AS bucket_us,
+       e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+CROSS JOIN (SELECT unnest(['day', 'hour', 'minute']) AS unit) u
+GROUP BY 1, 2, 3
+"""
+
+
+register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)

@@ -667,3 +667,70 @@ def test_quality_flags_rule_branches(spark):
     assert not got[2]["keep_avg_len"] and not got[2]["keep_stop"]
     assert not got[3]["keep_rep5"] and not got[3]["keep_rep2"]
     assert not got[4]["keep_len"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive ties, NULL payload when no earlier right
+    row, tolerance nulls stale matches. Plan: ONE Exchange (the window's
+    hash partition on the key) — no range-join expansion."""
+    import datetime as dt
+
+    from bambooanalysis_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=ts(5), lv=50),
+            Row(k=1, ts=ts(10), lv=100),  # exact tie with right at 10
+            Row(k=1, ts=ts(2), lv=20),    # before any right row
+            Row(k=2, ts=ts(30), lv=300),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=ts(4), rv=4.0), Row(k=1, ts=ts(10), rv=10.0)]
+    )
+    out = asof_join(left, right, on="k", payload={"rv": "rv", "ts": "rts"})
+    got = {(r["k"], r["lv"]): (r["rv"], r["rts"]) for r in out.collect()}
+    assert got[(1, 50)] == (4.0, ts(4))
+    assert got[(1, 100)] == (10.0, ts(10))  # tie matches inclusively
+    assert got[(1, 20)] == (None, None)
+    assert got[(2, 300)] == (None, None)
+
+    tol = asof_join(
+        left, right, on="k", payload={"rv": "rv"},
+        tolerance=F.expr("INTERVAL 2 SECONDS"),
+    )
+    got_tol = {(r["k"], r["lv"]): r["rv"] for r in tol.collect()}
+    assert got_tol[(1, 50)] == 4.0       # 1s old, within tolerance
+    assert got_tol[(1, 100)] == 10.0     # exact tie
+    assert got_tol[(2, 300)] is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_time_rollup_single_shuffle(spark):
+    """All granularities aggregate in one exchange (explode-before-groupBy),
+    and per-unit totals agree with a direct per-unit aggregate."""
+    import datetime as dt
+
+    from bambooanalysis_spark.operators.temporal import time_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(ts=t0 + dt.timedelta(minutes=7 * i), v=i) for i in range(20)]
+    )
+    out = time_rollup(df, aggs=[F.count("*").alias("n"), F.sum("v").alias("s")])
+    pdf = out.toPandas()
+    for unit in ("day", "hour", "minute"):
+        sub = pdf[pdf["unit"] == unit]
+        assert sub["n"].sum() == 20 and sub["s"].sum() == sum(range(20)), unit
+    assert len(pdf[pdf["unit"] == "minute"]) == 20  # 7-min stride: all distinct
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1, final
