@@ -838,3 +838,71 @@ GROUP BY 1, 2, 3
 
 
 register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)
+
+
+# --- sampling: deterministic hash-based sample / split -----------------------
+
+def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset assembly: every document gets a stable
+    train/val/test assignment (80/10/10) and an independent 25% sample
+    flag, both pure md5-bucket functions of doc_id — zero shuffle,
+    rerun/repartition/engine invariant (operators/sampling.py)."""
+    from ..operators import sampling as S
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return d.select(
+        "doc_id",
+        S.hash_bucket(F.col("doc_id"), "split").alias("split_bucket"),
+        S.split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("split"),
+        (S.hash_bucket(F.col("doc_id")) < 2500).alias("in_sample_25"),
+    )
+
+
+_D_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT) % 10000"
+)
+
+ORACLE_SAMPLING_SPLIT = f"""
+WITH b AS (
+    SELECT doc_id,
+           {_D_BUCKET.format(k='doc_id', salt='split')} AS sb,
+           {_D_BUCKET.format(k='doc_id', salt='')} AS pb
+    FROM documents
+)
+SELECT doc_id,
+       sb AS split_bucket,
+       CASE WHEN sb < 8000 THEN 'train'
+            WHEN sb < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       pb < 2500 AS in_sample_25
+FROM b
+"""
+
+
+register("sampling_split", q_sampling_split, ORACLE_SAMPLING_SPLIT)
+
+
+def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash sampling on the event stream: 50% of clicks, 10% of
+    views, nothing else. The stratum threshold is a CASE expression, not a
+    join — zero shuffle and immune to stratum skew."""
+    from ..operators import sampling as S
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    return S.stratified_sample(
+        ev, key="event_id", strata="event_type",
+        fractions={"click": 0.5, "view": 0.1},
+    )
+
+
+ORACLE_SAMPLING_STRATIFIED = f"""
+SELECT event_id, event_type
+FROM events
+WHERE {_D_BUCKET.format(k='event_id', salt='')} <
+      CASE event_type WHEN 'view' THEN 1000 WHEN 'click' THEN 5000 ELSE 0 END
+"""
+
+
+register("sampling_stratified", q_sampling_stratified, ORACLE_SAMPLING_STRATIFIED)

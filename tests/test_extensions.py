@@ -734,3 +734,39 @@ def test_time_rollup_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_hash_sampling_deterministic_and_proportional(spark):
+    """Hash sampling is invariant under repartitioning (same member set),
+    splits partition every row exactly once at ~the requested weights, and
+    different salts decorrelate decisions."""
+    from bambooanalysis_spark.operators import sampling as S
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in S.hash_sample(df, "k", 0.25).collect()}
+    s2 = {r["k"] for r in S.hash_sample(df.repartition(17), "k", 0.25).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 4000 < 0.3
+
+    split = S.train_val_test_split(df, "k")
+    counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 4000
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    assert 0.07 < counts["val"] / 4000 < 0.13
+    assert 0.07 < counts["test"] / 4000 < 0.13
+
+    # independent salts: sample membership is ~independent of split label
+    joined = S.hash_sample(split, "k", 0.25)
+    in_train = joined.where(F.col("split") == "train").count()
+    assert 0.7 < in_train / len(s1) < 0.9
+
+
+def test_stratified_sample_fractions(spark):
+    from bambooanalysis_spark.operators import sampling as S
+
+    rows = [Row(k=i, g="a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    out = S.stratified_sample(df, "k", "g", {"a": 0.5, "b": 0.1})
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert 0.44 < counts["a"] / 2000 < 0.56
+    assert 0.06 < counts["b"] / 2000 < 0.14
