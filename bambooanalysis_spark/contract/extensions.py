@@ -906,3 +906,31 @@ WHERE {_D_BUCKET.format(k='event_id', salt='')} <
 
 
 register("sampling_stratified", q_sampling_stratified, ORACLE_SAMPLING_STRATIFIED)
+
+
+# --- corpus-level token statistics -------------------------------------------
+
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term + document frequency, min_df=2. Built as
+    a two-level aggregate ((doc,token) then token) so document frequency is
+    a plain count, never a count-distinct Expand over the exploded token
+    stream (operators/corpus.py docstring)."""
+    from ..operators.corpus import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), min_df=2)
+
+
+ORACLE_TEXT_VOCABULARY = f"""
+WITH t AS (
+    SELECT doc_id, unnest({_D_TOKENS.format(t='text')}) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+)
+SELECT token, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df
+FROM per_doc GROUP BY token HAVING COUNT(*) >= 2
+"""
+
+
+register("text_vocabulary", q_text_vocabulary, ORACLE_TEXT_VOCABULARY)

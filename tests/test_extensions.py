@@ -770,3 +770,33 @@ def test_stratified_sample_fractions(spark):
     counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
     assert 0.44 < counts["a"] / 2000 < 0.56
     assert 0.06 < counts["b"] / 2000 < 0.14
+
+
+def test_vocabulary_no_expand_and_tfidf_matches_numpy(spark):
+    """vocabulary: df comes from the two-level aggregate (no Expand node in
+    the plan, which a count-distinct would add). tfidf: matches a numpy
+    recomputation with the smoothed ln((1+N)/(1+df))+1 convention."""
+    import math
+
+    from bambooanalysis_spark.operators.corpus import tfidf, vocabulary
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b b c"),
+            Row(doc_id=2, text="b c c d"),
+            Row(doc_id=3, text="c d"),
+        ]
+    )
+    vocab = {r["token"]: (r["tf"], r["df"]) for r in vocabulary(df).collect()}
+    assert vocab == {"a": (1, 1), "b": (3, 2), "c": (4, 3), "d": (2, 2)}
+    plan = vocabulary(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    got = {
+        (r["doc_id"], r["token"]): r["tfidf"] for r in tfidf(df).collect()
+    }
+    n = 3
+    for (doc, tok), val in got.items():
+        tf = {"a": {1: 1}, "b": {1: 2, 2: 1}, "c": {1: 1, 2: 2, 3: 1}, "d": {2: 1, 3: 1}}[tok][doc]
+        expect = tf * (math.log((1 + n) / (1 + vocab[tok][1])) + 1)
+        assert abs(val - expect) < 1e-12, (doc, tok)
