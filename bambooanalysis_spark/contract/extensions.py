@@ -934,3 +934,42 @@ FROM per_doc GROUP BY token HAVING COUNT(*) >= 2
 
 
 register("text_vocabulary", q_text_vocabulary, ORACLE_TEXT_VOCABULARY)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over simulated video blobs (utf-8 payload stand-ins):
+    16-byte frames, stride 4, md5 per kept frame. Selection is pure binary
+    Column exprs BEFORE any Python/decode stage."""
+    from ..operators import multimodal as M
+
+    d = _docs(spark, sf_dir)
+    frames = M.frame_sample(M.attach_blob(d, "doc_id", "text"))
+    return frames.select("doc_id", "frame_idx", "n_bytes", "frame_md5")
+
+
+# The engine chunks real BYTES; DuckDB 1.0 has no BLOB substring, so the
+# oracle chunks VARCHAR instead — equivalent here because the fixture text
+# is pure ASCII (verified: zero non-ASCII docs), where byte and char
+# offsets coincide and md5(chunk-as-text) == md5(chunk-as-bytes).
+ORACLE_MULTIMODAL_FRAME_SAMPLE = """
+WITH d AS (
+    SELECT doc_id, text, CAST(CEIL(LENGTH(text) / 16.0) AS INT) AS nf
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           UNNEST(list_filter(range(0, nf), i -> i % 4 = 0)) AS frame_idx,
+           text
+    FROM d WHERE nf > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(LENGTH(substring(text, frame_idx * 16 + 1, 16)) AS BIGINT) AS n_bytes,
+       md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_md5
+FROM f
+"""
+
+
+register(
+    "multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_MULTIMODAL_FRAME_SAMPLE
+)

@@ -59,6 +59,81 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int]:
     return 64 + h[0] % 64, 64 + h[1] % 64
 
 
+def frame_sample(
+    df: DataFrame, frame_size: int = 16, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over an opaque blob: chunk the payload
+    into fixed-size byte frames and keep every ``stride``-th one. The
+    chunk/stride selection is REAL plumbing (pure binary Column exprs,
+    JVM-side, zero shuffle, no Python) — only per-frame decode needs a
+    codec. Output: (doc_id, frame_idx, n_bytes, frame, frame_md5).
+
+    At 100 TB the point is that frame selection happens BEFORE any decode
+    or Python transfer: a stride-4 sample moves 25% of the bytes into the
+    expensive stage instead of decoding everything and discarding.
+    """
+    blob = F.col("blob")
+    n_frames = F.ceil(F.length(blob) / F.lit(frame_size)).cast("int")
+    # guard: sequence(0, -1) would produce a DESCENDING ramp for empty blobs
+    idxs = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sampled = F.filter(idxs, lambda i: i % stride == 0)
+    frames = F.transform(
+        sampled,
+        lambda i: F.struct(
+            i.alias("idx"),
+            blob.substr(i * frame_size + 1, F.lit(frame_size)).alias("frame"),
+        ),
+    )
+    return df.select(
+        "doc_id", F.explode(frames).alias("__f")
+    ).select(
+        "doc_id",
+        F.col("__f.idx").alias("frame_idx"),
+        F.length(F.col("__f.frame")).cast("long").alias("n_bytes"),
+        F.col("__f.frame").alias("frame"),
+        F.md5(F.col("__f.frame")).alias("frame_md5"),
+    )
+
+
+FRAME_FEATURES_SCHEMA = STY.StructType(
+    [
+        STY.StructField("doc_id", STY.LongType()),
+        STY.StructField("frame_idx", STY.IntegerType()),
+        STY.StructField("byte_mean_e4", STY.LongType()),
+        STY.StructField("byte_max", STY.LongType()),
+    ]
+)
+
+
+def extract_frame_features(frames: DataFrame) -> DataFrame:
+    """Per-frame feature extraction — the Arrow-batched stage where a real
+    pipeline would decode pixels and pool activations. The feature here is
+    a deterministic byte statistic (mean*1e4, max) so the full path stays
+    testable without codec libraries; swap the inner function for a real
+    decode when one is available (decode_image raises until then)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                (int(sum(b) * 10000 // len(b)), int(max(b))) if len(b) else (0, 0)
+                for b in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "byte_mean_e4": pd.Series([m for m, _ in feats], dtype="int64"),
+                    "byte_max": pd.Series([x for _, x in feats], dtype="int64"),
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx", "frame").mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
+    )
+
+
 def extract_blob_meta(df: DataFrame) -> DataFrame:
     """mapInPandas over (doc_id, blob): the Arrow-batched Python path a real
     decode/feature-extract stage would use. Emits only small columns."""

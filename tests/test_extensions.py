@@ -800,3 +800,29 @@ def test_vocabulary_no_expand_and_tfidf_matches_numpy(spark):
         tf = {"a": {1: 1}, "b": {1: 2, 2: 1}, "c": {1: 1, 2: 2, 3: 1}, "d": {2: 1, 3: 1}}[tok][doc]
         expect = tf * (math.log((1 + n) / (1 + vocab[tok][1])) + 1)
         assert abs(val - expect) < 1e-12, (doc, tok)
+
+
+def test_frame_sample_and_features(spark):
+    """Frame chunking keeps every stride-th fixed-size byte frame (last one
+    ragged), empty blobs emit no frames, and the Arrow feature stage
+    reproduces numpy byte statistics over exactly the sampled frames."""
+    from bambooanalysis_spark.operators import multimodal as M
+
+    payload = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"  # 44 bytes
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=payload), Row(doc_id=2, text="")]
+    )
+    frames = M.frame_sample(M.attach_blob(df, "doc_id", "text"), frame_size=16, stride=2)
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in frames.collect()}
+    # 44 bytes -> 3 frames (16,16,12); stride 2 keeps idx 0 and 2
+    assert set(rows) == {(1, 0), (1, 2)}
+    assert rows[(1, 0)]["n_bytes"] == 16 and rows[(1, 2)]["n_bytes"] == 12
+    assert bytes(rows[(1, 2)]["frame"]) == payload[32:].encode()
+
+    feats = {
+        r["frame_idx"]: (r["byte_mean_e4"], r["byte_max"])
+        for r in M.extract_frame_features(frames).collect()
+    }
+    for idx, lo, hi in [(0, 0, 16), (2, 32, 44)]:
+        b = payload.encode()[lo:hi]
+        assert feats[idx] == (sum(b) * 10000 // len(b), max(b))
