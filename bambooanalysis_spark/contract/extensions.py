@@ -227,9 +227,12 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_MINHASH_LSH = f"""
+def _lsh_pairs_sql(src: str = "documents") -> str:
+    """LSH candidate-pair SQL over any (doc_id, text) source — the
+    pipeline oracle reuses it over the quality-filtered dedup set."""
+    return f"""
 WITH d AS (
-    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM {src}
 ),
 sh AS (
     SELECT doc_id,
@@ -254,6 +257,9 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
+
+
+ORACLE_DEDUP_MINHASH_LSH = _lsh_pairs_sql()
 
 
 # --- dedup: simhash ----------------------------------------------------------
@@ -570,21 +576,25 @@ def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per node MIN(anc) over everything reachable is the component's min id —
 # exactly the engine's min-label fixpoint. Singletons come from the
 # all-documents seed row (id, id).
-ORACLE_DEDUP_NEAR_DUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({ORACLE_DEDUP_MINHASH_LSH}),
+def _clusters_sql(src: str = "documents") -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql(src)}),
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL
     SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 reach(id, anc) AS (
-    SELECT doc_id, doc_id FROM documents
+    SELECT doc_id, doc_id FROM {src}
     UNION
     SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
 )
 SELECT id AS doc_id, MIN(anc) AS cluster_id, MIN(anc) = id AS is_representative
 FROM reach GROUP BY id ORDER BY doc_id
 """
+
+
+ORACLE_DEDUP_NEAR_DUP_CLUSTERS = _clusters_sql()
 
 
 register(
@@ -973,3 +983,117 @@ FROM f
 register(
     "multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_MULTIMODAL_FRAME_SAMPLE
 )
+
+
+# --- the full cleaning pipeline: filter -> exact dedup -> near-dup dedup -----
+
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning, the composition a training-data pipeline
+    actually runs: Gopher quality filter (per-row, zero shuffle) -> exact
+    dedup on md5 fingerprint (one fingerprint-keyed shuffle) -> MinHash-LSH
+    near-dup clustering (banded bucket join, no all-pairs) -> keep each
+    cluster's min-id representative. Output: the surviving doc_ids.
+
+    Stage order matters at 100 TB: the cheap per-row filter runs FIRST so
+    every shuffle downstream moves only surviving documents."""
+    from ..operators import text as T
+    from ..operators.dedup import (
+        _barrier,
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = _barrier(d.withColumn("__toks", T.tokens(F.col("text"))))
+    staged = _barrier(
+        staged.select(
+            "doc_id",
+            "text",
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 2))
+            ).alias("__r2"),
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 5))
+            ).alias("__r5"),
+        )
+    )
+    keep = T.quality_flags(F.col("text"), F.col("__r2"), F.col("__r5"))["keep"]
+    kept = staged.where(keep).select("doc_id", "text")
+
+    uniq = exact_dedup(kept, "doc_id", "text")
+    pairs = minhash_lsh_pairs(uniq, "doc_id", "text", k=16, bands=8, shingle_k=2)
+    cc = connected_components(pairs, uniq.select("doc_id"))
+    return cc.where(F.col("is_representative")).select("doc_id")
+
+
+def _quality_kept_sql() -> str:
+    """(doc_id, text) of documents passing the Gopher filter — the first
+    pipeline stage, reusing the rule thresholds of ORACLE_TEXT_QUALITY_FILTER."""
+    return f"""
+WITH dq AS (
+    SELECT doc_id, text, LENGTH(text) AS nc,
+           {_D_TOKENS.format(t='text')} AS toks
+    FROM documents
+),
+sq AS (
+    SELECT doc_id, nc, len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns
+    FROM dq
+),
+gq2 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        FROM dq WHERE len(toks) >= 2),
+cq2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM gq2 GROUP BY doc_id, gram),
+tq2 AS (SELECT doc_id, gram, c,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM cq2),
+gq5 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 4),
+        i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+        FROM dq WHERE len(toks) >= 5),
+cq5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM gq5 GROUP BY doc_id, gram),
+dq5 AS (SELECT doc_id, SUM(c * LENGTH(gram)) AS dup_chars FROM cq5 WHERE c > 1
+        GROUP BY doc_id)
+SELECT dq.doc_id, dq.text
+FROM dq
+JOIN sq ON sq.doc_id = dq.doc_id
+LEFT JOIN tq2 ON tq2.doc_id = dq.doc_id AND tq2.rn = 1
+LEFT JOIN dq5 ON dq5.doc_id = dq.doc_id
+WHERE sq.nt BETWEEN 20 AND 100000
+  AND CAST(FLOOR(sq.total_len * 10000 / sq.nt) AS BIGINT) BETWEEN 30000 AND 100000
+  AND sq.ns >= 2
+  AND (CASE WHEN COALESCE(tq2.c, 0) > 1 AND sq.nc > 0
+            THEN LEAST(10000, CAST(FLOOR(tq2.c * LENGTH(tq2.gram) * 10000 / sq.nc) AS BIGINT))
+            ELSE 0 END) <= 2000
+  AND (CASE WHEN sq.nc > 0
+            THEN LEAST(10000, CAST(FLOOR(COALESCE(dq5.dup_chars, 0) * 10000 / sq.nc) AS BIGINT))
+            ELSE 0 END) <= 1500
+"""
+
+
+ORACLE_CORPUS_CLEAN_PIPELINE = f"""
+WITH RECURSIVE
+kept AS ({_quality_kept_sql()}),
+fp AS (
+    SELECT doc_id, text, md5({_D_NORM.format(t='text')}) AS f FROM kept
+),
+uniq AS (
+    SELECT doc_id, text FROM fp
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM fp GROUP BY f)
+),
+pairs AS ({_lsh_pairs_sql("uniq")}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+    SELECT doc_id, doc_id FROM uniq
+    UNION
+    SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(anc) = id
+"""
+
+
+register("corpus_clean_pipeline", q_corpus_clean_pipeline, ORACLE_CORPUS_CLEAN_PIPELINE)
