@@ -1097,3 +1097,177 @@ SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(anc) = id
 
 
 register("corpus_clean_pipeline", q_corpus_clean_pipeline, ORACLE_CORPUS_CLEAN_PIPELINE)
+
+
+# --- pretrain: benchmark decontamination -------------------------------------
+
+def q_pretrain_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage scan: hash-split documents 90/10 into pseudo
+    train/benchmark halves (salt 'decontam'), then count per train doc the
+    distinct word 5-grams it shares with the benchmark half. Join key is
+    the 62-bit gram hash (8 bytes on the wire, never gram text); the
+    benchmark gram set broadcasts. n=5 on this fixture plays the role the
+    public pipelines' 13-gram rule plays on real text."""
+    from ..operators import sampling as S
+    from ..operators.pretrain import contamination_hits
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b = S.hash_bucket(F.col("doc_id"), "decontam")
+    train = d.where(b < 9000)
+    bench = d.where(b >= 9000)
+    return contamination_hits(train, bench, n=5)
+
+
+_DECONTAM_CTES = f"""
+d AS (
+    SELECT doc_id, text,
+           {_D_TOKENS.format(t='text')} AS toks,
+           {_D_BUCKET.format(k='doc_id', salt='decontam')} AS b
+    FROM documents
+),
+g AS (
+    SELECT doc_id, b,
+           UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+                  i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+    FROM d WHERE len(toks) >= 5
+),
+gh AS (
+    SELECT doc_id, b, {_D_HASH64.format(s='gram')} AS gram_h FROM g
+),
+bench AS (SELECT DISTINCT gram_h FROM gh WHERE b >= 9000),
+hits AS (
+    SELECT gh.doc_id, COUNT(*) AS n_hit_grams
+    FROM gh JOIN bench USING (gram_h)
+    WHERE gh.b < 9000
+    GROUP BY gh.doc_id
+)"""
+
+
+ORACLE_PRETRAIN_CONTAMINATION_HITS = f"""
+WITH {_DECONTAM_CTES}
+SELECT doc_id, n_hit_grams FROM hits
+"""
+
+
+register(
+    "pretrain_contamination_hits",
+    q_pretrain_contamination_hits,
+    ORACLE_PRETRAIN_CONTAMINATION_HITS,
+)
+
+
+def q_pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving training corpus: train half minus every document
+    sharing a 5-gram with the benchmark half (anti-join on doc_id)."""
+    from ..operators import sampling as S
+    from ..operators.pretrain import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b = S.hash_bucket(F.col("doc_id"), "decontam")
+    train = d.where(b < 9000)
+    bench = d.where(b >= 9000)
+    return decontaminate(train, bench, n=5).select("doc_id")
+
+
+ORACLE_PRETRAIN_DECONTAMINATE = f"""
+WITH {_DECONTAM_CTES}
+SELECT doc_id FROM d
+WHERE b < 9000 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+register(
+    "pretrain_decontaminate", q_pretrain_decontaminate, ORACLE_PRETRAIN_DECONTAMINATE
+)
+
+
+# --- pretrain: sequence packing ----------------------------------------------
+
+def q_pretrain_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk layout into 64-token context windows. bucket_width
+    100 forces the distributed prefix-sum path (5+ buckets at sf0.01) so
+    the contract exercises the two-phase algebra, not a degenerate single
+    bucket."""
+    from ..operators.pretrain import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(d, context_len=64, bucket_width=100)
+
+
+ORACLE_PRETRAIN_PACK_SEQUENCES = f"""
+WITH t AS (
+    SELECT doc_id, CAST(len({_D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS tok_start
+    FROM t
+)
+SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(FLOOR(tok_start / 64) AS BIGINT) AS pack_first,
+       CAST(GREATEST(FLOOR(tok_start / 64),
+                     FLOOR((tok_start + n_tokens - 1) / 64)) AS BIGINT) AS pack_last,
+       CAST(GREATEST(FLOOR(tok_start / 64),
+                     FLOOR((tok_start + n_tokens - 1) / 64))
+            - FLOOR(tok_start / 64) + 1 AS BIGINT) AS n_packs
+FROM c
+"""
+
+
+register(
+    "pretrain_pack_sequences", q_pretrain_pack_sequences, ORACLE_PRETRAIN_PACK_SEQUENCES
+)
+
+
+# --- pretrain: pattern redaction ---------------------------------------------
+
+def q_pretrain_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub over documents: the standard email/url/number rules
+    (which this synthetic fixture cannot trigger — their zero counts are
+    themselves oracle-checked) plus a fixture-active rule replacing the
+    standalone token 'a' so the rewrite path is exercised end to end.
+    Patterns are RE2-compatible Java regex, replicated verbatim in DuckDB."""
+    from ..operators.pretrain import PII_PATTERNS, redact
+
+    pats = dict(PII_PATTERNS)
+    pats["unk"] = (r"\ba\b", "<UNK>")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return redact(d, pats)
+
+
+ORACLE_PRETRAIN_REDACT = r"""
+WITH s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+    FROM documents
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+           regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_email, n_url,
+           len(regexp_extract_all(t, '[0-9][0-9 .,-]{5,}[0-9]')) AS n_number,
+           regexp_replace(t, '[0-9][0-9 .,-]{5,}[0-9]', '<NUM>', 'g') AS t
+    FROM s2
+),
+s4 AS (
+    SELECT doc_id, n_email, n_url, n_number,
+           len(regexp_extract_all(t, '\ba\b')) AS n_unk,
+           regexp_replace(t, '\ba\b', '<UNK>', 'g') AS t
+    FROM s3
+)
+SELECT doc_id, t AS text_redacted,
+       CAST(n_email AS BIGINT) AS n_email, CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_number AS BIGINT) AS n_number, CAST(n_unk AS BIGINT) AS n_unk
+FROM s4
+"""
+
+
+register("pretrain_redact", q_pretrain_redact, ORACLE_PRETRAIN_REDACT)
