@@ -1271,3 +1271,84 @@ FROM s4
 
 
 register("pretrain_redact", q_pretrain_redact, ORACLE_PRETRAIN_REDACT)
+
+
+# --- embeddings: int8 quantization -------------------------------------------
+
+_D_QUANT = """
+    SELECT vec_id,
+           CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+           END AS qvec,
+           CAST(FLOOR(CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END * 1000000000.0)
+                AS BIGINT) AS scale_e9
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM embeddings)"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table —
+    integer codes + fixed-point scale, byte-exact across engines."""
+    from ..operators.similarity import quantize_int8
+
+    out = quantize_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id", F.col("qvec").cast("array<bigint>").alias("qvec"), "scale_e9"
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH q AS ({_D_QUANT})
+SELECT vec_id, qvec, scale_e9 FROM q
+"""
+
+
+register("embedding_quantize_int8", q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE)
+
+
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8 codes. Scales cancel out of cosine, so the
+    score is pure integer dots inside one double expression — the ranking
+    (and its e6 fixed-point) is exactly reproducible in SQL, which a
+    float32-accumulation top-k is not."""
+    from ..operators.similarity import quantized_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return quantized_cosine_topk(emb, queries, k=10)
+
+
+ORACLE_SIMILARITY_QUANTIZED_TOPK = f"""
+WITH qz AS ({_D_QUANT}),
+q AS (SELECT vec_id AS query_id, qvec AS qv FROM qz WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, qvec AS cv FROM qz),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(FLOOR(
+               CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+                        i -> qv[i] * cv[i]), 'sum') AS DOUBLE)
+               / (sqrt(CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+                        i -> qv[i] * qv[i]), 'sum') AS DOUBLE))
+                  * sqrt(CAST(list_aggregate(list_transform(range(1, len(cv) + 1),
+                        i -> cv[i] * cv[i]), 'sum') AS DOUBLE)))
+               * 1000000) AS BIGINT) AS qcosine_e6
+    FROM c CROSS JOIN q
+    WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY qcosine_e6 DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qcosine_e6
+FROM ranked WHERE rank <= 10
+"""
+
+
+register(
+    "similarity_quantized_topk",
+    q_similarity_quantized_topk,
+    ORACLE_SIMILARITY_QUANTIZED_TOPK,
+)

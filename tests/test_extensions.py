@@ -826,3 +826,66 @@ def test_frame_sample_and_features(spark):
     for idx, lo, hi in [(0, 0, 16), (2, 32, 44)]:
         b = payload.encode()[lo:hi]
         assert feats[idx] == (sum(b) * 10000 // len(b), max(b))
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_oracle):
+    """Dequantized vectors stay within half a quantization step per
+    element, and full-precision vs int8 cosine agree to ~1e-2."""
+    from bambooanalysis_spark.operators.similarity import (
+        cosine,
+        dequantize,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").limit(200)
+    qz = quantize_int8(emb)
+    joined = emb.join(qz, "vec_id").select(
+        "vec_id",
+        cosine(
+            F.col("embedding"),
+            dequantize(F.col("qvec"), F.col("scale_e9")),
+        ).alias("cos_fp_q"),
+        F.zip_with(
+            "embedding",
+            dequantize(F.col("qvec"), F.col("scale_e9")),
+            lambda x, y: F.abs(x.cast("double") - y),
+        ).alias("abs_err"),
+        (F.col("scale_e9").cast("double") / 1e9).alias("step"),
+    )
+    rows = joined.select(
+        F.min("cos_fp_q").alias("worst_cos"),
+        F.max(F.array_max("abs_err") / F.col("step")).alias("worst_steps"),
+    ).collect()[0]
+    assert rows["worst_cos"] > 0.999
+    # floor(x+0.5) rounding: error <= half a step (plus scale_e9 truncation)
+    assert rows["worst_steps"] <= 0.51
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_oracle):
+    """int8 top-10 should recover almost all of the float top-10."""
+    from bambooanalysis_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    fp = cosine_topk(emb, queries, k=10).collect()
+    qz = quantized_cosine_topk(emb, queries, k=10).collect()
+    fp_set = {(r["query_id"], r["neighbor_id"]) for r in fp}
+    qz_set = {(r["query_id"], r["neighbor_id"]) for r in qz}
+    recall = len(fp_set & qz_set) / len(fp_set)
+    assert recall >= 0.9, recall
+
+
+def test_quantize_zero_vector(spark):
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0]), Row(vec_id=2, embedding=[1.0, -2.0])]
+    )
+    rows = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+    assert rows[1]["qvec"] == [0, 0] and rows[1]["scale_e9"] == 0
+    assert rows[2]["qvec"] == [64, -127]
