@@ -30,13 +30,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default. Read nanos as long and convert to a microsecond
-    timestamp (driver data is microsecond-aligned, so lossless); integer
-    `div` keeps the arithmetic exact where doubles could not hold ns."""
+    """Some generations of events.parquet store TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects by default: read nanos as long and
+    convert to a microsecond timestamp (driver data is microsecond-aligned,
+    so lossless; integer `div` keeps the arithmetic exact where doubles
+    could not hold ns). Microsecond generations read as TIMESTAMP_NTZ and
+    just need the session-timezone (pinned UTC) cast to plain timestamp so
+    downstream unix_micros/window math is identical either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -1294,14 +1301,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_int8
 
     out = quantize_int8(_emb(spark, sf_dir))
+    # Codes serialized to CSV: raw array columns are awkward to hash/sort
+    # portably across engines (same convention as the minhash signature query).
     return out.select(
-        "vec_id", F.col("qvec").cast("array<bigint>").alias("qvec"), "scale_e9"
+        "vec_id",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "scale_e9",
     )
 
 
 ORACLE_EMBEDDING_QUANTIZE = f"""
 WITH q AS ({_D_QUANT})
-SELECT vec_id, qvec, scale_e9 FROM q
+SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv, scale_e9 FROM q
 """
 
 
@@ -1351,4 +1362,80 @@ register(
     "similarity_quantized_topk",
     q_similarity_quantized_topk,
     ORACLE_SIMILARITY_QUANTIZED_TOPK,
+)
+
+
+# --- semi-structured: JSON property extraction -------------------------------
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed projection out of the per-event JSON properties blob, then a
+    grouped rollup — the standard first step on any real event stream. One
+    `from_json` parse per row (JVM-side, codegen; operators/semistructured.py),
+    never a Python UDF; malformed blobs become NULLs, not task failures."""
+    from ..operators.semistructured import with_json_fields
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "props")
+    typed = with_json_fields(ev, "props", "k BIGINT")
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_hi"),
+    )
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """
+WITH typed AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM typed GROUP BY event_type
+"""
+
+
+register("events_json_extract", q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
+
+
+# --- sampling: temperature-weighted source mixing ----------------------------
+
+def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature source mixing targeting a ~200-doc corpus: per-source
+    keep thresholds derived in integer fixed-point from the source counts
+    (operators/sampling.py:temperature_mix), membership by stable hash
+    bucket. Bit-exact across engines — the oracle reproduces the thresholds
+    and the kept set identically."""
+    from ..operators import sampling as S
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    out = S.temperature_mix(d, key="doc_id", strata="source", budget=200)
+    return out.select("doc_id", "source")
+
+
+_D_MIX_BUCKET = _D_BUCKET.format(k="doc_id", salt="mix")
+
+ORACLE_SAMPLING_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      FROM c),
+th AS (SELECT source,
+              LEAST(CAST(FLOOR(2000000 * w / ((SELECT SUM(w) FROM w) * n))
+                         AS BIGINT),
+                    10000) AS thresh
+       FROM w)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON d.source = th.source
+WHERE {_D_MIX_BUCKET} < th.thresh
+"""
+
+
+register(
+    "sampling_temperature_mix",
+    q_sampling_temperature_mix,
+    ORACLE_SAMPLING_TEMPERATURE_MIX,
 )

@@ -93,3 +93,54 @@ def stratified_sample(
             thresh
         )
     return df.where(bucket < thresh)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted source mixing (sqrt temperature, i.e. alpha=0.5):
+    down-weight head sources and up-weight tail sources so the sampled corpus
+    targets ~``budget`` rows distributed proportionally to sqrt(n_s) across
+    strata — the standard multi-source training-mix reweighting.
+
+    Per-stratum keep threshold: floor(budget * w_s * N_BUCKETS / (W * n_s))
+    with w_s = floor(sqrt(n_s) * 1e6) and W = sum(w_s) — ALL integer
+    arithmetic after one correctly-rounded sqrt, so the kept set is a pure
+    function of the data (bit-identical across engines and reruns; the
+    DuckDB oracle replicates it exactly). Thresholds cap at N_BUCKETS, so a
+    tail stratum whose tempered share exceeds its size is kept whole.
+
+    Scale shape: the stratum-count aggregate is tiny (one row per source),
+    the thresholds come back via a broadcast join, and membership is the
+    same shuffle-free hash-bucket filter as everywhere else in this module —
+    no skew sensitivity to hot sources.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
+    w = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(1_000_000.0))
+    )
+    # grand total via an unpartitioned window over the (tiny) per-stratum
+    # frame — the single-partition shuffle touches one row per source, and
+    # it avoids the self-join lineage a crossJoin with w.agg() would have
+    total = F.sum("__w").over(Window.partitionBy())
+    thresholds = w.select(
+        strata,
+        F.least(
+            F.floor(
+                F.lit(int(budget) * N_BUCKETS) * F.col("__w") / (total * F.col("__n"))
+            ),
+            F.lit(N_BUCKETS),
+        ).alias("__thresh"),
+    )
+    bucket = hash_bucket(F.col(key), salt)
+    return (
+        df.join(F.broadcast(thresholds), on=strata, how="inner")
+        .where(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )
