@@ -1439,3 +1439,67 @@ register(
     q_sampling_temperature_mix,
     ORACLE_SAMPLING_TEMPERATURE_MIX,
 )
+
+
+# --- clustering: exact integer k-means ----------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 2, 64
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means cell assignment over the embedding table after 2
+    exact integer Lloyd's iterations (operators/similarity.py:
+    kmeans_fit_int8). An ITERATIVE algorithm with a full SQL oracle: every
+    step is integer or correctly-rounded IEEE, so the oracle can unroll the
+    same iterations and match bit-for-bit."""
+    from ..operators.similarity import kmeans_assign_int8, kmeans_fit_int8
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit_int8(emb, k=_KM_K, n_iter=_KM_ITERS)
+    return kmeans_assign_int8(emb, cents).select("vec_id", "cell")
+
+
+def _oracle_kmeans() -> str:
+    """Unrolled-SQL mirror of kmeans_fit_int8 + kmeans_assign_int8:
+    n_iter x (assign, integer-floor-mean update), then the final assign."""
+    nn = "list_aggregate(list_transform({c}.c, x -> x * x), 'sum')"
+    score = (
+        "CAST(list_aggregate(list_transform(range(1, {dim1}), "
+        "j -> v.qvec[j] * {c}.c[j]), 'sum') AS DOUBLE) / "
+        "(CASE WHEN {nn} = 0 THEN 1.0 ELSE sqrt(CAST({nn} AS DOUBLE)) END)"
+    )
+
+    def assign(name: str, csrc: str) -> str:
+        s = score.format(dim1=_KM_DIM + 1, c="c", nn=nn.format(c="c"))
+        return (
+            f"{name} AS (SELECT vec_id, cid FROM ("
+            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {s} DESC, c.cid DESC) AS rn "
+            f"FROM qz v CROSS JOIN {csrc} c) WHERE rn = 1)"
+        )
+
+    def update(uname: str, cname: str, asrc: str) -> str:
+        return (
+            f"{uname} AS (SELECT a.cid, t.j, "
+            f"CAST(FLOOR(CAST(SUM(v.qvec[t.j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cj "
+            f"FROM qz v JOIN {asrc} a USING (vec_id) "
+            f"CROSS JOIN generate_series(1, {_KM_DIM}) t(j) GROUP BY a.cid, t.j), "
+            f"{cname} AS (SELECT cid, list(cj ORDER BY j) AS c FROM {uname} GROUP BY cid)"
+        )
+
+    ctes = [
+        f"qz AS ({_D_QUANT})",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qvec AS c "
+        f"FROM (SELECT vec_id, qvec FROM qz ORDER BY vec_id LIMIT {_KM_K}))",
+    ]
+    for it in range(_KM_ITERS):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(update(f"u{it}", f"c{it + 1}", f"a{it}"))
+    ctes.append(assign("afinal", f"c{_KM_ITERS}"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cid AS INT) AS cell FROM afinal"
+    )
+
+
+register("embedding_kmeans_cells", q_embedding_kmeans, _oracle_kmeans())

@@ -361,20 +361,33 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     broadcast_limit: int = 10_000,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: corpus bucketed by nearest centroid; each query probes
     its n_probe nearest cells and ranks exactly within them.
 
-    The 'codebook' here is deterministic (the first n_centroids corpus
-    vectors) rather than k-means-trained — the scale mechanics are the
-    point: the probe join replaces the full cross product, shrinking the
-    candidate set by ~n_probe/n_centroids. At 100 TB the centroid list is
+    The default codebook is deterministic (the first n_centroids corpus
+    vectors) — the scale mechanics are the point: the probe join replaces
+    the full cross product, shrinking the candidate set by
+    ~n_probe/n_centroids. `train_iters > 0` instead trains the codebook
+    with that many integer k-means iterations (kmeans_fit_int8), which
+    balances cell populations — better recall at the same n_probe, and no
+    mega-cell skew key in the probe join. At 100 TB the centroid list is
     broadcast metadata and the bucketed corpus is partitioned by cell.
     """
-    cents = [
-        (int(r[id_col]), list(r[vec_col]))
-        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    if train_iters > 0:
+        cents = [
+            (cid, [float(x) for x in codes])
+            for cid, codes in kmeans_fit_int8(
+                corpus, k=n_centroids, n_iter=train_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+        ]
+    else:
+        cents = [
+            (int(r[id_col]), list(r[vec_col]))
+            for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+        ]
     c = ivf_assign(
         corpus.repartition(
             max(corpus.sparkSession.sparkContext.defaultParallelism, 4), id_col
@@ -517,3 +530,106 @@ def quantized_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qcosine_e6")
     )
+
+
+# --- clustering: exact integer spherical k-means ------------------------------
+
+def _int_cell_scores(
+    qcol: Column, centroids: list[tuple[int, list[int]]]
+) -> Column:
+    """array<struct<s,cid>> of (dot_int(q,c)/||c||, cid) per integer
+    centroid. Same literal-codebook shape as `_centroid_scores` (no join,
+    no collect at scoring time), but every input is an integer code, so the
+    one double division per centroid is correctly-rounded IEEE on identical
+    operands in any engine — scores, and therefore argmax cells, are
+    bit-reproducible. All-zero centroids guard the norm with 1.0 (score 0)."""
+    import math
+
+    entries = []
+    for cid, c in centroids:
+        nrm = math.sqrt(float(sum(x * x for x in c))) or 1.0
+        dot = F.aggregate(
+            F.zip_with(
+                qcol,
+                F.array(*[F.lit(int(x)) for x in c]),
+                lambda x, y: x.cast("long") * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct(
+                (dot.cast("double") / F.lit(nrm)).alias("s"),
+                F.lit(int(cid)).alias("cid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def kmeans_fit_int8(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Distributed Lloyd's over int8-quantized vectors; returns the trained
+    integer centroid codebook [(cid, codes)].
+
+    Scale shape: each iteration is ONE job — assignment folds the k
+    centroids into the plan as literals (zero join, zero shuffle), then a
+    single groupBy(cell) computes `dim` per-dimension integer sums + a
+    count with map-side partial aggregation; only k rows ever reach the
+    driver (bounded metadata, like the IVF codebook). The corpus is never
+    collected and never reshuffled.
+
+    Exactness: init = first k rows by id; assignment scores are integer
+    dots over one correctly-rounded sqrt/divide (ties break to the highest
+    cell id, matching `array_max` struct ordering); the centroid update is
+    an exact integer floor-mean. Every step is reproducible bit-for-bit
+    across engines and reruns — the contract oracle unrolls the SAME
+    iterations in SQL and matches exactly, which a float k-means cannot do.
+    Cells that lose all members drop out of the codebook (k shrinks)."""
+    qz = quantize_int8(df, id_col, vec_col).select(id_col, "qvec")
+    init_rows = qz.orderBy(id_col).limit(k).collect()
+    cents = [(i, [int(x) for x in r["qvec"]]) for i, r in enumerate(init_rows)]
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        cell = F.array_max(_int_cell_scores(F.col("qvec"), cents))["cid"]
+        stats = (
+            qz.select(cell.alias("cell"), "qvec")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.try_element_at("qvec", F.lit(i + 1)).cast("long")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        cents = [
+            (
+                int(r["cell"]),
+                [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)],
+            )
+            for r in sorted(stats, key=lambda r: r["cell"])
+        ]
+    return cents
+
+
+def kmeans_assign_int8(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest trained centroid per vector — literal codebook,
+    per-row expression, zero shuffle."""
+    qz = quantize_int8(df, id_col, vec_col)
+    cell = F.array_max(_int_cell_scores(F.col("qvec"), centroids))["cid"]
+    return qz.select(id_col, cell.cast("int").alias("cell"))

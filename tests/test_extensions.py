@@ -889,3 +889,69 @@ def test_quantize_zero_vector(spark):
     rows = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
     assert rows[1]["qvec"] == [0, 0] and rows[1]["scale_e9"] == 0
     assert rows[2]["qvec"] == [64, -127]
+
+
+def test_kmeans_objective_improves_and_deterministic(spark, sf_oracle):
+    """Trained centroids must score at least as well as the init codebook
+    on the spherical objective (mean best-cosine of codes), and two fits
+    must be bit-identical."""
+    import numpy as np
+
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    qz = S.quantize_int8(emb).select("vec_id", "qvec").orderBy("vec_id")
+    codes = np.array([r["qvec"] for r in qz.collect()], dtype=np.float64)
+
+    def objective(cents):
+        c = np.array([v for _, v in cents], dtype=np.float64)
+        norms = np.linalg.norm(c, axis=1)
+        norms[norms == 0] = 1.0
+        return float(np.max(codes @ c.T / norms, axis=1).mean())
+
+    init = [(i, [int(x) for x in codes[i]]) for i in range(8)]
+    trained = S.kmeans_fit_int8(emb, k=8, n_iter=2)
+    assert objective(trained) >= objective(init)
+    assert S.kmeans_fit_int8(emb, k=8, n_iter=2) == trained
+
+
+def test_kmeans_assign_covers_all_vectors(spark, sf_oracle):
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cents = S.kmeans_fit_int8(emb, k=8, n_iter=1)
+    out = S.kmeans_assign_int8(emb, cents)
+    assert out.count() == emb.count()
+    cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in cents}
+
+
+def test_ivf_trained_codebook_recall(spark, sf_oracle):
+    """k-means-trained codebook must hold the same recall floor as the
+    untrained one at identical n_probe, with identical exact scores for
+    common neighbors."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    approx = S.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=6, train_iters=2
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_scores[(r["query_id"], r["neighbor_id"])] = r["cosine_e6"]
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    for r in exact:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in approx_scores:
+            assert approx_scores[key] == r["cosine_e6"]
