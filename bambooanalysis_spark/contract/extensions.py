@@ -1503,3 +1503,35 @@ def _oracle_kmeans() -> str:
 
 
 register("embedding_kmeans_cells", q_embedding_kmeans, _oracle_kmeans())
+
+
+# --- streaming: stream-stream interval join (batch-checkable) -----------------
+
+def q_events_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase conversions within 30 minutes per user
+    (streaming/windows.py:view_purchase_funnel). The same expression is
+    Spark's watermarked stream-stream interval join when fed streams; run
+    in batch here so the DuckDB range-join oracle pins the semantics."""
+    from ..streaming import view_purchase_funnel
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return view_purchase_funnel(views, purchases, max_lag_minutes=30)
+
+
+ORACLE_EVENTS_FUNNEL_JOIN = """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, p.purchase_id,
+       epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS lag_us,
+       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+FROM v JOIN p ON v.user_id = p.user_id
+ AND p.purchase_ts > v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+"""
+
+
+register("events_funnel_join", q_events_funnel_join, ORACLE_EVENTS_FUNNEL_JOIN)

@@ -1,3 +1,3 @@
-from .windows import windowed_event_stats, sessionize
+from .windows import sessionize, view_purchase_funnel, windowed_event_stats
 
-__all__ = ["windowed_event_stats", "sessionize"]
+__all__ = ["windowed_event_stats", "sessionize", "view_purchase_funnel"]

@@ -79,3 +79,57 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def view_purchase_funnel(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_lag_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval join: every (view -> purchase) conversion by
+    the same user where the purchase lands within ``max_lag_minutes`` after
+    the view. One row per qualifying pair, with the conversion lag.
+
+    Batch: plans as an equi-join on user_id with the time bounds as a
+    residual range predicate — one shuffle on the natural key, no
+    cross-product. Streaming: the SAME expression with ``watermark`` set on
+    both sides becomes Spark's watermarked interval join, the canonical
+    Structured Streaming stream-stream join — the time bound plus the
+    watermark lets the engine GC buffered state past
+    watermark + max_lag, so state stays bounded on an unbounded source.
+
+    Columns are renamed (not aliased tables) so the join output is
+    unambiguous under both execution modes.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark is not None:
+        v = v.withWatermark("view_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")
+        )
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("lag_us"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )

@@ -955,3 +955,39 @@ def test_ivf_trained_codebook_recall(spark, sf_oracle):
         key = (r["query_id"], r["neighbor_id"])
         if key in approx_scores:
             assert approx_scores[key] == r["cosine_e6"]
+
+
+def test_stream_stream_funnel_join_matches_batch(spark, tmp_path, sf_oracle):
+    """view_purchase_funnel as a REAL watermarked stream-stream interval
+    join (two file sources, availableNow) must produce the batch result."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.streaming import view_purchase_funnel
+
+    ev = _events(spark, sf_oracle)
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    batch = {
+        (r["view_id"], r["purchase_id"])
+        for r in view_purchase_funnel(views, purchases, 30).collect()
+    }
+    assert len(batch) > 0
+
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.write.parquet(vsrc)
+    purchases.write.parquet(psrc)
+    vstream = spark.readStream.schema(views.schema).parquet(vsrc)
+    pstream = spark.readStream.schema(purchases.schema).parquet(psrc)
+    out = view_purchase_funnel(vstream, pstream, 30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT view_id, purchase_id FROM funnel").collect()
+    }
+    assert got == batch
