@@ -1459,9 +1459,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_int8(emb, cents).select("vec_id", "cell")
 
 
-def _oracle_kmeans() -> str:
+def _oracle_kmeans(
+    final: str = "SELECT vec_id, CAST(cid AS INT) AS cell FROM afinal",
+) -> str:
     """Unrolled-SQL mirror of kmeans_fit_int8 + kmeans_assign_int8:
-    n_iter x (assign, integer-floor-mean update), then the final assign."""
+    n_iter x (assign, integer-floor-mean update), then the final assign.
+    ``final`` is the closing SELECT over the `afinal` (vec_id, cid) CTE."""
     nn = "list_aggregate(list_transform({c}.c, x -> x * x), 'sum')"
     score = (
         "CAST(list_aggregate(list_transform(range(1, {dim1}), "
@@ -1496,10 +1499,7 @@ def _oracle_kmeans() -> str:
         ctes.append(assign(f"a{it}", f"c{it}"))
         ctes.append(update(f"u{it}", f"c{it + 1}", f"a{it}"))
     ctes.append(assign("afinal", f"c{_KM_ITERS}"))
-    return (
-        "WITH " + ",\n".join(ctes)
-        + "\nSELECT vec_id, CAST(cid AS INT) AS cell FROM afinal"
-    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 register("embedding_kmeans_cells", q_embedding_kmeans, _oracle_kmeans())
@@ -1535,3 +1535,153 @@ FROM v JOIN p ON v.user_id = p.user_id
 
 
 register("events_funnel_join", q_events_funnel_join, ORACLE_EVENTS_FUNNEL_JOIN)
+
+
+def q_embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity — the standard clustering-quality rollup:
+    k-means cells joined back to ground-truth labels, majority label and
+    fixed-point purity per cell. Because the cells themselves are exact
+    (integer k-means), even this EVALUATION of an iterative algorithm has
+    a full SQL oracle."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import kmeans_assign_int8, kmeans_fit_int8
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit_int8(emb, k=_KM_K, n_iter=_KM_ITERS)
+    cells = kmeans_assign_int8(emb, cents)
+    cnt = (
+        cells.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rank = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label").asc())
+    total = Window.partitionBy("cell")
+    return (
+        cnt.withColumn("rn", F.row_number().over(rank))
+        .withColumn("cell_n", F.sum("n").over(total))
+        .where(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("cell_n").alias("n"),
+            F.col("label").alias("majority_label"),
+            F.floor(F.col("n") * 10000 / F.col("cell_n")).alias("purity_e4"),
+        )
+    )
+
+
+_ORACLE_CLUSTER_PURITY_FINAL = """
+, joined AS (SELECT a.vec_id, a.cid AS cell, e.label
+             FROM afinal a JOIN embeddings e USING (vec_id)),
+cnt AS (SELECT cell, label, COUNT(*) AS n FROM joined GROUP BY 1, 2),
+maj AS (SELECT cell, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn,
+               CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+        FROM cnt)
+SELECT CAST(cell AS INT) AS cell, cell_n AS n, label AS majority_label,
+       CAST(FLOOR(n * 10000 / cell_n) AS BIGINT) AS purity_e4
+FROM maj WHERE rn = 1
+"""
+
+
+register(
+    "embedding_cluster_purity",
+    q_embedding_cluster_purity,
+    _oracle_kmeans(final=_ORACLE_CLUSTER_PURITY_FINAL),
+)
+
+
+# --- corpus histograms through the single-pass histogrammer -------------------
+
+def q_corpus_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship operator (plans/histogrammer.py: one scan, one
+    shuffle for ALL booked plots + cutflow) applied to the documents table:
+    token-count and quality-score histograms at the root selection, a
+    token-count histogram under a quality cut, and a 3-node corpus cutflow
+    (all docs -> quality>=5000 -> english). Demonstrates the single-pass
+    multi-histogram plan is not HEP-specific."""
+    from ..operators import text as T
+    from ..plans import run_analysis
+    from ..plans.cutflow import CutFlowReport
+    from ..plans.plots import EquidistantBinning, Plot
+    from ..plans.selection import Selection
+
+    d = _docs(spark, sf_dir).withColumns(
+        {
+            "n_tokens": T.token_count(F.col("text")),
+            "quality_e4": T.quality_score_e4(F.col("text")),
+        }
+    )
+    root = Selection.root()
+    sel_q = root.refine("quality", F.col("quality_e4") >= 5000)
+    sel_en = sel_q.refine("english", F.col("lang") == "en")
+    plots = [
+        Plot.make1D("tokcount", F.col("n_tokens"), root, EquidistantBinning(20, 0.0, 100.0)),
+        Plot.make1D("quality", F.col("quality_e4"), root, EquidistantBinning(20, 0.0, 10000.0)),
+        Plot.make1D("tokcount_quality", F.col("n_tokens"), sel_q, EquidistantBinning(20, 0.0, 100.0)),
+    ]
+    cfr = CutFlowReport("docs")
+    for sel in (root, sel_q, sel_en):
+        cfr.add(sel)
+    return run_analysis(d, plots, [cfr])
+
+
+_D_QUALITY_CTE = f"""
+d AS (
+    SELECT doc_id, lang,
+           {_D_TOKENS.format(t='text')} AS toks,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+    FROM documents
+),
+s AS (
+    SELECT lang, len(toks) AS nt,
+           CAST(FLOOR(
+               CAST(FLOOR(LEAST(nc * 10000 / 500, 10000.0)) AS BIGINT)
+             * (CASE WHEN nc > 0 THEN CAST(FLOOR(10000 - np * 10000 / nc) AS BIGINT) ELSE 0 END)
+             / 10000
+             * (CASE WHEN nt0 > 0 THEN CAST(FLOOR(10000 - ns * 10000 / nt0) AS BIGINT) ELSE 0 END)
+             / 10000) AS BIGINT) AS q
+    FROM (SELECT lang, toks, nc, np, len(toks) AS nt0,
+                 len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns
+          FROM d)
+)
+"""
+
+_D_HBIN = (
+    "CASE WHEN {x} < {lo} THEN -1 WHEN {x} >= {hi} THEN {n} "
+    "ELSE LEAST(CAST(FLOOR(({x} - {lo}) / {w}) AS INT), {n} - 1) END"
+)
+
+
+def _hist_row(plot: str, xbin: str, where: str = "") -> str:
+    return (
+        f"SELECT '{plot}' AS plot, 'plot' AS kind, {xbin} AS bin, "
+        f"0 AS bin2, 0 AS bin3, SUM(1.0) AS sumw, SUM(1.0) AS sumw2, "
+        f"COUNT(*) AS n FROM s {where} GROUP BY 3"
+    )
+
+
+def _cutflow_row(plot: str, where: str = "") -> str:
+    return (
+        f"SELECT '{plot}' AS plot, 'cutflow' AS kind, 0 AS bin, 0 AS bin2, "
+        f"0 AS bin3, SUM(1.0) AS sumw, SUM(1.0) AS sumw2, COUNT(*) AS n "
+        f"FROM s {where}"
+    )
+
+
+_TOKBIN = _D_HBIN.format(x="nt", lo="0.0", hi="100.0", n=20, w="5.0")
+_QBIN = _D_HBIN.format(x="q", lo="0.0", hi="10000.0", n=20, w="500.0")
+
+ORACLE_CORPUS_HISTOGRAMS = f"""
+WITH {_D_QUALITY_CTE}
+{_hist_row('tokcount', _TOKBIN)}
+UNION ALL {_hist_row('quality', _QBIN)}
+UNION ALL {_hist_row('tokcount_quality', _TOKBIN, 'WHERE q >= 5000')}
+UNION ALL {_cutflow_row('docs/noSel')}
+UNION ALL {_cutflow_row('docs/quality', 'WHERE q >= 5000')}
+UNION ALL {_cutflow_row('docs/english', "WHERE q >= 5000 AND lang = 'en'")}
+"""
+
+
+register("corpus_histograms", q_corpus_histograms, ORACLE_CORPUS_HISTOGRAMS)
