@@ -1685,3 +1685,45 @@ UNION ALL {_cutflow_row('docs/english', "WHERE q >= 5000 AND lang = 'en'")}
 
 
 register("corpus_histograms", q_corpus_histograms, ORACLE_CORPUS_HISTOGRAMS)
+
+
+# --- corpus: bigram coherence (LM-perplexity proxy) ---------------------------
+
+def q_text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-conditional bigram frequency average
+    (operators/corpus.py:bigram_coherence) — the cheap statistical stand-in
+    for a perplexity quality filter, engine-exact via e6 fixed-point."""
+    from ..operators.corpus import bigram_coherence
+
+    return bigram_coherence(_docs(spark, sf_dir))
+
+
+ORACLE_TEXT_BIGRAM_COHERENCE = f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || chr(9) || toks[i + 1])) AS bg
+    FROM d WHERE len(toks) >= 2
+),
+cbg AS (SELECT bg, COUNT(*) AS c_bg FROM b GROUP BY 1),
+cpre AS (SELECT string_split(bg, chr(9))[1] AS w1, COUNT(*) AS c_pre
+         FROM b GROUP BY 1),
+r AS (
+    SELECT b.doc_id,
+           CAST(FLOOR(1000000 * cbg.c_bg / cpre.c_pre) AS BIGINT) AS r_e6
+    FROM b
+    JOIN cbg USING (bg)
+    JOIN cpre ON string_split(b.bg, chr(9))[1] = cpre.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(FLOOR(CAST(SUM(r_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS coherence_e6
+FROM r GROUP BY 1
+"""
+
+
+register(
+    "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
+)

@@ -70,3 +70,64 @@ def tfidf(
     return joined.select(
         id_col, "token", "tf", "df", (F.col("tf") * idf).alias("tfidf")
     )
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, bg) — one row per adjacent token pair, tab-joined ("w1\\tw2").
+    Documents with fewer than two tokens contribute nothing. The explicit
+    size guard exists because ``sequence(1, 0)`` in Spark counts DOWN
+    (step sign is inferred), which would fabricate phantom bigrams."""
+    t = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bgs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "\t", F.try_element_at(t, i), F.try_element_at(t, i + 1)
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(bgs).alias("bg"))
+
+
+def bigram_coherence(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, n_bigrams, coherence_e6): a statistical fluency signal — the
+    per-document average of the corpus conditional bigram frequency
+    floor(1e6 * c(w1 w2) / c(w1 ·)), where c(w1 ·) counts bigram
+    occurrences starting with w1. Text stitched together from unrelated
+    fragments scores low; text reusing the corpus's own collocations scores
+    high — the classic cheap proxy for an LM-perplexity quality filter.
+
+    Every ratio is floored to e6 fixed-point BEFORE averaging and the
+    average is an integer floor-mean, so the whole statistic is engine-exact
+    (no float-sum ordering anywhere) and fully SQL-oracle-checkable.
+
+    Scale shape: two count aggregations whose key spaces are the bigram and
+    unigram vocabularies (map-side combine collapses hot keys), then
+    equi-joins back on those keys — broadcast when the vocab is small,
+    shuffled hash otherwise (_maybe_broadcast). Per-doc floor-mean is one
+    final shuffle on doc id. No explode ever self-joins, so hot tokens cost
+    their count, not their count squared."""
+    b = doc_bigrams(docs, id_col, text_col)
+    cbg = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split(F.col("bg"), "\t").getItem(0)
+    cpre = b.select(w1.alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c_pre")
+    )
+    r = (
+        b.join(_maybe_broadcast(cbg, 1_000_000), "bg")
+        .withColumn("w1", w1)
+        .join(_maybe_broadcast(cpre, 1_000_000), "w1")
+        .select(
+            id_col,
+            F.floor(F.lit(1_000_000) * F.col("c_bg") / F.col("c_pre")).alias("r_e6"),
+        )
+    )
+    return r.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(F.sum("r_e6") / F.count(F.lit(1))).alias("coherence_e6"),
+    )

@@ -991,3 +991,17 @@ def test_stream_stream_funnel_join_matches_batch(spark, tmp_path, sf_oracle):
         for r in spark.sql("SELECT view_id, purchase_id FROM funnel").collect()
     }
     assert got == batch
+
+
+def test_bigram_coherence_ranks_fluent_text_higher(spark):
+    """A document reusing the corpus's dominant collocations must outscore
+    one made of the same tokens in a never-seen order."""
+    from bambooanalysis_spark.operators.corpus import bigram_coherence
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [Row(doc_id=i, text=common) for i in range(9)]
+    rows.append(Row(doc_id=9, text="dog the over quick lazy brown the fox jumps"))
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["coherence_e6"] for r in bigram_coherence(df).collect()}
+    assert got[0] > got[9]
+    assert got[0] == got[8]  # identical docs, identical score
