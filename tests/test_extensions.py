@@ -1005,3 +1005,42 @@ def test_bigram_coherence_ranks_fluent_text_higher(spark):
     got = {r["doc_id"]: r["coherence_e6"] for r in bigram_coherence(df).collect()}
     assert got[0] > got[9]
     assert got[0] == got[8]  # identical docs, identical score
+
+
+def test_write_sorted_layout_enables_rowgroup_pruning(spark, tmp_path, sf_oracle):
+    """Range-partitioned sorted write must produce pairwise-disjoint
+    row-group [min,max] windows on the sort key, so a narrow range filter
+    prunes almost everything; identical data written unsorted must not."""
+    from bambooanalysis_spark.sources.layout import (
+        pruned_fraction,
+        rowgroup_ranges,
+        write_sorted,
+    )
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    lo_key, hi_key = 10, 200  # narrow l_orderkey slice
+
+    sorted_path = str(tmp_path / "li_sorted")
+    write_sorted(li, sorted_path, ["l_orderkey"], partitions=8)
+    ranges = rowgroup_ranges(sorted_path, "l_orderkey")
+    assert len(ranges) >= 8
+    # disjoint windows: sort ranges by min, assert no overlap
+    by_min = sorted(ranges)
+    assert all(a[1] <= b[0] for a, b in zip(by_min, by_min[1:]))
+    assert pruned_fraction(ranges, lo_key, hi_key) >= 0.8
+
+    shuffled_path = str(tmp_path / "li_shuffled")
+    li.repartition(8, "l_partkey").write.parquet(shuffled_path)
+    shuffled = rowgroup_ranges(shuffled_path, "l_orderkey")
+    assert pruned_fraction(shuffled, lo_key, hi_key) == 0.0
+
+    # the clustered copy still answers queries identically
+    got = (
+        spark.read.parquet(sorted_path)
+        .where((F.col("l_orderkey") >= lo_key) & (F.col("l_orderkey") <= hi_key))
+        .count()
+    )
+    want = li.where(
+        (F.col("l_orderkey") >= lo_key) & (F.col("l_orderkey") <= hi_key)
+    ).count()
+    assert got == want > 0
