@@ -55,10 +55,22 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = run_pipeline(
         spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
     )
-    rows = [
-        (f"hists/{s}", int(spark.read.parquet(p).count()))
-        for s, p in sorted(manifest["hists"].items())
-    ]
+    # artifact verification reads the files actually written, but via the
+    # parquet FOOTERS (driver-side pyarrow) — launching a Spark job per
+    # sample just to count a KB-sized histogram table was ~1.7s of the
+    # pipeline's bench cost for zero information
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _nrows(path: str) -> int:  # Spark writes a directory of part files
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    rows = [(f"hists/{s}", _nrows(p)) for s, p in sorted(manifest["hists"].items())]
     rows += [
         ("cutflow_rows/TT_FS", len(manifest["cutflows"]["TT_FS"])),
         ("cutflow_rows/TT_Delphes", len(manifest["cutflows"]["TT_Delphes"])),

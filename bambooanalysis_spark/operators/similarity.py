@@ -590,10 +590,18 @@ def kmeans_fit_int8(
     across engines and reruns — the contract oracle unrolls the SAME
     iterations in SQL and matches exactly, which a float k-means cannot do.
     Cells that lose all members drop out of the codebook (k shrinks)."""
+    from pyspark import StorageLevel
+
+    # n_iter+1 jobs consume the quantized corpus; without a persist each one
+    # would re-scan the source and re-quantize — at 100 TB that multiplies
+    # the dominant cost by the iteration count. int8 codes are 4x smaller
+    # than the float input, so the materialized form is the cheap one.
     qz = quantize_int8(df, id_col, vec_col).select(id_col, "qvec")
+    qz = qz.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = qz.orderBy(id_col).limit(k).collect()
     cents = [(i, [int(x) for x in r["qvec"]]) for i, r in enumerate(init_rows)]
     if not cents:
+        qz.unpersist()
         return []
     dim = len(cents[0][1])
     for _ in range(n_iter):
@@ -619,6 +627,7 @@ def kmeans_fit_int8(
             )
             for r in sorted(stats, key=lambda r: r["cell"])
         ]
+    qz.unpersist()
     return cents
 
 
