@@ -78,8 +78,17 @@ def doc_bigrams(
     """(doc, bg) — one row per adjacent token pair, tab-joined ("w1\\tw2").
     Documents with fewer than two tokens contribute nothing. The explicit
     size guard exists because ``sequence(1, 0)`` in Spark counts DOWN
-    (step sign is inferred), which would fabricate phantom bigrams."""
-    t = tokens(F.col(text_col))
+    (step sign is inferred), which would fabricate phantom bigrams.
+
+    The token array is materialized through a staging barrier BEFORE the
+    per-position transform: Catalyst has no CSE inside higher-order-function
+    lambdas, so an inlined ``split()`` would re-tokenize the whole document
+    for every element access — 2 x len(doc) full splits per document
+    (PERFORMANCE.md: HOF lambda CSE absence; measured 3x on this operator)."""
+    from .dedup import _barrier
+
+    staged = _barrier(docs.withColumn("__toks", tokens(F.col(text_col))))
+    t = F.col("__toks")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -89,7 +98,7 @@ def doc_bigrams(
             "\t", F.try_element_at(t, i), F.try_element_at(t, i + 1)
         ),
     )
-    return docs.select(F.col(id_col), F.explode(bgs).alias("bg"))
+    return staged.select(F.col(id_col), F.explode(bgs).alias("bg"))
 
 
 def bigram_coherence(
@@ -112,22 +121,33 @@ def bigram_coherence(
     shuffled hash otherwise (_maybe_broadcast). Per-doc floor-mean is one
     final shuffle on doc id. No explode ever self-joins, so hot tokens cost
     their count, not their count squared."""
-    b = doc_bigrams(docs, id_col, text_col)
-    cbg = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # two-level aggregation (the doc_term_counts pattern): collapse repeats
+    # to (doc, bg, k) first — map-side combine soaks up hot bigrams, the
+    # corpus count layer then reads per-doc-distinct rows, and the two
+    # consumers of the (doc, bg) aggregate share ONE exchange (plan-reused)
+    # instead of re-tokenizing the corpus per consumer. c(w1 ·) rolls up
+    # from the bigram counts — vocab-sized input, never the token stream.
+    db = (
+        doc_bigrams(docs, id_col, text_col)
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cbg = db.groupBy("bg").agg(F.sum("k").alias("c_bg"))
     w1 = F.split(F.col("bg"), "\t").getItem(0)
-    cpre = b.select(w1.alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c_pre")
+    cpre = cbg.select(w1.alias("w1"), "c_bg").groupBy("w1").agg(
+        F.sum("c_bg").alias("c_pre")
     )
     r = (
-        b.join(_maybe_broadcast(cbg, 1_000_000), "bg")
+        db.join(_maybe_broadcast(cbg, 1_000_000), "bg")
         .withColumn("w1", w1)
         .join(_maybe_broadcast(cpre, 1_000_000), "w1")
         .select(
             id_col,
+            "k",
             F.floor(F.lit(1_000_000) * F.col("c_bg") / F.col("c_pre")).alias("r_e6"),
         )
     )
     return r.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.floor(F.sum("r_e6") / F.count(F.lit(1))).alias("coherence_e6"),
+        F.sum("k").alias("n_bigrams"),
+        F.floor(F.sum(F.col("k") * F.col("r_e6")) / F.sum("k")).alias("coherence_e6"),
     )
