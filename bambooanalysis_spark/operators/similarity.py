@@ -455,11 +455,19 @@ def quantize_int8(
     rounding — identical in every IEEE engine, no rounding-mode trap);
     scale_e9 = fixed-point 1e-9 of maxabs/127, the dequantization step.
     All-zero vectors quantize to all-zero codes with scale 0."""
-    m = maxabs(F.col(vec_col))
+    # maxabs is itself an array reduction; staged through the explode
+    # barrier so the per-element lambda reads a column, not an inlined
+    # expression — Catalyst has no CSE inside HOF lambdas and would
+    # otherwise re-reduce the whole vector for EVERY element (dim x dim
+    # work per row; the doc_bigrams pathology, PERFORMANCE.md)
+    from .dedup import _barrier
+
+    staged = _barrier(df.withColumn("__ma", maxabs(F.col(vec_col))))
+    m = F.col("__ma")
     code = lambda x: F.when(m == 0.0, F.lit(0)).otherwise(  # noqa: E731
         F.floor(x.cast("double") * 127.0 / m + 0.5)
     ).cast("int")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.transform(F.col(vec_col), code).alias("qvec"),
         F.floor(F.when(m == 0.0, F.lit(0.0)).otherwise(m / 127.0) * 1e9)
