@@ -72,3 +72,27 @@ def pruned_fraction(ranges: list[tuple], lo, hi) -> float:
         return 0.0
     skipped = sum(1 for mn, mx in ranges if mx < lo or mn > hi)
     return skipped / len(ranges)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write (``path/col=value/...``): the OTHER
+    layout lever — a filter on a partition column prunes whole directories
+    at planning time (PartitionFilters in the scan node), before any footer
+    is read. Combine with ``sort_cols`` for row-group pruning within each
+    partition. Low-cardinality columns only: each distinct value is a
+    directory, and a high-cardinality partition key shatters 100 TB into
+    millions of small files (the small-file problem, PERFORMANCE.md §5)."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    out = df
+    if sort_cols:
+        out = df.repartition(*partition_cols).sortWithinPartitions(
+            *partition_cols, *sort_cols
+        )
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

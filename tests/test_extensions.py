@@ -1044,3 +1044,28 @@ def test_write_sorted_layout_enables_rowgroup_pruning(spark, tmp_path, sf_oracle
         (F.col("l_orderkey") >= lo_key) & (F.col("l_orderkey") <= hi_key)
     ).count()
     assert got == want > 0
+
+
+def test_write_partitioned_prunes_at_planning_time(spark, tmp_path, sf_oracle):
+    """A filter on the partition column must appear as PartitionFilters in
+    the scan (directory pruning before any file is opened), and the read
+    must see only that partition's rows."""
+    from bambooanalysis_spark.sources.layout import write_partitioned
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], sort_cols=["doc_id"])
+
+    import glob
+    import os
+
+    assert sorted(os.path.basename(p) for p in glob.glob(path + "/lang=*")) == sorted(
+        "lang=" + r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+
+    rd = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]* = en\)?\]", plan), plan
+    assert rd.count() == docs.where(F.col("lang") == "en").count() > 0
