@@ -43,6 +43,10 @@ HEADLINE = {
     # end-to-end bambooRun-analog pipeline: 2 samples x single-pass phase2
     # job + sinks + postprocess artifacts (driver.run_pipeline)
     "pipeline_full_run": "pipeline_full_run",
+    # round-2 additions: exact integer k-means (fit + assign, 3 jobs) and
+    # the bigram-coherence corpus quality signal
+    "embedding_kmeans": "embedding_kmeans_cells",
+    "bigram_coherence": "text_bigram_coherence",
 }
 
 
