@@ -1727,3 +1727,37 @@ FROM r GROUP BY 1
 register(
     "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
 )
+
+
+def q_events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views with no same-user purchase within 30 minutes
+    (streaming/windows.py:abandoned_views) — the LEFT OUTER interval join
+    whose streaming form emits unmatched rows on watermark passage."""
+    from ..streaming import abandoned_views
+
+    ev = _events(spark, sf_dir)
+    return abandoned_views(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        max_lag_minutes=30,
+    )
+
+
+ORACLE_EVENTS_ABANDONED_VIEWS = """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, epoch_us(v.view_ts) AS view_us
+FROM v
+WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.ts > v.view_ts
+      AND p.ts <= v.view_ts + INTERVAL 30 MINUTE
+)
+"""
+
+
+register(
+    "events_abandoned_views", q_events_abandoned_views, ORACLE_EVENTS_ABANDONED_VIEWS
+)

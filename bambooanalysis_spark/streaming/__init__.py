@@ -1,3 +1,13 @@
-from .windows import sessionize, view_purchase_funnel, windowed_event_stats
+from .windows import (
+    abandoned_views,
+    sessionize,
+    view_purchase_funnel,
+    windowed_event_stats,
+)
 
-__all__ = ["windowed_event_stats", "sessionize", "view_purchase_funnel"]
+__all__ = [
+    "windowed_event_stats",
+    "sessionize",
+    "view_purchase_funnel",
+    "abandoned_views",
+]

@@ -133,3 +133,52 @@ def view_purchase_funnel(
         ).alias("lag_us"),
         F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
     )
+
+
+def abandoned_views(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_lag_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """The outer side of the funnel: views the user did NOT convert within
+    ``max_lag_minutes``. Expressed as a LEFT OUTER interval join filtered to
+    the unmatched rows — deliberately not an anti-join, because Structured
+    Streaming supports watermarked outer joins but not anti-joins: in
+    streaming mode an unmatched view is emitted once the watermark passes
+    view_ts + max_lag (the engine then KNOWS no purchase can still arrive),
+    which is the correct unbounded-source semantics for "abandoned".
+
+    Batch plans it as the same user_id equi-join with the range residual;
+    the trailing filter keeps only the NULL purchase side.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if watermark is not None:
+        v = v.withWatermark("view_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")
+        )
+    )
+    return (
+        v.join(p, cond, "left_outer")
+        .where(F.col("purchase_id").isNull())
+        .select(
+            "user_id",
+            "view_id",
+            F.unix_micros(F.col("view_ts")).alias("view_us"),
+        )
+    )

@@ -1069,3 +1069,54 @@ def test_write_partitioned_prunes_at_planning_time(spark, tmp_path, sf_oracle):
 
     assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]* = en\)?\]", plan), plan
     assert rd.count() == docs.where(F.col("lang") == "en").count() > 0
+
+
+def test_streaming_abandoned_views_emit_on_watermark(spark, tmp_path, sf_oracle):
+    """LEFT OUTER stream-stream join: unmatched views must be emitted once
+    the watermark passes their emission deadline. A far-future sentinel
+    event appended to BOTH streams (second micro-batch, later mtime)
+    advances the global watermark past every real view's deadline; the
+    streaming result then equals the batch result."""
+    import datetime
+    import time as _time
+
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.streaming import abandoned_views
+
+    ev = _events(spark, sf_oracle)
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    batch = {r["view_id"] for r in abandoned_views(views, purchases, 30).collect()}
+    assert len(batch) > 0
+
+    sentinel_id = 10**9
+    far = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(days=30)
+    vsrc, psrc = str(tmp_path / "av_views"), str(tmp_path / "av_purch")
+    views.coalesce(1).write.parquet(vsrc)
+    purchases.coalesce(1).write.parquet(psrc)
+    _time.sleep(1.5)  # distinct mtime: sentinel files must sort into a LATER trigger
+    sent = spark.createDataFrame(
+        [(sentinel_id, far, -1, "view", 0.0, "{}")], ev.schema
+    )
+    sent.coalesce(1).write.mode("append").parquet(vsrc)
+    sent.withColumn("event_type", F.lit("purchase")).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+
+    vstream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(vsrc)
+    pstream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(psrc)
+    out = abandoned_views(vstream, pstream, 30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("abandoned")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["view_id"]
+        for r in spark.sql("SELECT view_id FROM abandoned").collect()
+        if r["view_id"] != sentinel_id
+    }
+    assert got == batch
