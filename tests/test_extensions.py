@@ -1120,3 +1120,41 @@ def test_streaming_abandoned_views_emit_on_watermark(spark, tmp_path, sf_oracle)
         if r["view_id"] != sentinel_id
     }
     assert got == batch
+
+
+def test_ann_ivf_quantized_recall(spark, sf_oracle):
+    """Quantized IVF (round-3 composition, VERDICT r2 'Next round' #4) must
+    match the float-IVF recall bar (>= 0.5 vs float brute force at
+    n_probe=6/16) and score candidates exactly like the quantized
+    brute-force baseline (same integer-dot math)."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    approx = S.ivf_topk_quantized(
+        emb, queries, k=10, n_centroids=16, n_probe=6
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_scores[(r["query_id"], r["neighbor_id"])] = r["qcosine_e6"]
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # in-cell scores must equal the exact quantized brute-force scores
+    # (cell pruning changes WHICH candidates are seen, never their score)
+    qbf = {
+        (r["query_id"], r["neighbor_id"]): r["qcosine_e6"]
+        for r in S.quantized_cosine_topk(emb, queries, k=10).collect()
+    }
+    shared = set(approx_scores) & set(qbf)
+    assert shared  # the two rankings overlap on this fixture
+    for key in shared:
+        assert approx_scores[key] == qbf[key]
