@@ -219,8 +219,22 @@ def run_pipeline(
     # ---- postprocess phase (driver-side, aggregate-sized inputs) ----
     scales = {s: catalog.scale(s, counters_all[s]) for s in hists}
     normalized = normalize_histograms(hists, scales)
-    groups = {s: catalog.samples[s].group for s in hists}
-    stacked = stack_by_group(normalized, groups)
+    # DATA samples (type: DATA, phaseII-analysis.py:76-78) stay UNSCALED
+    # (catalog.scale returns 1.0) and are drawn as a points overlay with a
+    # Data/MC ratio panel, never stacked into the MC groups
+    mc_names = [s for s in hists if catalog.samples[s].is_mc]
+    data_names = [s for s in hists if not catalog.samples[s].is_mc]
+    groups = {s: catalog.samples[s].group for s in mc_names}
+    stacked = stack_by_group(
+        normalized[normalized["sample"].isin(mc_names)], groups
+    )
+    data_series = None
+    if data_names:
+        data_series = (
+            normalized[normalized["sample"].isin(data_names)]
+            .groupby(["plot", "bin"], as_index=False)[["sumw", "sumw2", "n"]]
+            .sum()
+        )
 
     import pandas as pd
 
@@ -257,7 +271,9 @@ def run_pipeline(
 
     from .report.render import render_stacks
 
-    plot_images = render_stacks(stacked, plots_ref, f"{out_dir}/plots")
+    plot_images = render_stacks(
+        stacked, plots_ref, f"{out_dir}/plots", data=data_series
+    )
 
     return {
         "out_dir": out_dir,
@@ -272,6 +288,7 @@ def run_pipeline(
         "plotit_yml": plotit_yml,
         "plot_images": plot_images,
         "stacked": stacked,
+        "data_series": data_series,
     }
 
 

@@ -1,6 +1,7 @@
 from .windows import (
     abandoned_views,
     sessionize,
+    sessionize_windows,
     view_purchase_funnel,
     windowed_event_stats,
 )
@@ -8,6 +9,7 @@ from .windows import (
 __all__ = [
     "windowed_event_stats",
     "sessionize",
+    "sessionize_windows",
     "view_purchase_funnel",
     "abandoned_views",
 ]

@@ -1158,3 +1158,87 @@ def test_ann_ivf_quantized_recall(spark, sf_oracle):
     assert shared  # the two rankings overlap on this fixture
     for key in shared:
         assert approx_scores[key] == qbf[key]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path, sf_oracle):
+    """sessionize_windows as a REAL streaming session aggregation (file
+    source, availableNow, complete mode) must produce the same (user,
+    session_start, session_end, n_events) set as its batch run — and both
+    must agree with the batch window-lag sessionize on this fixture (no
+    inter-event gap sits exactly on the 30-minute boundary)."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.streaming import sessionize, sessionize_windows
+
+    ev = _events(spark, sf_oracle)
+
+    def key(df, start="session_start", end="session_end"):
+        return {
+            (r["user_id"], r[start], r[end], r["n_events"]) for r in df.collect()
+        }
+
+    lag_batch = key(sessionize(ev, gap_minutes=30))
+    win_batch = key(sessionize_windows(ev, gap_minutes=30))
+    assert win_batch == lag_batch  # same sessions, both batch formulations
+    assert len(win_batch) > 0
+
+    src = str(tmp_path / "events_sess")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = sessionize_windows(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = key(spark.sql("SELECT * FROM sess_win"))
+    assert got == win_batch
+
+
+def test_asof_join_salted_matches_unsalted(spark, sf_oracle):
+    """salt_interval (two-level last-observation carry) must return
+    EXACTLY the unsalted result — including on a planted hot key whose
+    history spans many chunks, matches that cross chunk boundaries, and
+    left rows whose chunk holds no right row at all."""
+    import datetime as dt
+
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.operators.temporal import asof_join
+
+    def run(clicks, views, **kw):
+        j = asof_join(
+            clicks, views, on="user_id",
+            payload={"value": "view_value", "ts": "view_ts"}, **kw,
+        )
+        return {
+            (r["event_id"], r["view_value"], r["view_ts"]) for r in j.collect()
+        }
+
+    ev = _events(spark, sf_oracle)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    base = run(clicks, views)
+    assert base == run(clicks, views, salt_interval="1 hour")
+    assert base == run(clicks, views, salt_interval="7 minutes")
+
+    # planted hot key: one user, clicks every 13 min over 3 days, sparse
+    # views (some hours have none -> boundary carry must cross >1 chunk)
+    t0 = dt.datetime(2024, 1, 1)
+    clicks_rows = [
+        Row(event_id=i, user_id=7, ts=t0 + dt.timedelta(minutes=13 * i), value=1.0 * i)
+        for i in range(300)
+    ]
+    views_rows = [
+        Row(user_id=7, ts=t0 + dt.timedelta(minutes=173 * j, seconds=17), value=100.0 + j)
+        for j in range(20)
+    ] + [Row(user_id=8, ts=t0, value=-1.0)]  # second key, single chunk
+    hot_c = spark.createDataFrame(clicks_rows)
+    hot_v = spark.createDataFrame(views_rows)
+    hot_base = run(hot_c, hot_v)
+    assert hot_base == run(hot_c, hot_v, salt_interval="1 hour")
+    # some clicks precede every view -> NULL payload must survive salting
+    assert any(v is None for _e, v, _t in hot_base)

@@ -133,3 +133,55 @@ def test_efficiencies_and_images(pipeline_outputs, tmp_path):
     )
     text = open(yml).read()
     assert "InvMassTwoMuonsSel1" in text and "luminosity-error" in text
+
+
+def test_data_sample_pipeline_unscaled_with_ratio_panel(spark, sf_small, tmp_path):
+    """type: DATA end-to-end (phaseII-analysis.py:76-78): the data sample
+    must pass through UNSCALED (scale 1.0), never join the MC stack, and
+    the rendered images must carry the data-points overlay + Data/MC ratio
+    panel (reference error formula via postprocess.data_mc_ratio)."""
+    from bambooanalysis_spark.driver import run_pipeline
+
+    catalog = parse_catalog(
+        {
+            "eras": {"HL-LHC": {"luminosity": 3000000}},
+            "samples": {
+                "DoubleMuon": {"era": "HL-LHC", "type": "DATA", "group": "data"},
+                "TT_FS": {
+                    "era": "HL-LHC", "type": "MC", "group": "FS",
+                    "cross-section": 950.0, "generated-events": "nEvents",
+                },
+                "TT_Delphes": {
+                    "era": "HL-LHC", "type": "SIGNAL", "group": "Delphes",
+                    "cross-section": 950.0, "generated-events": "nEvents",
+                },
+            },
+        }
+    )
+    hep = build_hep_events(spark, sf_small)
+    tagged = hep.withColumn(
+        "__sample",
+        F.when(F.col("event_id") % 3 == 0, "DoubleMuon")
+        .when(F.col("event_id") % 3 == 1, "TT_FS")
+        .otherwise("TT_Delphes"),
+    )
+    out_dir = str(tmp_path / "data_mc_out")
+    m = run_pipeline(spark, "phase2", catalog, out_dir, events_tagged=tagged)
+
+    # data is unscaled; MC is lumi*xsec/nEvents scaled
+    assert m["scales"]["DoubleMuon"] == 1.0
+    assert m["scales"]["TT_FS"] > 1.0
+    # the MC stack has no data group; the data series exists separately
+    assert "data" not in set(m["stacked"]["group"])
+    ds = m["data_series"]
+    assert ds is not None and len(ds) > 0
+    # unit weights + scale 1.0 -> data sumw stays the raw event count
+    assert (ds["sumw"] == ds["n"]).all()
+
+    # images carry the overlay + ratio panel (SVG fallback in this env)
+    import pathlib
+
+    some = [p for p in m["plot_images"].values() if p.endswith(".svg")]
+    assert some, m["plot_images"]
+    svg = pathlib.Path(some[0]).read_text()
+    assert "data-point" in svg and "ratio-point" in svg and "Data/MC" in svg
