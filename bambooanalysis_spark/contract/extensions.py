@@ -799,9 +799,13 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 
 
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: event counts + value sums per
-    event_type at day/hour/minute granularity, all three from ONE scan and
-    ONE shuffle (bucket array exploded before the groupBy)."""
+    """Hypertable-style continuous aggregate: event counts, value sums AND
+    distinct users per event_type at day/hour/minute granularity, all from
+    ONE scan and ONE shuffle (bucket array exploded before the groupBy).
+    The 'hour' grain with n_users subsumes the former
+    events_tumbling_window query (round-3 window consolidation; the
+    F.window streaming-parity path stays exercised by
+    q_events_tumbling_window in bench.py and the streaming tests)."""
     from ..operators.temporal import time_rollup
 
     ev = _events(spark, sf_dir)
@@ -811,6 +815,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
         ],
     )
     return out.select(
@@ -819,6 +824,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "value_cents",
+        "n_users",
     )
 
 
@@ -827,7 +833,8 @@ SELECT u.unit,
        CAST(epoch_us(date_trunc(u.unit, e.ts)) AS BIGINT) AS bucket_us,
        e.event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(DISTINCT e.user_id) AS n_users
 FROM events e
 CROSS JOIN (SELECT unnest(['day', 'hour', 'minute']) AS unit) u
 GROUP BY 1, 2, 3
@@ -1885,27 +1892,44 @@ FROM r
 
 
 def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document dedup signatures in one pass: the first 4 MinHash
-    signature slots (k=16, 3-shingles) and the 32-bit SimHash bit string
-    over once-staged token hashes. Merges round-2 dedup_minhash_signature
-    + dedup_simhash."""
+    """Per-document dedup identity in one pass: exact-dedup group
+    membership (canonical fingerprint + min-id representative + group
+    size), the first 4 MinHash signature slots (k=16, 3-shingles) and the
+    32-bit SimHash bit string over once-staged token hashes. Merges
+    round-2 dedup_exact + dedup_minhash_signature + dedup_simhash."""
     from ..operators import dedup as D
+    from ..operators import text as T
 
     d = _docs(spark, sf_dir)
     nparts = max(spark.sparkContext.defaultParallelism, 4)
     d = d.repartition(nparts, "doc_id")  # fan out single-split local input
-    d = d.withColumn("__hs", D.token_hashes(F.col("text")))
+    d = d.withColumn("__hs", D.token_hashes(F.col("text"))).withColumn(
+        "fp", T.fingerprint(F.col("text"))
+    )
+    groups = D.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
     sig = D.minhash_signature(F.col("text"), k=16, shingle_k=3)
-    return d.select(
+    per_doc = d.select(
         "doc_id",
+        "fp",
         *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
         D.simhash_bits_from_hashes(F.col("__hs"), nbits=32).alias("simhash"),
+    )
+    return per_doc.join(groups, "fp").select(
+        "doc_id", "fp", "keep_id", "n_docs", "mh0", "mh1", "mh2", "mh3", "simhash"
     )
 
 
 ORACLE_DEDUP_SIGNATURES = f"""
 WITH d AS (
-    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks,
+           md5({_D_NORM.format(t='text')}) AS fp
+    FROM documents
+),
+g AS (
+    SELECT md5({_D_NORM.format(t='text')}) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
 ),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM d),
 sig AS (SELECT doc_id, {_D_SIG} AS sig FROM sh),
@@ -1922,10 +1946,13 @@ sim AS (
                  list_transform(list_distinct(toks), t -> {_D_HASH64.format(s='t')}) AS hs
           FROM d) d
 )
-SELECT sig.doc_id,
+SELECT d.doc_id, d.fp, g.keep_id, g.n_docs,
        sig.sig[1] AS mh0, sig.sig[2] AS mh1, sig.sig[3] AS mh2, sig.sig[4] AS mh3,
        sim.simhash
-FROM sig JOIN sim ON sim.doc_id = sig.doc_id
+FROM d
+JOIN g ON g.fp = d.fp
+JOIN sig ON sig.doc_id = d.doc_id
+JOIN sim ON sim.doc_id = d.doc_id
 """
 
 
@@ -2028,6 +2055,78 @@ WHERE d.b < 9000
 """
 
 
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding table (round-3
+    addition): integer k-means cells, then drop vectors with cosine >=
+    threshold to a lower-id cell-mate (operators/similarity.py:
+    semantic_dedup). Fully oracle-checked: exact integer cells +
+    bit-reproducible cosine. Threshold 0.30 is FIXTURE-scaled: the
+    synthetic embeddings are near-orthogonal (max pairwise cosine 0.51 at
+    sf0.01), so the production-style 0.95 default would never fire; 0.30
+    exercises both verdicts (drops a real fraction, keeps the rest)."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITERS, threshold_e6=300000
+    )
+
+
+_ORACLE_SEMANTIC_DEDUP_FINAL = f"""
+, src AS (SELECT a.vec_id, a.cid AS cell, e.embedding
+          FROM afinal a JOIN embeddings e USING (vec_id)),
+dropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM src x JOIN src y ON x.cell = y.cell AND y.vec_id < x.vec_id
+    WHERE FLOOR({_D_COS.format(a='x.embedding', b='y.embedding')} * 1000000) >= 300000
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept_i
+FROM src s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+"""
+
+
+def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words vectors (round-3 addition): the
+    model-free text->vector bridge feeding the embedding-side operators
+    (operators/text.py:hashed_bow). dim=16 signed counts, CSV-serialized
+    for portable hashing (array-column convention of the signature
+    queries)."""
+    from ..operators.text import hashed_bow
+
+    out = hashed_bow(_docs(spark, sf_dir), dim=16)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("fvec").cast("array<string>"), ",").alias("fvec_csv"),
+        "nnz",
+    )
+
+
+ORACLE_TEXT_HASHED_FEATURES = f"""
+WITH t AS (
+    SELECT doc_id, unnest({_D_TOKENS.format(t='text')}) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           {_D_HASH64.format(s='tok')} % 16 AS bucket,
+           CASE WHEN ({_D_HASH64.format(s='tok')} & 2) <> 0 THEN 1 ELSE -1 END AS sign
+    FROM t
+),
+pb AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+pd AS (
+    SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := v))) AS m,
+           COUNT(*) AS nnz
+    FROM pb GROUP BY doc_id
+)
+SELECT d.doc_id,
+       array_to_string(
+           list_transform(range(0, 16),
+               j -> COALESCE(element_at(pd.m, j)[1], 0)), ',') AS fvec_csv,
+       CAST(COALESCE(pd.nnz, 0) AS BIGINT) AS nnz
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal plumbing end to end in one output: per-blob typed
     metadata (mapInPandas Arrow batches — extract_blob_meta) joined onto
@@ -2086,8 +2185,10 @@ def _register_all() -> None:
     register(
         "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
     )
-    # dedup
-    register("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT)
+    register(
+        "text_hashed_features", q_text_hashed_features, ORACLE_TEXT_HASHED_FEATURES
+    )
+    # dedup (exact-dedup groups ride dedup_signatures since round 3)
     register("dedup_signatures", q_dedup_signatures, ORACLE_DEDUP_SIGNATURES)
     register(
         "dedup_minhash_lsh_pairs", q_dedup_minhash_lsh_pairs, ORACLE_DEDUP_MINHASH_LSH
@@ -2113,8 +2214,13 @@ def _register_all() -> None:
         q_embedding_cluster_purity,
         _oracle_kmeans(final=_ORACLE_CLUSTER_PURITY_FINAL),
     )
-    # event-time / temporal / semi-structured
-    register("events_tumbling_window", q_events_tumbling_window, ORACLE_EVENTS_TUMBLING)
+    register(
+        "embedding_semantic_dedup",
+        q_embedding_semantic_dedup,
+        _oracle_kmeans(final=_ORACLE_SEMANTIC_DEDUP_FINAL),
+    )
+    # event-time / temporal / semi-structured (tumbling window rides the
+    # n_users'd hour grain of events_time_rollup since round 3)
     register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
     register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF)
     register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)

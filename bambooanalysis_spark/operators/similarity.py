@@ -730,3 +730,53 @@ def kmeans_assign_int8(
     qz = quantize_int8(df, id_col, vec_col)
     cell = F.array_max(_int_cell_scores(F.col("qvec"), centroids))["cid"]
     return qz.select(id_col, cell.cast("int").alias("cell"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold_e6: int = 950000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then WITHIN each cluster drop every vector
+    whose cosine to a lower-id cell-mate reaches the threshold. Returns
+    one row per vector: (id, cell, kept_i 0/1 long).
+
+    Scale shape — the whole point of clustering first: candidate pairs are
+    bounded per cell (~(n/k)^2 instead of n^2), the in-cell join is an
+    equi-join on the cell id (hash join, AQE-skew-handled), and the cell
+    assignment is the zero-shuffle literal-codebook argmax. The keep rule
+    is per-row testable ("exists a lower-id cell-mate above threshold"),
+    so the decision needs no iterative component — unlike connected
+    components — and replicates exactly in SQL (exact integer k-means
+    cells + the bit-reproducible double cosine).
+    """
+    cents = kmeans_fit_int8(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    cells = kmeans_assign_int8(df, cents, id_col, vec_col)
+    src = df.select(id_col, vec_col).join(cells, id_col)
+    a = src.select(
+        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = src.select(
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("__id_b") < F.col("__id_a"))
+        .where(
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1000000) >= threshold_e6
+        )
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return src.join(dropped, id_col, "left").select(
+        id_col,
+        "cell",
+        F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept_i"),
+    )

@@ -294,3 +294,60 @@ def bpe_tokens(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
+
+
+def hashed_bow(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> "DataFrame":
+    """Feature-hashing (hashing-trick) bag-of-words: a deterministic signed
+    token-count vector per document — the model-free text->vector bridge
+    (Weinberger et al. 2009, public) that feeds the embedding-side
+    operators (cosine near-dup, ANN, k-means) from raw text.
+
+    bucket(token) = hash64(token) % dim; sign(token) = +1 if bit 1 of
+    hash64(token) set else -1 (independent of the bucket bits);
+    vec[j] = sum of sign over token OCCURRENCES hashing to bucket j.
+
+    Plan shape: explode tokens -> groupBy (doc, bucket) partial-aggregated
+    sums -> per-doc map -> dense array. ONE shuffle on doc_id, output dim
+    integers per document regardless of document length. Documents with no
+    tokens keep an all-zero vector (left join from the source).
+
+    Returns (id, fvec array<long>, nnz long).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    h = hash64(F.col("__tok"))
+    per_bucket = (
+        toks.select(
+            "__id",
+            (h % dim).cast("int").alias("__bucket"),
+            F.when(h.bitwiseAND(F.lit(2)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            .cast("long")
+            .alias("__sign"),
+        )
+        .groupBy("__id", "__bucket")
+        .agg(F.sum("__sign").alias("__v"))
+    )
+    per_doc = per_bucket.groupBy("__id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__bucket"), F.col("__v")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.col("__m")[j.cast("int")], F.lit(0).cast("long")),
+    )
+    nnz = F.size(F.map_keys(F.col("__m"))).cast("long")
+    out = df.select(F.col(id_col).alias("__id")).join(per_doc, "__id", "left")
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__m").isNull(), zero).otherwise(dense).alias("fvec"),
+        F.coalesce(nnz, F.lit(0).cast("long")).alias("nnz"),
+    )

@@ -1242,3 +1242,65 @@ def test_asof_join_salted_matches_unsalted(spark, sf_oracle):
     assert hot_base == run(hot_c, hot_v, salt_interval="1 hour")
     # some clicks precede every view -> NULL payload must survive salting
     assert any(v is None for _e, v, _t in hot_base)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted near-identical vectors must be dropped in favor of the
+    min-id copy; orthogonal vectors all survive."""
+    from bambooanalysis_spark.operators.similarity import semantic_dedup
+
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [Row(vec_id=i, embedding=base[i]) for i in range(4)]
+    # ids 10..13: exact copies of vector 0 (cosine 1.0)
+    rows += [Row(vec_id=10 + j, embedding=list(base[0])) for j in range(4)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["vec_id"]: r["kept_i"]
+        for r in semantic_dedup(df, k=2, n_iter=1, threshold_e6=990000).collect()
+    }
+    assert got[0] == 1  # min-id representative survives
+    assert all(got[10 + j] == 0 for j in range(4))  # copies dropped
+    assert got[1] == got[2] == got[3] == 1  # orthogonal vectors survive
+    assert len(got) == 8  # one verdict row per vector
+
+
+def test_hashed_bow_deterministic_and_additive(spark):
+    """Hashing-trick vectors: identical texts get identical vectors, token
+    multiplicity adds, empty docs get the zero vector, and the vector's
+    signed sum equals the sum of per-token signs (linearity)."""
+    from bambooanalysis_spark.operators.text import hash64, hashed_bow, tokens
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamma"),
+            Row(doc_id=3, text="alpha alpha beta gamma"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    got = {r["doc_id"]: (r["fvec"], r["nnz"]) for r in hashed_bow(df, dim=8).collect()}
+    assert got[1] == got[2]  # deterministic
+    assert got[4][0] == [0] * 8 and got[4][1] == 0  # empty doc -> zero vector
+    # doc3 = doc1 + one extra 'alpha': vectors differ by exactly alpha's
+    # signed one-hot
+    signs = {
+        r["tok"]: (r["b"], r["s"])
+        for r in df.where(F.col("doc_id") == 1)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(
+            "tok",
+            (hash64(F.col("tok")) % 8).cast("int").alias("b"),
+            F.when(hash64(F.col("tok")).bitwiseAND(F.lit(2)) != 0, 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .collect()
+    }
+    b, s = signs["alpha"]
+    diff = [x3 - x1 for x3, x1 in zip(got[3][0], got[1][0])]
+    assert diff == [s if j == b else 0 for j in range(8)]
