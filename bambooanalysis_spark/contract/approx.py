@@ -37,7 +37,30 @@ def q_ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_quantized(emb, queries, k=10, n_centroids=16, n_probe=6)
 
 
+def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group (Greenwald-Khanna sketch via
+    ``approx_percentile``) — the constant-memory companion to the exact
+    ``rel_percentiles`` query: at 100 TB an exact grouped percentile sorts
+    every group, the sketch streams with bounded state and mergeable
+    partials. Approximate (rank error <= the accuracy parameter), so
+    rows-only; error bounded against the exact quantiles by
+    tests/test_extensions.py::test_approx_quantiles_error_bound."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("approx_p"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag",
+        F.col("approx_p")[0].alias("p50_approx"),
+        F.col("approx_p")[1].alias("p95_approx"),
+        "n_rows",
+    )
+
+
 register("sketch_approx_distinct", q_sketch_approx_distinct)
+register("sketch_approx_quantiles", q_sketch_approx_quantiles)
 register("ann_lsh_topk", q_ann_lsh_topk)
 register("ann_ivf_topk", q_ann_ivf_topk)
 register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)

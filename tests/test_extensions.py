@@ -1304,3 +1304,21 @@ def test_hashed_bow_deterministic_and_additive(spark):
     b, s = signs["alpha"]
     diff = [x3 - x1 for x3, x1 in zip(got[3][0], got[1][0])]
     assert diff == [s if j == b else 0 for j in range(8)]
+
+
+def test_approx_quantiles_error_bound(spark, sf_oracle):
+    """approx_percentile's Greenwald-Khanna sketch (accuracy 1000) must
+    land each grouped quantile within 1/1000 rank error of the exact
+    percentile — checked by RANK, not value distance."""
+    from bambooanalysis_spark.contract.approx import q_sketch_approx_quantiles
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"], r["n_rows"])
+        for r in q_sketch_approx_quantiles(spark, sf_oracle).collect()
+    }
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    for flag, (p50, p95, n) in approx.items():
+        vals = li.where(F.col("l_returnflag") == flag)
+        for q, v in ((0.5, p50), (0.95, p95)):
+            rank = vals.where(F.col("l_extendedprice") <= v).count()
+            assert abs(rank / n - q) <= 1.0 / 1000 + 1.0 / n, (flag, q, rank / n)

@@ -227,3 +227,28 @@ def test_jaccard_frac_cutoff_builds_without_count_job(spark, sf_oracle, monkeypa
     )
     monkeypatch.undo()
     assert pairs.count() >= 0  # executes fine after build
+
+
+def test_broadcast_probe_memoized(spark, sf_oracle, monkeypatch):
+    """_maybe_broadcast must not re-run its probe count for a semantically
+    identical query side: second build of the same operator issues ZERO
+    jobs for the guard (VERDICT r2 minor #3)."""
+    from pyspark.sql import DataFrame
+
+    from bambooanalysis_spark.operators import similarity as S
+
+    def load():
+        emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        return emb, emb.where(F.col("vec_id") < 5)
+
+    emb, queries = load()
+    S.cosine_topk(emb, queries, k=5)  # first build: probe job runs
+
+    def _no_action(self):
+        raise AssertionError("broadcast guard re-ran its probe count")
+
+    emb2, queries2 = load()  # fresh objects, same semantic plan
+    monkeypatch.setattr(DataFrame, "count", _no_action)
+    out = S.cosine_topk(emb2, queries2, k=5)  # must hit the probe cache
+    monkeypatch.undo()
+    assert out.count() > 0
