@@ -1,0 +1,176 @@
+"""Property-based semantics checks (hypothesis): core operators vs
+INDEPENDENT reference implementations on randomized small inputs — the
+third leg next to unit tests and the DuckDB oracles (SURVEY.md §5).
+
+Each example runs real Spark jobs, so example counts are deliberately
+small; shrinking still pins minimal counterexamples on failure.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+# (user, ts-seconds) pairs; right side deduped on (user, ts) so the
+# backward-asof match is unambiguous between implementations
+_left_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=25
+)
+_right_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=25
+).map(lambda xs: sorted({(u, s) for u, s in xs}))
+
+
+@given(left=_left_events, right=_right_events)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas.merge_asof(by=key, direction='backward') —
+    the library the reference semantics are defined against."""
+    import pandas as pd
+
+    from bambooanalysis_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=_ts(s)) for i, (u, s) in enumerate(left)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(user_id=u, ts=_ts(s), value=float(u * 10000 + s)) for u, s in right]
+    )
+    got = {
+        r["event_id"]: r["rv"]
+        for r in asof_join(ldf, rdf, on="user_id", payload={"value": "rv"}).collect()
+    }
+
+    lp = pd.DataFrame(
+        [{"event_id": i, "user_id": u, "ts": _ts(s)} for i, (u, s) in enumerate(left)]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [{"user_id": u, "ts": _ts(s), "value": float(u * 10000 + s)} for u, s in right]
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    expect = {
+        int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+        for r in merged.itertuples()
+    }
+    assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 8000)), min_size=1, max_size=30
+    ),
+    gap_minutes=st.sampled_from([1, 5, 30]),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_naive_grouping(spark, events, gap_minutes):
+    """sessionize == the obvious per-user sort-and-split (gap > g starts a
+    new session), on arbitrary event sets including ts duplicates."""
+    from bambooanalysis_spark.streaming import sessionize
+
+    df = spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=_ts(s)) for i, (u, s) in enumerate(events)]
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap_minutes=gap_minutes).collect()
+    }
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(events):
+        by_user.setdefault(u, []).append((s, i))
+    expect = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[list[int]] = []
+        prev = None
+        for s, _i in evs:
+            if prev is None or s - prev > gap_minutes * 60:
+                sessions.append([])
+            sessions[-1].append(s)
+            prev = s
+        for sess in sessions:
+            expect.add((u, _ts(sess[0]), _ts(sess[-1]), len(sess)))
+    assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_pairs_match_python_sets(spark, docs):
+    """jaccard_pairs (inverted-index join) == Python set arithmetic with
+    the same floor(e4) fixed point, at threshold 0 (every sharing pair)."""
+    from bambooanalysis_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+        for r in jaccard_pairs(df, "doc_id", "text", threshold_e4=0).collect()
+    }
+    sets = [set(toks) for toks in docs]
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                union = len(sets[a] | sets[b])
+                expect[(a, b)] = inter * 10000 // union
+    assert got == expect
+
+
+@given(
+    n_nodes=st.integers(1, 12),
+    edges=st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=15),
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, n_nodes, edges):
+    """connected_components (min-label fixpoint) == a plain union-find,
+    on arbitrary graphs incl. self-loops, dup edges, out-of-range edges."""
+    from bambooanalysis_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n_nodes)])
+    schema = "doc_a long, doc_b long"
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges] or [], schema=schema
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n_nodes)}
+    assert got == expect
