@@ -309,45 +309,41 @@ def hashed_bow(
 
     bucket(token) = hash64(token) % dim; sign(token) = +1 if bit 1 of
     hash64(token) set else -1 (independent of the bucket bits);
-    vec[j] = sum of sign over token OCCURRENCES hashing to bucket j.
+    vec[j] = sum of sign over token OCCURRENCES hashing to bucket j;
+    nnz = number of distinct buckets touched by any token.
 
-    Plan shape: explode tokens -> groupBy (doc, bucket) partial-aggregated
-    sums -> per-doc map -> dense array. ONE shuffle on doc_id, output dim
-    integers per document regardless of document length. Documents with no
-    tokens keep an all-zero vector (left join from the source).
+    Plan shape: pure per-row HOF aggregates over a ONCE-staged
+    occurrence-hash array (the minhash-signature pattern) — ZERO shuffle,
+    embarrassingly parallel, dim integers per document out. Per-row work
+    is O(dim x tokens); for featurizer-sized dim that beats the
+    explode+groupBy alternative, which pays two exchanges and a join back
+    for O(tokens) work. Zero-shuffle pinned by
+    tests/test_plan_shapes.py::test_new_operator_plan_shapes.
 
     Returns (id, fvec array<long>, nnz long).
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(F.col(text_col))).alias("__tok"),
-    )
-    h = hash64(F.col("__tok"))
-    per_bucket = (
-        toks.select(
-            "__id",
-            (h % dim).cast("int").alias("__bucket"),
-            F.when(h.bitwiseAND(F.lit(2)) != 0, F.lit(1)).otherwise(F.lit(-1))
-            .cast("long")
-            .alias("__sign"),
+    from .dedup import _barrier  # local import: dedup imports this module
+
+    staged = _barrier(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(tokens(F.col(text_col)), hash64).alias("__hs"),
         )
-        .groupBy("__id", "__bucket")
-        .agg(F.sum("__sign").alias("__v"))
     )
-    per_doc = per_bucket.groupBy("__id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__bucket"), F.col("__v")))
-        ).alias("__m")
+    sign = lambda h: (  # noqa: E731
+        F.when(h.bitwiseAND(F.lit(2)) != 0, F.lit(1)).otherwise(F.lit(-1))
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.coalesce(F.col("__m")[j.cast("int")], F.lit(0).cast("long")),
+        lambda j: F.aggregate(
+            F.col("__hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h % dim == j, sign(h)).otherwise(0),
+        ),
     )
-    nnz = F.size(F.map_keys(F.col("__m"))).cast("long")
-    out = df.select(F.col(id_col).alias("__id")).join(per_doc, "__id", "left")
-    zero = F.array_repeat(F.lit(0).cast("long"), dim)
-    return out.select(
+    nnz = F.size(F.array_distinct(F.transform(F.col("__hs"), lambda h: h % dim)))
+    return staged.select(
         F.col("__id").alias(id_col),
-        F.when(F.col("__m").isNull(), zero).otherwise(dense).alias("fvec"),
-        F.coalesce(nnz, F.lit(0).cast("long")).alias("nnz"),
+        dense.alias("fvec"),
+        nnz.cast("long").alias("nnz"),
     )

@@ -252,3 +252,31 @@ def test_broadcast_probe_memoized(spark, sf_oracle, monkeypatch):
     out = S.cosine_topk(emb2, queries2, k=5)  # must hit the probe cache
     monkeypatch.undo()
     assert out.count() > 0
+
+
+def test_new_operator_plan_shapes(spark, sf_oracle):
+    """Round-3 operators carry the plan shapes their docstrings claim:
+    semantic_dedup's in-cell candidate join is a hash equi-join on the
+    cell id (never a nested loop / cartesian), quantized IVF likewise,
+    and hashed_bow is ZERO-shuffle (no Exchange at all)."""
+    from bambooanalysis_spark.operators.similarity import (
+        ivf_topk_quantized,
+        semantic_dedup,
+    )
+    from bambooanalysis_spark.operators.text import hashed_bow
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=4, n_iter=1, threshold_e6=300000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # in-cell candidate join on `cell`
+
+    queries = emb.where(F.col("vec_id") < 5)
+    plan = _plan(ivf_topk_quantized(emb, queries, k=5, n_centroids=8, n_probe=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = _plan(hashed_bow(docs, dim=16))
+    assert "Exchange" not in plan  # pure per-row HOFs, zero shuffle
