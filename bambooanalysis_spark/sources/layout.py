@@ -96,3 +96,83 @@ def write_partitioned(
             *partition_cols, *sort_cols
         )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(
+    cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    bits: int = 10,
+):
+    """Morton (Z-order) interleaved key Column over the given columns.
+
+    Each column is linearly bucketed into [0, 2^bits) using the
+    [min, max] from ``ranges`` (collected once by ``write_zorder`` — two
+    scalars per column, driver-side metadata like a codebook), then the
+    bucket bits are interleaved column-major: bit i of column j lands at
+    position i * n_cols + j. Linear bucketing assumes roughly uniform
+    value spread; for heavily skewed columns substitute quantile
+    boundaries for (min, max) upstream — the interleave is unchanged.
+    Total bits must fit a long: bits * len(cols) <= 62.
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    maxb = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = ranges[c]
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span) * maxb),
+                F.lit(0),
+            ),
+            F.lit(maxb),
+        ).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(bucket.bitwiseAND(F.lit(1 << i)), i)
+            key = key + F.shiftleft(bit, i * len(cols) + j)
+    return key
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: multi-column data skipping.
+
+    A single-column sort gives tight row-group [min,max] windows on ONE
+    column — filters on any other column prune nothing. Interleaving the
+    bucket bits of several columns (the Morton curve, public: Morton 1966;
+    the technique behind Delta/Iceberg OPTIMIZE ZORDER) makes row groups
+    into small hyper-rectangles of the combined key space, so a selective
+    range filter on ANY participating column skips most row groups.
+    Cost shape: one 2-scalar-per-column stats job + the same
+    repartitionByRange/sortWithinPartitions write as ``write_sorted``
+    (ONE shuffle) — the curve key is a pure per-row bit expression.
+    Pinned by tests/test_extensions.py::test_zorder_layout_prunes_on_both_columns.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    ranges = {
+        c: (float(stats[f"__mn_{i}"]), float(stats[f"__mx_{i}"]))
+        for i, c in enumerate(cols)
+    }
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", zorder_key(cols, ranges, bits))
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

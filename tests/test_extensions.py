@@ -1322,3 +1322,41 @@ def test_approx_quantiles_error_bound(spark, sf_oracle):
         for q, v in ((0.5, p50), (0.95, p95)):
             rank = vals.where(F.col("l_extendedprice") <= v).count()
             assert abs(rank / n - q) <= 1.0 / 1000 + 1.0 / n, (flag, q, rank / n)
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path, sf_oracle):
+    """Z-order write must let a range filter on EITHER participating
+    column skip a real fraction of row groups, where a plain single-column
+    sort prunes only its own column; results stay identical."""
+    from bambooanalysis_spark.sources.layout import (
+        pruned_fraction,
+        rowgroup_ranges,
+        write_sorted,
+        write_zorder,
+    )
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    mx_p = li.agg(F.max("l_partkey")).first()[0]
+    mx_s = li.agg(F.max("l_suppkey")).first()[0]
+    p_lo, p_hi = 1, max(mx_p // 10, 2)  # ~10% slices
+    s_lo, s_hi = 1, max(mx_s // 10, 2)
+
+    zpath = str(tmp_path / "li_zorder")
+    write_zorder(li, zpath, ["l_partkey", "l_suppkey"], bits=10, partitions=32)
+    zp = pruned_fraction(rowgroup_ranges(zpath, "l_partkey"), p_lo, p_hi)
+    zs = pruned_fraction(rowgroup_ranges(zpath, "l_suppkey"), s_lo, s_hi)
+    assert zp >= 0.4, zp
+    assert zs >= 0.4, zs
+
+    spath = str(tmp_path / "li_sorted_partkey")
+    write_sorted(li, spath, ["l_partkey"], partitions=32)
+    sp = pruned_fraction(rowgroup_ranges(spath, "l_partkey"), p_lo, p_hi)
+    ss = pruned_fraction(rowgroup_ranges(spath, "l_suppkey"), s_lo, s_hi)
+    assert sp >= zp  # its own column: single sort is at least as tight
+    assert ss == 0.0  # ...but the second column gets nothing
+    # z-order's multi-column win: both columns prune
+    assert min(zp, zs) > ss
+
+    # the clustered copy answers identically
+    pred = (F.col("l_partkey") >= p_lo) & (F.col("l_partkey") <= p_hi)
+    assert spark.read.parquet(zpath).where(pred).count() == li.where(pred).count() > 0
