@@ -1360,3 +1360,55 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path, sf_oracle):
     # the clustered copy answers identically
     pred = (F.col("l_partkey") >= p_lo) & (F.col("l_partkey") <= p_hi)
     assert spark.read.parquet(zpath).where(pred).count() == li.where(pred).count() > 0
+
+
+def test_sessionize_salted_matches_unsalted(spark, sf_oracle):
+    """salt_minutes (two-phase session merge) must return EXACTLY the
+    unsalted sessions — including a planted hot user whose single session
+    spans many chunks (continuous events), multi-chunk chains, and
+    boundary gaps just over/under the threshold."""
+    import datetime as dt
+
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.streaming import sessionize
+
+    def key(df):
+        return {
+            (
+                r["user_id"],
+                r["session_idx"],
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+            )
+            for r in df.collect()
+        }
+
+    ev = _events(spark, sf_oracle).select("event_id", "user_id", "ts")
+    base = key(sessionize(ev, gap_minutes=30))
+    assert base == key(sessionize(ev, gap_minutes=30, salt_minutes=30))
+    assert base == key(sessionize(ev, gap_minutes=30, salt_minutes=120))
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # hot user 1: one continuous session, events every 10 min for 12 h
+        Row(event_id=i, user_id=1, ts=t0 + dt.timedelta(minutes=10 * i))
+        for i in range(72)
+    ] + [
+        # user 2: sessions split by gaps of exactly 30m (merge: gap > 30
+        # splits, == 30 keeps) and 31m (splits)
+        Row(event_id=100, user_id=2, ts=t0),
+        Row(event_id=101, user_id=2, ts=t0 + dt.timedelta(minutes=30)),
+        Row(event_id=102, user_id=2, ts=t0 + dt.timedelta(minutes=61)),
+    ]
+    df = spark.createDataFrame(rows)
+    got_unsalted = key(sessionize(df, gap_minutes=30))
+    got_salted = key(sessionize(df, gap_minutes=30, salt_minutes=60))
+    assert got_salted == got_unsalted
+    # sanity: hot user collapsed to ONE session spanning all chunks
+    assert sum(1 for u, *_ in got_salted if u == 1) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessionize(df, gap_minutes=30, salt_minutes=10)
