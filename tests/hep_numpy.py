@@ -189,3 +189,120 @@ def jet_test_histograms(events: dict[int, dict]):
         "Jet1_pT_jetPT_30GeV": histogram_eqb(jet1_pt30, 50, 0.0, 4000.0),
         "Jet2_eta_jetPT_50GeV": histogram_eqb(jet2_eta50, 30, -3.0, 3.0),
     }
+
+
+def jet_test_all_histograms(events: dict[int, dict]):
+    """Golden values for ALL 66 jet_test plots (jet_test.py:524-724):
+    per-threshold jet counts, per-index pT/eta under the >=k selections,
+    per-region pT slices, and MET under the >=1 selections."""
+    pt_hi_full = {1: 4000.0, 2: 4000.0, 3: 2000.0, 4: 2000.0}
+    pt_hi_3toinf = {1: 1000.0, 2: 500.0, 3: 200.0, 4: 200.0}
+    regions = ("0to1_5", "1_5to3", "3toInf")
+
+    spec: dict[str, tuple[int, float, float]] = {}
+    vals: dict[str, list] = {}
+    for pt in (30, 50, 100):
+        spec[f"nJets_jetPT_{pt}GeV"] = (15, 0.0, 15.0)
+        spec[f"MET_jetPT_{pt}GeV"] = (50, 0.0, 1000.0)
+        for k in (1, 2, 3, 4):
+            spec[f"Jet{k}_pT_jetPT_{pt}GeV"] = (50, 0.0, pt_hi_full[k])
+            spec[f"Jet{k}_eta_jetPT_{pt}GeV"] = (30, -3.0, 3.0)
+            for region in regions:
+                hi = pt_hi_3toinf[k] if region == "3toInf" else pt_hi_full[k]
+                spec[f"Jet{k}_pT_{region}_jetPT_{pt}GeV"] = (50, 0.0, hi)
+    for name in spec:
+        vals[name] = []
+
+    for ev in events.values():
+        colls = jet_test_collections(ev)
+        met = ev["met"]
+        for pt in (30, 50, 100):
+            full = colls[(pt, None)]
+            vals[f"nJets_jetPT_{pt}GeV"].append(float(len(full)))
+            if len(full) > 0:
+                vals[f"MET_jetPT_{pt}GeV"].append(met)
+            for k in (1, 2, 3, 4):
+                if len(full) > k - 1:
+                    vals[f"Jet{k}_pT_jetPT_{pt}GeV"].append(full[k - 1]["pt"])
+                    vals[f"Jet{k}_eta_jetPT_{pt}GeV"].append(full[k - 1]["eta"])
+                for region in regions:
+                    c = colls[(pt, region)]
+                    if len(c) > k - 1:
+                        vals[f"Jet{k}_pT_{region}_jetPT_{pt}GeV"].append(
+                            c[k - 1]["pt"]
+                        )
+    return {name: histogram_eqb(vals[name], *spec[name]) for name in spec}
+
+
+def phase2_all_histograms(events: dict[int, dict]):
+    """Golden values for ALL 61 phaseII plots (phaseII-analysis.py:368-498):
+    noSel counts/MET, then per-selection blocks sel1..sel5 with muon/jet
+    kinematics and the dimuon invariant mass."""
+    spec: dict[str, tuple[int, float, float]] = {
+        "nJetsNoSel": (10, 0.0, 10.0),
+        "nbtaggedJetsNoSel": (10, 0.0, 10.0),
+        "nMuNoSel": (15, 0.0, 15.0),
+        "METptNoSel": (50, 0.0, 250.0),
+    }
+
+    def lepton_spec(sfx, sub_hi):
+        spec[f"LeadingMuonPT{sfx}"] = (30, 0.0, 250.0)
+        spec[f"SubLeadingMuonPT{sfx}"] = (30, 0.0, sub_hi)
+        spec[f"LeadingMuonEta{sfx}"] = (30, -3.0, 3.0)
+        spec[f"SubLeadingMuonEta{sfx}"] = (30, -3.0, 3.0)
+
+    for sfx in ("Sel1", "Sel2", "Sel3", "Sel4", "Sel5"):
+        spec[f"nJets{sfx}"] = (10, 0.0, 10.0)
+        spec[f"nbtaggedJets{sfx}"] = (10, 0.0, 10.0)
+        spec[f"nMu{sfx}"] = (10, 0.0, 10.0)
+        spec[f"METpt{sfx}"] = (50, 0.0, 250.0)
+    spec["InvMassTwoMuonsSel1"] = (30, 0.0, 300.0)
+    spec["InvMassTwoMuonsSel2"] = (20, 20.0, 300.0)
+    for sfx in ("Sel3", "Sel4", "Sel5"):
+        spec[f"InvMassTwoMuons{sfx}"] = (30, 0.0, 300.0)
+    lepton_spec("Sel1", 250.0)
+    for sfx in ("Sel2", "Sel3", "Sel4", "Sel5"):
+        lepton_spec(sfx, 200.0)
+    for sfx, jet_hi in (("Sel3", 350.0), ("Sel4", 250.0), ("Sel5", 250.0)):
+        spec[f"LeadingJetPT{sfx}"] = (50, 0.0, jet_hi)
+        spec[f"SubLeadingJetPT{sfx}"] = (50, 0.0, jet_hi)
+        spec[f"LeadingJetEta{sfx}"] = (30, -3.0, 3.0)
+        spec[f"SubLeadingJetEta{sfx}"] = (30, -3.0, 3.0)
+
+    vals: dict[str, list] = {name: [] for name in spec}
+    for ev in events.values():
+        o = phase2_objects(ev)
+        mu, imu = o["muons"], o["ident_mu"]
+        gj, bt, met = o["good_jets"], o["btagged"], o["met"]
+        vals["nJetsNoSel"].append(float(len(gj)))
+        vals["nbtaggedJetsNoSel"].append(float(len(bt)))
+        vals["nMuNoSel"].append(float(len(imu)))
+        vals["METptNoSel"].append(met)
+
+        sel1 = len(imu) > 1 and imu[0]["charge"] * imu[1]["charge"] < 0
+        m = round(invariant_mass(imu[0], imu[1]), 6) if len(imu) > 1 else None
+        sel2 = sel1 and not (76 < m < 106)
+        sel3 = sel2 and len(gj) > 1
+        sel4 = sel3 and (bit2(gj[0]["btag"]) or bit2(gj[1]["btag"]))
+        sel5 = sel4 and met > 40
+        for ok, sfx in (
+            (sel1, "Sel1"), (sel2, "Sel2"), (sel3, "Sel3"),
+            (sel4, "Sel4"), (sel5, "Sel5"),
+        ):
+            if not ok:
+                continue
+            vals[f"nJets{sfx}"].append(float(len(gj)))
+            vals[f"nbtaggedJets{sfx}"].append(float(len(bt)))
+            vals[f"nMu{sfx}"].append(float(len(imu)))
+            vals[f"METpt{sfx}"].append(met)
+            vals[f"InvMassTwoMuons{sfx}"].append(m)
+            vals[f"LeadingMuonPT{sfx}"].append(mu[0]["pt"])
+            vals[f"SubLeadingMuonPT{sfx}"].append(mu[1]["pt"])
+            vals[f"LeadingMuonEta{sfx}"].append(mu[0]["eta"])
+            vals[f"SubLeadingMuonEta{sfx}"].append(mu[1]["eta"])
+            if sfx in ("Sel3", "Sel4", "Sel5"):
+                vals[f"LeadingJetPT{sfx}"].append(gj[0]["pt"])
+                vals[f"SubLeadingJetPT{sfx}"].append(gj[1]["pt"])
+                vals[f"LeadingJetEta{sfx}"].append(gj[0]["eta"])
+                vals[f"SubLeadingJetEta{sfx}"].append(gj[1]["eta"])
+    return {name: histogram_eqb(vals[name], *spec[name]) for name in spec}

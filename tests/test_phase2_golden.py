@@ -103,3 +103,36 @@ def test_jet_test_histograms_golden(hep_df, oracle_events):
     expect = oracle.jet_test_histograms(oracle_events)
     for name in wanted:
         assert got.get(name, {}) == expect[name], name
+
+
+def test_jet_test_all_66_plots_golden(hep_df, oracle_events):
+    """EVERY jet_test plot bin-exact vs the independent numpy oracle — the
+    full 66-plot surface from ONE single-pass Spark job, not a sample."""
+    df, plots, cfr, sels = define_jet_test(hep_df)
+    hist = run_analysis(df, plots, [cfr])
+    got = {}
+    for r in hist.where(F.col("kind") == "plot").collect():
+        got.setdefault(r["plot"], {})[r["bin"]] = r["n"]
+    expect = oracle.jet_test_all_histograms(oracle_events)
+    assert len(expect) == 66
+    mismatches = [
+        name for name in expect if got.get(name, {}) != expect[name]
+    ]
+    assert not mismatches, mismatches[:5]
+    # no plot outside the booked set sneaks into the output
+    assert set(got) <= set(expect)
+
+
+def test_phase2_all_61_plots_golden(hep_df, oracle_events):
+    """EVERY phaseII plot bin-exact vs the independent numpy oracle — the
+    full 61-plot flagship surface from ONE single-pass Spark job."""
+    df, plots, cfr, sels = define_phase2(hep_df)
+    hist = run_analysis(df, plots, [cfr])
+    got = {}
+    for r in hist.where(F.col("kind") == "plot").collect():
+        got.setdefault(r["plot"], {})[r["bin"]] = r["n"]
+    expect = oracle.phase2_all_histograms(oracle_events)
+    assert len(expect) == 61
+    mismatches = [name for name in expect if got.get(name, {}) != expect[name]]
+    assert not mismatches, mismatches[:5]
+    assert set(got) <= set(expect)
