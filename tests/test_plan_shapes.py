@@ -280,3 +280,53 @@ def test_new_operator_plan_shapes(spark, sf_oracle):
     docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
     plan = _plan(hashed_bow(docs, dim=16))
     assert "Exchange" not in plan  # pure per-row HOFs, zero shuffle
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_oracle):
+    """The 100 TB selective-join path leans on Spark's runtime bloom
+    filter (spark.sql.optimizer.runtime.bloomFilter, on by default in the
+    session): when the big side is above the application-side scan
+    threshold and the join shuffles, Catalyst injects a bloom_filter_agg
+    on the selective build side and a might_contain pre-filter on the
+    probe side scan. Locally the thresholds are simulated (broadcast off,
+    scan threshold zero) — at real scale the defaults (10 GiB application
+    side) trigger on their own; this pins that the conf is live and the
+    rewrite works end to end."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        sel = spark.read.parquet(f"{sf_oracle}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = _plan(j)
+        assert "might_contain" in plan
+        # and the rewrite preserves results vs the broadcast plan
+        n_shuffle = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    sel = spark.read.parquet(f"{sf_oracle}/orders.parquet").where(
+        F.col("o_totalprice") > 400000
+    )
+    assert li.join(sel, li.l_orderkey == sel.o_orderkey).count() == n_shuffle > 0
