@@ -330,3 +330,50 @@ def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_oracle):
         F.col("o_totalprice") > 400000
     )
     assert li.join(sel, li.l_orderkey == sel.o_orderkey).count() == n_shuffle > 0
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The docstring claims that lean on 'AQE skew-join handles the hot
+    key' (asof/sessionize salting residual, semantic_dedup mega-cell,
+    LSH hot band) rest on spark.sql.adaptive.skewJoin being live: a
+    planted 50k-rows-on-one-key join must show a skewed AQEShuffleRead in
+    the FINAL adaptive plan (thresholds lowered to make local data
+    register as skew) with unchanged results."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, 7).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())  # materialize THIS query execution
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert n == 60000
+        assert "AQEShuffleRead" in final_plan
+        assert "skewed" in final_plan  # the hot partition was split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
