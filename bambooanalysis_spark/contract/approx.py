@@ -9,6 +9,7 @@ accuracy unit test:
 - ``ann_lsh_topk``            — multi-probe recall gate, tests/test_extensions.py
 - ``ann_ivf_topk``            — IVF recall gate, tests/test_extensions.py
 - ``ann_ivf_quantized_topk``  — quantized-IVF recall gate (round 3)
+- ``ann_ivf_pq_topk``         — IVF-PQ (ADC + exact rerank) recall gate (round 3)
 
 and every one of them runs (rows+schema materialization) in the in-repo gate
 ``tests/test_contract_oracle.py``.
@@ -35,6 +36,20 @@ def q_ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk_quantized(emb, queries, k=10, n_centroids=16, n_probe=6)
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact rerank — the billion-scale ANN memory shape
+    (8-byte PQ code rows in the candidate join, 32x smaller than float):
+    ADC shortlist inside n_probe coarse cells, then exact int8-cosine
+    rerank of the top refine*k. Approximate (cell pruning + shortlist
+    truncation), so rows-only; recall gated by
+    tests/test_extensions.py::test_ann_ivf_pq_recall."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=6, refine=4)
 
 
 def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,3 +79,4 @@ register("sketch_approx_quantiles", q_sketch_approx_quantiles)
 register("ann_lsh_topk", q_ann_lsh_topk)
 register("ann_ivf_topk", q_ann_ivf_topk)
 register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)
+register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)

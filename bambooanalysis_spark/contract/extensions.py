@@ -1262,24 +1262,71 @@ _D_QUANT = """
           FROM embeddings)"""
 
 
-def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization of the embedding table —
-    integer codes + fixed-point scale, byte-exact across engines."""
-    from ..operators.similarity import quantize_int8
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8
 
-    out = quantize_int8(_emb(spark, sf_dir))
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization family in one row per vector: symmetric per-vector
+    int8 codes + fixed-point scale, plus the round-3 product-quantization
+    codes (m=8 subspaces x 16 centroids, codebook = first-16-rows int8
+    subvectors) and the reconstruction's exact squared norm. Every column
+    is integer arithmetic, byte-exact across engines — including the PQ
+    argmin (integer L2 costs, ties to the lowest centroid id)."""
+    from ..operators.similarity import pq_default_codebook, pq_encode, quantize_int8
+
+    emb = _emb(spark, sf_dir)
+    out = quantize_int8(emb)
+    cb = pq_default_codebook(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    pq = pq_encode(emb, cb)
     # Codes serialized to CSV: raw array columns are awkward to hash/sort
     # portably across engines (same convention as the minhash signature query).
-    return out.select(
-        "vec_id",
-        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
-        "scale_e9",
+    return (
+        out.join(pq, "vec_id")
+        .select(
+            "vec_id",
+            F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+            "scale_e9",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "pq_codes_csv"
+            ),
+            F.col("rnorm2").alias("pq_rnorm2"),
+        )
     )
 
 
 ORACLE_EMBEDDING_QUANTIZE = f"""
-WITH q AS ({_D_QUANT})
-SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv, scale_e9 FROM q
+WITH q AS ({_D_QUANT}),
+cb AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qvec
+    FROM (SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+costs AS (
+    SELECT v.vec_id, t.s, cb.c,
+           list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1),
+               j -> cb.qvec[t.s * {_PQ_DSUB} + j] * cb.qvec[t.s * {_PQ_DSUB} + j]
+                    - 2 * v.qvec[t.s * {_PQ_DSUB} + j] * cb.qvec[t.s * {_PQ_DSUB} + j]),
+               'sum') AS cost,
+           list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1),
+               j -> cb.qvec[t.s * {_PQ_DSUB} + j] * cb.qvec[t.s * {_PQ_DSUB} + j]),
+               'sum') AS cn2
+    FROM q v
+    CROSS JOIN generate_series(0, {_PQ_M} - 1) t(s)
+    CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, c, cn2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY cost ASC, c ASC) AS rn
+    FROM costs
+),
+pq AS (
+    SELECT vec_id,
+           string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS pq_codes_csv,
+           CAST(SUM(cn2) AS BIGINT) AS pq_rnorm2
+    FROM chosen WHERE rn = 1 GROUP BY vec_id
+)
+SELECT q.vec_id, array_to_string(q.qvec, ',') AS qvec_csv, q.scale_e9,
+       pq.pq_codes_csv, pq.pq_rnorm2
+FROM q JOIN pq ON q.vec_id = pq.vec_id
 """
 
 

@@ -760,6 +760,335 @@ def kmeans_assign_int8(
     return qz.select(id_col, cell.cast("int").alias("cell"))
 
 
+# --- product quantization (PQ / IVF-PQ) --------------------------------------
+#
+# The compression lever past int8: PQ stores m one-byte codes per vector
+# (64-dim float32 256 B -> int8 64 B -> PQ-8 8 B + one long). At 100 TB the
+# candidate-join traffic and the resident index shrink 32x vs float, and the
+# per-pair ADC score is m table lookups instead of a dim-wide dot product.
+# Everything stays integer-exact: codebooks are int8 subvectors, encode is an
+# argmin over integer L2 costs (no doubles anywhere), so codes and
+# reconstruction norms replicate bit-for-bit in the SQL oracle.
+
+def _pq_cn2(codebook: list[list[list[int]]]) -> list[list[int]]:
+    """Squared L2 norm of every centroid, cn2[s][c] — exact ints."""
+    return [[sum(x * x for x in cvec) for cvec in sub] for sub in codebook]
+
+
+def pq_default_codebook(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic codebook: the first ``ksub`` corpus vectors (by id),
+    int8-quantized and split into ``m`` contiguous subvectors —
+    codebook[s][c] = centroid c of subspace s. Like the IVF default, the
+    scale mechanics (not codebook quality) are the point; `pq_fit` trains a
+    better one with the same output shape."""
+    init = (
+        quantize_int8(df.orderBy(id_col).limit(ksub), id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(init[0]["qvec"])
+    dsub = dim // m
+    return [
+        [[int(x) for x in r["qvec"][s * dsub : (s + 1) * dsub]] for r in init]
+        for s in range(m)
+    ]
+
+
+def _pq_choice(qvec: Column, codebook: list[list[list[int]]]) -> Column:
+    """array<struct<cost,cid,n2>> of the chosen (argmin-L2) centroid per
+    subspace. cost = ||c||^2 - 2 q_sub . c (the per-subspace-constant
+    ||q_sub||^2 dropped — argmin unchanged); ALL integer arithmetic, so the
+    choice is engine-exact. Ties break to the lowest centroid id
+    (lexicographic array_min over (cost, cid))."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    cn2 = _pq_cn2(codebook)
+    chosen = []
+    for s in range(m):
+        sub = F.slice(qvec, s * dsub + 1, dsub)
+        entries = [
+            F.struct(
+                (
+                    F.lit(cn2[s][c]).cast("long")
+                    - 2 * int_dot(sub, F.array(*[F.lit(int(x)) for x in cvec]))
+                ).alias("cost"),
+                F.lit(c).alias("cid"),
+                F.lit(cn2[s][c]).cast("long").alias("n2"),
+            )
+            for c, cvec in enumerate(codebook[s])
+        ]
+        chosen.append(F.array_min(F.array(*entries)))
+    return F.array(*chosen)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, rnorm2 long): PQ codes + the reconstruction's
+    exact squared norm (sum of the chosen centroids' ||c||^2 — subspaces
+    are orthogonal by construction, so the norm is additive). Zero shuffle,
+    zero join: the codebook is plan literals, encode is a per-row argmin."""
+    from .dedup import _barrier
+
+    qz = quantize_int8(df, id_col, vec_col)
+    staged = _barrier(
+        qz.withColumn("__pq", _pq_choice(F.col("qvec"), codebook))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.transform(F.col("__pq"), lambda x: x["cid"].cast("int")).alias("codes"),
+        F.aggregate(
+            F.col("__pq"), F.lit(0).cast("long"), lambda acc, x: acc + x["n2"]
+        ).alias("rnorm2"),
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd's over int8 subvectors; returns the trained
+    codebook [s][c] -> dsub ints.
+
+    Scale shape: ALL m subspaces train together — each iteration is ONE
+    job: per-row argmin per subspace (plan literals, zero join), explode to
+    (subspace, cell) keyed rows, one groupBy computing dsub integer sums +
+    count with map-side partials; only m*ksub rows reach the driver.
+    Update is the exact integer floor-mean (same contract as
+    kmeans_fit_int8); emptied cells keep their previous centroid so the
+    codebook shape is stable (PQ codes index into a fixed [0,ksub) range,
+    unlike the shrinking IVF codebook)."""
+    from pyspark import StorageLevel
+
+    cb = pq_default_codebook(df, m, ksub, id_col, vec_col)
+    dsub = len(cb[0][0])
+    qz = quantize_int8(df, id_col, vec_col).select(id_col, "qvec")
+    qz = qz.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        qz.count()  # materialize once; iterations re-read the cached codes
+        for _ in range(n_iter):
+            choice = _pq_choice(F.col("qvec"), cb)
+            exploded = qz.select(
+                F.posexplode(
+                    F.transform(choice, lambda x: x["cid"])
+                ).alias("s", "cell"),
+                "qvec",
+            )
+            stats = (
+                exploded.groupBy("s", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(
+                            F.try_element_at(
+                                "qvec", F.col("s") * dsub + i + 1
+                            ).cast("long")
+                        ).alias(f"s{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                .collect()
+            )
+            for r in stats:
+                cb[int(r["s"])][int(r["cell"])] = [
+                    int(r[f"s{i}"]) // int(r["n"]) for i in range(dsub)
+                ]
+    finally:
+        qz.unpersist()
+    return cb
+
+
+def _pq_lut(qvec: Column, codebook: list[list[list[int]]]) -> Column:
+    """ADC lookup table for one query row: lut[s][c] = q_sub(s) . c — the
+    one-time m*ksub dot products that make every corpus pair cost m
+    lookups instead of a dim-wide dot. Integer-exact longs."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    per_s = []
+    for s in range(m):
+        sub = F.slice(qvec, s * dsub + 1, dsub)
+        per_s.append(
+            F.array(
+                *[
+                    int_dot(sub, F.array(*[F.lit(int(x)) for x in cvec]))
+                    for cvec in codebook[s]
+                ]
+            )
+        )
+    return F.array(*per_s)
+
+
+def _adc_score(codes: Column, lut: Column) -> Column:
+    """sum_s lut[s][codes[s]] — the asymmetric distance computation
+    (exact integer dot of the query against the reconstruction)."""
+    return F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.element_at(
+                F.element_at(lut, s + 1), code + 1
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    broadcast_limit: int = 10_000,
+    train_iters: int = 0,
+    coarse_train_iters: int = 0,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ with refinement — the classic billion-scale ANN index (Jégou
+    et al., PAMI 2011; Faiss's IVFPQ+Refine) in DataFrame form: coarse IVF
+    cells prune the corpus to n_probe cells per query; within them the
+    SHORTLIST score is the PQ asymmetric distance — m integer table lookups
+    per pair against an 8-byte code row instead of a 64-float dot against a
+    256-byte vector; the top refine*k shortlist is then reranked with the
+    exact int8 cosine (a candidate-sized id join back to the quantized
+    corpus — queries*refine*k rows, broadcast-guarded). The index columns
+    (cell, codes, rnorm2) are exactly what a 100 TB deployment would
+    persist, partitioned by cell; both codebooks ride the plan as literals
+    (broadcast metadata, no join).
+
+    ADC scoring: adc / (sqrt(||q||^2_int) * sqrt(rnorm2)) — the cosine of
+    the query against the RECONSTRUCTION, exact-integer numerator and
+    norms, bit-reproducible given the codebooks. ``refine=0`` skips the
+    rerank and returns raw ADC ranks (pure-PQ memory profile; lower
+    recall — reconstruction error then orders the final list).
+    Approximation = cell pruning + shortlist truncation; recall gated by
+    tests/test_extensions.py::test_ann_ivf_pq_recall. Returns
+    (query_id, rank, neighbor_id, score_e6)."""
+    from .dedup import _barrier, _fan_out
+
+    if coarse_train_iters > 0:
+        coarse = kmeans_fit_int8(
+            corpus, k=n_centroids, n_iter=coarse_train_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        init = (
+            quantize_int8(corpus.orderBy(id_col).limit(n_centroids), id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        coarse = [(int(r[id_col]), [int(x) for x in r["qvec"]]) for r in init]
+    cb = (
+        pq_fit(corpus, m, ksub, train_iters, id_col, vec_col)
+        if train_iters > 0
+        else pq_default_codebook(corpus, m, ksub, id_col, vec_col)
+    )
+    qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
+    staged = _barrier(
+        qz.withColumn("__pq", _pq_choice(F.col("qvec"), cb)).withColumn(
+            "__ivf_cell",
+            F.array_max(_int_cell_scores(F.col("qvec"), coarse))["cid"],
+        )
+    )
+    c = staged.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col("__pq"), lambda x: x["cid"]).alias("codes"),
+        F.aggregate(
+            F.col("__pq"), F.lit(0).cast("long"), lambda acc, x: acc + x["n2"]
+        ).alias("rnorm2"),
+        "__ivf_cell",
+    )
+    qstaged = _barrier(
+        quantize_int8(queries, id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), "qvec")
+        .withColumn("__lut", _pq_lut(F.col("qvec"), cb))
+        .withColumn("__qn2", int_dot(F.col("qvec"), F.col("qvec")))
+    )
+    cells = F.slice(
+        F.array_sort(
+            _int_cell_scores(F.col("qvec"), coarse),
+            lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
+        ),
+        1,
+        n_probe,
+    )
+    q = qstaged.withColumn(
+        "__ivf_cell", F.explode(F.transform(cells, lambda x: x["cid"]))
+    ).select("query_id", "__lut", "__qn2", "__ivf_cell")
+    score = F.when(
+        (F.col("rnorm2") == 0) | (F.col("__qn2") == 0), F.lit(0.0)
+    ).otherwise(
+        _adc_score(F.col("codes"), F.col("__lut")).cast("double")
+        / (
+            F.sqrt(F.col("__qn2").cast("double"))
+            * F.sqrt(F.col("rnorm2").cast("double"))
+        )
+    )
+    scored = (
+        c.join(_maybe_broadcast(q, broadcast_limit), "__ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * 1000000).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("neighbor_id")
+    )
+    shortlist_k = k if refine <= 0 else refine * k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_k)
+    )
+    if refine <= 0:
+        return shortlist.select("query_id", "rank", "neighbor_id", "score_e6")
+    # exact rerank: candidate-sized id join back to the int8 corpus, then
+    # the bit-reproducible integer cosine (same math as quantized_cosine_topk)
+    cand = shortlist.select("query_id", "neighbor_id")
+    cv = qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+    qv = qstaged.select("query_id", F.col("qvec").alias("qv"))
+    rescore = int_dot(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    reranked = (
+        _maybe_broadcast(cand, broadcast_limit)
+        .join(cv, "neighbor_id")
+        .join(_maybe_broadcast(qv, broadcast_limit), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(rescore * 1000000).cast("long").alias("score_e6"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_e6")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cleaning chain first: it materializes the shared (memoized) hep fixture,
 # so the two full-analysis numbers measure the single-pass jobs themselves.
 def _headline():
+    from bambooanalysis_spark.contract import approx as ca
     from bambooanalysis_spark.contract import extensions as ce
     from bambooanalysis_spark.contract import hep as ch
     from bambooanalysis_spark.contract import pipeline as cp
@@ -58,6 +59,8 @@ def _headline():
         # and the bigram-coherence corpus quality signal
         "embedding_kmeans": ce.q_embedding_kmeans,
         "bigram_coherence": ce.q_text_bigram_coherence,
+        # round-3 addition: IVF-PQ with ADC shortlist + exact int8 rerank
+        "ann_ivf_pq": ca.q_ann_ivf_pq_topk,
     }
 
 

@@ -1412,3 +1412,122 @@ def test_sessionize_salted_matches_unsalted(spark, sf_oracle):
 
     with _pytest.raises(ValueError):
         sessionize(df, gap_minutes=30, salt_minutes=10)
+
+
+# --- product quantization (round 3) ------------------------------------------
+
+def test_pq_encode_matches_numpy(spark, sf_oracle):
+    """PQ codes and reconstruction norms are exact integer arithmetic:
+    the full encode (int8 quantize -> per-subspace integer-L2 argmin with
+    ties to the lowest centroid id -> additive ||recon||^2) must replicate
+    bit-for-bit against an independent numpy implementation."""
+    import numpy as np
+
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cb = S.pq_default_codebook(emb, m=8, ksub=16)
+    got = {r["vec_id"]: (list(r["codes"]), r["rnorm2"])
+           for r in S.pq_encode(emb, cb).collect()}
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    V = np.stack(pdf["embedding"].map(np.asarray))
+    ma = np.abs(V).max(axis=1)
+    safe = np.where(ma == 0, 1, ma)
+    Q = np.where(
+        ma[:, None] == 0, 0,
+        np.floor(V.astype(np.float64) * 127.0 / safe[:, None] + 0.5),
+    ).astype(np.int64)
+    CB = np.array(cb)
+    m, ksub, dsub = CB.shape
+    for i, vid in enumerate(pdf["vec_id"]):
+        codes, rnorm2 = [], 0
+        for s in range(m):
+            sub = Q[i, s * dsub:(s + 1) * dsub]
+            cn2 = (CB[s] ** 2).sum(axis=1)
+            cost = cn2 - 2 * (CB[s] @ sub)
+            c = int(cost.argmin())  # argmin ties -> lowest index, same rule
+            codes.append(c)
+            rnorm2 += int(cn2[c])
+        assert got[int(vid)] == (codes, rnorm2), vid
+
+
+def test_pq_fit_reduces_reconstruction_cost(spark, sf_oracle):
+    """Training must help: per-subspace Lloyd's over the int8 subvectors
+    lowers (or holds) the total quantization cost sum_rows sum_s
+    ||q_sub - c||^2 vs the untrained first-k-rows codebook, and keeps the
+    codebook shape stable (fixed m x ksub; emptied cells carry over)."""
+    import numpy as np
+
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cb0 = S.pq_default_codebook(emb, m=8, ksub=16)
+    cb2 = S.pq_fit(emb, m=8, ksub=16, n_iter=2)
+    assert len(cb2) == 8 and all(len(sub) == 16 for sub in cb2)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    V = np.stack(pdf["embedding"].map(np.asarray))
+    ma = np.abs(V).max(axis=1)
+    safe = np.where(ma == 0, 1, ma)
+    Q = np.where(
+        ma[:, None] == 0, 0,
+        np.floor(V.astype(np.float64) * 127.0 / safe[:, None] + 0.5),
+    ).astype(np.int64)
+
+    def total_cost(cb):
+        CB = np.array(cb)
+        m, _, dsub = CB.shape
+        tot = 0
+        for s in range(m):
+            sub = Q[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
+            tot += int(d2.min(axis=1).sum())
+        return tot
+
+    assert total_cost(cb2) <= total_cost(cb0)
+
+
+def test_ann_ivf_pq_recall(spark, sf_oracle):
+    """IVF-PQ with exact rerank must clear the same recall bar as the other
+    ANN paths (>= 0.5 vs float brute force at n_probe=6/16, refine=4), and
+    its reranked scores must equal the exact quantized brute-force scores
+    on shared pairs (the rerank IS quantized_cosine_topk's math; PQ only
+    selects the shortlist). The refine=0 path must still return k rows per
+    query (pure-ADC ordering)."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_sets = {}
+    for r in S.cosine_topk(emb, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = S.ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=6, refine=4
+    ).collect()
+    approx_sets, approx_scores = {}, {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_scores[(r["query_id"], r["neighbor_id"])] = r["score_e6"]
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    qbf = {
+        (r["query_id"], r["neighbor_id"]): r["qcosine_e6"]
+        for r in S.quantized_cosine_topk(emb, queries, k=10).collect()
+    }
+    shared = set(approx_scores) & set(qbf)
+    assert shared
+    for key in shared:
+        assert approx_scores[key] == qbf[key]
+
+    adc_only = S.ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=6, refine=0
+    ).collect()
+    per_q = {}
+    for r in adc_only:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q) == set(exact_sets) and all(v == 10 for v in per_q.values())
