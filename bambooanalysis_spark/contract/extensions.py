@@ -1941,9 +1941,12 @@ FROM r
 def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document dedup identity in one pass: exact-dedup group
     membership (canonical fingerprint + min-id representative + group
-    size), the first 4 MinHash signature slots (k=16, 3-shingles) and the
-    32-bit SimHash bit string over once-staged token hashes. Merges
-    round-2 dedup_exact + dedup_minhash_signature + dedup_simhash."""
+    size), the first 4 MinHash signature slots (k=16, 3-shingles), the
+    32-bit SimHash bit string over once-staged token hashes, and (round 3)
+    the C4-style line-level dedup columns — 8-word chunks counted across
+    the corpus, duplicated chunks dropped everywhere but the earliest
+    document, survivors rejoined in order. Merges round-2 dedup_exact +
+    dedup_minhash_signature + dedup_simhash (+ round-3 line_dedup)."""
     from ..operators import dedup as D
     from ..operators import text as T
 
@@ -1961,8 +1964,23 @@ def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
         D.simhash_bits_from_hashes(F.col("__hs"), nbits=32).alias("simhash"),
     )
-    return per_doc.join(groups, "fp").select(
-        "doc_id", "fp", "keep_id", "n_docs", "mh0", "mh1", "mh2", "mh3", "simhash"
+    ld = D.line_dedup(
+        _docs(spark, sf_dir),
+        lines=D.word_chunks(F.col("text"), n=8),
+        join_sep=" ",
+    ).select(
+        "doc_id",
+        F.col("text_dedup").alias("text_line_dedup"),
+        F.col("n_lines").alias("line_n_total"),
+        F.col("n_kept").alias("line_n_kept"),
+    )
+    return (
+        per_doc.join(groups, "fp")
+        .join(ld, "doc_id")
+        .select(
+            "doc_id", "fp", "keep_id", "n_docs", "mh0", "mh1", "mh2", "mh3",
+            "simhash", "text_line_dedup", "line_n_total", "line_n_kept",
+        )
     )
 
 
@@ -1992,14 +2010,37 @@ sim AS (
     FROM (SELECT doc_id,
                  list_transform(list_distinct(toks), t -> {_D_HASH64.format(s='t')}) AS hs
           FROM d) d
+),
+lw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+lc AS (
+    SELECT doc_id, t.i AS pos,
+           array_to_string(ws[(t.i * 8 + 1):(t.i * 8 + 8)], ' ') AS line
+    FROM lw CROSS JOIN generate_series(0, 4095) t(i)
+    WHERE t.i * 8 < len(ws)
+),
+lcnt AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id) AS first_id FROM lc GROUP BY line),
+lkeep AS (
+    SELECT lc.doc_id, lc.pos, lc.line,
+           (lcnt.cnt < 2 OR lc.doc_id = lcnt.first_id) AS keep
+    FROM lc JOIN lcnt USING (line)
+),
+ld AS (
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+               AS text_line_dedup,
+           COUNT(*) AS line_n_total,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS line_n_kept
+    FROM lkeep GROUP BY doc_id
 )
 SELECT d.doc_id, d.fp, g.keep_id, g.n_docs,
        sig.sig[1] AS mh0, sig.sig[2] AS mh1, sig.sig[3] AS mh2, sig.sig[4] AS mh3,
-       sim.simhash
+       sim.simhash, ld.text_line_dedup, ld.line_n_total, ld.line_n_kept
 FROM d
 JOIN g ON g.fp = d.fp
 JOIN sig ON sig.doc_id = d.doc_id
 JOIN sim ON sim.doc_id = d.doc_id
+JOIN ld ON ld.doc_id = d.doc_id
 """
 
 

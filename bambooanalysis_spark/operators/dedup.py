@@ -400,6 +400,81 @@ def connected_components(
     )
 
 
+def word_chunks(text: Column, n: int = 8, sep: str = " ") -> Column:
+    """Deterministic segmentation of a flat text into fixed-size word
+    chunks (array<string>): the 'line' unit for corpora whose documents
+    carry no newline structure. Pure per-row HOFs, zero shuffle."""
+    words = F.split(text, sep)
+    nchunks = F.ceil(F.size(words) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(words, i * n + 1, n), sep),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    lines: Column | None = None,
+    join_sep: str | None = None,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level deduplication: drop every line whose
+    exact form occurs in >= ``min_count`` line instances across the WHOLE
+    corpus — except (``keep_first``, default) the copies in the earliest
+    document (min id), which keeps one canonical occurrence of boilerplate
+    instead of erasing it everywhere. Returns one row per document:
+    (id, text_dedup, n_lines, n_kept), with surviving lines rejoined in
+    their original order (docs whose every line drops keep an empty text).
+
+    ``lines`` overrides the default ``F.split(text, sep)`` segmentation
+    (e.g. `word_chunks` for corpora without newline structure);
+    ``join_sep`` the reassembly separator (defaults to ``sep``).
+
+    Scale shape: posexplode -> ONE count aggregation keyed on md5(line)
+    (bounded key width; map-side partial aggregation collapses hot
+    boilerplate lines before the shuffle) -> count join back -> ONE
+    groupBy(id) reassembly. Three shuffles total, all on reduced or
+    id-keyed data; the count-join's hot keys (boilerplate) are exactly
+    what AQE skew-split handles (session default, pinned by
+    test_aqe_splits_planted_skew_join)."""
+    out_sep = sep if join_sep is None else join_sep
+    lines_col = lines if lines is not None else F.split(F.col(text_col), sep)
+    src = df.select(
+        F.col(id_col), F.posexplode(lines_col).alias("__pos", "__line")
+    ).withColumn("__k", F.md5(F.col("__line")))
+    counts = src.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min(id_col).alias("__first")
+    )
+    joined = src.join(counts, "__k")
+    keep = F.col("__cnt") < F.lit(min_count)
+    if keep_first:
+        keep = keep | (F.col(id_col) == F.col("__first"))
+    # collect_list skips NULLs: the conditional struct folds keep-filter,
+    # reassembly, and both counters into ONE aggregation
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("__pos", "__line")))
+            ).alias("__ks"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__ks"), lambda s: s["__line"]), out_sep
+            ).alias("text_dedup"),
+            "n_lines",
+            "n_kept",
+        )
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1531,3 +1531,43 @@ def test_ann_ivf_pq_recall(spark, sf_oracle):
     for r in adc_only:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert set(per_q) == set(exact_sets) and all(v == 10 for v in per_q.values())
+
+
+def test_line_dedup_semantics(spark):
+    """Constructed corpus: duplicated lines drop everywhere except the
+    earliest doc (keep_first), unique lines always survive, order is
+    preserved on reassembly, and a doc whose every line is boilerplate
+    from later docs comes back empty. min_count raises the bar; word_chunks
+    segments flat text deterministically."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.dedup import line_dedup, word_chunks
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique one\nBOILER\nunique two"),
+            Row(doc_id=2, text="BOILER\nother text"),
+            Row(doc_id=3, text="BOILER"),
+        ]
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_kept"])
+           for r in line_dedup(df).collect()}
+    assert got[1] == ("unique one\nBOILER\nunique two", 3, 3)  # earliest keeps
+    assert got[2] == ("other text", 2, 1)
+    assert got[3] == ("", 1, 0)  # all-boilerplate doc -> empty
+
+    nofirst = {r["doc_id"]: r["n_kept"]
+               for r in line_dedup(df, keep_first=False).collect()}
+    assert nofirst == {1: 2, 2: 1, 3: 0}  # nobody keeps BOILER
+
+    high = {r["doc_id"]: r["text_dedup"]
+            for r in line_dedup(df, min_count=4).collect()}
+    assert high[3] == "BOILER"  # threshold not reached: everything survives
+
+    # word_chunks: 8-word chunks rejoined with ' ' reproduce the original
+    flat = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h i j")])
+    out = line_dedup(
+        flat, lines=word_chunks(F.col("text"), n=8), join_sep=" "
+    ).collect()[0]
+    assert out["text_dedup"] == "a b c d e f g h i j"
+    assert out["n_lines"] == 2 and out["n_kept"] == 2
