@@ -2173,19 +2173,44 @@ FROM src s LEFT JOIN dropped d ON d.vec_id = s.vec_id
 """
 
 
+_LIN_B, _LIN_MULT, _LIN_MOD = 512, 2654435761, 1001
+
+
 def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashed bag-of-words vectors (round-3 addition): the
-    model-free text->vector bridge feeding the embedding-side operators
-    (operators/text.py:hashed_bow). dim=16 signed counts, CSV-serialized
-    for portable hashing (array-column convention of the signature
-    queries)."""
+    """Hashed-feature scoring family per document: feature-hashed
+    bag-of-words vectors (operators/text.py:hashed_bow, dim=16 signed
+    counts, CSV-serialized), plus (round 3) linear-classifier inference
+    over 512 hashed buckets (deterministic integer weights
+    w(b) = (b*2654435761) % 1001 - 500 — the model is driver metadata;
+    the formula stands in for trained coefficients) and the DSIR
+    importance-resampling sufficient statistics against the lang='en'
+    target slice (exact bucket-count sums; the float log-weight is
+    unit-tested against numpy and excluded here)."""
+    from ..operators.importance import dsir_importance, linear_score
     from ..operators.text import hashed_bow
 
-    out = hashed_bow(_docs(spark, sf_dir), dim=16)
-    return out.select(
-        "doc_id",
-        F.array_join(F.col("fvec").cast("array<string>"), ",").alias("fvec_csv"),
-        "nnz",
+    d = _docs(spark, sf_dir)
+    out = hashed_bow(d, dim=16)
+    ws = [((b * _LIN_MULT) % _LIN_MOD) - 500 for b in range(_LIN_B)]
+    lin = linear_score(d, ws).select(
+        "doc_id", F.col("score").alias("lin_score"), F.col("label").alias("lin_label")
+    )
+    dsir = dsir_importance(
+        d, F.col("lang") == "en", n_buckets=_LIN_B
+    ).select("doc_id", "n_tokens", "target_hits", "source_hits")
+    return (
+        out.join(lin, "doc_id")
+        .join(dsir, "doc_id")
+        .select(
+            "doc_id",
+            F.array_join(F.col("fvec").cast("array<string>"), ",").alias("fvec_csv"),
+            "nnz",
+            "lin_score",
+            "lin_label",
+            "n_tokens",
+            "target_hits",
+            "source_hits",
+        )
     )
 
 
@@ -2205,13 +2230,41 @@ pd AS (
     SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := v))) AS m,
            COUNT(*) AS nnz
     FROM pb GROUP BY doc_id
+),
+tb AS (
+    SELECT doc_id, {_D_HASH64.format(s='tok')} % {_LIN_B} AS b
+    FROM t
+),
+bs AS (
+    SELECT tb.b,
+           CAST(SUM(CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+           CAST(COUNT(*) AS BIGINT) AS sc
+    FROM tb JOIN documents dd ON dd.doc_id = tb.doc_id
+    GROUP BY tb.b
+),
+per AS (
+    SELECT tb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((tb.b * {_LIN_MULT}) % {_LIN_MOD} - 500) AS BIGINT) AS lin_score,
+           CAST(SUM(bs.tc) AS BIGINT) AS target_hits,
+           CAST(SUM(bs.sc) AS BIGINT) AS source_hits
+    FROM tb JOIN bs USING (b)
+    GROUP BY tb.doc_id
 )
 SELECT d.doc_id,
        array_to_string(
            list_transform(range(0, 16),
                j -> COALESCE(element_at(pd.m, j)[1], 0)), ',') AS fvec_csv,
-       CAST(COALESCE(pd.nnz, 0) AS BIGINT) AS nnz
-FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       CAST(COALESCE(pd.nnz, 0) AS BIGINT) AS nnz,
+       CAST(COALESCE(per.lin_score, 0) AS BIGINT) AS lin_score,
+       CAST(CASE WHEN COALESCE(per.lin_score, 0) >= 0 THEN 1 ELSE 0 END AS INT)
+           AS lin_label,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.target_hits, 0) AS BIGINT) AS target_hits,
+       CAST(COALESCE(per.source_hits, 0) AS BIGINT) AS source_hits
+FROM documents d
+LEFT JOIN pd ON pd.doc_id = d.doc_id
+LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
 

@@ -1571,3 +1571,67 @@ def test_line_dedup_semantics(spark):
     ).collect()[0]
     assert out["text_dedup"] == "a b c d e f g h i j"
     assert out["n_lines"] == 2 and out["n_kept"] == 2
+
+
+# --- data-selection scoring (round 3) ----------------------------------------
+
+def test_linear_score_matches_python(spark, sf_oracle):
+    """Linear-classifier inference over hashed buckets is exact integer
+    arithmetic: replicate score and label in plain Python from the same
+    md5-derived hashes."""
+    import hashlib
+
+    from bambooanalysis_spark.operators.importance import linear_score
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(50)
+    ws = [((b * 7919) % 201) - 100 for b in range(64)]
+    got = {r["doc_id"]: (r["score"], r["label"])
+           for r in linear_score(docs, ws, bias=3).collect()}
+
+    for row in docs.select("doc_id", "text").collect():
+        score = 3
+        for tok in [t for t in row["text"].split(" ") if t]:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            score += ws[h % 64]
+        assert got[row["doc_id"]] == (score, 1 if score >= 0 else 0)
+
+
+def test_dsir_importance_matches_numpy(spark, sf_oracle):
+    """DSIR sufficient statistics are exact; the log-likelihood-ratio
+    weight matches an independent numpy implementation to float tolerance
+    (sum order differs, so bitwise equality is not claimed)."""
+    import hashlib
+    import math
+
+    from bambooanalysis_spark.operators.importance import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    nb = 128
+    got = {r["doc_id"]: r for r in dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=nb).collect()}
+
+    rows = docs.select("doc_id", "text", "lang").collect()
+    tcnt, scnt = [0] * nb, [0] * nb
+    toks = {}
+    for r in rows:
+        bs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % nb
+              for t in r["text"].split(" ") if t]
+        toks[r["doc_id"]] = bs
+        for b in bs:
+            scnt[b] += 1
+            if r["lang"] == "en":
+                tcnt[b] += 1
+    nt, ns = sum(tcnt), sum(scnt)
+    lam = [math.log((tcnt[b] + 1) / (nt + nb)) - math.log((scnt[b] + 1) / (ns + nb))
+           for b in range(nb)]
+    for r in rows:
+        bs = toks[r["doc_id"]]
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(bs)
+        assert g["target_hits"] == sum(tcnt[b] for b in bs)
+        assert g["source_hits"] == sum(scnt[b] for b in bs)
+        assert abs(g["log_weight"] - sum(lam[b] for b in bs)) < 1e-9
+    # sanity: english docs skew to higher weights than non-english ones
+    en = [got[r["doc_id"]]["log_weight"] for r in rows if r["lang"] == "en"]
+    other = [got[r["doc_id"]]["log_weight"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
