@@ -557,11 +557,20 @@ FROM d
 # --- dedup: near-dup clustering (LSH pairs -> connected components) ----------
 
 def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster table (connected components over the LSH pair
+    graph) plus (round 3) the online first-claim keep bit — kept iff the
+    doc is the earliest in EVERY band bucket it occupies, the batch mirror
+    of the streaming band-vote dedup
+    (streaming/stateful.py:streaming_lsh_band_votes)."""
     from ..operators import dedup as D
 
-    return D.near_dup_clusters(
+    clusters = D.near_dup_clusters(
         _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
-    ).orderBy("doc_id")
+    )
+    fc = D.lsh_first_claim_keeps(
+        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
+    ).select("doc_id", F.col("kept_i").alias("first_claim_kept_i"))
+    return clusters.join(fc, "doc_id").orderBy("doc_id")
 
 
 # Same banded-LSH pair graph as ORACLE_DEDUP_MINHASH_LSH, then connected
@@ -581,9 +590,38 @@ reach(id, anc) AS (
     SELECT doc_id, doc_id FROM {src}
     UNION
     SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+fc AS (
+    WITH fd AS (
+        SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM {src}
+    ),
+    fsh AS (
+        SELECT doc_id,
+               list_transform(range(1, GREATEST(len(toks), 1)),
+                              i -> concat_ws(' ', toks[i], toks[i + 1])) AS sh
+        FROM fd
+    ),
+    fsig AS (SELECT doc_id, {_D_SIG} AS sig FROM fsh AS sh),
+    fbanded AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 8),
+                   b -> md5(concat(CAST(b AS VARCHAR), ':',
+                        array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+                                                       v -> CAST(v AS VARCHAR)), '-')))))
+                   AS band_key
+        FROM fsig WHERE sig[1] <> -1
+    ),
+    ffirst AS (SELECT band_key, MIN(doc_id) AS first_id FROM fbanded GROUP BY band_key)
+    SELECT b.doc_id,
+           CAST(MIN(CASE WHEN b.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_claim_kept_i
+    FROM fbanded b JOIN ffirst f USING (band_key)
+    GROUP BY b.doc_id
 )
-SELECT id AS doc_id, MIN(anc) AS cluster_id, MIN(anc) = id AS is_representative
-FROM reach GROUP BY id ORDER BY doc_id
+SELECT r.id AS doc_id, MIN(r.anc) AS cluster_id, MIN(r.anc) = r.id AS is_representative,
+       CAST(COALESCE(MIN(fc.first_claim_kept_i), 1) AS BIGINT) AS first_claim_kept_i
+FROM reach r LEFT JOIN fc ON fc.doc_id = r.id
+GROUP BY r.id ORDER BY r.id
 """
 
 

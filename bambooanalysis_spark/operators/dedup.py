@@ -400,6 +400,70 @@ def connected_components(
     )
 
 
+def banded_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, band_key) exploded LSH band memberships — the shared input of
+    the batch first-claim rule and the streaming band-vote dedup. Docs too
+    short to shingle are EXCLUDED (their sentinel signature would alias
+    every such doc into the same buckets); callers treat absent docs as
+    trivially kept. Signature staged once per row (barrier), distinct
+    band keys per doc (a doc never votes twice in one bucket)."""
+    rows = k // bands
+    staged = _barrier(
+        df.select(
+            F.col(id_col),
+            minhash_signature(F.col(text_col), k=k, shingle_k=shingle_k).alias(
+                "__sig"
+            ),
+        )
+    ).where(F.element_at("__sig", 1) != -1)
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(lsh_band_keys(F.col("__sig"), bands, rows))
+        ).alias("band_key"),
+    )
+
+
+def lsh_first_claim_keeps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Online (first-claim) near-dup dedup, batch form: a document is kept
+    iff it is the EARLIEST (min id) document in every LSH band bucket it
+    occupies — the order-independent batch mirror of the streaming
+    band-vote rule (streaming/stateful.py:streaming_lsh_band_votes), and
+    the greedy keep-list a single-pass online deduper produces when items
+    arrive in id order. Returns (id, kept_i 0/1 long) for every input doc
+    (too-short docs keep trivially).
+
+    Scale shape: one groupBy(band_key) min + one count-sized join back +
+    one groupBy(id) — all keys bounded by the banding, no pair expansion
+    at all (cheaper than the pair/cluster pipeline when only a keep-list
+    is needed; unlike connected components it needs no iteration)."""
+    banded = banded_docs(df, id_col, text_col, k, bands, shingle_k)
+    firsts = banded.groupBy("band_key").agg(F.min(id_col).alias("__first"))
+    votes = banded.join(firsts, "band_key")
+    decided = votes.groupBy(id_col).agg(
+        F.min((F.col(id_col) == F.col("__first")).cast("long")).alias("kept_i")
+    )
+    return (
+        df.select(id_col)
+        .join(decided, id_col, "left")
+        .select(id_col, F.coalesce(F.col("kept_i"), F.lit(1)).alias("kept_i"))
+    )
+
+
 def word_chunks(text: Column, n: int = 8, sep: str = " ") -> Column:
     """Deterministic segmentation of a flat text into fixed-size word
     chunks (array<string>): the 'line' unit for corpora whose documents

@@ -97,3 +97,56 @@ def streaming_exact_dedup(docs_with_fp: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming near-dup dedup (MinHash-LSH, round 3) -------------------------
+
+BAND_VOTE_SCHEMA = "doc_id bigint, band_key string, is_first int"
+BAND_STATE_SCHEMA = "min_id bigint"
+
+
+def _band_votes_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    ids: list[int] = []
+    for pdf in pdf_iter:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    cur = state.get[0] if state.exists else None
+    gmin = min(ids) if cur is None else min(cur, min(ids))
+    state.update((int(gmin),))
+    yield pd.DataFrame(
+        {
+            "doc_id": ids,
+            "band_key": [key[0]] * len(ids),
+            "is_first": [1 if i == gmin else 0 for i in ids],
+        }
+    )
+
+
+def streaming_lsh_band_votes(banded: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-dup dedup, stage 1: per-bucket claim
+    state. Input is the exploded (doc_id, band_key) stream
+    (operators.dedup.banded_docs); per band bucket the state holds the
+    minimum doc id seen so far, and each arriving doc gets a VOTE
+    is_first = 1 iff it is that minimum. A document is a near-duplicate
+    exactly when any of its buckets votes 0 — the assembly
+    (groupBy(doc_id).min(is_first)) is stateless because all of a doc's
+    votes are emitted in its own micro-batch, so it runs in foreachBatch
+    or over the collected sink (tests do the latter).
+
+    Semantics match batch `lsh_first_claim_keeps` whenever docs arrive in
+    id order (the online reality: earlier item claims the bucket). State
+    is one long per DISTINCT band bucket, sharded by the shuffle on
+    band_key — the same key space as the batch LSH join, checkpointable,
+    evictable by timeout when the dedup window is bounded."""
+    return banded.groupBy("band_key").applyInPandasWithState(
+        _band_votes_update,
+        outputStructType=BAND_VOTE_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1635,3 +1635,56 @@ def test_dsir_importance_matches_numpy(spark, sf_oracle):
     en = [got[r["doc_id"]]["log_weight"] for r in rows if r["lang"] == "en"]
     other = [got[r["doc_id"]]["log_weight"] for r in rows if r["lang"] != "en"]
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_streaming_lsh_near_dup_matches_batch(spark, tmp_path, sf_oracle):
+    """Streaming MinHash-LSH dedup (per-bucket claim state + stateless
+    vote assembly) must reproduce the batch first-claim keep-list when
+    documents arrive in id order, on real corpus data with planted
+    near-duplicates split across micro-batches."""
+    from bambooanalysis_spark.operators.dedup import (
+        banded_docs,
+        lsh_first_claim_keeps,
+    )
+    from bambooanalysis_spark.streaming.stateful import streaming_lsh_band_votes
+
+    docs = (
+        spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    batch_keeps = {
+        r["doc_id"]: r["kept_i"] for r in lsh_first_claim_keeps(docs).collect()
+    }
+    assert 0 in set(batch_keeps.values())  # corpus has planted near-dups
+
+    # id-ordered micro-batches: [0,60) then [60,120)
+    merged = str(tmp_path / "banded_stream")
+    banded = banded_docs(docs).orderBy("doc_id")
+    banded.where(F.col("doc_id") < 60).coalesce(1).write.parquet(merged)
+    banded.where(F.col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(
+        merged
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, band_key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(merged)
+    )
+    q = (
+        streaming_lsh_band_votes(stream)
+        .writeStream.format("memory")
+        .queryName("band_votes")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["kept_i"]
+        for r in spark.sql(
+            "SELECT doc_id, MIN(is_first) AS kept_i FROM band_votes GROUP BY doc_id"
+        ).collect()
+    }
+    # docs excluded from banding (too short) are trivially kept
+    for d, kept in batch_keeps.items():
+        assert got.get(d, 1) == kept, d
