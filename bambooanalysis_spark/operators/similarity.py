@@ -650,6 +650,10 @@ def ivf_topk_quantized(
 
 # --- clustering: exact integer spherical k-means ------------------------------
 
+def _int_array_lit(vals: list[int]) -> str:
+    return "array(%s)" % ",".join(f"{int(x)}L" for x in vals)
+
+
 def _int_cell_scores(
     qcol: Column, centroids: list[tuple[int, list[int]]]
 ) -> Column:
@@ -658,28 +662,37 @@ def _int_cell_scores(
     no collect at scoring time), but every input is an integer code, so the
     one double division per centroid is correctly-rounded IEEE on identical
     operands in any engine — scores, and therefore argmax cells, are
-    bit-reproducible. All-zero centroids guard the norm with 1.0 (score 0)."""
+    bit-reproducible. All-zero centroids guard the norm with 1.0 (score 0).
+
+    The codebook and the (cid, 1/||c||) metadata enter the plan as TWO
+    textual literals (PERFORMANCE.md §11): the previous per-element F.lit
+    form cost one py4j call per integer — ~1k driver round-trips per
+    operator invocation, pure plan-build latency."""
     import math
 
-    entries = []
-    for cid, c in centroids:
-        nrm = math.sqrt(float(sum(x * x for x in c))) or 1.0
-        dot = F.aggregate(
-            F.zip_with(
-                qcol,
-                F.array(*[F.lit(int(x)) for x in c]),
-                lambda x, y: x.cast("long") * y.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        entries.append(
-            F.struct(
-                (dot.cast("double") / F.lit(nrm)).alias("s"),
-                F.lit(int(cid)).alias("cid"),
+    cb = F.expr(
+        "array(%s)" % ",".join(_int_array_lit(c) for _cid, c in centroids)
+    )
+    meta = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('cid', {cid}, 'nrm', {nrm!r}D)".format(
+                cid=int(cid),
+                nrm=math.sqrt(float(sum(x * x for x in c))) or 1.0,
             )
+            for cid, c in centroids
         )
-    return F.array(*entries)
+    )
+    # divide by the norm (NOT multiply by a reciprocal): x/n and x*(1/n)
+    # differ in the last ulp, and the SQL oracles replicate the division
+    dots = F.transform(cb, lambda cv: int_dot(qcol, cv))
+    return F.zip_with(
+        dots,
+        meta,
+        lambda d, m: F.struct(
+            (d.cast("double") / m["nrm"]).alias("s"), m["cid"].alias("cid")
+        ),
+    )
 
 
 def kmeans_fit_int8(
@@ -812,18 +825,29 @@ def _pq_choice(qvec: Column, codebook: list[list[list[int]]]) -> Column:
     chosen = []
     for s in range(m):
         sub = F.slice(qvec, s * dsub + 1, dsub)
-        entries = [
-            F.struct(
-                (
-                    F.lit(cn2[s][c]).cast("long")
-                    - 2 * int_dot(sub, F.array(*[F.lit(int(x)) for x in cvec]))
-                ).alias("cost"),
-                F.lit(c).alias("cid"),
-                F.lit(cn2[s][c]).cast("long").alias("n2"),
+        # codebook + (cid, ||c||^2) metadata as TWO textual literals per
+        # subspace (PERFORMANCE.md §11) — the per-element F.lit form cost
+        # m*ksub*dsub py4j calls of pure plan-build latency
+        cbs = F.expr(
+            "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
+        )
+        meta = F.expr(
+            "array(%s)"
+            % ",".join(
+                f"named_struct('cid', {c}, 'n2', {int(n2)}L)"
+                for c, n2 in enumerate(cn2[s])
             )
-            for c, cvec in enumerate(codebook[s])
-        ]
-        chosen.append(F.array_min(F.array(*entries)))
+        )
+        entries = F.zip_with(
+            F.transform(cbs, lambda cv: int_dot(sub, cv)),
+            meta,
+            lambda d, mm: F.struct(
+                (mm["n2"] - 2 * d).alias("cost"),
+                mm["cid"].alias("cid"),
+                mm["n2"].alias("n2"),
+            ),
+        )
+        chosen.append(F.array_min(entries))
     return F.array(*chosen)
 
 
@@ -920,14 +944,10 @@ def _pq_lut(qvec: Column, codebook: list[list[list[int]]]) -> Column:
     per_s = []
     for s in range(m):
         sub = F.slice(qvec, s * dsub + 1, dsub)
-        per_s.append(
-            F.array(
-                *[
-                    int_dot(sub, F.array(*[F.lit(int(x)) for x in cvec]))
-                    for cvec in codebook[s]
-                ]
-            )
+        cbs = F.expr(
+            "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
         )
+        per_s.append(F.transform(cbs, lambda cv: int_dot(sub, cv)))
     return F.array(*per_s)
 
 
@@ -1032,6 +1052,12 @@ def ivf_pq_topk(
     q = qstaged.withColumn(
         "__ivf_cell", F.explode(F.transform(cells, lambda x: x["cid"]))
     ).select("query_id", "__lut", "__qn2", "__ivf_cell")
+    # ONE cheap probe of the query side sizes every broadcast decision
+    # below; probing the shortlist itself (_maybe_broadcast(cand)) would
+    # execute the whole ADC pipeline once extra just to count it
+    nq = qstaged.limit(broadcast_limit + 1).count()
+    if nq * max(n_probe, 1) <= broadcast_limit:
+        q = F.broadcast(q)
     score = F.when(
         (F.col("rnorm2") == 0) | (F.col("__qn2") == 0), F.lit(0.0)
     ).otherwise(
@@ -1042,7 +1068,7 @@ def ivf_pq_topk(
         )
     )
     scored = (
-        c.join(_maybe_broadcast(q, broadcast_limit), "__ivf_cell")
+        c.join(q, "__ivf_cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1069,10 +1095,13 @@ def ivf_pq_topk(
         F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
         * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
     )
+    if nq <= broadcast_limit and nq * refine * k <= 2_000_000:
+        cand = F.broadcast(cand)
+    if nq <= broadcast_limit:
+        qv = F.broadcast(qv)
     reranked = (
-        _maybe_broadcast(cand, broadcast_limit)
-        .join(cv, "neighbor_id")
-        .join(_maybe_broadcast(qv, broadcast_limit), "query_id")
+        cand.join(cv, "neighbor_id")
+        .join(qv, "query_id")
         .select(
             "query_id",
             "neighbor_id",
