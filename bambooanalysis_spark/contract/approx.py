@@ -52,6 +52,21 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=6, refine=4)
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization end-to-end: merges trained on the corpus
+    word-frequency table (driver-side greedy loop over a bounded dict),
+    applied corpus-wide via Arrow-batched mapInPandas. Deterministic but
+    genuinely non-SQL-expressible (unbounded ranked-merge iteration per
+    word), so rows-only; the algorithm is pinned by hand-computed examples
+    and reconstruction/determinism properties in
+    tests/test_extensions.py::test_bpe_*."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=64)
+    return bpe_encode(docs, merges)
+
+
 def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group (Greenwald-Khanna sketch via
     ``approx_percentile``) — the constant-memory companion to the exact
@@ -80,3 +95,4 @@ register("ann_lsh_topk", q_ann_lsh_topk)
 register("ann_ivf_topk", q_ann_ivf_topk)
 register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)
 register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)
+register("text_bpe_encode", q_text_bpe_encode)

@@ -1688,3 +1688,59 @@ def test_streaming_lsh_near_dup_matches_batch(spark, tmp_path, sf_oracle):
     # docs excluded from banding (too short) are trivially kept
     for d, kept in batch_keeps.items():
         assert got.get(d, 1) == kept, d
+
+
+# --- BPE tokenizer (round 3) -------------------------------------------------
+
+def test_bpe_train_hand_computed(spark):
+    """Merges on a tiny weighted vocabulary match the classic worked
+    example: the most frequent adjacent pair merges first, ties break to
+    the lexicographically smallest pair, and merging stops when no pair
+    repeats."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.bpe import EOW, bpe_train
+
+    # 'aaab' x3, 'aab' x2: pair counts round 1 -> (a,a)=3+3+2=8? no:
+    # per-word adjacent pairs weighted by word count:
+    #   aaab</w>: (a,a)x2, (a,b), (b,</w>) each weight 3
+    #   aab</w>:  (a,a), (a,b), (b,</w>) each weight 2
+    # => (a,a)=8, (a,b)=5, (b,</w>)=5 -> merge (a,a) first
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab aaab aab aab")]
+    )
+    merges = bpe_train(df, n_merges=2)
+    assert merges[0] == ("a", "a")
+    # round 2: aa+ab</w> counts: aaab -> [aa,a,b,</w>]: (aa,a)=3,(a,b)=3,
+    # (b,</w>)=5(3+2); aab -> [aa,b,</w>]: (aa,b)=2
+    assert merges[1] == ("b", EOW)
+
+
+def test_bpe_encode_reconstructs_and_is_deterministic(spark, sf_oracle):
+    """Properties on real corpus data: subwords concatenate back to the
+    original words (with the end-of-word marker stripped), n_words matches
+    the whitespace tokenization, more merges never increase the subword
+    count, and the encode is invariant to input partitioning."""
+    from bambooanalysis_spark.operators.bpe import EOW, bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").where(
+        F.col("doc_id") < 100
+    )
+    merges = bpe_train(docs, n_merges=64)
+    assert len(merges) == 64
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for d, r in out.items():
+        words = [w for w in texts[d].split(" ") if w]
+        assert r["n_words"] == len(words)
+        rebuilt = r["subwords_csv"].replace(",", "").replace(EOW, " ").rstrip()
+        assert rebuilt == " ".join(words)
+        assert r["n_subwords"] >= r["n_words"]  # >= one subword per word
+
+    fewer = {r["doc_id"]: r["n_subwords"]
+             for r in bpe_encode(docs, merges[:8]).collect()}
+    assert all(fewer[d] >= out[d]["n_subwords"] for d in out)
+
+    repart = {r["doc_id"]: r["subwords_csv"]
+              for r in bpe_encode(docs.repartition(7), merges).collect()}
+    assert repart == {d: r["subwords_csv"] for d, r in out.items()}
