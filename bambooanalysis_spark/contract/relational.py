@@ -141,6 +141,13 @@ GROUP BY n_name
 # --- semi / anti joins (EXISTS / NOT EXISTS between tables) -----------------
 
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins plus (round 3) the table-maintenance family —
+    MERGE upsert/delete and SCD2 history (sources/merge.py) — exercised on
+    a deterministic change batch derived from customer and emitted as
+    tagged (c_custkey, status) disposition rows in the same union shape.
+    The statuses come from the ACTUAL merged snapshot / history
+    DataFrames, so a mishandled delete, lost update, or wrong validity
+    interval breaks the hash against the directly-derived oracle."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     big = orders.where(F.col("o_totalprice") > 150000.0)
@@ -150,15 +157,116 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     without = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", F.lit("no_orders").alias("status")
     )
-    return with_big.unionAll(without)
+
+    from ..sources.merge import merge_snapshot, scd2_apply, scd2_as_of, scd2_init
+
+    snap = customer.select("c_custkey", "c_nationkey")
+    k = F.col("c_custkey")
+    chg = (
+        snap.where(k % 10 == 0)
+        .select("c_custkey", (F.col("c_nationkey") + 100).alias("c_nationkey"), F.lit("U").alias("op"))
+        .unionByName(
+            snap.where((k % 17 == 3) & (k % 10 != 0)).select(
+                "c_custkey", "c_nationkey", F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            snap.where(k % 97 == 5).select(
+                (k + 1000000).alias("c_custkey"),
+                F.lit(77).cast(snap.schema["c_nationkey"].dataType).alias("c_nationkey"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merged = merge_snapshot(snap, chg, key="c_custkey")
+    ups = chg.where(F.col("op") != "D").select("c_custkey")
+    m_upserted = merged.join(F.broadcast(ups), "c_custkey", "left_semi").select(
+        "c_custkey",
+        F.concat(F.lit("merge_upserted:"), F.col("c_nationkey").cast("string")).alias("status"),
+    )
+    m_kept = merged.join(F.broadcast(chg.select("c_custkey")), "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("merge_kept").alias("status")
+    )
+    m_deleted = (
+        chg.where(F.col("op") == "D")
+        .select("c_custkey")
+        .join(merged, "c_custkey", "left_anti")
+        .select("c_custkey", F.lit("merge_deleted").alias("status"))
+    )
+
+    hist = scd2_init(
+        snap.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        "c_custkey",
+        ["c_nationkey"],
+    )
+    hist1 = scd2_apply(
+        hist,
+        chg.where(F.col("op") != "D").withColumn(
+            "ts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+        ),
+        "c_custkey",
+        ["c_nationkey"],
+    )
+    s_closed = hist1.where(~F.col("is_current") & F.col("valid_to").isNotNull()).select(
+        "c_custkey", F.lit("scd2_closed").alias("status")
+    )
+    s_current = hist1.where(F.col("is_current")).join(
+        F.broadcast(ups), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        F.concat(F.lit("scd2_current:"), F.col("c_nationkey").cast("string")).alias("status"),
+    )
+    s_asof = scd2_as_of(hist1, "2024-03-01 00:00:00").join(
+        F.broadcast(ups), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        F.concat(F.lit("scd2_asof_old:"), F.col("c_nationkey").cast("string")).alias("status"),
+    )
+    return (
+        with_big.unionAll(without)
+        .unionAll(m_upserted)
+        .unionAll(m_kept)
+        .unionAll(m_deleted)
+        .unionAll(s_closed)
+        .unionAll(s_current)
+        .unionAll(s_asof)
+    )
 
 
 ORACLE_SEMI_ANTI_JOIN = """
+WITH chg AS (
+    SELECT c_custkey, c_nationkey + 100 AS c_nationkey, 'U' AS op
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_nationkey, 'D' AS op
+    FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, 77 AS c_nationkey, 'I' AS op
+    FROM customer WHERE c_custkey % 97 = 5
+)
 SELECT c_custkey, 'has_big_order' AS status FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
 UNION ALL
 SELECT c_custkey, 'no_orders' AS status FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'merge_upserted:' || CAST(c_nationkey AS VARCHAR) AS status
+FROM chg WHERE op <> 'D'
+UNION ALL
+SELECT c.c_custkey, 'merge_kept' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'merge_deleted' AS status FROM chg WHERE op = 'D'
+UNION ALL
+SELECT c_custkey, 'scd2_closed' AS status FROM chg
+WHERE op <> 'D' AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = chg.c_custkey)
+UNION ALL
+SELECT c_custkey, 'scd2_current:' || CAST(c_nationkey AS VARCHAR) AS status
+FROM chg WHERE op <> 'D'
+UNION ALL
+SELECT chg.c_custkey, 'scd2_asof_old:' || CAST(c.c_nationkey AS VARCHAR) AS status
+FROM chg JOIN customer c ON c.c_custkey = chg.c_custkey
+WHERE chg.op <> 'D'
 """
 
 

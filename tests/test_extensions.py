@@ -1744,3 +1744,58 @@ def test_bpe_encode_reconstructs_and_is_deterministic(spark, sf_oracle):
     repart = {r["doc_id"]: r["subwords_csv"]
               for r in bpe_encode(docs.repartition(7), merges).collect()}
     assert repart == {d: r["subwords_csv"] for d, r in out.items()}
+
+
+# --- table maintenance: MERGE / SCD2 (round 3) -------------------------------
+
+def test_merge_snapshot_and_scd2(spark):
+    """Constructed change batch: update wins over snapshot, delete removes
+    the key, insert appears, untouched rows pass through; SCD2 closes the
+    changed key's interval and opens a new current one; as-of reads see
+    the old value before the change and the new one after; latest_per_key
+    collapses multi-version batches."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.sources.merge import (
+        latest_per_key,
+        merge_snapshot,
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    snap = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    chg = spark.createDataFrame(
+        [Row(k=2, v="B2", op="U"), Row(k=3, v=None, op="D"), Row(k=9, v="i", op="I")]
+    )
+    got = {r["k"]: r["v"] for r in merge_snapshot(snap, chg, key="k").collect()}
+    assert got == {1: "a", 2: "B2", 9: "i"}
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    hist = scd2_init(snap.withColumn("ts", F.lit(t0)), "k", ["v"])
+    hist1 = scd2_apply(
+        hist, chg.where(F.col("op") != "D").withColumn("ts", F.lit(t1)), "k", ["v"]
+    )
+    rows = [(r["k"], r["v"], r["valid_to"], r["is_current"])
+            for r in hist1.orderBy("k", "valid_from").collect()]
+    assert (2, "b", t1, False) in rows          # closed old version
+    assert (2, "B2", None, True) in rows        # opened new current
+    assert (9, "i", None, True) in rows         # insert opens current
+    assert (1, "a", None, True) in rows         # untouched stays current
+    assert len(rows) == 5
+
+    asof_feb = {r["k"]: r["v"]
+                for r in scd2_as_of(hist1, "2024-02-01").collect()}
+    assert asof_feb == {1: "a", 2: "b", 3: "c"}  # pre-change world
+    asof_jul = {r["k"]: r["v"]
+                for r in scd2_as_of(hist1, "2024-07-01").collect()}
+    assert asof_jul == {1: "a", 2: "B2", 3: "c", 9: "i"}
+
+    multi = spark.createDataFrame(
+        [Row(k=2, v="x", ver=1), Row(k=2, v="y", ver=3), Row(k=2, v="z", ver=2)]
+    )
+    assert latest_per_key(multi, "k", "ver").collect()[0]["v"] == "y"
