@@ -10,6 +10,8 @@ accuracy unit test:
 - ``ann_ivf_topk``            — IVF recall gate, tests/test_extensions.py
 - ``ann_ivf_quantized_topk``  — quantized-IVF recall gate (round 3)
 - ``ann_ivf_pq_topk``         — IVF-PQ (ADC + exact rerank) recall gate (round 3)
+- ``retrieval_bm25_topk``     — exact-vs-Python BM25 gate, tests/test_retrieval.py
+- ``retrieval_hybrid_rrf``    — hand-computed RRF gate, tests/test_retrieval.py
 
 and every one of them runs (rows+schema materialization) in the in-repo gate
 ``tests/test_contract_oracle.py``.
@@ -89,6 +91,47 @@ def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 for five fixed document-derived queries (the
+    first 8 tokens of docs 0-4 as query strings). Scores are IEEE doubles
+    (BM25's ln has no engine-portable fixed-point form), so rows-only —
+    same policy as tf-idf; the scoring math is pinned exactly against a
+    plain-Python reference by
+    tests/test_retrieval.py::test_bm25_matches_python_reference."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("qtext"),
+    )
+    return bm25_topk(docs, qs, k=10)
+
+
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranks fused with exact-cosine vector
+    ranks by reciprocal-rank fusion (fused score is integer-exact given the
+    input ranks, but the upstream ranks are float-derived, so rows-only;
+    fusion arithmetic pinned by
+    tests/test_retrieval.py::test_rrf_fuse_hand_computed)."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("qtext"),
+    )
+    lex = bm25_topk(docs, qs, k=10)
+    emb = _emb(spark, sf_dir)
+    vec = cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, vec, k0=60, k=10)
+
+
 register("sketch_approx_distinct", q_sketch_approx_distinct)
 register("sketch_approx_quantiles", q_sketch_approx_quantiles)
 register("ann_lsh_topk", q_ann_lsh_topk)
@@ -96,3 +139,5 @@ register("ann_ivf_topk", q_ann_ivf_topk)
 register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)
 register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)
 register("text_bpe_encode", q_text_bpe_encode)
+register("retrieval_bm25_topk", q_retrieval_bm25_topk)
+register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf)

@@ -1802,19 +1802,39 @@ WHERE NOT EXISTS (
 
 
 def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All per-document text-analysis scalars in ONE projection (one scan,
-    zero shuffle): token/char/punct/stopword counts + quality score
+    """All per-document text-analysis scalars in ONE pass (one scan, zero
+    shuffle): token/char/punct/stopword counts + quality score
     (text_stats), n-gram language ID with per-language scores
     (text_langid), normalized fingerprint + 62-bit hash
     (text_fingerprint), BPE-ish subword count + expansion factor
-    (text_bpe_tokens). Merges those four round-2 queries."""
+    (text_bpe_tokens), and — round-3 window consolidation, folding
+    text_filters in — the Gopher-style repetition statistics plus the
+    per-rule quality-filter booleans over once-staged token/run arrays.
+    Merges six former queries into one driver-window slot."""
     from ..operators import text as T
+    from ..operators.dedup import _barrier
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = _barrier(d.withColumn("__toks", T.tokens(F.col("text"))))
+    staged = _barrier(
+        staged.withColumn(
+            "__r2",
+            T.run_stats(F.array_sort(T.shingles_from_tokens(F.col("__toks"), 2))),
+        ).withColumn(
+            "__r5",
+            T.run_stats(F.array_sort(T.shingles_from_tokens(F.col("__toks"), 5))),
+        )
+    )
     t = F.col("text")
     scores = T.lang_scores(t)
-    return d.select(
+    flags = T.quality_flags(t, F.col("__r2"), F.col("__r5"))
+    return staged.select(
         "doc_id",
+        F.col("__r2")["top"].alias("top_2gram"),
+        F.col("__r2")["top_count"].alias("top2_count"),
+        T.top_ngram_char_frac_e4(F.col("__r2"), t).alias("top2_frac_e4"),
+        T.dup_ngram_char_frac_e4(F.col("__r5"), t).alias("dup5_frac_e4"),
+        *[c.alias(name) for name, c in flags.items()],
         T.token_count(t).alias("n_tokens"),
         T.char_count(t).alias("n_chars_m"),
         T.punct_count(t).alias("n_punct"),
@@ -1861,8 +1881,46 @@ s AS (
            {score['es']} AS score_es,
            {score['fr']} AS score_fr
     FROM d
+),
+g2 AS ({_ngram_cte(2)}),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c2
+),
+g5 AS ({_ngram_cte(5)}),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+    SELECT doc_id, SUM(c * LENGTH(gram)) AS dup_chars FROM c5 WHERE c > 1
+    GROUP BY doc_id
+),
+r AS (
+    SELECT d.doc_id,
+           t2.gram AS top_2gram,
+           CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2_count,
+           CASE WHEN COALESCE(t2.c, 0) > 1
+                THEN LEAST(10000, CAST(FLOOR(t2.c * LENGTH(t2.gram) * 10000 / d.nc) AS BIGINT))
+                ELSE 0 END AS top2_frac_e4,
+           LEAST(10000, CAST(FLOOR(COALESCE(d5.dup_chars, 0) * 10000 / d.nc) AS BIGINT)) AS dup5_frac_e4,
+           s.nt BETWEEN 20 AND 100000 AS keep_len,
+           CASE WHEN s.nt > 0
+                THEN CAST(FLOOR(s.total_len * 10000 / s.nt) AS BIGINT)
+                     BETWEEN 30000 AND 100000
+                ELSE FALSE END AS keep_avg_len,
+           s.ns >= 2 AS keep_stop
+    FROM d
+    JOIN s ON s.doc_id = d.doc_id
+    LEFT JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+    LEFT JOIN d5 ON d5.doc_id = d.doc_id
 )
-SELECT doc_id,
+SELECT s.doc_id,
+       r.top_2gram, r.top2_count, r.top2_frac_e4, r.dup5_frac_e4,
+       r.keep_len, r.keep_avg_len, r.keep_stop,
+       r.top2_frac_e4 <= 2000 AS keep_rep2,
+       r.dup5_frac_e4 <= 1500 AS keep_rep5,
+       r.keep_len AND r.keep_avg_len AND r.keep_stop
+           AND r.top2_frac_e4 <= 2000 AND r.dup5_frac_e4 <= 1500 AS keep,
        CAST(nt AS BIGINT) AS n_tokens,
        CAST(nc AS BIGINT) AS n_chars_m,
        CAST(np AS BIGINT) AS n_punct,
@@ -1884,7 +1942,7 @@ SELECT doc_id,
        {_D_HASH64.format(s='text')} AS h64,
        CAST(nb AS BIGINT) AS n_bpe_tokens,
        CASE WHEN nt > 0 THEN CAST(FLOOR(nb * 10000 / nt) AS BIGINT) ELSE 0 END AS expansion_e4
-FROM s
+FROM s JOIN r ON r.doc_id = s.doc_id
 """
 
 
@@ -2353,13 +2411,116 @@ FROM f JOIN meta m ON m.doc_id = f.doc_id
 """
 
 
+# --- RAG chunking (round-3 batch 5) -----------------------------------------
+
+def q_pretrain_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window RAG chunking: 32-token chunks every 24 tokens
+    (8-token overlap) with per-chunk md5 fingerprints — the indexing shape
+    that feeds embedding + retrieval stages. Zero shuffle (per-row HOF +
+    posexplode; see operators/retrieval.py)."""
+    from ..operators.retrieval import chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+    return chunks.withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+
+
+ORACLE_PRETRAIN_CHUNKING = f"""
+WITH d AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+c AS (SELECT doc_id, n, toks, UNNEST(range(0, n, 24)) AS start FROM s)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(LEAST(32, n - start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)), ' ') AS chunk_text,
+       md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)), ' ')) AS chunk_md5
+FROM c
+"""
+
+
+# --- count-min sketch (round-3 batch 5) --------------------------------------
+
+_CM_DEPTH, _CM_WIDTH = 3, 256
+_CM_PROBES = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+    "value", "fast", "zzz_absent_token",
+]
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the corpus token stream (d=3,
+    w=256; md5 hash family, so the sketch — and therefore every point
+    estimate — is deterministic and engine-portable), probed for the
+    stopword list + two corpus words + an absent token, with exact counts
+    joined alongside. est >= exact always (CM guarantee, also pinned by a
+    unit test); the sketch itself is bounded at d*w rows regardless of
+    corpus size and merges across shards by summing buckets."""
+    from ..operators.retrieval import cm_estimate, cm_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.length("term") > 0)
+    sk = cm_sketch(toks, "term", depth=_CM_DEPTH, width=_CM_WIDTH)
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES], ["term"])
+    est = cm_estimate(sk, probes, "term", depth=_CM_DEPTH, width=_CM_WIDTH)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est",
+            F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
+            (F.col("est") >= F.coalesce(F.col("exact_count"), F.lit(0))).alias("overest"),
+        )
+    )
+
+
+_CM_PROBES_SQL = "[" + ", ".join(f"'{p}'" for p in _CM_PROBES) + "]"
+_CM_ROWS_SQL = "[" + ", ".join(str(i) for i in range(_CM_DEPTH)) + "]"
+_CM_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % "
+    + str(_CM_WIDTH)
+)
+
+ORACLE_SKETCH_COUNT_MIN = f"""
+WITH toks AS (
+    SELECT UNNEST({_D_TOKENS.format(t='text')}) AS term FROM documents
+),
+h AS (
+    SELECT ds.d, toks.term FROM toks CROSS JOIN (SELECT UNNEST({_CM_ROWS_SQL}) AS d) ds
+),
+sk AS (
+    SELECT d, {_CM_BUCKET_SQL} AS bucket, COUNT(*) AS c FROM h GROUP BY 1, 2
+),
+probes AS (SELECT UNNEST({_CM_PROBES_SQL}) AS term),
+pb AS (
+    SELECT probes.term, ds.d,
+           {_CM_BUCKET_SQL} AS bucket
+    FROM probes CROSS JOIN (SELECT UNNEST({_CM_ROWS_SQL}) AS d) ds
+),
+est AS (
+    SELECT pb.term, MIN(COALESCE(sk.c, 0)) AS est
+    FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket
+    GROUP BY pb.term
+),
+ex AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+SELECT est.term,
+       CAST(est.est AS BIGINT) AS est,
+       CAST(COALESCE(ex.c, 0) AS BIGINT) AS exact_count,
+       est.est >= COALESCE(ex.c, 0) AS overest
+FROM est LEFT JOIN ex ON ex.term = est.term
+"""
+
+
 def _register_all() -> None:
     """Driver-window registration: every oracle-checked extension query, in
     family order. Must stay within the first-50 window jointly with
     contract/hep.py and contract/relational.py — see contract/__init__.py."""
-    # text analysis
+    # text analysis (text_filters rides text_doc_features since round 3,
+    # batch 5 — the freed slot funds sketch_count_min below)
     register("text_doc_features", q_text_doc_features, _oracle_text_doc_features())
-    register("text_filters", q_text_filters, ORACLE_TEXT_FILTERS)
     register("text_vocabulary", q_text_vocabulary, ORACLE_TEXT_VOCABULARY)
     register(
         "text_bigram_coherence", q_text_bigram_coherence, ORACLE_TEXT_BIGRAM_COHERENCE
@@ -2422,6 +2583,9 @@ def _register_all() -> None:
         "pretrain_pack_sequences", q_pretrain_pack_sequences, ORACLE_PRETRAIN_PACK_SEQUENCES
     )
     register("pretrain_redact", q_pretrain_redact, ORACLE_PRETRAIN_REDACT)
+    register("pretrain_chunking", q_pretrain_chunking, ORACLE_PRETRAIN_CHUNKING)
+    # sketches (exact-deterministic md5 family — NOT the approx rows-only set)
+    register("sketch_count_min", q_sketch_count_min, ORACLE_SKETCH_COUNT_MIN)
     # corpus-level
     register(
         "corpus_clean_pipeline", q_corpus_clean_pipeline, ORACLE_CORPUS_CLEAN_PIPELINE

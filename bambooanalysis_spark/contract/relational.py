@@ -387,30 +387,63 @@ FROM lineitem GROUP BY l_returnflag
 # --- set operations ----------------------------------------------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (EXCEPT/INTERSECT over nation keys) plus the global
+    sort+limit top-k demonstration in one labeled-section union (round-3
+    window consolidation: folds rel_top_orders in — superset schema with
+    NULLs where a section has no value for a column)."""
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
     cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
     supp_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    null_price = F.lit(None).cast("double").alias("totalprice")
+    null_prio = F.lit(None).cast("string").alias("orderpriority")
     only_cust = cust_nations.exceptAll(supp_nations).select(
-        "nationkey", F.lit("customers_only").alias("side")
+        F.col("nationkey").cast("long").alias("key"),
+        F.lit("customers_only").alias("side"),
+        null_price,
+        null_prio,
     )
     both = cust_nations.intersect(supp_nations).select(
-        "nationkey", F.lit("both").alias("side")
+        F.col("nationkey").cast("long").alias("key"),
+        F.lit("both").alias("side"),
+        null_price,
+        null_prio,
     )
-    return only_cust.unionAll(both)
+    top = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            F.col("o_orderkey").cast("long").alias("key"),
+            F.lit("top_order").alias("side"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+    )
+    return only_cust.unionAll(both).unionAll(top)
 
 
 ORACLE_SET_OPS = """
-SELECT nationkey, 'customers_only' AS side FROM (
+SELECT CAST(nationkey AS BIGINT) AS key, 'customers_only' AS side,
+       CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS orderpriority
+FROM (
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
     EXCEPT
     SELECT DISTINCT s_nationkey AS nationkey FROM supplier
 )
 UNION ALL
-SELECT nationkey, 'both' AS side FROM (
+SELECT CAST(nationkey AS BIGINT) AS key, 'both' AS side,
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM (
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT * FROM (
+    SELECT CAST(o_orderkey AS BIGINT) AS key, 'top_order' AS side,
+           CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 )
 """
 
@@ -486,13 +519,14 @@ WHERE p_retailprice < (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) 
 
 
 # Driver-window registration (round-3 consolidation): rel_distinct_agg is
-# folded into rel_pricing_summary, the two window queries into rel_windows.
+# folded into rel_pricing_summary, the two window queries into rel_windows,
+# and rel_top_orders into rel_set_ops (labeled 'top_order' section) — the
+# freed slot funds pretrain_chunking (contract/extensions.py).
 register("rel_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY)
 register("rel_join_revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION)
 register("rel_semi_anti_join", q_semi_anti_join, ORACLE_SEMI_ANTI_JOIN)
 register("rel_windows", q_windows, ORACLE_WINDOWS)
 register("rel_set_ops", q_set_ops, ORACLE_SET_OPS)
-register("rel_top_orders", q_top_orders, ORACLE_TOP_ORDERS)
 register("rel_rollup", q_rollup, ORACLE_ROLLUP)
 register("rel_below_avg_parts", q_below_avg_parts, ORACLE_BELOW_AVG_PARTS)
 

@@ -1,0 +1,286 @@
+"""Retrieval-stack operators for LLM data pipelines: RAG chunking, BM25
+lexical search, reciprocal-rank fusion for hybrid (lexical + vector)
+retrieval, and a count-min frequency sketch.
+
+Spark-first shapes:
+
+- ``chunk_documents`` is a pure per-row HOF projection + one ``posexplode``
+  — zero shuffle; at 100 TB the chunk table inherits the source's
+  partitioning and the fan-out factor is bounded by ceil(len/stride).
+- ``bm25_topk`` is the classic postings formulation: corpus statistics
+  (df, avgdl) are aggregate-sized; the scoring join is postings ⋈ query
+  terms, which broadcasts the (tiny) query side, so the only shuffle is the
+  final per-query top-k aggregation keyed on (query_id) — skew-free for
+  realistic query loads because the heavy axis (documents) is the
+  distributed one.
+- ``cm_sketch`` produces a depth×width table: the groupBy count is
+  map-side-combined down to at most depth*width rows per task before the
+  single shuffle, independent of corpus size — the sketch is mergeable
+  across partitions/days by summing counts, which is the whole point at
+  100 TB (a 3×4096 sketch summarizes any stream in ~100 KB).
+- ``cm_estimate`` broadcasts the sketch (bounded size) — no shuffle of the
+  probe side.
+
+Determinism: chunking and the count-min family are integer/md5-exact, so
+DuckDB oracles replicate them bit-for-bit. BM25 scores are IEEE doubles
+(ln required) — ordering is made deterministic by the (score DESC, doc_id)
+tie-break, and correctness is gated by a numpy reference test instead of a
+SQL-hash oracle (same policy as tf-idf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _barrier, _fan_out
+from .text import hash64, tokens
+
+
+# --- RAG document chunking ---------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into token-window chunks of ``size`` tokens
+    starting every ``stride`` tokens (stride < size ⇒ overlapping chunks,
+    the standard RAG indexing shape). Returns
+    (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text); empty
+    documents produce no chunks; the last chunk may be shorter.
+
+    Per-row HOF + posexplode only — no shuffle, no UDF. The token array is
+    staged behind an optimization barrier (PERFORMANCE.md §1-2: HOF lambda
+    bodies get no CSE, CollapseProject would re-inline the split).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    staged = _barrier(df.withColumn("__toks", tokens(F.col(text_col))))
+    n = F.size("__toks")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("start"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, size)).alias("ctext"),
+            F.least(F.lit(size), n - s).cast("long").alias("ntok"),
+        ),
+    )
+    return staged.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("__c.start").alias("chunk_start"),
+        F.col("__c.ntok").alias("n_chunk_tokens"),
+        F.col("__c.ctext").alias("chunk_text"),
+    )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def _cm_bucket(key: Column, row: Column, width: int) -> Column:
+    """Row-seeded md5 bucket in [0, width): the same family the DuckDB
+    oracle reproduces exactly (('0x' || substr(md5(i||':'||key),1,15)))."""
+    return F.pmod(hash64(F.concat(row.cast("string"), F.lit(":"), key)), F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the frequency of ``key_col`` values: a
+    (d, bucket, c) table with at most depth×width rows. Each input row
+    increments one bucket per hash row; partial aggregation collapses every
+    task's contribution to ≤ depth×width rows before the single shuffle, so
+    shuffle volume is independent of input size. Sketches over shards/days
+    merge by summing `c` on (d, bucket) — see ``cm_merge``.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .select(F.explode(rows).alias("d"), "__k")
+        .groupBy("d", _cm_bucket(F.col("__k"), F.col("d"), width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width): union +
+    re-sum. The mergeability is what makes the sketch a 100 TB citizen —
+    per-day/per-shard sketches combine without touching the raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for each probe key: est(k) = min over hash
+    rows of the bucket count (0 when a bucket is empty — only possible for
+    keys never inserted). Guaranteed ≥ the true count. The sketch (≤
+    depth×width rows) is broadcast; the probe side never shuffles."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probed = (
+        probes.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .select("__k", F.explode(rows).alias("d"))
+        .withColumn("bucket", _cm_bucket(F.col("__k"), F.col("d"), width))
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .select(F.col("__k").alias(key_col), F.col("est").cast("long").alias("est"))
+    )
+
+
+# --- BM25 lexical retrieval --------------------------------------------------
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson/Spärck Jones, the Lucene `k1/b` variant) scores for
+    every (query, doc) pair sharing ≥1 term:
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape: one postings aggregation over the corpus (doc, term, tf —
+    the shuffle is the inverted index build, map-side combined), corpus
+    stats (N, avgdl) as a 1-row cross-joined aggregate, per-term df as a
+    term-keyed aggregate joined onto postings, then a broadcast join with
+    the (tiny) query-term table and a final (query, doc) sum. The corpus —
+    the 100 TB axis — is touched by exactly two aggregations; the query
+    side is broadcast so scoring adds no corpus shuffle.
+    """
+    toks = _fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    staged = _barrier(toks)
+    postings = (
+        staged.select("doc", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = staged.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("__toks")) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"), F.explode(tokens(F.col(query_text_col))).alias("term")
+    ).distinct()
+    scored = (
+        postings.join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (1.0 + k1))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("qid", "doc").agg(F.sum("contrib").alias("score")).select(
+        F.col("qid").alias(query_id_col),
+        F.col("doc").alias(id_col),
+        "score",
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 docs per query with a deterministic (score DESC, doc_id)
+    tie-break. The rank window partitions by query — parallel across
+    queries, and per-query cardinality is already bounded by the docs that
+    share a query term."""
+    id_col = kwargs.get("id_col", "doc_id")
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    s = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# --- reciprocal-rank fusion (hybrid lexical + vector retrieval) --------------
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fused(d) = Σ_lists
+    floor(1e6/(k0+rank)). Takes two ranked lists with integer `rank`
+    columns (1-based; e.g. ``bm25_topk`` and ``similarity.cosine_topk``),
+    full-outer-joins them per (query, doc) — both inputs are top-k-sized,
+    so this is join work proportional to the result lists, not the corpus —
+    and emits the top-k by fused score with an (id) tie-break.
+
+    Fixed-point e6 floor keeps the fused score integer-exact: rank-derived,
+    so engines agree bit-for-bit even though the upstream scores were
+    floats.
+    """
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1_000_000) / (F.lit(k0) + r)).cast("long"), F.lit(0).cast("long")
+    )
+    lx = lexical.select(
+        F.col(query_id_col).alias("qid"), F.col(id_col).alias("doc"),
+        F.col("rank").alias("__rl"),
+    )
+    vx = vector.select(
+        F.col(query_id_col).alias("qid"), F.col(id_col).alias("doc"),
+        F.col("rank").alias("__rv"),
+    )
+    fused = (
+        lx.join(vx, ["qid", "doc"], "full_outer")
+        .select(
+            "qid",
+            "doc",
+            (contrib(F.col("__rl")) + contrib(F.col("__rv"))).alias("rrf_e6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_e6").desc(), F.col("doc"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "rrf_e6",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

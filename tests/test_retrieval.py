@@ -1,0 +1,210 @@
+"""Retrieval-stack operators: RAG chunking, count-min sketch, BM25,
+reciprocal-rank fusion."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "a b c d e f g"),          # 7 tokens
+        ("d2", "x y"),                    # shorter than one chunk
+        ("d3", ""),                       # empty -> no chunks
+        ("d4", "a a a b b quick brown fox jumps over"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- chunking ----------------------------------------------------------------
+
+def test_chunk_documents_semantics(docs):
+    out = R.chunk_documents(docs, size=3, stride=2).orderBy("doc_id", "chunk_id")
+    got = [
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    ]
+    # d1: starts 0,2,4,6 over 7 tokens
+    d1 = [g for g in got if g[0] == "d1"]
+    assert d1 == [
+        ("d1", 0, 0, 3, "a b c"),
+        ("d1", 1, 2, 3, "c d e"),
+        ("d1", 2, 4, 3, "e f g"),
+        ("d1", 3, 6, 1, "g"),
+    ]
+    d2 = [g for g in got if g[0] == "d2"]
+    assert d2 == [("d2", 0, 0, 2, "x y")]
+    assert not [g for g in got if g[0] == "d3"]
+    # overlap property: consecutive chunks share size-stride tokens
+    for (_, _, s0, _, t0), (_, _, s1, _, t1) in zip(d1, d1[1:]):
+        assert s1 - s0 == 2
+        assert t0.split()[2:] == t1.split()[:1]
+
+
+def test_chunk_documents_zero_shuffle(docs):
+    plan = (
+        R.chunk_documents(docs, size=3, stride=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # per-row HOF + posexplode only
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    words = (
+        ["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 5 + ["durian"] * 1
+        + [f"noise{i}" for i in range(300)]
+    )
+    df = spark.createDataFrame([(w,) for w in words], ["term"])
+    sk = R.cm_sketch(df, "term", depth=3, width=64)
+    probes = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("durian",), ("absent",)], ["term"]
+    )
+    est = {r.term: r.est for r in R.cm_estimate(sk, probes, "term", depth=3, width=64).collect()}
+    true = {"apple": 50, "banana": 20, "cherry": 5, "durian": 1, "absent": 0}
+    for t, c in true.items():
+        assert est[t] >= c, (t, est[t], c)
+    # with 376 items in 3x64 buckets the heavy hitter is still near-exact
+    assert est["apple"] <= 50 + 330
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all), exactly
+    h1 = spark.createDataFrame([(w,) for w in words[:200]], ["term"])
+    h2 = spark.createDataFrame([(w,) for w in words[200:]], ["term"])
+    merged = R.cm_merge(
+        R.cm_sketch(h1, "term", depth=3, width=64),
+        R.cm_sketch(h2, "term", depth=3, width=64),
+    )
+    a = {(r.d, r.bucket): r.c for r in merged.collect()}
+    b = {(r.d, r.bucket): r.c for r in sk.collect()}
+    assert a == b
+
+
+def test_cm_sketch_is_bounded(spark):
+    df = spark.createDataFrame([(f"w{i}",) for i in range(5000)], ["term"])
+    sk = R.cm_sketch(df, "term", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+
+
+# --- BM25 --------------------------------------------------------------------
+
+def _bm25_reference(corpus, queries, k1=1.2, b=0.75):
+    """Plain-Python BM25 over whitespace tokens."""
+    toks = {d: t.split() for d, t in corpus.items() if t.split()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries.items():
+        for doc, t in toks.items():
+            score = 0.0
+            for term in set(qtext.split()):
+                tf = t.count(term)
+                if tf == 0 or term not in df:
+                    continue
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if score > 0:
+                out[(qid, doc)] = score
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        "d1": "the quick brown fox jumps over the lazy dog",
+        "d2": "a quick brown dog outpaces a quick fox",
+        "d3": "lorem ipsum dolor sit amet",
+        "d4": "the dog sat on the mat",
+        "d5": "fox fox fox",
+    }
+    queries = {"q1": "quick fox", "q2": "lazy dog", "q3": "unicorn"}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    qs = spark.createDataFrame(list(queries.items()), ["query_id", "qtext"])
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in R.bm25_scores(docs, qs).collect()
+    }
+    ref = _bm25_reference(corpus, queries)
+    assert set(got) == set(ref)
+    for key, v in ref.items():
+        assert got[key] == pytest.approx(v, rel=1e-12), key
+
+    topk = R.bm25_topk(docs, qs, k=2)
+    rows = sorted(
+        [(r.query_id, r.rank, r.doc_id) for r in topk.collect()]
+    )
+    # q1 'quick fox': d5 (fox x3) and d2 (quick x2 + fox) lead; verify
+    # against the reference ordering with doc_id tie-break
+    def ref_rank(qid, k=2):
+        scored = sorted(
+            ((v, d) for (q, d), v in ref.items() if q == qid),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [(qid, i + 1, d) for i, (_, d) in enumerate(scored[:k])]
+
+    expect = sorted(ref_rank("q1") + ref_rank("q2") + ref_rank("q3"))
+    assert rows == expect
+
+
+# --- RRF fusion --------------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    vec = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "d", 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    out = R.rrf_fuse(lex, vec, k0=60, k=10).orderBy("fused_rank").collect()
+    # b: floor(1e6/62)+floor(1e6/61)=16129+16393=32522 -> rank 1
+    # a: floor(1e6/61)=16393; d: floor(1e6/62)=16129; c: floor(1e6/63)=15873
+    got = [(r.doc_id, r.rrf_e6, r.fused_rank) for r in out]
+    assert got == [
+        ("b", 32522, 1),
+        ("a", 16393, 2),
+        ("d", 16129, 3),
+        ("c", 15873, 4),
+    ]
+
+
+def test_rrf_with_real_rankers(spark, sf_small):
+    """Compose bm25_topk + cosine_topk end-to-end on the fixture tables."""
+    from bambooanalysis_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = docs.limit(3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    lex = R.bm25_topk(docs, qs, k=5)
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    vq = emb.limit(3)
+    vec = cosine_topk(emb, vq, id_col=id_col, vec_col=vec_col, k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    # align id namespaces: embeddings ids may differ from doc ids; rename
+    # lexical query ids into the vector namespace is not meaningful on the
+    # fixture, so just verify the fusion executes and respects k + ordering
+    fused = R.rrf_fuse(lex, vec, k0=60, k=4)
+    rows = fused.collect()
+    assert rows, "fusion produced no rows"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.fused_rank, r.rrf_e6))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert len(lst) <= 4
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        scores = [x[1] for x in lst]
+        assert scores == sorted(scores, reverse=True)
