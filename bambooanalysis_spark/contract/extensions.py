@@ -879,6 +879,42 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled regular time series per user (hypertable
+    `time_bucket_gapfill` + `locf` analog): hourly grid from each user's
+    first to last observed hour, missing hours forward-filled with the
+    most recent value. The per-bucket pick is max(struct(ts, value)) —
+    deterministic and engine-exact (raw doubles carried, no arithmetic),
+    so the whole 105k-row grid hash-matches the DuckDB oracle."""
+    from ..operators.temporal import resample_ffill
+
+    ev = _events(spark, sf_dir)
+    out = resample_ffill(ev, unit="hour", step="1 hour")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "value_filled",
+        "is_observed",
+    )
+
+
+ORACLE_EVENTS_RESAMPLE_FFILL = """
+WITH pb AS (
+    SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+           (MAX(struct_pack(t := ts, v := value))).v AS v_obs
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM pb GROUP BY key),
+g AS (SELECT key, UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM span)
+SELECT g.key AS user_id, CAST(epoch_us(g.bucket) AS BIGINT) AS bucket_us,
+       LAST_VALUE(pb.v_obs IGNORE NULLS) OVER (
+           PARTITION BY g.key ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       pb.v_obs IS NOT NULL AS is_observed
+FROM g LEFT JOIN pb ON pb.key = g.key AND pb.bucket = g.bucket
+"""
+
+
 
 
 # --- sampling: deterministic hash-based sample / split -----------------------
@@ -2564,6 +2600,9 @@ def _register_all() -> None:
     register("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE)
     register("events_asof_join", q_events_asof_join, ORACLE_EVENTS_ASOF)
     register("events_time_rollup", q_events_time_rollup, ORACLE_EVENTS_TIME_ROLLUP)
+    register(
+        "events_resample_ffill", q_events_resample_ffill, ORACLE_EVENTS_RESAMPLE_FFILL
+    )
     register("events_json_extract", q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
     register("events_funnel_join", q_events_funnel_join, ORACLE_EVENTS_FUNNEL_JOIN)
     register(

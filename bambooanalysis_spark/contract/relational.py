@@ -30,12 +30,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- scan + filter + group aggregate (TPC-H Q1 shape): pushdown showcase ----
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary computed over ROLLUP(l_returnflag,
+    l_linestatus) — round-3 window consolidation: the grouping-sets
+    demonstration (former rel_rollup) rides the same aggregation, adding
+    the per-flag and grand-total rows ('ALL' labels) to the Q1 grain.
+    Distinct aggregates folded in since the round-3 rel_distinct_agg
+    merge; bench.py still times the plain Q1 via q_pricing_summary_plain."""
     li = _t(spark, sf_dir, "lineitem")
     price = "decimal(18,4)"
     disc = "decimal(8,6)"
     return (
         li.where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(price)).cast("bigint").alias("sum_qty"),
             (F.sum(F.col("l_extendedprice").cast(price)) * 100).cast("bigint").alias("sum_base_price_cents"),
@@ -57,7 +63,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_supp"),
             F.countDistinct("l_partkey").alias("n_part"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "sum_base_price_cents",
+            "sum_disc_price_e4",
+            "count_order",
+            "n_supp",
+            "n_part",
+        )
+        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -91,7 +107,8 @@ def q_pricing_summary_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PRICING_SUMMARY = """
-SELECT l_returnflag, l_linestatus,
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS sum_base_price_cents,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -102,8 +119,8 @@ SELECT l_returnflag, l_linestatus,
        COUNT(DISTINCT l_partkey) AS n_part
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
 """
 
 
@@ -520,14 +537,15 @@ WHERE p_retailprice < (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) 
 
 # Driver-window registration (round-3 consolidation): rel_distinct_agg is
 # folded into rel_pricing_summary, the two window queries into rel_windows,
-# and rel_top_orders into rel_set_ops (labeled 'top_order' section) — the
-# freed slot funds pretrain_chunking (contract/extensions.py).
+# rel_top_orders into rel_set_ops (labeled 'top_order' section), and
+# rel_rollup into rel_pricing_summary (same grain, computed with ROLLUP +
+# 'ALL' labels) — the freed slots fund pretrain_chunking, sketch_count_min
+# and events_resample_ffill (contract/extensions.py).
 register("rel_pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY)
 register("rel_join_revenue_by_nation", q_revenue_by_nation, ORACLE_REVENUE_BY_NATION)
 register("rel_semi_anti_join", q_semi_anti_join, ORACLE_SEMI_ANTI_JOIN)
 register("rel_windows", q_windows, ORACLE_WINDOWS)
 register("rel_set_ops", q_set_ops, ORACLE_SET_OPS)
-register("rel_rollup", q_rollup, ORACLE_ROLLUP)
 register("rel_below_avg_parts", q_below_avg_parts, ORACLE_BELOW_AVG_PARTS)
 
 

@@ -197,3 +197,67 @@ def time_rollup(
         F.col("__b.bucket").alias("bucket"),
     )
     return src.groupBy("unit", "bucket", *keys).agg(*aggs)
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 minute",
+    unit: str = "minute",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward fill (the hypertable `time_bucket_gapfill` + `locf` shape):
+    one row per (key, bucket) from the key's first to last observed
+    bucket; buckets without an observation carry the most recent earlier
+    value; `is_observed` marks real points.
+
+    Plan shape: per-(key, bucket) reduction picks the LAST observation —
+    `max(struct(ts, value))` orders lexicographically by (ts, value), so
+    the pick is deterministic and engine-exact even on tied timestamps —
+    then the per-key [first, last] grid is generated with `sequence()`
+    (fan-out = gap length, no join against a global calendar table), left
+    joined, and gaps filled with `last(..., ignorenulls=True)` over a
+    key-partitioned window. Two shuffles total (bucket reduction, grid
+    join); the window rides the join's partitioning.
+
+    Skew: a single key's whole grid lands in one task (same exposure as
+    sessionize/asof; PERFORMANCE.md §17) — for hot keys at 100 TB,
+    time-chunk the window with a boundary carry exactly as
+    ``sessionize(salt_minutes=...)`` does.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    per_bucket = (
+        events.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket"),
+            F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")).alias("tv"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("tv")["v"].alias("v_obs"))
+    )
+    grid = (
+        per_bucket.groupBy("key")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            F.last("v_obs", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v_obs").isNotNull().alias("is_observed"),
+        )
+    )

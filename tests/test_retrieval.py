@@ -208,3 +208,36 @@ def test_rrf_with_real_rankers(spark, sf_small):
         assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
         scores = [x[1] for x in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- resample + forward fill (temporal family; lives here with the other
+# --- round-3 batch-5 additions) ----------------------------------------------
+
+def test_resample_ffill_hand_computed(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # key A: observations in minutes 0, 3 (two in min 3 -> later ts wins)
+        ("A", datetime(2024, 1, 1, 0, 0, 10), 1.0),
+        ("A", datetime(2024, 1, 1, 0, 3, 5), 2.0),
+        ("A", datetime(2024, 1, 1, 0, 3, 50), 3.0),
+        # key B: single observation -> single-row grid
+        ("B", datetime(2024, 1, 1, 5, 0, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = resample_ffill(df, step="1 minute", unit="minute").orderBy(
+        "user_id", "bucket"
+    )
+    got = [
+        (r.user_id, r.bucket.minute, r.value_filled, r.is_observed)
+        for r in out.collect()
+    ]
+    assert got == [
+        ("A", 0, 1.0, True),
+        ("A", 1, 1.0, False),   # gap carries minute-0 value
+        ("A", 2, 1.0, False),
+        ("A", 3, 3.0, True),    # later ts (00:03:50) wins within the bucket
+        ("B", 0, 9.0, True),
+    ]
