@@ -241,3 +241,34 @@ def test_resample_ffill_hand_computed(spark):
         ("A", 3, 3.0, True),    # later ts (00:03:50) wins within the bucket
         ("B", 0, 9.0, True),
     ]
+
+
+def test_streaming_cm_sketch_matches_batch(spark, tmp_path):
+    """cm_sketch is a plain stateful aggregation, so the SAME operator runs
+    unchanged as a Structured Streaming query (file source, availableNow,
+    complete mode) — the streaming sketch state must equal the batch
+    sketch exactly. This is the 100 TB ingestion shape: per-day/stream
+    sketches maintained incrementally, merged by cm_merge."""
+    words = ["apple"] * 40 + ["banana"] * 15 + [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([(w,) for w in words], ["term"])
+    src = str(tmp_path / "terms_stream")
+    df.repartition(4).write.parquet(src)  # several files -> several batches
+
+    batch = {(r.d, r.bucket): r.c for r in R.cm_sketch(df, "term", 3, 64).collect()}
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = R.cm_sketch(stream, "term", 3, 64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.d, r.bucket): r.c for r in spark.sql("SELECT * FROM cm_stream").collect()
+    }
+    assert got == batch and len(got) > 0
