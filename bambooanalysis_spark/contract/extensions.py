@@ -798,8 +798,11 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each 'click' event picks up the value and age of
     the same user's most recent 'view' at-or-before it. Union-tag-window
     plan — ONE shuffle on user_id, no range-join expansion
-    (operators/temporal.py docstring)."""
-    from ..operators.temporal import asof_join
+    (operators/temporal.py docstring). Round-3 batch 6: each click also
+    carries trailing-1h rolling stats (count + cents sum of the user's
+    clicks in [ts-1h, ts], RANGE window) — the rolling aggregation rides
+    the join's user_id partitioning, adding a sort but no extra shuffle."""
+    from ..operators.temporal import asof_join, rolling_stats
 
     ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -810,27 +813,47 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on="user_id",
         payload={"value": "view_value", "ts": "view_ts"},
     )
+    j = j.withColumn("click_cents", F.round(F.col("value") * 100).cast("long"))
+    j = rolling_stats(
+        j,
+        {
+            "n_clicks_1h": F.count(F.lit(1)),
+            "cents_1h": F.sum("click_cents"),
+        },
+        key_col="user_id",
+        ts_col="ts",
+        window="1 hour",
+    )
     return j.select(
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("click_cents"),
+        "click_cents",
         F.round(F.col("view_value") * 100).cast("long").alias("view_cents"),
         F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+        "n_clicks_1h",
+        "cents_1h",
     )
 
 
-# DuckDB has native ASOF JOIN (backward, inclusive) — the exact oracle.
+# DuckDB has native ASOF JOIN (backward, inclusive) — the exact oracle; the
+# trailing-window stats are the same RANGE frame over epoch microseconds.
 ORACLE_EVENTS_ASOF = """
 SELECT c.event_id,
        c.user_id,
        CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
        CAST(ROUND(c.value * 100) AS BIGINT) AS click_cents,
        CAST(ROUND(v.value * 100) AS BIGINT) AS view_cents,
-       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_clicks_1h,
+       CAST(SUM(CAST(ROUND(c.value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
+WINDOW w AS (
+    PARTITION BY c.user_id ORDER BY epoch_us(c.ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
 """
 
 

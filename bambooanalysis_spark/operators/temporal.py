@@ -261,3 +261,45 @@ def resample_ffill(
             F.col("v_obs").isNotNull().alias("is_observed"),
         )
     )
+
+
+def _interval_us(window: str) -> int:
+    """'N second|minute|hour|day' -> microseconds."""
+    n, unit = window.split()
+    scale = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * scale
+
+
+def rolling_stats(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Trailing-window aggregates per row: each row gains ``aggs`` computed
+    over the same key's rows with ts in [row.ts − window, row.ts] (both
+    ends inclusive — RANGE semantics, so timestamp ties are all peers and
+    the result is deterministic regardless of their physical order).
+
+    One shuffle on the key (reused if the input is already key-partitioned,
+    e.g. downstream of asof_join) + a per-partition time sort — the same
+    cost profile as the other key-windowed temporal ops, with the same hot
+    key exposure (PERFORMANCE.md §17: time-chunk + boundary carry for
+    skew). Use integer/decimal agg inputs for engine-exact results.
+    """
+    us = _interval_us(window)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-us, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out

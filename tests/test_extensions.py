@@ -381,6 +381,25 @@ def test_csv_json_sources_roundtrip(spark, sf_oracle, tmp_path):
     assert {tuple(r) for r in from_json.collect()} == base
 
 
+def test_orc_source_roundtrip_with_pushdown(spark, sf_oracle, tmp_path):
+    """ORC is the other built-in columnar format: identical values through
+    a write/read roundtrip, and predicate pushdown reaches the ORC scan
+    (searchArgument/pushedFilters in the physical plan) just like parquet."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    p = str(tmp_path / "li_orc")
+    li.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == li.count()
+    a = li.groupBy("l_returnflag").count().collect()
+    b = back.groupBy("l_returnflag").count().collect()
+    assert {(r[0], r[1]) for r in a} == {(r[0], r[1]) for r in b}
+    filtered = back.where(F.col("l_orderkey") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """Streaming dedup must converge to BATCH semantics (global min doc_id
     per fingerprint) regardless of micro-batch arrival order: a smaller id

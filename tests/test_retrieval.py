@@ -272,3 +272,31 @@ def test_streaming_cm_sketch_matches_batch(spark, tmp_path):
         (r.d, r.bucket): r.c for r in spark.sql("SELECT * FROM cm_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_rolling_stats_hand_computed(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import rolling_stats
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 0, 0), 10),
+        ("A", datetime(2024, 1, 1, 0, 30, 0), 20),
+        ("A", datetime(2024, 1, 1, 1, 0, 0), 30),   # 1h window includes 0:00 (inclusive)
+        ("A", datetime(2024, 1, 1, 2, 30, 0), 40),  # alone
+        ("B", datetime(2024, 1, 1, 0, 45, 0), 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "cents"])
+    out = rolling_stats(
+        df,
+        {"n_1h": F.count(F.lit(1)), "sum_1h": F.sum("cents")},
+        window="1 hour",
+    ).orderBy("user_id", "ts")
+    got = [(r.user_id, r.ts.hour * 60 + r.ts.minute, r.n_1h, r.sum_1h) for r in out.collect()]
+    assert got == [
+        ("A", 0, 1, 10),
+        ("A", 30, 2, 30),
+        ("A", 60, 3, 60),    # RANGE inclusive both ends
+        ("A", 150, 1, 40),
+        ("B", 45, 1, 5),
+    ]
