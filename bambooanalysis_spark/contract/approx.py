@@ -132,6 +132,69 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, vec, k0=60, k=10)
 
 
+def q_quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit of the orders table: not-null,
+    closed-range, accepted-values and uniqueness rules all evaluated in ONE
+    aggregation over ONE scan (conditional counters + count_distinct,
+    map-side combined), plus a referential-integrity rule as a broadcast
+    anti-join against customer. Exact integer counts — oracle-checked
+    (registered after the driver window; the in-repo gate
+    tests/test_contract_oracle.py hash-checks it)."""
+    from ..operators.quality import quality_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return quality_report(
+        orders,
+        not_null=["o_orderkey", "o_totalprice"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1_000_000.0)},
+        accepted={
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ]
+        },
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+ORACLE_QUALITY_REPORT_ORDERS = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT rule, n_violations, n.n_rows, n_violations = 0 AS passed FROM (
+    SELECT 'not_null:o_orderkey' AS rule,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null:o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL
+                          OR NOT (o_totalprice BETWEEN 0.0 AND 1000000.0)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                          OR o_orderpriority NOT IN
+                             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key:o_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey
+           )) AS BIGINT)
+    FROM orders
+) r CROSS JOIN n
+"""
+
+
 register("sketch_approx_distinct", q_sketch_approx_distinct)
 register("sketch_approx_quantiles", q_sketch_approx_quantiles)
 register("ann_lsh_topk", q_ann_lsh_topk)
@@ -141,3 +204,5 @@ register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)
 register("text_bpe_encode", q_text_bpe_encode)
 register("retrieval_bm25_topk", q_retrieval_bm25_topk)
 register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf)
+# oracle-checked overflow (after the driver window; in-repo gate applies)
+register("quality_report_orders", q_quality_report_orders, ORACLE_QUALITY_REPORT_ORDERS)

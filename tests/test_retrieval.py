@@ -300,3 +300,58 @@ def test_rolling_stats_hand_computed(spark):
         ("A", 150, 1, 40),
         ("B", 45, 1, 5),
     ]
+
+
+# --- data-quality validation -------------------------------------------------
+
+def test_quality_report_planted_violations(spark):
+    from bambooanalysis_spark.operators.quality import quality_report
+
+    left = spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (2, None, "A", 100),      # null price
+            (2, 5.0, "B", 200),       # dup id
+            (3, -1.0, "C", 999),      # out of range, bad category, bad FK
+            (None, 3.0, "A", None),   # null id; NULL FK allowed
+        ],
+        "id bigint, price double, cat string, ref bigint",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], ["k"])
+    rep = {
+        r.rule: (r.n_violations, r.n_rows, r.passed)
+        for r in quality_report(
+            left,
+            not_null=["id", "price"],
+            unique=[["id"]],
+            ranges={"price": (0.0, 100.0)},
+            accepted={"cat": ["A", "B"]},
+            foreign_keys=[("ref", ref, "k")],
+        ).collect()
+    }
+    assert rep == {
+        "not_null:id": (1, 5, False),
+        "not_null:price": (1, 5, False),
+        "range:price": (2, 5, False),     # -1.0 and the NULL
+        "accepted:cat": (1, 5, False),    # 'C'
+        "unique:id": (1, 5, False),       # id=2 twice (NULL id is a key value)
+        "foreign_key:ref": (1, 5, False), # 999; NULL ref not counted
+    }
+
+
+def test_quality_report_scalar_rules_single_scan(spark, sf_oracle):
+    """All scalar rules share ONE scan+aggregate — rule count must not
+    change the number of table scans."""
+    from bambooanalysis_spark.operators.quality import quality_report
+
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    rep = quality_report(
+        orders,
+        not_null=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1e9)},
+        accepted={"o_orderstatus": ["O", "F", "P"]},
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert all(r.passed for r in rep.where(~F.col("rule").startswith("accepted")).collect())
