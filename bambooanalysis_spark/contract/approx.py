@@ -204,5 +204,143 @@ register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)
 register("text_bpe_encode", q_text_bpe_encode)
 register("retrieval_bm25_topk", q_retrieval_bm25_topk)
 register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf)
+def q_rel_windows_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function family over one scan: lag/lead
+    (previous/next order price within customer), rank vs dense_rank (ties),
+    and ntile(4) spend quartiles. All integer/decimal-exact; deterministic
+    via the (o_orderdate, o_orderkey) and (o_totalprice, o_orderkey)
+    orderings."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(cents, 1).over(w_time).alias("prev_cents"),
+        F.lead(cents, 1).over(w_time).alias("next_cents"),
+        F.rank().over(w_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(w_price).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w_price).cast("long").alias("spend_quartile"),
+    )
+
+
+ORACLE_REL_WINDOWS_EXTENDED = """
+SELECT o_custkey, o_orderkey,
+       LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT), 1)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_cents,
+       LEAD(CAST(ROUND(o_totalprice * 100) AS BIGINT), 1)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_cents,
+       CAST(RANK() OVER w_price AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER w_price AS BIGINT) AS price_dense_rank,
+       CAST(NTILE(4) OVER w_price AS BIGINT) AS spend_quartile
+FROM orders
+WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): revenue cents per nation x order priority as
+    five columns. The value list is EXPLICIT, so Spark skips the extra
+    distinct-values job and the plan is a single groupBy with conditional
+    aggregates — the same shape the DuckDB oracle spells out with CASE."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dec = "decimal(28,6)"
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    out = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg((F.sum(F.col("o_totalprice").cast(dec)) * 100).cast("bigint"))
+    )
+    renames = {p: f"cents_p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    return out.select(
+        "n_name", *[F.col(f"`{p}`").alias(renames[p]) for p in _PRIORITIES]
+    )
+
+
+ORACLE_REL_PIVOT = """
+SELECT n.n_name,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                     THEN CAST(o.o_totalprice AS DECIMAL(28,6)) END) * 100 AS BIGINT) AS cents_p1,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+                     THEN CAST(o.o_totalprice AS DECIMAL(28,6)) END) * 100 AS BIGINT) AS cents_p2,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+                     THEN CAST(o.o_totalprice AS DECIMAL(28,6)) END) * 100 AS BIGINT) AS cents_p3,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
+                     THEN CAST(o.o_totalprice AS DECIMAL(28,6)) END) * 100 AS BIGINT) AS cents_p4,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+                     THEN CAST(o.o_totalprice AS DECIMAL(28,6)) END) * 100 AS BIGINT) AS cents_p5
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    maintained as persisted partials — here the history partial (days
+    < 2024-01-16) and the delta partial (the rest) are merged by re-summing
+    decomposable aggregates — and the merged result must equal a full
+    recompute (the oracle IS the full recompute). History is never
+    rescanned; the merge input is aggregate-sized."""
+    from ..operators.temporal import merge_rollups, time_rollup
+
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ]
+    hist = time_rollup(ev.where(F.col("ts") < cut), keys=["event_type"],
+                       aggs=aggs, units=["hour"])
+    delta = time_rollup(ev.where(F.col("ts") >= cut), keys=["event_type"],
+                        aggs=aggs, units=["hour"])
+    merged = merge_rollups(
+        [hist, delta],
+        keys=["unit", "bucket", "event_type"],
+        sum_cols=["n_events", "value_cents"],
+    )
+    return merged.select(
+        "unit",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+# full recompute — merging partials must be indistinguishable from it
+ORACLE_EVENTS_INCREMENTAL_ROLLUP = """
+SELECT 'hour' AS unit,
+       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # oracle-checked overflow (after the driver window; in-repo gate applies)
 register("quality_report_orders", q_quality_report_orders, ORACLE_QUALITY_REPORT_ORDERS)
+register("rel_windows_extended", q_rel_windows_extended, ORACLE_REL_WINDOWS_EXTENDED)
+register("rel_pivot", q_rel_pivot, ORACLE_REL_PIVOT)
+register(
+    "events_incremental_rollup",
+    q_events_incremental_rollup,
+    ORACLE_EVENTS_INCREMENTAL_ROLLUP,
+)

@@ -13,6 +13,8 @@ shape that survives 100 TB event tables.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -303,3 +305,23 @@ def rolling_stats(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def merge_rollups(
+    parts: Sequence[DataFrame],
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Merge partial time-rollup tables (incremental materialized-view
+    maintenance): yesterday's persisted aggregate + today's delta rollup
+    combine by re-summing on the group keys — history is NEVER rescanned.
+    Only decomposable aggregates merge this way (counts/sums; for distinct
+    counts keep an HLL sketch column instead — `approx_count_distinct`
+    partials are likewise mergeable). The merge input is aggregate-sized,
+    so at 100 TB this costs minutes of delta processing instead of a full
+    historical scan.
+    """
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
