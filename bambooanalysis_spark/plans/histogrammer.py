@@ -129,26 +129,35 @@ def run_analysis(
     val_names: dict[int, str] = {}
     val_layer: dict[str, Column] = {}
 
-    def val_col(expr: Column) -> Column:
+    def val_col(expr: Column) -> str:
         key = id(expr)
         if key not in val_names:
             name = f"__val_{len(val_names)}"
             val_names[key] = name
             val_layer[name] = expr
-        return F.col(val_names[key])
+        return val_names[key]
 
-    bookings = []  # (name, kind, mask Column, [bin Columns], weight Column)
+    # Bookings as TEXT: masks/weights/values are named columns by now, and
+    # each binning emits its textual twin (plots.bin_sql), so the entire
+    # ~130-entry contribs array is assembled as ONE SQL string parsed in a
+    # single JVM call. The per-Column form cost ~10-15 py4j round-trips per
+    # booking (~2000 for phaseII) — over 1s of pure plan-build latency per
+    # invocation (PERFORMANCE.md §22). Semantics pinned by the 127
+    # golden-plot tests + the hep DuckDB oracles.
+    bookings = []  # (mask_name, [bin SQL strings], weight_name)
     pid_name: list[tuple[str, str]] = []
     for p in plots:
         m, w = mask_names[id(p.selection)]
-        bins = [b.bin_col(val_col(e)) for e, b in zip(p.exprs, p.binnings)]
+        bins = [
+            b.bin_sql(f"`{val_col(e)}`") for e, b in zip(p.exprs, p.binnings)
+        ]
         pid_name.append((p.name, "plot"))
-        bookings.append((F.col(m), bins, F.col(w)))
+        bookings.append((m, bins, w))
     for cfr in cutflows:
         for sel, _title in cfr.entries:
             m, w = mask_names[id(sel)]
             pid_name.append((f"{cfr.name}/{sel.name}", "cutflow"))
-            bookings.append((F.col(m), [F.lit(_CUTFLOW_BIN)], F.col(w)))
+            bookings.append((m, [str(_CUTFLOW_BIN)], w))
     if val_layer:
         df = df.withColumns(val_layer)
 
@@ -162,24 +171,20 @@ def run_analysis(
 
     structs = []
     for pid, (mask, bins, weight) in enumerate(bookings):
-        bcols = [
-            (bins[i] if i < len(bins) else F.lit(0)).cast("int") for i in range(ndims)
+        bsqls = [
+            f"CAST(({bins[i]}) AS INT)" if i < len(bins) else "0"
+            for i in range(ndims)
         ]
-        valid = mask
-        for b in bcols:
-            valid = valid & b.isNotNull()
-        structs.append(
-            F.when(
-                valid,
-                F.struct(
-                    F.lit(pid).alias("pid"),
-                    *[b.alias(n) for b, n in zip(bcols, axis_names)],
-                    weight.cast("double").alias("w"),
-                ),
-            )
+        valid = " AND ".join([f"`{mask}`"] + [f"({b}) IS NOT NULL" for b in bsqls])
+        fields = ", ".join(
+            [f"'pid', {pid}"]
+            + [f"'{n}', {b}" for b, n in zip(bsqls, axis_names)]
+            + [f"'w', CAST(`{weight}` AS DOUBLE)"]
         )
-
-    contribs = F.filter(F.array(*structs), lambda c: c.isNotNull())
+        structs.append(f"CASE WHEN {valid} THEN named_struct({fields}) END")
+    contribs = F.expr(
+        "filter(array({}), c -> c IS NOT NULL)".format(", ".join(structs))
+    )
     agg = (
         df.select(*extra_keys, F.explode(contribs).alias("c"))
         .select(*extra_keys, "c.pid", *[f"c.{n}" for n in axis_names], "c.w")
@@ -193,11 +198,22 @@ def run_analysis(
     for missing in ["bin", "bin2", "bin3"][ndims:]:
         agg = agg.withColumn(missing, F.lit(0))
 
-    name_map = F.create_map(
-        *[x for pid, (name, _k) in enumerate(pid_name) for x in (F.lit(pid), F.lit(name))]
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "\\'") + "'"
+
+    name_map = F.expr(
+        "map({})".format(
+            ", ".join(
+                f"{pid}, {_q(name)}" for pid, (name, _k) in enumerate(pid_name)
+            )
+        )
     )
-    kind_map = F.create_map(
-        *[x for pid, (_n, kind) in enumerate(pid_name) for x in (F.lit(pid), F.lit(kind))]
+    kind_map = F.expr(
+        "map({})".format(
+            ", ".join(
+                f"{pid}, {_q(kind)}" for pid, (_n, kind) in enumerate(pid_name)
+            )
+        )
     )
     return agg.select(
         *extra_keys,

@@ -21,6 +21,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _dlit(v: float) -> str:
+    """Textual double literal. A bare `20.0` parses as DECIMAL(3,1) in
+    Spark SQL (different arithmetic than F.lit(20.0)'s double!); the
+    explicit cast of the full-precision repr reproduces the Column-path
+    double exactly."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
 class EquidistantBinning:
     """n uniform bins over [lo, hi) — ``EqB`` in the reference
     (phaseII-analysis.py:299)."""
@@ -36,6 +44,21 @@ class EquidistantBinning:
             .when(x < lo, F.lit(-1))
             .when(x >= hi, F.lit(n))
             .otherwise(F.least(F.floor((x - lo) / width).cast("int"), F.lit(n - 1)))
+        )
+
+    def bin_sql(self, x: str) -> str:
+        """Textual twin of bin_col over a named column reference — the
+        single-pass histogrammer assembles its contribs array as ONE parsed
+        SQL string (a py4j call per *plot* would otherwise dominate
+        plan-build latency; PERFORMANCE.md §22). Semantics are pinned equal
+        to bin_col by the 127 golden-plot tests and the hep oracles."""
+        lo, hi = _dlit(self.lo), _dlit(self.hi)
+        width = _dlit((self.hi - self.lo) / self.n)
+        return (
+            f"CASE WHEN {x} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN {x} < {lo} THEN -1 "
+            f"WHEN {x} >= {hi} THEN {self.n} "
+            f"ELSE LEAST(CAST(FLOOR(({x} - {lo}) / {width}) AS INT), {self.n - 1}) END"
         )
 
     def edges(self) -> list[float]:
@@ -62,6 +85,14 @@ class VariableBinning:
         return (
             F.when(x.isNull(), F.lit(None).cast("int"))
             .otherwise((F.size(F.filter(arr, lambda e: e <= x)) - 1).cast("int"))
+        )
+
+    def bin_sql(self, x: str) -> str:
+        """Textual twin of bin_col (see EquidistantBinning.bin_sql)."""
+        arr = "array(" + ", ".join(_dlit(e) for e in self._edges) + ")"
+        return (
+            f"CASE WHEN {x} IS NULL THEN CAST(NULL AS INT) "
+            f"ELSE CAST(size(filter({arr}, e -> e <= {x})) - 1 AS INT) END"
         )
 
     def edges(self) -> list[float]:
