@@ -608,7 +608,7 @@ def ivf_topk_quantized(
         )
         cents = [(int(r[id_col]), [int(x) for x in r["qvec"]]) for r in init]
     qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
-    cell = F.array_max(_int_cell_scores(F.col("qvec"), cents))["cid"]
+    cell = F.array_max(_int_cell_scores("qvec", cents))["cid"]
     c = qz.select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"), cell.alias("__ivf_cell")
     )
@@ -617,7 +617,7 @@ def ivf_topk_quantized(
     )
     cells = F.slice(
         F.array_sort(
-            _int_cell_scores(F.col("qv"), cents),
+            _int_cell_scores("qv", cents),
             lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,
@@ -654,44 +654,45 @@ def _int_array_lit(vals: list[int]) -> str:
     return "array(%s)" % ",".join(f"{int(x)}L" for x in vals)
 
 
+def _int_dot_sql(a: str, b: str) -> str:
+    """Textual twin of int_dot — used to assemble whole scoring expressions
+    as ONE parsed SQL string (PERFORMANCE.md §22: plan-build latency is
+    py4j call count, and the per-Column form costs a round-trip per
+    operator application)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
 def _int_cell_scores(
-    qcol: Column, centroids: list[tuple[int, list[int]]]
+    qcol: str, centroids: list[tuple[int, list[int]]]
 ) -> Column:
     """array<struct<s,cid>> of (dot_int(q,c)/||c||, cid) per integer
-    centroid. Same literal-codebook shape as `_centroid_scores` (no join,
-    no collect at scoring time), but every input is an integer code, so the
-    one double division per centroid is correctly-rounded IEEE on identical
-    operands in any engine — scores, and therefore argmax cells, are
-    bit-reproducible. All-zero centroids guard the norm with 1.0 (score 0).
+    centroid, over the NAMED column ``qcol``. Same literal-codebook shape
+    as `_centroid_scores` (no join, no collect at scoring time), but every
+    input is an integer code, so the one double division per centroid is
+    correctly-rounded IEEE on identical operands in any engine — scores,
+    and therefore argmax cells, are bit-reproducible. All-zero centroids
+    guard the norm with 1.0 (score 0).
 
-    The codebook and the (cid, 1/||c||) metadata enter the plan as TWO
-    textual literals (PERFORMANCE.md §11): the previous per-element F.lit
-    form cost one py4j call per integer — ~1k driver round-trips per
-    operator invocation, pure plan-build latency."""
+    The WHOLE expression is one parsed SQL string (PERFORMANCE.md §11/§22):
+    literal codebook + metadata + scoring lambdas in a single py4j call."""
     import math
 
-    cb = F.expr(
-        "array(%s)" % ",".join(_int_array_lit(c) for _cid, c in centroids)
-    )
-    meta = F.expr(
-        "array(%s)"
-        % ",".join(
-            "named_struct('cid', {cid}, 'nrm', {nrm!r}D)".format(
-                cid=int(cid),
-                nrm=math.sqrt(float(sum(x * x for x in c))) or 1.0,
-            )
-            for cid, c in centroids
+    cb = "array(%s)" % ",".join(_int_array_lit(c) for _cid, c in centroids)
+    meta = "array(%s)" % ",".join(
+        "named_struct('cid', {cid}, 'nrm', {nrm!r}D)".format(
+            cid=int(cid),
+            nrm=math.sqrt(float(sum(x * x for x in c))) or 1.0,
         )
+        for cid, c in centroids
     )
     # divide by the norm (NOT multiply by a reciprocal): x/n and x*(1/n)
     # differ in the last ulp, and the SQL oracles replicate the division
-    dots = F.transform(cb, lambda cv: int_dot(qcol, cv))
-    return F.zip_with(
-        dots,
-        meta,
-        lambda d, m: F.struct(
-            (d.cast("double") / m["nrm"]).alias("s"), m["cid"].alias("cid")
-        ),
+    return F.expr(
+        f"zip_with(transform({cb}, cv -> {_int_dot_sql(f'`{qcol}`', 'cv')}), {meta}, "
+        f"(d, mm) -> named_struct('s', CAST(d AS DOUBLE) / mm.nrm, 'cid', mm.cid))"
     )
 
 
@@ -734,7 +735,7 @@ def kmeans_fit_int8(
         return []
     dim = len(cents[0][1])
     for _ in range(n_iter):
-        cell = F.array_max(_int_cell_scores(F.col("qvec"), cents))["cid"]
+        cell = F.array_max(_int_cell_scores("qvec", cents))["cid"]
         stats = (
             qz.select(cell.alias("cell"), "qvec")
             .groupBy("cell")
@@ -769,7 +770,7 @@ def kmeans_assign_int8(
     """(id, cell): nearest trained centroid per vector — literal codebook,
     per-row expression, zero shuffle."""
     qz = quantize_int8(df, id_col, vec_col)
-    cell = F.array_max(_int_cell_scores(F.col("qvec"), centroids))["cid"]
+    cell = F.array_max(_int_cell_scores("qvec", centroids))["cid"]
     return qz.select(id_col, cell.cast("int").alias("cell"))
 
 
@@ -813,42 +814,29 @@ def pq_default_codebook(
     ]
 
 
-def _pq_choice(qvec: Column, codebook: list[list[list[int]]]) -> Column:
+def _pq_choice(qvec: str, codebook: list[list[list[int]]]) -> Column:
     """array<struct<cost,cid,n2>> of the chosen (argmin-L2) centroid per
-    subspace. cost = ||c||^2 - 2 q_sub . c (the per-subspace-constant
-    ||q_sub||^2 dropped — argmin unchanged); ALL integer arithmetic, so the
-    choice is engine-exact. Ties break to the lowest centroid id
-    (lexicographic array_min over (cost, cid))."""
+    subspace, over the NAMED column ``qvec``. cost = ||c||^2 - 2 q_sub . c
+    (the per-subspace-constant ||q_sub||^2 dropped — argmin unchanged);
+    ALL integer arithmetic, so the choice is engine-exact. Ties break to
+    the lowest centroid id (lexicographic array_min over (cost, cid)).
+    One parsed SQL string for all m subspaces (PERFORMANCE.md §11/§22)."""
     m = len(codebook)
     dsub = len(codebook[0][0])
     cn2 = _pq_cn2(codebook)
     chosen = []
     for s in range(m):
-        sub = F.slice(qvec, s * dsub + 1, dsub)
-        # codebook + (cid, ||c||^2) metadata as TWO textual literals per
-        # subspace (PERFORMANCE.md §11) — the per-element F.lit form cost
-        # m*ksub*dsub py4j calls of pure plan-build latency
-        cbs = F.expr(
-            "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
+        sub = f"slice(`{qvec}`, {s * dsub + 1}, {dsub})"
+        cbs = "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
+        meta = "array(%s)" % ",".join(
+            f"named_struct('cid', {c}, 'n2', {int(n2)}L)"
+            for c, n2 in enumerate(cn2[s])
         )
-        meta = F.expr(
-            "array(%s)"
-            % ",".join(
-                f"named_struct('cid', {c}, 'n2', {int(n2)}L)"
-                for c, n2 in enumerate(cn2[s])
-            )
+        chosen.append(
+            f"array_min(zip_with(transform({cbs}, cv -> {_int_dot_sql(sub, 'cv')}), {meta}, "
+            f"(d, mm) -> named_struct('cost', mm.n2 - 2 * d, 'cid', mm.cid, 'n2', mm.n2)))"
         )
-        entries = F.zip_with(
-            F.transform(cbs, lambda cv: int_dot(sub, cv)),
-            meta,
-            lambda d, mm: F.struct(
-                (mm["n2"] - 2 * d).alias("cost"),
-                mm["cid"].alias("cid"),
-                mm["n2"].alias("n2"),
-            ),
-        )
-        chosen.append(F.array_min(entries))
-    return F.array(*chosen)
+    return F.expr("array(%s)" % ", ".join(chosen))
 
 
 def pq_encode(
@@ -865,7 +853,7 @@ def pq_encode(
 
     qz = quantize_int8(df, id_col, vec_col)
     staged = _barrier(
-        qz.withColumn("__pq", _pq_choice(F.col("qvec"), codebook))
+        qz.withColumn("__pq", _pq_choice("qvec", codebook))
     )
     return staged.select(
         F.col(id_col),
@@ -904,7 +892,7 @@ def pq_fit(
     try:
         qz.count()  # materialize once; iterations re-read the cached codes
         for _ in range(n_iter):
-            choice = _pq_choice(F.col("qvec"), cb)
+            choice = _pq_choice("qvec", cb)
             exploded = qz.select(
                 F.posexplode(
                     F.transform(choice, lambda x: x["cid"])
@@ -935,34 +923,29 @@ def pq_fit(
     return cb
 
 
-def _pq_lut(qvec: Column, codebook: list[list[list[int]]]) -> Column:
+def _pq_lut(qvec: str, codebook: list[list[list[int]]]) -> Column:
     """ADC lookup table for one query row: lut[s][c] = q_sub(s) . c — the
     one-time m*ksub dot products that make every corpus pair cost m
-    lookups instead of a dim-wide dot. Integer-exact longs."""
+    lookups instead of a dim-wide dot. Integer-exact longs. One parsed SQL
+    string for all m subspaces (PERFORMANCE.md §22)."""
     m = len(codebook)
     dsub = len(codebook[0][0])
     per_s = []
     for s in range(m):
-        sub = F.slice(qvec, s * dsub + 1, dsub)
-        cbs = F.expr(
-            "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
-        )
-        per_s.append(F.transform(cbs, lambda cv: int_dot(sub, cv)))
-    return F.array(*per_s)
+        sub = f"slice(`{qvec}`, {s * dsub + 1}, {dsub})"
+        cbs = "array(%s)" % ",".join(_int_array_lit(cv) for cv in codebook[s])
+        per_s.append(f"transform({cbs}, cv -> {_int_dot_sql(sub, 'cv')})")
+    return F.expr("array(%s)" % ", ".join(per_s))
 
 
-def _adc_score(codes: Column, lut: Column) -> Column:
+def _adc_score(codes: str, lut: str) -> Column:
     """sum_s lut[s][codes[s]] — the asymmetric distance computation
-    (exact integer dot of the query against the reconstruction)."""
-    return F.aggregate(
-        F.transform(
-            codes,
-            lambda code, s: F.element_at(
-                F.element_at(lut, s + 1), code + 1
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    (exact integer dot of the query against the reconstruction), over
+    NAMED columns."""
+    return F.expr(
+        f"aggregate(transform(`{codes}`, (code, s) -> "
+        f"element_at(element_at(`{lut}`, s + 1), code + 1)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
@@ -1022,9 +1005,9 @@ def ivf_pq_topk(
     )
     qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
     staged = _barrier(
-        qz.withColumn("__pq", _pq_choice(F.col("qvec"), cb)).withColumn(
+        qz.withColumn("__pq", _pq_choice("qvec", cb)).withColumn(
             "__ivf_cell",
-            F.array_max(_int_cell_scores(F.col("qvec"), coarse))["cid"],
+            F.array_max(_int_cell_scores("qvec", coarse))["cid"],
         )
     )
     c = staged.select(
@@ -1038,12 +1021,12 @@ def ivf_pq_topk(
     qstaged = _barrier(
         quantize_int8(queries, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), "qvec")
-        .withColumn("__lut", _pq_lut(F.col("qvec"), cb))
+        .withColumn("__lut", _pq_lut("qvec", cb))
         .withColumn("__qn2", int_dot(F.col("qvec"), F.col("qvec")))
     )
     cells = F.slice(
         F.array_sort(
-            _int_cell_scores(F.col("qvec"), coarse),
+            _int_cell_scores("qvec", coarse),
             lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,
@@ -1061,7 +1044,7 @@ def ivf_pq_topk(
     score = F.when(
         (F.col("rnorm2") == 0) | (F.col("__qn2") == 0), F.lit(0.0)
     ).otherwise(
-        _adc_score(F.col("codes"), F.col("__lut")).cast("double")
+        _adc_score("codes", "__lut").cast("double")
         / (
             F.sqrt(F.col("__qn2").cast("double"))
             * F.sqrt(F.col("rnorm2").cast("double"))
