@@ -335,6 +335,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection with exact integer
+    sufficient statistics — (n·x−s)² > z²·(n·q−s²), no float mean/stddev
+    in the decision, so the flags are engine-exact (rolling_anomaly_flags
+    docstring has the derivation)."""
+    from ..operators.temporal import rolling_anomaly_flags
+
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = rolling_anomaly_flags(
+        ev, key_col="user_id", ts_col="ts", value_col="value_cents",
+        window="6 hours", z=2,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value_cents",
+        F.col("n_win").cast("long").alias("n_win"),
+        F.col("sum_win").cast("long").alias("sum_win"),
+        F.col("sumsq_win").cast("long").alias("sumsq_win"),
+        "is_anomaly",
+    )
+
+
+ORACLE_EVENTS_ANOMALIES = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+s AS (
+    SELECT event_id, user_id, ts, value_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS sum_win,
+           CAST(SUM(value_cents * value_cents) OVER w AS BIGINT) AS sumsq_win
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value_cents,
+       n_win, sum_win, sumsq_win,
+       (n_win * value_cents - sum_win) * (n_win * value_cents - sum_win)
+           > 4 * (n_win * sumsq_win - sum_win * sum_win) AS is_anomaly
+FROM s
+"""
+
+
 # oracle-checked overflow (after the driver window; in-repo gate applies)
 register("quality_report_orders", q_quality_report_orders, ORACLE_QUALITY_REPORT_ORDERS)
 register("rel_windows_extended", q_rel_windows_extended, ORACLE_REL_WINDOWS_EXTENDED)
@@ -344,3 +395,4 @@ register(
     q_events_incremental_rollup,
     ORACLE_EVENTS_INCREMENTAL_ROLLUP,
 )
+register("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES)

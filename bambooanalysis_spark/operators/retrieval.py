@@ -30,6 +30,8 @@ SQL-hash oracle (same policy as tf-idf).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -283,4 +285,32 @@ def rrf_fuse(
             "rrf_e6",
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
+    )
+
+
+# --- HLL sketch partials (mergeable distinct counts) -------------------------
+
+def hll_partials(
+    df: DataFrame, keys: Sequence[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog sketch partials (Apache DataSketches via
+    Spark's `hll_sketch_agg`): the persistable building block for
+    incremental distinct-count maintenance — per-day/shard partials merge
+    with `hll_merge_estimate` without rescanning history, the piece a
+    plain COUNT(DISTINCT) fundamentally can't give you at 100 TB (it is
+    not decomposable; the sketch union is)."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("hll"))
+
+
+def hll_merge_estimate(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Union sketch partials on the group keys and estimate: returns
+    keys + n_distinct_est (exact for cardinalities well under 2^lg_k)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(*keys)
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .withColumn("n_distinct_est", F.hll_sketch_estimate("hll").cast("long"))
+        .drop("hll")
     )

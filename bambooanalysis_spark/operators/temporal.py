@@ -325,3 +325,44 @@ def merge_rollups(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
+def rolling_anomaly_flags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value_cents",
+    window: str = "1 hour",
+    z: int = 3,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags with EXACT integer
+    arithmetic: a row is anomalous when its integer value deviates from
+    the trailing-window mean by more than ``z`` standard deviations —
+    evaluated as (n·x − s)² > z²·(n·q − s²) with n=count, s=sum, q=sum of
+    squares over [ts − window, ts], so there is no float mean/stddev in
+    the decision and every engine agrees bit-for-bit. (Derivation:
+    (x − s/n)² > z²·(q/n − s²/n²), multiplied through by n².)
+
+    Windows with n == 1 (only the row itself) are never anomalous (zero
+    variance, zero deviation). Adds (n_win, sum_win, sumsq_win,
+    is_anomaly) to the input rows; same single-shuffle RANGE-window shape
+    (and hot-key exposure) as rolling_stats.
+    """
+    x = F.col(value_col).cast("long")
+    out = rolling_stats(
+        df.withColumn("__x", x),
+        {
+            "n_win": F.count(F.lit(1)),
+            "sum_win": F.sum("__x"),
+            "sumsq_win": F.sum(F.col("__x") * F.col("__x")),
+        },
+        key_col=key_col,
+        ts_col=ts_col,
+        window=window,
+    )
+    n, s, q = F.col("n_win"), F.col("sum_win"), F.col("sumsq_win")
+    dev = n * x - s
+    var_scaled = n * q - s * s
+    return out.withColumn(
+        "is_anomaly", (dev * dev) > (F.lit(z * z) * var_scaled)
+    ).drop("__x")

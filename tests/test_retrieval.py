@@ -355,3 +355,67 @@ def test_quality_report_scalar_rules_single_scan(spark, sf_oracle):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
     assert all(r.passed for r in rep.where(~F.col("rule").startswith("accepted")).collect())
+
+
+def test_rolling_anomaly_flags_hand_computed(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import rolling_anomaly_flags
+
+    # key A within one hour: values 10,10,10,100 -> the spike is anomalous
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 0), 10),
+        ("A", datetime(2024, 1, 1, 0, 10), 10),
+        ("A", datetime(2024, 1, 1, 0, 20), 10),
+        ("A", datetime(2024, 1, 1, 0, 30), 100),
+        ("A", datetime(2024, 1, 1, 5, 0), 7),   # fresh window, alone -> not anomalous
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value_cents"])
+    out = rolling_anomaly_flags(df, window="1 hour", z=1).orderBy("ts")
+    got = [(r.value_cents, r.n_win, r.is_anomaly) for r in out.collect()]
+    # spike: n=4 s=130 q=10300; dev=4*100-130=270; var*n^2... scaled
+    # var=4*10300-130^2=24300; dev^2=72900 > 1*24300 -> anomaly
+    assert got == [
+        (10, 1, False),
+        (10, 2, False),
+        (10, 3, False),
+        (100, 4, True),
+        (7, 1, False),
+    ]
+    # plain 10s: last one n=3 s=30 q=300 dev=0 -> never anomalous  (checked above)
+
+
+def test_hll_partials_merge_vs_direct(spark):
+    """Per-shard HLL partials unioned on keys must estimate the same
+    distinct count as a single whole-corpus sketch, and be exact at the
+    fixture's cardinality (150 users << 2^12)."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.operators.retrieval import (
+        hll_merge_estimate,
+        hll_partials,
+    )
+
+    ev = _events(spark, "/root/testdata/sf0.01")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    parts = [
+        hll_partials(ev.where(F.col("ts") < cut), ["event_type"], "user_id"),
+        hll_partials(ev.where(F.col("ts") >= cut), ["event_type"], "user_id"),
+    ]
+    merged = {
+        r.event_type: r.n_distinct_est
+        for r in hll_merge_estimate(parts, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.n_distinct_est
+        for r in hll_merge_estimate(
+            [hll_partials(ev, ["event_type"], "user_id")], ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct
+    assert merged == exact  # 150 users: HLL at lg_k=12 is exact here
