@@ -396,3 +396,33 @@ register(
     ORACLE_EVENTS_INCREMENTAL_ROLLUP,
 )
 register("events_anomalies", q_events_anomalies, ORACLE_EVENTS_ANOMALIES)
+
+
+def q_sampling_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: md5 sort key ->
+    (shard, pos) addresses; per-shard ROW_NUMBER, never a global sort
+    (operators/sampling.training_order)."""
+    from ..operators.sampling import training_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return training_order(docs, "doc_id", seed=7, n_shards=16)
+
+
+ORACLE_SAMPLING_TRAINING_ORDER = """
+WITH k AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+    FROM documents
+)
+SELECT doc_id,
+       CAST(key % 16 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
+register(
+    "sampling_training_order",
+    q_sampling_training_order,
+    ORACLE_SAMPLING_TRAINING_ORDER,
+)

@@ -144,3 +144,33 @@ def temperature_mix(
         .where(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def training_order(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0, n_shards: int = 64
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a (shard, pos) address from an md5 sort key — reproducible across
+    reruns, engines and partitionings (no rand(), no zipWithIndex), and
+    re-seedable per epoch. Readers stream shards in pos order and see a
+    uniform random permutation of the corpus.
+
+    Scale shape: shard = key mod n_shards partitions the corpus; pos is a
+    ROW_NUMBER per shard — the sort is per-shard (corpus/n_shards rows),
+    parallel across shards, never a single global sort. A global
+    zipWithIndex-style total order would serialize at the final stage;
+    per-shard addresses are what shard-sharded training readers consume
+    anyway.
+    """
+    key = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col), key.alias("__key")).withColumn(
+        "shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return staged.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

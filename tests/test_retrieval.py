@@ -419,3 +419,78 @@ def test_hll_partials_merge_vs_direct(spark):
     }
     assert merged == direct
     assert merged == exact  # 150 users: HLL at lg_k=12 is exact here
+
+
+def test_training_order_deterministic_and_uniform(spark):
+    from bambooanalysis_spark.operators.sampling import training_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {(r.doc_id): (r.shard, r.pos) for r in training_order(docs, seed=1).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in
+         training_order(docs.repartition(13), seed=1).collect()}
+    assert a == b  # partitioning-invariant
+    c = {(r.doc_id): (r.shard, r.pos) for r in training_order(docs, seed=2).collect()}
+    assert a != c  # re-seedable per epoch
+    # (shard, pos) is a dense unique address
+    addrs = sorted(a.values())
+    assert len(set(addrs)) == len(addrs) == 500
+    per_shard = {}
+    for s, p in addrs:
+        per_shard.setdefault(s, []).append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # rough uniformity across 64 shards at n=500
+    assert max(len(v) for v in per_shard.values()) <= 4 * (500 // 64)
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming event feed enriched against a
+    static dimension (broadcast per micro-batch, no state) — the standard
+    streaming lookup shape next to the stream-stream funnel."""
+    from bambooanalysis_spark.contract.extensions import _events
+
+    events = _events(spark, "/root/testdata/sf0.01")
+    src = str(tmp_path / "ev_stream")
+    events.limit(500).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 5), ("error", 0)],
+        ["event_type", "weight"],
+    )
+    batch = (
+        spark.read.parquet(src).join(dim, "event_type")
+        .groupBy("event_type").agg(F.sum("weight").alias("w"))
+    )
+    expect = {(r.event_type, r.w) for r in batch.collect()}
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream.join(dim, "event_type").groupBy("event_type").agg(
+        F.sum("weight").alias("w")
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_join")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_type, r.w) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == expect and got
+
+
+def test_json_corrupt_records_permissive(spark, tmp_path):
+    """Malformed JSON lines must not kill the pipeline: PERMISSIVE mode
+    captures them in _corrupt_record for quarantine while good rows parse."""
+    p = str(tmp_path / "raw.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write('{"a": 2, "b": "y"}\n')
+        f.write('{"a": broken!!\n')
+        f.write('not json at all\n')
+    df = (
+        spark.read.schema("a long, b string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {(r.a, r.b) for r in good} == {(1, "x"), (2, "y")}
+    assert len(bad) == 2 and all(r.a is None for r in bad)
