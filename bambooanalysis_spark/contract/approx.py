@@ -426,3 +426,17 @@ register(
     q_sampling_training_order,
     ORACLE_SAMPLING_TRAINING_ORDER,
 )
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal over the corpus — Arrow-batched
+    mapInPandas (no per-row UDF, no shuffle). Rows-only: DuckDB has no
+    zlib; determinism and arithmetic pinned by
+    tests/test_retrieval.py::test_compression_ratio_signal."""
+    from ..operators.importance import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compression_ratio(docs)
+
+
+register("text_compression_ratio", q_text_compression_ratio)

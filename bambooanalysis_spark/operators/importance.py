@@ -153,3 +153,41 @@ def dsir_importance(
         long_fold(slit).alias("source_hits"),
         dbl_fold(llit).alias("log_weight"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the classic "too
+    compressible = boilerplate/repetition, incompressible = noise/binary"
+    corpus heuristic): (id, n_raw, n_zlib, ratio_e4) with ratio_e4 =
+    floor(1e4 * compressed/raw) and 0 for empty documents.
+
+    Arrow-batched ``mapInPandas`` — the sanctioned Python path (zlib is
+    CPU work with no Column-expression form): one python worker pass per
+    batch, no per-row UDF round-trips, partition-parallel with no shuffle.
+    Deterministic for a fixed zlib version+level (pinned by unit test;
+    no cross-engine oracle — DuckDB has no zlib — so the contract entry is
+    rows-only)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    schema = f"{id_col} long, n_raw long, n_zlib long, ratio_e4 long"
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_raw = raw.str.len()
+            n_zlib = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pdf[[id_col]].copy()
+            out["n_raw"] = n_raw.astype("int64")
+            out["n_zlib"] = n_zlib.astype("int64")
+            out["ratio_e4"] = (
+                (n_zlib * 10_000 // n_raw.where(n_raw > 0, 1))
+                .where(n_raw > 0, 0)
+                .astype("int64")
+            )
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -494,3 +494,25 @@ def test_json_corrupt_records_permissive(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {(r.a, r.b) for r in good} == {(1, "x"), (2, "y")}
     assert len(bad) == 2 and all(r.a is None for r in bad)
+
+
+def test_compression_ratio_signal(spark):
+    from bambooanalysis_spark.operators.importance import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over a lazy dog tonight"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[3].ratio_e4 == 0 and out[3].n_raw == 0
+    # repetition compresses far better than natural text
+    assert out[1].ratio_e4 < out[2].ratio_e4
+    assert 0 < out[1].ratio_e4 < 10_000
+    # deterministic within the environment + arithmetic self-consistent
+    again = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for k in out:
+        assert (out[k].n_zlib, out[k].ratio_e4) == (again[k].n_zlib, again[k].ratio_e4)
+        if out[k].n_raw:
+            assert out[k].ratio_e4 == out[k].n_zlib * 10_000 // out[k].n_raw
