@@ -440,3 +440,52 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("text_compression_ratio", q_text_compression_ratio)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the bipartite part↔supplier
+    co-occurrence graph from lineitem — exact integer fixed-point
+    (operators/graph.py), so the full iteration history hash-matches the
+    unrolled DuckDB oracle."""
+    from ..operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"),
+        (F.col("l_suppkey") + 10_000_000).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3, damping_e4=8500)
+
+
+def _oracle_pagerank(n_iter: int = 3, d_e4: int = 8500) -> str:
+    ctes = [
+        "pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS s FROM lineitem)",
+        "e AS (SELECT p AS src, s AS dst FROM pairs UNION ALL SELECT s, p FROM pairs)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "t AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000000 // t.n AS BIGINT) AS rank_e9 "
+        "FROM nodes CROSS JOIN t)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"CAST(SUM((r.rank_e9 * {d_e4}) // (10000 * od.odeg)) AS BIGINT) AS s "
+            f"FROM e JOIN {prev} r ON r.node = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node, "
+            f"CAST({(10000 - d_e4) * 1_000_000_000} // (10000 * t.n) "
+            f"+ COALESCE(c{i}.s, 0) AS BIGINT) AS rank_e9 "
+            f"FROM nodes CROSS JOIN t LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_e9 FROM r{n_iter}"
+
+
+register("graph_pagerank", q_graph_pagerank, _oracle_pagerank())

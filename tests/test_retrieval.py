@@ -516,3 +516,18 @@ def test_compression_ratio_signal(spark):
         assert (out[k].n_zlib, out[k].ratio_e4) == (again[k].n_zlib, again[k].ratio_e4)
         if out[k].n_raw:
             assert out[k].ratio_e4 == out[k].n_zlib * 10_000 // out[k].n_raw
+
+
+def test_pagerank_hub_gets_max_rank(spark):
+    from bambooanalysis_spark.operators.graph import pagerank
+
+    # star graph: everyone points at the hub (0), hub points at 1
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank_e9 for r in pagerank(edges, n_iter=5).collect()}
+    assert set(ranks) == set(range(6))
+    assert ranks[0] == max(ranks.values())       # hub dominates
+    assert ranks[1] > ranks[2] == ranks[5]       # hub's sole target beats leaves
+    # mass conservation (minus integer-floor dust): <= 1e9, close to it
+    assert 0.9e9 < sum(ranks.values()) <= 1e9
