@@ -531,3 +531,54 @@ def test_pagerank_hub_gets_max_rank(spark):
     assert ranks[1] > ranks[2] == ranks[5]       # hub's sole target beats leaves
     # mass conservation (minus integer-floor dust): <= 1e9, close to it
     assert 0.9e9 < sum(ranks.values()) <= 1e9
+
+
+def test_pretrain_pipeline_end_to_end(spark):
+    """The full pretraining assembly, each stage an existing operator:
+    quality filter -> exact dedup -> decontamination -> BPE tokenize ->
+    sequence packing -> deterministic training order. Verifies stage
+    hand-offs (schemas/ids survive), monotone corpus shrinkage, and that
+    the final (shard, pos) addressing covers exactly the surviving docs."""
+    from bambooanalysis_spark.operators import text as T
+    from bambooanalysis_spark.operators.bpe import bpe_encode, bpe_train
+    from bambooanalysis_spark.operators.dedup import exact_dedup
+    from bambooanalysis_spark.operators.pretrain import decontaminate, pack_sequences
+    from bambooanalysis_spark.operators.sampling import training_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate (length only — the fixture is synthetic)
+    kept = docs.where(T.token_count(F.col("text")) >= 10)
+    n1 = kept.count()
+    # 2. exact dedup
+    deduped = exact_dedup(kept, "doc_id", "text")
+    n2 = deduped.count()
+    # 3. decontamination against a planted benchmark
+    bench = deduped.orderBy("doc_id").limit(3).select("doc_id", "text")
+    clean = decontaminate(deduped, bench)
+    n3 = clean.count()
+    assert n0 >= n1 >= n2 > n3 > 0
+
+    # 4. tokenize (trained BPE) — every surviving doc gets a token count
+    merges = bpe_train(clean, n_merges=32)
+    toks = bpe_encode(clean, merges)
+    assert toks.count() == n3
+    assert toks.where(F.col("n_subwords") <= 0).count() == 0
+
+    # 5. pack into 128-token contexts — offsets strictly increasing, packs
+    # cover the whole stream
+    packed = pack_sequences(clean, context_len=128)
+    rows = packed.orderBy("tok_start").collect()
+    assert len(rows) == n3
+    total = 0
+    for r in rows:
+        assert r.tok_start == total
+        total += r.n_tokens
+        assert r.pack_first == r.tok_start // 128
+    # 6. deterministic training order covers exactly the surviving docs
+    order = training_order(clean, "doc_id", seed=3, n_shards=8)
+    assert order.count() == n3
+    ids_in = {r.doc_id for r in clean.select("doc_id").collect()}
+    ids_out = {r.doc_id for r in order.select("doc_id").collect()}
+    assert ids_in == ids_out
