@@ -489,3 +489,23 @@ def _oracle_pagerank(n_iter: int = 3, d_e4: int = 8500) -> str:
 
 
 register("graph_pagerank", q_graph_pagerank, _oracle_pagerank())
+
+
+def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    quality-weighted subset selection — here the 100 longest-text-biased
+    docs via n_chars weights. Priorities are md5-uniform^(1/w) doubles
+    (pow), so rows-only; formula pinned exactly vs a numpy replay by
+    tests/test_retrieval.py::test_weighted_sample_aes_properties."""
+    from ..operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
+        k=100,
+        weight_col="w",
+        salt="r3",
+    )
+
+
+register("sampling_weighted", q_sampling_weighted)

@@ -174,3 +174,37 @@ def training_order(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws priority u^(1/w) from a deterministic md5-uniform u and
+    the global top-k priorities win — inclusion probability proportional
+    to weight, reproducible across reruns/partitionings (no rand()), and
+    re-drawable via ``salt``.
+
+    Scale shape: priorities are a per-row projection; the top-k is
+    sort+limit (TakeOrdered — per-partition top-k then a k-sized driver
+    merge, never a global sort). Rows with weight <= 0 are excluded.
+    Priorities are IEEE doubles (pow) — deterministic on one platform and
+    gated by a numpy property test rather than a SQL-hash oracle.
+    """
+    # u in (0, 1]: (hash + 1) / 2^60 over the raw 60-bit md5-derived key
+    u = (
+        hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt))) + 1
+    ) / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__pri")
+    )

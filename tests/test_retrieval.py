@@ -582,3 +582,53 @@ def test_pretrain_pipeline_end_to_end(spark):
     ids_in = {r.doc_id for r in clean.select("doc_id").collect()}
     ids_out = {r.doc_id for r in order.select("doc_id").collect()}
     assert ids_in == ids_out
+
+
+def test_weighted_sample_aes_properties(spark):
+    """A-ES weighted sampling: matches a numpy replay of the identical
+    formula, is partitioning-invariant, and empirically favors heavy rows
+    (inclusion prob proportional to weight)."""
+    import hashlib
+
+    import numpy as np
+
+    from bambooanalysis_spark.operators.sampling import weighted_sample
+
+    n = 400
+    rows = [(i, 10.0 if i % 20 == 0 else 1.0) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(r.doc_id for r in weighted_sample(df, 50, "w", salt="s1").collect())
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pri = {
+        i: np.power((h60(f"{i}s1") + 1) / float(2**60), 1.0 / w)
+        for i, w in rows
+    }
+    expect = sorted(sorted(pri, key=lambda i: (-pri[i], i))[:50])
+    assert got == expect
+
+    again = sorted(
+        r.doc_id
+        for r in weighted_sample(df.repartition(7), 50, "w", salt="s1").collect()
+    )
+    assert again == got
+    # heavy rows (weight 10, 5% of corpus) should be strongly over-represented
+    heavy = sum(1 for i in got if i % 20 == 0)
+    assert heavy >= 10  # 20 heavy rows exist; uniform draw would give ~2.5
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across partitions: old files lack a column, new
+    files add one — mergeSchema reads both with NULL backfill, and filters
+    on the new column still prune to the new files."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "x", "score"]
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r.id: (r.x, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert df.where(F.col("score") > 5).count() == 1
