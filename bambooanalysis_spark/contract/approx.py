@@ -509,3 +509,44 @@ def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sampling_weighted", q_sampling_weighted)
+
+
+def q_text_fuzzy_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy matching over the corpus vocabulary: SymSpell
+    deletion-neighborhood candidate join + exact levenshtein rescoring
+    (operators/dedup.fuzzy_term_pairs). Both engines ship levenshtein, so
+    the result is exactly oracle-checked."""
+    from ..operators.dedup import fuzzy_term_pairs
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return fuzzy_term_pairs(vocab)
+
+
+ORACLE_TEXT_FUZZY_TERM_PAIRS = """
+WITH vocab AS (
+    SELECT DISTINCT term FROM (
+        SELECT UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ) WHERE length(term) >= 3
+),
+v AS (
+    SELECT term,
+           UNNEST(list_prepend(term,
+               list_transform(range(1, length(term) + 1),
+                   i -> substring(term, 1, i - 1) || substring(term, i + 1, length(term))))) AS var
+    FROM vocab
+),
+cand AS (
+    SELECT DISTINCT a.term AS term_a, b.term AS term_b
+    FROM v a JOIN v b ON a.var = b.var AND a.term < b.term
+)
+SELECT term_a, term_b, CAST(levenshtein(term_a, term_b) AS INT) AS dist
+FROM cand WHERE levenshtein(term_a, term_b) <= 1
+"""
+
+
+register(
+    "text_fuzzy_term_pairs", q_text_fuzzy_term_pairs, ORACLE_TEXT_FUZZY_TERM_PAIRS
+)

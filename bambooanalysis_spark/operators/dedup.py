@@ -554,3 +554,49 @@ def near_dup_clusters(
     deduplicated keep-list."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k)
     return connected_components(pairs, df, id_col)
+
+
+def fuzzy_term_pairs(
+    df: DataFrame,
+    term_col: str = "term",
+    min_len: int = 3,
+) -> DataFrame:
+    """All distinct term pairs (a < b) within edit distance 1 — typo-level
+    fuzzy matching, the character-level companion to the token-level
+    near-dup family. SymSpell/FastSS shape: each term emits itself plus
+    its single-character deletions; any edit-distance-1 pair (insert,
+    delete, or substitute) shares a variant, so the candidate set from the
+    variant self-join is complete, and an exact `levenshtein` rescoring
+    removes the false positives (distance-2 pairs that collide). No n²
+    cross join — work is proportional to Σ len(term) variants and the
+    variant-bucket collisions.
+
+    Terms shorter than ``min_len`` are dropped (their deletion buckets are
+    tiny strings shared by huge fractions of the vocabulary — the same
+    hot-key fan-out argument as the jaccard df-cutoff)."""
+    terms = (
+        df.select(F.col(term_col).alias("term"))
+        .where(F.length("term") >= min_len)
+        .distinct()
+    )
+    variants = F.array_union(
+        F.array(F.col("term")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.substring(F.col("term"), F.lit(1), i - 1),
+                F.substring(F.col("term"), i + 1, F.length("term")),
+            ),
+        ),
+    )
+    v = terms.select("term", F.explode(variants).alias("var"))
+    a = v.alias("a")
+    b = v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.term") < F.col("b.term")))
+        .select(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("term_a", "term_b") <= 1).select(
+        "term_a", "term_b", F.levenshtein("term_a", "term_b").cast("int").alias("dist")
+    )

@@ -632,3 +632,32 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r.id: (r.x, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert df.where(F.col("score") > 5).count() == 1
+
+
+def test_fuzzy_term_pairs_semantics(spark):
+    from bambooanalysis_spark.operators.dedup import fuzzy_term_pairs
+
+    df = spark.createDataFrame(
+        [("color",), ("colour",), ("colr",), ("banana",), ("bananas",),
+         ("apple",), ("ample",), ("xy",)],
+        ["term"],
+    )
+    got = sorted(
+        (r.term_a, r.term_b, r.dist) for r in fuzzy_term_pairs(df).collect()
+    )
+    # insert: banana/bananas + color/colour; delete: color/colr;
+    # substitute: apple/ample (p->m); xy below min_len
+    assert got == [
+        ("ample", "apple", 1),
+        ("banana", "bananas", 1),
+        ("color", "colour", 1),
+        ("color", "colr", 1),
+    ]
+
+
+def test_fuzzy_term_pairs_substitution(spark):
+    from bambooanalysis_spark.operators.dedup import fuzzy_term_pairs
+
+    df = spark.createDataFrame([("chat",), ("chap",), ("chip",)], ["term"])
+    got = sorted((r.term_a, r.term_b) for r in fuzzy_term_pairs(df).collect())
+    assert got == [("chap", "chat"), ("chap", "chip")]  # chat/chip distance 2
