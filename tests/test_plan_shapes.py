@@ -377,3 +377,36 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_training_order_has_no_global_sort(spark, sf_oracle):
+    """(shard, pos) addressing must be per-shard ROW_NUMBER — a range
+    exchange (global sort) would serialize the final stage at 100 TB."""
+    from bambooanalysis_spark.operators.sampling import training_order
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = _plan(training_order(docs, "doc_id", seed=1, n_shards=64))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
+
+
+def test_weighted_sample_uses_takeordered(spark, sf_oracle):
+    """A-ES top-k must plan as TakeOrdered (per-partition top-k + k-sized
+    driver merge), never a full sort."""
+    from bambooanalysis_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    plan = _plan(weighted_sample(docs, 100, "w"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_oracle):
+    """The corpus side must never shuffle for scoring: the query-term table
+    is broadcast; the only corpus exchanges are the postings/df
+    aggregations and the final per-query top-k."""
+    from bambooanalysis_spark.contract.approx import q_retrieval_bm25_topk
+
+    plan = _plan(q_retrieval_bm25_topk(spark, sf_oracle))
+    assert "BroadcastExchange" in plan
