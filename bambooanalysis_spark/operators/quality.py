@@ -76,15 +76,17 @@ def quality_report(
     ).select("rule", "n_violations", F.col("__n_rows").alias("n_rows"))
 
     fk_reports = []
-    n_rows_total = None  # each FK report needs n_rows; reuse the same agg input
     for col, ref, ref_col in foreign_keys:
+        # referenced key sets are usually dimension-sized — but guard the
+        # broadcast with the probed-count check instead of assuming
+        # (similarity._maybe_broadcast: above the limit the planner falls
+        # back to a shuffled anti-join rather than OOMing every executor)
+        from .similarity import _maybe_broadcast
+
+        keys = ref.select(F.col(ref_col).alias(col)).distinct()
         missing = (
             df.where(F.col(col).isNotNull())
-            .join(
-                F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
-                col,
-                "left_anti",
-            )
+            .join(_maybe_broadcast(keys, 10_000_000), col, "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
             .crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows")))
             .select(
