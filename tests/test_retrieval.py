@@ -711,78 +711,3 @@ def test_watermark_append_mode_single_final_emission(spark, tmp_path):
     # hour-9 window: watermark never passed its end -> no emission
     assert not [r for r in rows if r.window_start == datetime(2024, 1, 1, 9, 0)]
 
-
-def test_fuzzy_term_pairs_semantics(spark):
-    from bambooanalysis_spark.operators.dedup import fuzzy_term_pairs
-
-    df = spark.createDataFrame(
-        [("color",), ("colour",), ("colr",), ("banana",), ("bananas",),
-         ("apple",), ("ample",), ("xy",)],
-        ["term"],
-    )
-    got = sorted(
-        (r.term_a, r.term_b, r.dist) for r in fuzzy_term_pairs(df).collect()
-    )
-    # insert: banana/bananas + color/colour; delete: color/colr;
-    # substitute: apple/ample (p->m); xy below min_len
-    assert got == [
-        ("ample", "apple", 1),
-        ("banana", "bananas", 1),
-        ("color", "colour", 1),
-        ("color", "colr", 1),
-    ]
-
-
-def test_fuzzy_term_pairs_substitution(spark):
-    from bambooanalysis_spark.operators.dedup import fuzzy_term_pairs
-
-    df = spark.createDataFrame([("chat",), ("chap",), ("chip",)], ["term"])
-    got = sorted((r.term_a, r.term_b) for r in fuzzy_term_pairs(df).collect())
-    assert got == [("chap", "chat"), ("chap", "chip")]  # chat/chip distance 2
-
-
-def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
-    """Watermark semantics end-to-end: in append mode a window only emits
-    once the watermark passes its end, and rows arriving after the
-    watermark has moved beyond their window are DROPPED from state. Three
-    single-file micro-batches (maxFilesPerTrigger=1, lexicographic order):
-    b1 fills hour-0, b2 advances event time far past it (emitting hour-0),
-    b3 delivers another hour-0 row — too late, must not change the count."""
-    from datetime import datetime
-
-    from bambooanalysis_spark.streaming import windowed_event_stats
-
-    import time
-
-    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
-    src = str(tmp_path / "late_stream")
-
-    def batch(rows, first=False):
-        # flat directory, appended in arrival order (file-source batches
-        # follow modification time; the sleep separates mtimes)
-        mode = "overwrite" if first else "append"
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
-        time.sleep(1.1)
-
-    h0 = datetime(2024, 1, 1, 0, 30)
-    far = datetime(2024, 1, 1, 9, 0)
-    batch([(1, h0, 1, "view", 1.0), (2, h0, 2, "view", 2.0)], first=True)
-    batch([(3, far, 3, "view", 3.0)])                 # watermark -> 8:00
-    batch([(4, datetime(2024, 1, 1, 0, 45), 4, "view", 4.0)])  # too late
-
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
-    )
-    out = windowed_event_stats(stream, "1 hour", watermark="1 hour")
-    q = (
-        out.writeStream.format("memory").queryName("late_win")
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    rows = {
-        (r.window_start, r.n_events, r.value_cents)
-        for r in spark.sql("SELECT * FROM late_win").collect()
-    }
-    # hour-0 window emitted exactly once with ONLY the on-time rows
-    assert (datetime(2024, 1, 1, 0, 0), 2, 300) in rows
-    assert not any(r[0] == datetime(2024, 1, 1, 0, 0) and r[1] != 2 for r in rows)
