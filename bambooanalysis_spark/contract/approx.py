@@ -550,3 +550,60 @@ FROM cand WHERE levenshtein(term_a, term_b) <= 1
 register(
     "text_fuzzy_term_pairs", q_text_fuzzy_term_pairs, ORACLE_TEXT_FUZZY_TERM_PAIRS
 )
+
+
+def q_linkage_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution demo: a deterministically-perturbed copy of
+    customer (one character deleted from each name) is linked back via
+    blocking on the unperturbed fields (nation, segment) + levenshtein
+    scoring + greedy per-record resolution (operators/linkage.py). All
+    integer scores and deterministic tie-breaks — exactly oracle-checked."""
+    from ..operators.linkage import blocked_candidates, resolve_best_match, score_pairs
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dirty = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("id_l"),
+        F.concat(
+            F.substring("c_name", 1, 10), F.substring("c_name", 12, 100)
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("id_r"), "c_name", "c_nationkey", "c_mktsegment"
+    )
+    cand = blocked_candidates(dirty, clean, ["c_nationkey", "c_mktsegment"])
+    scored = score_pairs(cand, fuzzy_fields={"c_name": 1})
+    best = resolve_best_match(scored, min_score=-2)
+    return best.select("id_l", "id_r", "score")
+
+
+ORACLE_LINKAGE_CUSTOMER_MATCH = """
+WITH dirty AS (
+    SELECT c_custkey + 1000000 AS id_l,
+           substring(c_name, 1, 10) || substring(c_name, 12, length(c_name)) AS name_l,
+           c_nationkey AS nk, c_mktsegment AS seg
+    FROM customer
+),
+clean AS (
+    SELECT c_custkey AS id_r, c_name AS name_r,
+           c_nationkey AS nk, c_mktsegment AS seg
+    FROM customer
+),
+cand AS (
+    SELECT d.id_l, c.id_r,
+           CAST(-levenshtein(d.name_l, c.name_r) AS BIGINT) AS score
+    FROM dirty d JOIN clean c ON d.nk = c.nk AND d.seg = c.seg
+),
+best AS (
+    SELECT id_l, id_r, score,
+           ROW_NUMBER() OVER (PARTITION BY id_l ORDER BY score DESC, id_r) AS rn
+    FROM cand
+)
+SELECT id_l, id_r, score FROM best WHERE rn = 1 AND score >= -2
+"""
+
+
+register(
+    "linkage_customer_match", q_linkage_customer_match, ORACLE_LINKAGE_CUSTOMER_MATCH
+)

@@ -711,3 +711,38 @@ def test_watermark_append_mode_single_final_emission(spark, tmp_path):
     # hour-9 window: watermark never passed its end -> no emission
     assert not [r for r in rows if r.window_start == datetime(2024, 1, 1, 9, 0)]
 
+
+
+def test_linkage_resolves_planted_dirty_records(spark):
+    """Record linkage on planted dirty data: typo'd names must resolve to
+    their true source, the unrelated record must fall below threshold,
+    and blocking must keep the candidate set equi-join-sized."""
+    from bambooanalysis_spark.operators.linkage import (
+        blocked_candidates,
+        resolve_best_match,
+        score_pairs,
+    )
+
+    clean = spark.createDataFrame(
+        [
+            (1, "alice johnson", "NY", "GOLD"),
+            (2, "bob smith", "NY", "GOLD"),
+            (3, "carol white", "CA", "SILVER"),
+        ],
+        ["id_r", "name", "state", "tier"],
+    )
+    dirty = spark.createDataFrame(
+        [
+            (101, "alice jonson", "NY", "GOLD"),    # 1 deletion -> 1
+            (102, "bob smyth", "NY", "GOLD"),       # 1 substitution -> 2
+            (103, "zzzz qqqq", "CA", "SILVER"),     # junk: no match
+        ],
+        ["id_l", "name", "state", "tier"],
+    )
+    cand = blocked_candidates(dirty, clean, ["state", "tier"])
+    assert cand.count() == 5  # 2x2 in (NY,GOLD) + 1x1 in (CA,SILVER)
+    best = resolve_best_match(
+        score_pairs(cand, fuzzy_fields={"name": 1}), min_score=-2
+    )
+    got = {(r.id_l, r.id_r, r.score) for r in best.collect()}
+    assert got == {(101, 1, -1), (102, 2, -1)}
