@@ -607,3 +607,44 @@ SELECT id_l, id_r, score FROM best WHERE rn = 1 AND score >= -2
 register(
     "linkage_customer_match", q_linkage_customer_match, ORACLE_LINKAGE_CUSTOMER_MATCH
 )
+
+
+def q_rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two deterministic snapshot versions of
+    orders (sources/merge.snapshot_diff): inserts/deletes carved out by
+    key residues, updates by a price bump — delta-sized output from one
+    full-outer join."""
+    from ..sources.merge import snapshot_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    old = o.where(F.col("k") % 7 != 3)
+    new = o.where(F.col("k") % 7 != 5).select(
+        "k", F.when(F.col("k") % 5 == 0, F.col("p") * 2).otherwise(F.col("p")).alias("p")
+    )
+    return snapshot_diff(old, new, "k")
+
+
+ORACLE_REL_SNAPSHOT_DIFF = """
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+old AS (SELECT * FROM o WHERE k % 7 != 3),
+new AS (SELECT k, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p
+        FROM o WHERE k % 7 != 5),
+j AS (
+    SELECT old.k AS k_old, new.k AS k_new, old.p AS p_old, new.p AS p_new
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT COALESCE(k_old, k_new) AS k,
+       CASE WHEN k_old IS NULL THEN 'insert'
+            WHEN k_new IS NULL THEN 'delete'
+            WHEN p_old IS DISTINCT FROM p_new THEN 'update' END AS op,
+       p_old, p_new
+FROM j
+WHERE (CASE WHEN k_old IS NULL THEN 'insert'
+            WHEN k_new IS NULL THEN 'delete'
+            WHEN p_old IS DISTINCT FROM p_new THEN 'update' END) IS NOT NULL
+"""
+
+
+register("rel_snapshot_diff", q_rel_snapshot_diff, ORACLE_REL_SNAPSHOT_DIFF)

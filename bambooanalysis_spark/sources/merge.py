@@ -156,3 +156,46 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshot versions: one row per key
+    that differs, labeled 'insert' (key only in new), 'delete' (only in
+    old) or 'update' (present in both with any compared column changed —
+    NULL-safe via the <=> comparison). Unchanged keys are dropped, so the
+    output is delta-sized. One full-outer shuffle join on the key — the
+    minimal possible work for diffing unsorted snapshots; snapshots
+    bucketed on the key diff with zero shuffle (sources/layout.py +
+    operators/joins.py bucketed path)."""
+    compare_cols = compare_cols or [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"{c}_old") for c in compare_cols]
+    )
+    n = new.select(
+        F.col(key).alias("__k2"), *[F.col(c).alias(f"{c}_new") for c in compare_cols]
+    )
+    j = o.join(n, F.col("__k") == F.col("__k2"), "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("__k").isNull(), "insert")
+        .when(F.col("__k2").isNull(), "delete")
+        .when(changed, "update")
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            F.coalesce(F.col("__k"), F.col("__k2")).alias(key),
+            "op",
+            *[f"{c}_old" for c in compare_cols],
+            *[f"{c}_new" for c in compare_cols],
+        )
+    )

@@ -746,3 +746,19 @@ def test_linkage_resolves_planted_dirty_records(spark):
     )
     got = {(r.id_l, r.id_r, r.score) for r in best.collect()}
     assert got == {(101, 1, -1), (102, 2, -1)}
+
+
+def test_snapshot_diff_cdc(spark):
+    from bambooanalysis_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, v string, n int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "k long, v string, n int",
+    )
+    got = {(r.k, r.op) for r in snapshot_diff(old, new, "k").collect()}
+    # 1 deleted, 2 unchanged (absent), 3 NULL->30 update, 4 cased update, 5 insert
+    assert got == {(1, "delete"), (3, "update"), (4, "update"), (5, "insert")}
