@@ -167,10 +167,17 @@ def bm25_scores(
     Plan shape: one postings aggregation over the corpus (doc, term, tf —
     the shuffle is the inverted index build, map-side combined), corpus
     stats (N, avgdl) as a 1-row cross-joined aggregate, per-term df as a
-    term-keyed aggregate joined onto postings, then a broadcast join with
-    the (tiny) query-term table and a final (query, doc) sum. The corpus —
-    the 100 TB axis — is touched by exactly two aggregations; the query
-    side is broadcast so scoring adds no corpus shuffle.
+    term-keyed aggregate JOINED onto postings, then a broadcast join with
+    the (tiny) query-term table and a final (query, doc) sum.
+
+    df deliberately comes from a join, NOT a count-over-term window: a
+    window would reuse the term exchange but serializes each term into
+    one task — on a Zipfian vocabulary the 'the' partition alone is a few
+    percent of the corpus, and AQE can skew-split a JOIN but never a
+    window (PERFORMANCE.md §17). The df aggregate's map-side combine
+    collapses to vocab-sized rows before its shuffle, so the extra
+    evaluation of the postings subplan shares its exchange via runtime
+    reuse; the query side is broadcast so scoring adds no corpus shuffle.
     """
     toks = _fan_out(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
