@@ -1,9 +1,12 @@
-"""Rows-only (approximate-by-design) contract queries.
+"""After-window contract queries: the rows-only approximate family plus
+oracle-checked overflow.
 
-These register LAST — after the driver's 50-row oracle window — on purpose:
-a rows-only driver row carries no hash check, so window slots go to the
-oracle-checked queries instead. Each query here is still bounded by a named
-accuracy unit test:
+Everything here registers AFTER the driver's 50-row CORRECTNESS window on
+purpose. Window slots go to oracle-checked queries (a rows-only driver row
+carries no hash check); overflow queries — whether rows-only or fully
+oracle-checked — run under the identical in-repo gate
+``tests/test_contract_oracle.py`` instead of getting a driver row. Each
+rows-only query is bounded by a named accuracy/determinism unit test:
 
 - ``sketch_approx_distinct``  — HLL error bound, tests/test_extensions.py
 - ``ann_lsh_topk``            — multi-probe recall gate, tests/test_extensions.py
@@ -648,3 +651,39 @@ WHERE (CASE WHEN k_old IS NULL THEN 'insert'
 
 
 register("rel_snapshot_diff", q_rel_snapshot_diff, ORACLE_REL_SNAPSHOT_DIFF)
+
+
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() markers — the
+    full grouping-sets family next to rel_pricing_summary's ROLLUP; the
+    grouping id disambiguates aggregate NULLs from data NULLs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ORACLE_REL_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+register("rel_cube", q_rel_cube, ORACLE_REL_CUBE)

@@ -762,3 +762,22 @@ def test_snapshot_diff_cdc(spark):
     got = {(r.k, r.op) for r in snapshot_diff(old, new, "k").collect()}
     # 1 deleted, 2 unchanged (absent), 3 NULL->30 update, 4 cased update, 5 insert
     assert got == {(1, "delete"), (3, "update"), (4, "update"), (5, "insert")}
+
+
+def test_chunk_documents_partition_property(spark):
+    """With stride == size (no overlap) the chunks partition the token
+    stream exactly: concatenating chunk_texts in chunk order reconstructs
+    the tokenized document."""
+    from bambooanalysis_spark.operators.retrieval import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    chunks = chunk_documents(docs, size=7, stride=7).orderBy("doc_id", "chunk_id")
+    rebuilt = {}
+    for r in chunks.collect():
+        rebuilt.setdefault(r.doc_id, []).append(r.chunk_text)
+    for r in docs.collect():
+        toks = [t for t in (r.text or "").split(" ") if t]
+        if toks:
+            assert " ".join(rebuilt[r.doc_id]).split(" ") == toks, r.doc_id
+        else:
+            assert r.doc_id not in rebuilt
