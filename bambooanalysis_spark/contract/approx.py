@@ -687,3 +687,62 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 register("rel_cube", q_rel_cube, ORACLE_REL_CUBE)
+
+
+def q_rel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal sufficient sums
+    (n, Σx, Σy, Σxy, Σx², Σy² — order-free), finished with IEEE double
+    arithmetic on identical operands, so the floats are engine-exact.
+    Spark's builtin `corr` accumulates doubles in partition order and is
+    NOT reproducible — the sufficient-sums form is the 100 TB shape (one
+    map-side-combined aggregation) AND the deterministic one."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = "decimal(28,6)"
+    x = F.col("l_quantity").cast(d)
+    y = F.col("l_discount").cast("decimal(8,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("sx") * 1000000).cast("bigint").alias("sx_e6"),
+        (F.col("sy") * 1000000).cast("bigint").alias("sy_e6"),
+        r.alias("corr_qty_disc"),
+    )
+
+
+ORACLE_REL_CORRELATION = """
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+           SUM(CAST(l_discount AS DECIMAL(8,6))) AS sy,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,12))) AS sxy,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sxx,
+           SUM(CAST(CAST(l_discount AS DECIMAL(8,6)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,12))) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx * 1000000 AS BIGINT) AS sx_e6,
+       CAST(sy * 1000000 AS BIGINT) AS sy_e6,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_disc
+FROM s
+"""
+
+
+register("rel_correlation", q_rel_correlation, ORACLE_REL_CORRELATION)
