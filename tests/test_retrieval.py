@@ -781,3 +781,51 @@ def test_chunk_documents_partition_property(spark):
             assert " ".join(rebuilt[r.doc_id]).split(" ") == toks, r.doc_id
         else:
             assert r.doc_id not in rebuilt
+
+
+def test_streaming_foreachbatch_merge_upsert(spark, tmp_path):
+    """The production streaming-CDC-apply pattern: a change stream applied
+    to a parquet snapshot via foreachBatch + merge_snapshot, one MERGE per
+    micro-batch in arrival order. Final table must equal applying the
+    batches sequentially in batch mode."""
+    import time
+
+    from bambooanalysis_spark.sources.merge import merge_snapshot
+
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int"
+    ).write.parquet(snap_dir)
+
+    src = str(tmp_path / "changes")
+    b1 = [(2, "b2", 2, "U"), (4, "d", 2, "U")]        # update 2, insert 4
+    b2 = [(1, None, 3, "D"), (4, "d3", 3, "U")]       # delete 1, update 4
+    schema = "k long, v string, ver int, op string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, batch_id):
+        # read-merge-overwrite; collect() breaks the read-write cycle only
+        # because the snapshot is test-sized — a real deployment writes
+        # each MERGE result to a NEW versioned directory (scd2/time-travel
+        # pattern) instead of overwriting in place
+        snap = batch_df.sparkSession.read.parquet(snap_dir)
+        merged = merge_snapshot(snap, batch_df, key="k").collect()
+        batch_df.sparkSession.createDataFrame(
+            merged, "k long, v string, ver int"
+        ).write.mode("overwrite").parquet(snap_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {(r.k, r.v, r.ver) for r in spark.read.parquet(snap_dir).collect()}
+    assert final == {(2, "b2", 2), (3, "c", 1), (4, "d3", 3)}
