@@ -746,3 +746,58 @@ FROM s
 
 
 register("rel_correlation", q_rel_correlation, ORACLE_REL_CORRELATION)
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transitions: per-user lag over the time-ordered
+    event stream (deterministic (ts, event_id) tie-break), then exact
+    transition counts and floor-e6 row-stochastic probabilities. One
+    shuffle on user_id for the lag + one tiny (|event_types|²) aggregate."""
+    from pyspark.sql import Window
+
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(totals, "prev")
+        .select(
+            "prev",
+            "cur",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.col("n") * 1_000_000 / F.col("n_from"))
+            .cast("long")
+            .alias("p_e6"),
+        )
+    )
+
+
+ORACLE_EVENTS_TRANSITION_MATRIX = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+pairs AS (
+    SELECT prev, event_type AS cur, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+totals AS (SELECT prev, SUM(n) AS n_from FROM pairs GROUP BY prev)
+SELECT p.prev, p.cur, CAST(p.n AS BIGINT) AS n,
+       CAST(FLOOR(p.n * 1000000 / t.n_from) AS BIGINT) AS p_e6
+FROM pairs p JOIN totals t ON t.prev = p.prev
+"""
+
+
+register(
+    "events_transition_matrix",
+    q_events_transition_matrix,
+    ORACLE_EVENTS_TRANSITION_MATRIX,
+)
