@@ -410,3 +410,22 @@ def test_bm25_broadcasts_query_terms(spark, sf_oracle):
 
     plan = _plan(q_retrieval_bm25_topk(spark, sf_oracle))
     assert "BroadcastExchange" in plan
+
+
+def test_pagerank_and_linkage_joins_are_hash_joins(spark, sf_oracle):
+    """The new join-heavy operators must plan their big joins as hash/merge
+    equi-joins — the only nested-loop nodes allowed are the broadcast
+    1-row stat cross-joins (pagerank's n-per-iteration base term)."""
+    from bambooanalysis_spark.contract.approx import (
+        q_graph_pagerank,
+        q_linkage_customer_match,
+    )
+
+    for q in (q_graph_pagerank, q_linkage_customer_match):
+        plan = _plan(q(spark, sf_oracle))
+        assert "CartesianProduct" not in plan, q.__name__
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        if q is q_linkage_customer_match:
+            assert nlj == 0, plan[:500]
+        else:
+            assert nlj <= 4  # 1-row totals: init + one per iteration
