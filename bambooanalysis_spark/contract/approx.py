@@ -801,3 +801,64 @@ register(
     q_events_transition_matrix,
     ORACLE_EVENTS_TRANSITION_MATRIX,
 )
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time: OLS slope/intercept
+    from EXACT integer sufficient sums (x = whole hours since the corpus
+    epoch, y = value cents), finished in IEEE doubles on identical
+    operands — deterministic, unlike builtin regr_slope's partition-order
+    float accumulation. Same one-aggregation shape as rel_correlation."""
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)
+    x = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    agg = ev.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_cents_per_hour"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+    )
+
+
+ORACLE_EVENTS_TREND = """
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ) GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS slope_cents_per_hour,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+register("events_trend", q_events_trend, ORACLE_EVENTS_TREND)
