@@ -812,7 +812,10 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions import _events
 
     ev = _events(spark, sf_dir)
-    x = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    # Integer `div`, not double-divide-then-cast: µs values stay exact at
+    # any magnitude (no 2^53 rounding edge) and the truncation matches the
+    # oracle's integer `//` bit-for-bit on hour-boundary ± 1µs inputs.
+    x = F.expr("unix_micros(ts) div 3600000000")
     y = F.round(F.col("value") * 100).cast("long")
     agg = ev.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
         "event_type"

@@ -2521,7 +2521,10 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.length("term") > 0)
-    sk = cm_sketch(toks, "term", depth=_CM_DEPTH, width=_CM_WIDTH)
+    # localCheckpoint materializes the bounded (≤ d*w rows) sketch once:
+    # cm_estimate reads it twice (d-row derivation + broadcast) and must
+    # not rescan the corpus for either.
+    sk = cm_sketch(toks, "term", depth=_CM_DEPTH, width=_CM_WIDTH).localCheckpoint()
     probes = spark.createDataFrame([(p,) for p in _CM_PROBES], ["term"])
     est = cm_estimate(sk, probes, "term", depth=_CM_DEPTH, width=_CM_WIDTH)
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))

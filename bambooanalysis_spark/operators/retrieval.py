@@ -125,18 +125,27 @@ def cm_estimate(
     sketch: DataFrame,
     probes: DataFrame,
     key_col: str,
-    depth: int = 3,
+    depth: int | None = None,
     width: int = 1024,
 ) -> DataFrame:
     """Point-frequency estimates for each probe key: est(k) = min over hash
     rows of the bucket count (0 when a bucket is empty — only possible for
     keys never inserted). Guaranteed ≥ the true count. The sketch (≤
-    depth×width rows) is broadcast; the probe side never shuffles."""
-    rows = F.array(*[F.lit(i) for i in range(depth)])
+    depth×width rows) is broadcast; the probe side never shuffles.
+
+    The hash rows to probe are derived FROM THE SKETCH (its distinct ``d``
+    values), so the estimate depth can never exceed the build depth — a
+    mismatched ``depth`` argument larger than the build's would otherwise
+    probe rows that match nothing and silently return est=0 for inserted
+    keys, violating the ≥-true-count guarantee. ``depth`` is retained for
+    API compatibility and ignored. Persist/cache the sketch before
+    estimating if it isn't already materialized — both the d-row derivation
+    and the broadcast read it."""
+    dvals = sketch.select("d").distinct()
     probed = (
         probes.select(F.col(key_col).alias("__k"))
         .distinct()
-        .select("__k", F.explode(rows).alias("d"))
+        .crossJoin(F.broadcast(dvals))
         .withColumn("bucket", _cm_bucket(F.col("__k"), F.col("d"), width))
     )
     return (

@@ -208,6 +208,7 @@ def resample_ffill(
     value_col: str = "value",
     step: str = "1 minute",
     unit: str = "minute",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Regularize an irregular per-key time series onto a fixed grid with
     forward fill (the hypertable `time_bucket_gapfill` + `locf` shape):
@@ -228,7 +229,29 @@ def resample_ffill(
     sessionize/asof; PERFORMANCE.md §17) — for hot keys at 100 TB,
     time-chunk the window with a boundary carry exactly as
     ``sessionize(salt_minutes=...)`` does.
+
+    Constraints: ``step`` must be a whole multiple of the ``unit``
+    truncation granularity (validated — e.g. step='90 seconds' with
+    unit='minute' would generate grid points off the date_trunc lattice,
+    silently dropping every observation from the grid); when step > unit,
+    observations must land on the b0 + k*step lattice to be matched.
+
+    ``max_gap`` (e.g. '2 hours') bounds per-key grid fan-out: a gap
+    between consecutive observations longer than max_gap is filled only
+    for max_gap past the earlier observation, then the grid skips ahead
+    to the next observation. Without it, a key with one event per year at
+    minute grain emits ~525k grid rows; with it, output per observation
+    is bounded by max_gap/step rows.
     """
+    step_us = _interval_us(step)
+    unit_us = _interval_us(f"1 {unit}")
+    if step_us % unit_us != 0:
+        raise ValueError(
+            f"resample_ffill: step={step!r} is not a whole multiple of "
+            f"unit={unit!r}; the sequence() grid would never align with "
+            f"the date_trunc({unit!r}) buckets and every observation "
+            "would be dropped from the grid"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col))
     per_bucket = (
         events.select(
@@ -239,16 +262,45 @@ def resample_ffill(
         .groupBy("key", "bucket")
         .agg(F.max("tv")["v"].alias("v_obs"))
     )
-    grid = (
-        per_bucket.groupBy("key")
-        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
-        .select(
-            "key",
-            F.explode(
-                F.sequence(F.col("b0"), F.col("b1"), F.expr(f"interval {step}"))
-            ).alias("bucket"),
+    if max_gap is None:
+        grid = (
+            per_bucket.groupBy("key")
+            .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+            .select(
+                "key",
+                F.explode(
+                    F.sequence(F.col("b0"), F.col("b1"), F.expr(f"interval {step}"))
+                ).alias("bucket"),
+            )
         )
-    )
+    else:
+        # Per-observation segments: fill from each observed bucket up to
+        # min(next observation − step, bucket + max_gap). Fan-out per
+        # observation is bounded by max_gap/step regardless of gap length;
+        # the lead() window shares per_bucket's (key) partitioning.
+        wk = Window.partitionBy("key").orderBy("bucket")
+        seg_end = F.greatest(
+            F.col("bucket"),
+            F.least(
+                F.coalesce(
+                    F.col("__nxt") - F.expr(f"interval {step}"), F.col("bucket")
+                ),
+                F.col("bucket") + F.expr(f"interval {max_gap}"),
+            ),
+        )
+        grid = (
+            per_bucket.select(
+                "key", "bucket", F.lead("bucket").over(wk).alias("__nxt")
+            )
+            .select(
+                "key",
+                F.explode(
+                    F.sequence(
+                        F.col("bucket"), seg_end, F.expr(f"interval {step}")
+                    )
+                ).alias("bucket"),
+            )
+        )
     w = (
         Window.partitionBy("key")
         .orderBy("bucket")

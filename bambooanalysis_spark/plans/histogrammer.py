@@ -199,7 +199,9 @@ def run_analysis(
         agg = agg.withColumn(missing, F.lit(0))
 
     def _q(s: str) -> str:
-        return "'" + s.replace("'", "\\'") + "'"
+        # Backslashes first, then quotes — a name containing a backslash
+        # would otherwise corrupt the parsed SQL string literal.
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     name_map = F.expr(
         "map({})".format(

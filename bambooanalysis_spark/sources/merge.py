@@ -172,7 +172,8 @@ def snapshot_diff(
     minimal possible work for diffing unsorted snapshots; snapshots
     bucketed on the key diff with zero shuffle (sources/layout.py +
     operators/joins.py bucketed path)."""
-    compare_cols = compare_cols or [c for c in new.columns if c != key]
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c != key]
     o = old.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"{c}_old") for c in compare_cols]
     )
@@ -180,10 +181,11 @@ def snapshot_diff(
         F.col(key).alias("__k2"), *[F.col(c).alias(f"{c}_new") for c in compare_cols]
     )
     j = o.join(n, F.col("__k") == F.col("__k2"), "full_outer")
-    changed = None
+    # Key-only diff (compare_cols == []): no column can change, so only
+    # inserts/deletes are emitted.
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
     op = (
         F.when(F.col("__k").isNull(), "insert")
         .when(F.col("__k2").isNull(), "delete")

@@ -140,3 +140,17 @@ def test_derived_general_efficiency_and_sum(spark):
     assert tot[0] == (125.0, (125.0) ** 0.5)
     assert tot[1] == (50.0, 50.0 ** 0.5)
     assert tot[2] == (10.0, 10.0 ** 0.5)
+
+
+def test_plot_name_with_backslash_and_quote(df, values):
+    """Names are embedded in a parsed map() SQL literal; backslashes and
+    quotes must survive the escaping (ADVICE r3: backslash corrupted the
+    literal)."""
+    sel = Selection.root()
+    name = r"h\weird'name"
+    hist = run_analysis(
+        df, [Plot.make1D(name, F.col("x"), sel, EquidistantBinning(4, 0.0, 100.0))]
+    )
+    got = _hist_dict(hist, name)
+    assert got, "plot name did not round-trip through the map literal"
+    assert sum(n for _, n in got.values()) == len(values)

@@ -39,9 +39,6 @@ def test_approx_family_stays_after_window():
     from bambooanalysis_spark.contract import ORACLES, QUERIES
 
     names = list(QUERIES)
-    for n in names[DRIVER_WINDOW:]:
-        if n not in ORACLES:
-            continue  # oracle-checked overflow: in-repo gate covers it
     rows_only = [n for n in names if n not in ORACLES and n != "pipeline_full_run"]
     for n in rows_only:
         assert names.index(n) >= DRIVER_WINDOW, n

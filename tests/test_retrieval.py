@@ -829,3 +829,115 @@ def test_streaming_foreachbatch_merge_upsert(spark, tmp_path):
 
     final = {(r.k, r.v, r.ver) for r in spark.read.parquet(snap_dir).collect()}
     assert final == {(2, "b2", 2), (3, "c", 1), (4, "d3", 3)}
+
+
+# --- round-4 ADVICE fixes ----------------------------------------------------
+
+def test_snapshot_diff_key_only_and_explicit_empty_cols(spark):
+    """compare_cols=[] (explicitly, or implied by key-only snapshots) is a
+    key-membership diff: inserts/deletes only, never 'update' and never a
+    plan-build crash (ADVICE r3: F.when(None, ...) raised)."""
+    from bambooanalysis_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {(r.k, r.op) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {(3, "insert"), (1, "delete")}
+
+    old2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new2 = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "k long, v string")
+    got2 = {
+        (r.k, r.op)
+        for r in snapshot_diff(old2, new2, "k", compare_cols=[]).collect()
+    }
+    # the value change on k=2 is invisible to an explicit key-only diff
+    assert got2 == {(3, "insert"), (1, "delete")}
+
+
+def test_resample_ffill_rejects_misaligned_step(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1, 0, 0, 0), 1.0)], ["user_id", "ts", "value"]
+    )
+    with pytest.raises(ValueError, match="not a whole multiple"):
+        resample_ffill(df, step="90 seconds", unit="minute")
+    # aligned multiples are fine
+    resample_ffill(df, step="2 minutes", unit="minute").collect()
+
+
+def test_resample_ffill_max_gap_bounds_fanout(spark):
+    """A planted multi-year gap emits a bounded segment (max_gap/step rows
+    past the earlier observation), not ~10^6 grid rows."""
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import resample_ffill
+
+    rows = [
+        ("A", datetime(2020, 1, 1, 0, 0, 0), 1.0),
+        ("A", datetime(2023, 6, 1, 0, 0, 0), 2.0),   # 3.4-year gap
+        ("A", datetime(2023, 6, 1, 0, 2, 0), 3.0),   # short gap: normal fill
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = resample_ffill(
+        df, step="1 minute", unit="minute", max_gap="3 minutes"
+    ).orderBy("bucket")
+    got = [(r.bucket, r.value_filled, r.is_observed) for r in out.collect()]
+    # segment 1: obs + 3 filled minutes, then the grid skips to the next obs
+    assert len(got) == 4 + 3
+    assert [g[1] for g in got] == [1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 3.0]
+    assert [g[2] for g in got] == [True, False, False, False, True, False, True]
+    # uncapped equivalence on gap-free data
+    short = spark.createDataFrame(rows[1:], ["user_id", "ts", "value"])
+    uncapped = resample_ffill(short, step="1 minute", unit="minute")
+    capped = resample_ffill(short, step="1 minute", unit="minute", max_gap="1 day")
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
+def test_cm_estimate_depth_derived_from_sketch(spark):
+    """Estimate depth comes from the sketch itself: a build at depth=2
+    probed with a (previously fatal) larger depth argument still returns
+    est >= true count for inserted keys (ADVICE r3: extra hash rows
+    left-joined to nothing and min() returned 0)."""
+    import bambooanalysis_spark.operators.retrieval as R
+
+    toks = spark.createDataFrame(
+        [("the",)] * 10 + [("rare",)] * 2, ["term"]
+    )
+    sk = R.cm_sketch(toks, "term", depth=2, width=64).localCheckpoint()
+    probes = spark.createDataFrame([("the",), ("rare",), ("absent",)], ["term"])
+    est = {r.term: r.est for r in R.cm_estimate(sk, probes, "term", depth=5, width=64).collect()}
+    assert est["the"] >= 10
+    assert est["rare"] >= 2
+    assert est["absent"] >= 0
+
+
+def test_events_trend_hour_bucket_boundary(spark):
+    """`unix_micros(ts) div 3600000000` truncates exactly like the
+    oracle's integer `//` at an hour edge ± 1 µs."""
+    from datetime import datetime, timedelta
+
+    edge = datetime(2024, 3, 1, 7, 0, 0)
+    rows = [
+        (edge - timedelta(microseconds=1),),
+        (edge,),
+        (edge + timedelta(microseconds=1),),
+    ]
+    df = spark.createDataFrame(rows, ["ts"])
+    got = [
+        r.x
+        for r in df.select(F.expr("unix_micros(ts) div 3600000000").alias("x"))
+        .orderBy("ts")
+        .collect()
+    ]
+    import calendar
+
+    edge_us = calendar.timegm(edge.timetuple()) * 1_000_000
+    expect = [(edge_us - 1) // 3_600_000_000, edge_us // 3_600_000_000,
+              edge_us // 3_600_000_000]
+    assert got == expect
+    assert got[0] == got[1] - 1
