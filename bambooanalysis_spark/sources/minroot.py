@@ -1,0 +1,293 @@
+"""Minimal pure-stdlib ROOT-format I/O for UNCOMPRESSED flat TTree data.
+
+The reference's actual inputs are ROOT files of flat ntuples
+(/root/reference/jet_test.yml:10-11, phaseII-analysis.py:15-20); the
+engine's ingest (``root_ingest.py``) normally reads them with uproot.
+uproot cannot be installed in this container (no network — `pip install
+uproot` fails with a DNS error, recorded 2026-08-14), so this module
+vendors the minimal subset of the ROOT binary container format needed to
+round-trip flat basic-type branches, all from public format documentation
+(the TFile/TKey/TBasket layouts described in ROOT's own io docs and the
+uproot source):
+
+- **TFile header** — ``b"root"`` magic, big-endian fVersion/fBEGIN/fEND/
+  fSeekFree/fNbytesFree/fNfree/fNbytesName/fUnits/fCompress/fSeekInfo/
+  fNbytesInfo + UUID, data starting at fBEGIN=100.
+- **TKey records** — the standard short-key header
+  (fNbytes i32, fVersion i16, fObjLen i32, fDatime u32, fKeyLen i16,
+  fCycle i16, fSeekKey i32, fSeekPdir i32) followed by the three
+  length-prefixed TStrings (class name, object name, title), chained
+  through the file by fNbytes exactly as ROOT chains them.
+- **TBasket payloads** — basket sub-header (version, fBufferSize,
+  fNevBufSize, fNevBuf, fLast) then the raw big-endian values; jagged
+  branches append the per-entry length table after the values, the same
+  values-then-entry-offset-table shape a real basket buffer has.
+
+Branch typing rides the key *title* as a ROOT leaflist descriptor
+(``elec_pt[nelec]/F``, ``metpuppi_pt/F`` — TTree::Branch syntax), so the
+reader is driven entirely by what is in the file.
+
+Deliberately NOT implemented (documented simplifications): compression,
+TStreamerInfo records, the streamed TTree/TBranch metadata objects, and
+64-bit (>2 GiB) seeks. Files written here are genuine ROOT *container*
+bytes — a ROOT-aware tool can walk the key chain — but the TTree object
+model is carried by the leaflist titles instead of streamers. Real
+reference files need uproot; ``root_ingest.ingest_root_files`` prefers
+uproot when present and falls back to this reader.
+
+Scale: ingest parallelism is per-file (see root_ingest docstring); one
+file is read sequentially here, which matches ROOT's own basket-chain
+layout.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"root"
+FBEGIN = 100
+_FILE_VERSION = 63200  # ROOT 6.32 era, < 1000000 => 32-bit seeks
+_KEY_VERSION = 4
+_BASKET_VERSION = 3
+
+# leaflist dtype code -> struct format char (big-endian applied at pack)
+_DTYPES = {"F": "f", "D": "d", "I": "i", "L": "q"}
+
+
+def _tstring(s: str) -> bytes:
+    b = s.encode()
+    if len(b) > 254:
+        raise ValueError(f"TString too long: {s!r}")
+    return bytes([len(b)]) + b
+
+
+def _read_tstring(buf: bytes, pos: int) -> tuple[str, int]:
+    n = buf[pos]
+    return buf[pos + 1 : pos + 1 + n].decode(), pos + 1 + n
+
+
+@dataclass
+class _Key:
+    classname: str
+    name: str
+    title: str
+    cycle: int
+    payload: bytes
+
+
+def _pack_key(
+    classname: str, name: str, title: str, seek: int, payload: bytes, cycle: int = 1
+) -> bytes:
+    strings = _tstring(classname) + _tstring(name) + _tstring(title)
+    keylen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + len(strings)
+    nbytes = keylen + len(payload)  # uncompressed: objlen == nbytes - keylen
+    head = struct.pack(
+        ">ihiIhhii",
+        nbytes,
+        _KEY_VERSION,
+        len(payload),
+        0,  # fDatime: zeroed for deterministic bytes
+        keylen,
+        cycle,
+        seek,
+        FBEGIN,  # fSeekPdir: top-level directory
+    )
+    return head + strings + payload
+
+
+def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
+    (nbytes, _ver, objlen, _datime, keylen, cycle, _seekkey, _seekpdir) = struct.unpack(
+        ">ihiIhhii", buf[seek : seek + 26]
+    )
+    pos = seek + 26
+    classname, pos = _read_tstring(buf, pos)
+    name, pos = _read_tstring(buf, pos)
+    title, pos = _read_tstring(buf, pos)
+    assert pos - seek == keylen, "corrupt TKey: string block != fKeyLen"
+    payload = buf[seek + keylen : seek + nbytes]
+    assert len(payload) == objlen, "compressed keys not supported"
+    return _Key(classname, name, title, cycle, payload), seek + nbytes
+
+
+def _pack_basket(values: bytes, n_entries: int, lengths: list[int] | None) -> bytes:
+    """Basket buffer: sub-header, raw values, then (jagged only) the
+    per-entry length table — the values-then-offset-table basket shape."""
+    tail = b"" if lengths is None else struct.pack(f">{len(lengths)}i", *lengths)
+    head = struct.pack(
+        ">hiiiiB",
+        _BASKET_VERSION,
+        len(values) + len(tail) + 19,  # fBufferSize
+        0 if lengths is None else 4,  # fNevBufSize (bytes/entry in offset tab)
+        n_entries,  # fNevBuf
+        19 + len(values),  # fLast: end of the value block
+        0,
+    )
+    return head + values + tail
+
+
+def _unpack_basket(payload: bytes) -> tuple[bytes, int, bytes]:
+    (_ver, _bufsize, nevbufsize, nevbuf, last, _flag) = struct.unpack(
+        ">hiiiiB", payload[:19]
+    )
+    values = payload[19:last]
+    tail = payload[last:]
+    if nevbufsize == 0:
+        return values, nevbuf, b""
+    return values, nevbuf, tail
+
+
+def write_flat_tree(
+    path: str,
+    tree: str,
+    branches: dict[str, tuple[str, list]],
+    basket_entries: int = 5000,
+    title: str = "minroot flat tree",
+) -> None:
+    """Write one flat TTree of basic-type branches as an uncompressed
+    ROOT-format file.
+
+    ``branches`` maps branch name -> (dtype_code, data); dtype codes are
+    ROOT leaf codes F/D/I/L. ``data`` is a flat list (scalar branch) or a
+    list of per-event lists (jagged branch — the leaflist title becomes
+    ``name[n]/X`` and the basket carries the entry-length table).
+    """
+    n_entries = None
+    for bname, (_code, data) in branches.items():
+        if n_entries is None:
+            n_entries = len(data)
+        elif len(data) != n_entries:
+            raise ValueError(f"branch {bname}: {len(data)} != {n_entries} entries")
+    n_entries = n_entries or 0
+
+    records: list[bytes] = []
+
+    def emit(classname, name, ktitle, payload, cycle=1):
+        records.append((classname, name, ktitle, payload, cycle))
+
+    # the directory's own named key, as TFile writes at fBEGIN
+    fname = path.rsplit("/", 1)[-1]
+    emit("TFile", fname, title, _tstring(fname) + _tstring(title))
+    # a TNamed carrying the tree name/title so readers can list trees
+    emit("TNamed", tree, f"entries={n_entries}", b"")
+
+    for bname, (code, data) in branches.items():
+        fmt = _DTYPES[code]
+        jagged = n_entries > 0 and isinstance(data[0], (list, tuple))
+        leaflist = f"{bname}[n]/{code}" if jagged else f"{bname}/{code}"
+        for cyc, start in enumerate(range(0, max(n_entries, 1), basket_entries), 1):
+            stop = min(start + basket_entries, n_entries)
+            rows = data[start:stop]
+            if jagged:
+                flat = [v for row in rows for v in row]
+                lengths = [len(row) for row in rows]
+            else:
+                flat, lengths = list(rows), None
+            values = struct.pack(f">{len(flat)}{fmt}", *flat)
+            emit(
+                "TBasket",
+                bname,
+                f"{tree}:{leaflist}",
+                _pack_basket(values, stop - start, lengths),
+                cycle=cyc,
+            )
+
+    # lay out: header (100 bytes) then the key chain
+    out = bytearray(b"\x00" * FBEGIN)
+    for classname, name, ktitle, payload, cycle in records:
+        seek = len(out)
+        out += _pack_key(classname, name, ktitle, seek, payload, cycle=cycle)
+    fend = len(out)
+
+    header = MAGIC + struct.pack(
+        ">iiiiiiiBiii",
+        _FILE_VERSION,
+        FBEGIN,
+        fend,
+        fend,  # fSeekFree: no free list, points at EOF
+        0,  # fNbytesFree
+        0,  # nfree
+        records and len(_pack_key(*records[0][:3], FBEGIN, records[0][3])) or 0,
+        4,  # fUnits: bytes per pointer
+        0,  # fCompress: uncompressed
+        0,  # fSeekInfo: no streamer info (documented simplification)
+        0,  # fNbytesInfo
+    )
+    header += struct.pack(">h", 1) + b"\x00" * 16  # UUID v1 slot, zeroed
+    out[: len(header)] = header
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def list_keys(path: str) -> list[tuple[str, str, str, int]]:
+    """Walk the TKey chain: (classname, name, title, cycle) per key."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    _check_header(buf)
+    fend = struct.unpack(">i", buf[12:16])[0]
+    keys, seek = [], FBEGIN
+    while seek < fend:
+        key, seek = _unpack_key(buf, seek)
+        keys.append((key.classname, key.name, key.title, key.cycle))
+    return keys
+
+
+def _check_header(buf: bytes) -> None:
+    if buf[:4] != MAGIC:
+        raise ValueError("not a ROOT file (bad magic)")
+    version = struct.unpack(">i", buf[4:8])[0]
+    if version >= 1000000:
+        raise NotImplementedError("64-bit (large-file) ROOT headers not supported")
+    compress_off = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 1
+    compress = struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
+    if compress != 0:
+        raise NotImplementedError("compressed ROOT files not supported; use uproot")
+
+
+def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
+    """Read every branch of ``tree`` (or the only tree) back as
+    branch name -> flat list / list-of-lists, by struct-unpacking the
+    basket chain. Raises on compressed or streamer-based files."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    _check_header(buf)
+    fend = struct.unpack(">i", buf[12:16])[0]
+
+    baskets: dict[str, list[tuple[int, bytes, str]]] = {}
+    trees = set()
+    seek = FBEGIN
+    while seek < fend:
+        key, seek = _unpack_key(buf, seek)
+        if key.classname == "TNamed":
+            trees.add(key.name)
+        if key.classname != "TBasket" or ":" not in key.title:
+            continue
+        ktree, leaflist = key.title.split(":", 1)
+        if tree is not None and ktree != tree:
+            continue
+        baskets.setdefault(key.name, []).append((key.cycle, key.payload, leaflist))
+    if tree is not None and not baskets and tree not in trees:
+        raise KeyError(f"tree {tree!r} not in file (trees: {sorted(trees)})")
+
+    out: dict[str, list] = {}
+    for bname, parts in baskets.items():
+        parts.sort(key=lambda p: p[0])
+        leaflist = parts[0][2]
+        code = leaflist.rsplit("/", 1)[1]
+        fmt = _DTYPES[code]
+        width = struct.calcsize(fmt)
+        jagged = "[" in leaflist
+        data: list = []
+        for _cyc, payload, _ll in parts:
+            values, nevbuf, tail = _unpack_basket(payload)
+            flat = list(struct.unpack(f">{len(values) // width}{fmt}", values))
+            if jagged:
+                lengths = struct.unpack(f">{nevbuf}i", tail)
+                pos = 0
+                for ln in lengths:
+                    data.append(flat[pos : pos + ln])
+                    pos += ln
+            else:
+                data.extend(flat)
+        out[bname] = data
+    return out

@@ -15,9 +15,15 @@ elec_eta[], ...) from a TTree named e.g. 'myana/mytree'
 3. writes Parquet the engine scans natively (column pruning + predicate
    pushdown apply from then on).
 
-uproot/awkward are NOT in this container, so everything is gated behind
-import; `flat_chunk_to_arrow` is pure-Arrow and fully tested with synthetic
-chunks — only the uproot file-reading shim is exercised on real ROOT files.
+uproot/awkward are NOT in this container (no network; `pip install uproot`
+fails with a DNS error — recorded 2026-08-14), so the uproot shim is gated
+behind import and the ingest falls back to the vendored pure-stdlib
+``minroot`` reader, which struct-unpacks uncompressed ROOT-format
+TKey/TBasket chains (see minroot.py for the exact supported subset). The
+full ingest path — real ROOT-format bytes → flat branches → nested
+pT-sorted event table → phase2 analysis — is exercised end-to-end on
+minroot-written files in tests; real (compressed, streamer-carrying)
+reference files additionally need uproot.
 
 At 100 TB: ingest parallelizes per file (driver distributes file lists to
 executors via `spark.createDataFrame(files).mapInPandas`), and the output
@@ -95,6 +101,46 @@ def flat_chunk_to_arrow(chunk: dict[str, list]) -> pa.Table:
     return pa.table(cols)
 
 
+def _ntuple_branches() -> list[str]:
+    return [
+        f"{c}_{fld}" for c, flds in COLLECTION_BRANCHES.items() for fld in flds
+    ] + [f"{s}_{fld}" for s, flds in SCALAR_BRANCHES.items() for fld in flds]
+
+
+def _iter_file_chunks(path: str, tree: str, chunk_events: int):
+    """Yield (n_entries_in_chunk, flat-branch dict) chunks from one ROOT
+    file. uproot when available (handles compressed, streamer-based real
+    files, streaming entry ranges); otherwise the vendored minroot reader
+    (uncompressed flat-tree subset, whole file then sliced)."""
+    branches = _ntuple_branches()
+    if have_uproot():
+        import uproot
+
+        with uproot.open(path) as f:
+            t = f[tree]
+            n_entries = t.num_entries
+            for start in range(0, n_entries, chunk_events):
+                stop = min(start + chunk_events, n_entries)
+                arrs = t.arrays(
+                    branches, entry_start=start, entry_stop=stop, library="np"
+                )
+                yield stop - start, {
+                    k: [list(x) for x in v] if v.dtype == object else list(v)
+                    for k, v in arrs.items()
+                }
+        return
+    from . import minroot
+
+    data = minroot.read_flat_tree(path, tree)
+    missing = [b for b in branches if b not in data]
+    if missing:
+        raise KeyError(f"{path}: tree {tree!r} lacks branches {missing}")
+    n_entries = len(data[branches[0]])
+    for start in range(0, n_entries, chunk_events):
+        stop = min(start + chunk_events, n_entries)
+        yield stop - start, {b: data[b][start:stop] for b in branches}
+
+
 def ingest_root_files(
     files: list[str],
     tree: str,
@@ -104,15 +150,11 @@ def ingest_root_files(
     """Convert ROOT files to the engine's Parquet event model; returns the
     merged counters (mergeCounters analog, phaseII-analysis.py:21-32).
 
-    Requires uproot. Branch naming: '{collection}_{field}' flat arrays, as
-    in the CMS Phase-2 flat ntuples the reference consumes.
+    Branch naming: '{collection}_{field}' flat arrays, as in the CMS
+    Phase-2 flat ntuples the reference consumes. Reads with uproot when
+    installed; uncompressed flat trees (the vendored minroot subset) work
+    stdlib-only.
     """
-    if not have_uproot():
-        raise ImportError(
-            "uproot is required for ROOT ingest (not available in this "
-            "container); parquet fixtures are the tested input path"
-        )
-    import uproot
     import pyarrow.parquet as pq
 
     n_total = 0
@@ -120,34 +162,18 @@ def ingest_root_files(
     try:
         event_offset = 0
         for path in files:
-            with uproot.open(path) as f:
-                t = f[tree]
-                n_entries = t.num_entries
-                n_total += n_entries
-                branches = [
-                    f"{c}_{fld}"
-                    for c, flds in COLLECTION_BRANCHES.items()
-                    for fld in flds
-                ] + [
-                    f"{s}_{fld}" for s, flds in SCALAR_BRANCHES.items() for fld in flds
-                ]
-                for start in range(0, n_entries, chunk_events):
-                    stop = min(start + chunk_events, n_entries)
-                    arrs = t.arrays(
-                        branches, entry_start=start, entry_stop=stop, library="np"
+            for n_chunk, chunk in _iter_file_chunks(path, tree, chunk_events):
+                chunk["event_id"] = list(
+                    range(event_offset, event_offset + n_chunk)
+                )
+                event_offset += n_chunk
+                n_total += n_chunk
+                table = flat_chunk_to_arrow(chunk)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{out_dir}/events.parquet", table.schema
                     )
-                    chunk = {k: [list(x) for x in v] if v.dtype == object else list(v)
-                             for k, v in arrs.items()}
-                    chunk["event_id"] = list(
-                        range(event_offset + start, event_offset + stop)
-                    )
-                    table = flat_chunk_to_arrow(chunk)
-                    if writer is None:
-                        writer = pq.ParquetWriter(
-                            f"{out_dir}/events.parquet", table.schema
-                        )
-                    writer.write_table(table)
-                event_offset += n_entries
+                writer.write_table(table)
     finally:
         if writer is not None:
             writer.close()

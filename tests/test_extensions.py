@@ -233,12 +233,16 @@ def test_root_ingest_arrow_path(spark):
     ).collect()
     assert [r["n"] for r in n] == [1, 0] or sorted(r["n"] for r in n) == [0, 1]
 
-    # the uproot-dependent path is gated with a clear error
+    # without uproot the ingest falls back to the vendored minroot reader
+    # (round-4: real ROOT-format bytes are covered in test_minroot.py);
+    # a missing file fails with the filesystem error, not an import gate
     if not R.have_uproot():
         import pytest as _pytest
 
-        with _pytest.raises(ImportError):
-            R.ingest_root_files(["x.root"], "myana/mytree", "/tmp/out")
+        with _pytest.raises(FileNotFoundError):
+            R.ingest_root_files(
+                ["/nonexistent/x.root"], "myana/mytree", "/tmp/out"
+            )
 
 
 def test_salted_join_equivalence_and_spread(spark, sf_oracle):

@@ -1,0 +1,167 @@
+"""Vendored mini-ROOT I/O: real ROOT-format bytes through the full ingest
+path (round-4 task #1 — uproot uninstallable in this container, so the
+uncompressed flat-tree subset is exercised with the stdlib reader/writer).
+"""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.sources import minroot
+from bambooanalysis_spark.sources import root_ingest as R
+
+
+def test_minroot_roundtrip_all_dtypes(tmp_path):
+    path = str(tmp_path / "t.root")
+    branches = {
+        "s_f32": ("F", [1.5, -2.25, 0.0, 1e7]),
+        "s_f64": ("D", [1.1, 2.2, 3.3, -4.4]),
+        "s_i32": ("I", [1, -2, 3, 2**31 - 1]),
+        "s_i64": ("L", [2**40, 0, -5, 7]),
+        "j_f64": ("D", [[1.0, 2.0], [], [3.5], [4.0, 5.0, 6.0]]),
+        "j_i32": ("I", [[1], [2, 3], [], [4]]),
+    }
+    minroot.write_flat_tree(path, "myana/mytree", branches, basket_entries=3)
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"root"  # genuine ROOT magic + header layout
+    fbegin, fend = struct.unpack(">ii", raw[8:16])
+    assert fbegin == 100 and fend == len(raw)
+
+    got = minroot.read_flat_tree(path, "myana/mytree")
+    for name, (_code, data) in branches.items():
+        if name == "s_f32":  # float32 round-trips through f32 precision
+            assert got[name] == pytest.approx(data, rel=1e-6)
+        else:
+            assert got[name] == data
+
+    keys = minroot.list_keys(path)
+    classes = {c for c, *_ in keys}
+    assert {"TFile", "TNamed", "TBasket"} <= classes
+    # basket_entries=3 over 4 entries -> 2 baskets (cycles) per branch
+    assert sum(1 for c, n, _t, _cy in keys if c == "TBasket" and n == "s_f64") == 2
+
+
+def test_minroot_rejects_non_root_and_missing_tree(tmp_path):
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(b"not a root file at all")
+    with pytest.raises(ValueError, match="bad magic"):
+        minroot.read_flat_tree(str(bad))
+    path = str(tmp_path / "t.root")
+    minroot.write_flat_tree(path, "tr", {"x": ("I", [1])})
+    with pytest.raises(KeyError, match="not in file"):
+        minroot.read_flat_tree(path, "other_tree")
+
+
+def _lcg_events(n, seed=1234):
+    """Deterministic flat phase-2 ntuple branches (no numpy needed)."""
+    state = seed
+
+    def rnd():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        return state >> 33
+
+    chunk = {b: [] for b in R._ntuple_branches()}
+    for _ in range(n):
+        for coll, fields in R.COLLECTION_BRANCHES.items():
+            k = rnd() % (5 if coll != "elec" else 3)
+            per = {f: [] for f in fields}
+            for _i in range(k):
+                per["pt"].append(5.0 + (rnd() % 2000) / 10.0)
+                per["eta"].append(((rnd() % 600) / 100.0) - 3.0)
+                per["phi"].append(((rnd() % 6283) / 1000.0) - 3.1415)
+                per["mass"].append((rnd() % 500) / 100.0)
+                if "charge" in fields:
+                    per["charge"].append(1 if rnd() % 2 else -1)
+                    # bit 2 (medium WP) mostly set so the selection chain
+                    # is genuinely exercised down to the MET cut
+                    per["isopass"].append(int(rnd() % 16) | 4)
+                    per["idpass"].append(int(rnd() % 16) | 4)
+                if "btag" in fields:
+                    per["btag"].append(int(rnd() % 16))
+            for f in fields:
+                chunk[f"{coll}_{f}"].append(per[f])
+        chunk["metpuppi_pt"].append((rnd() % 2500) / 10.0)
+        chunk["metpuppi_phi"].append(((rnd() % 6283) / 1000.0) - 3.1415)
+    return chunk
+
+
+def _write_ntuple(path, chunk, basket_entries=200):
+    branches = {}
+    for name, data in chunk.items():
+        is_jagged = name.split("_", 1)[0] in R.COLLECTION_BRANCHES
+        code = (
+            "I"
+            if name.endswith(("charge", "isopass", "idpass", "btag"))
+            else "D"
+        )
+        branches[name] = (code, data)
+        assert is_jagged == isinstance(data[0], list)
+    minroot.write_flat_tree(path, "myana/mytree", branches, basket_entries)
+
+
+def test_root_ingest_end_to_end_phase2(spark, tmp_path):
+    """Real ROOT-format bytes -> ingest_root_files -> nested pT-sorted
+    parquet -> full phase2 single-pass analysis; identical to running the
+    analysis on the same events built directly in Arrow (two paths, one
+    truth)."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.plans.histogrammer import cutflow_table
+
+    n1, n2 = 180, 120
+    c1, c2 = _lcg_events(n1, seed=11), _lcg_events(n2, seed=22)
+    f1, f2 = str(tmp_path / "a.root"), str(tmp_path / "b.root")
+    _write_ntuple(f1, c1, basket_entries=64)  # multi-basket coverage
+    _write_ntuple(f2, c2)
+
+    out = tmp_path / "ingested"
+    out.mkdir()
+    counters = R.ingest_root_files([f1, f2], "myana/mytree", str(out), chunk_events=100)
+    assert counters == {"nEvents": float(n1 + n2), "genEvents": float(n1 + n2)}
+
+    ingested = spark.read.parquet(str(out / "events.parquet"))
+    assert ingested.count() == n1 + n2
+    # pT-descending invariant straight off the ROOT bytes
+    bad = ingested.select(
+        F.exists(
+            F.zip_with(
+                F.col("jetpuppi"),
+                F.slice(F.col("jetpuppi"), 2, 10000),
+                lambda a, b: a["pt"] < b["pt"],
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).where("bad").count()
+    assert bad == 0
+
+    # reference truth: same chunks straight through the Arrow builder
+    direct_tables = []
+    off = 0
+    for c, n in ((c1, n1), (c2, n2)):
+        c = dict(c)
+        c["event_id"] = list(range(off, off + n))
+        off += n
+        direct_tables.append(R.flat_chunk_to_arrow(c))
+    import pyarrow as pa
+
+    direct = spark.createDataFrame(
+        pa.concat_tables(direct_tables).to_pandas()
+    )
+
+    order = ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
+
+    def cutflow(df):
+        d, plots, cfr, _sels = define_phase2(df)
+        hist = run_analysis(d, plots, [cfr])
+        return {
+            r["selection"]: (r["num_events"], r["sum_weights"])
+            for r in cutflow_table(hist, "yields", order).collect()
+        }
+
+    got, expect = cutflow(ingested), cutflow(direct)
+    assert got == expect
+    assert got["noSel"][0] == n1 + n2
+    # the fixture must actually exercise the chain, not vacuously pass
+    assert got["nmumu"][0] > 0
