@@ -311,9 +311,21 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cutoff (fan-out guard) live in the contract plan; at the fixture's
     # 0.9 fraction nothing is dropped (31-token synthetic vocab), so the
     # values stay comparable across rounds while the guard is exercised —
-    # its teeth are unit-tested on a planted corpus-wide token
+    # its teeth are unit-tested on a planted corpus-wide token.
+    # Strategy: the fixture is the DENSE regime (31-token vocab, 7.1M of
+    # 12.5M possible pairs pass t=0.6 at sf0.1) — output is Ω(n²), so the
+    # bitset64 enumerate+popcount plan is output-bound optimal there;
+    # prefix (the sparse-corpus default) and postings produce identical
+    # rows (equivalence-tested) but 7x/3x the time on this corpus
+    # (PERFORMANCE.md §23). The ≤64-vocab precondition fails loudly
+    # in-plan if the fixture ever changes.
     return D.jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold_e4=6000, max_df_frac=0.9
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold_e4=6000,
+        max_df_frac=0.9,
+        strategy="bitset64",
     )
 
 

@@ -296,13 +296,39 @@ def jaccard_pairs(
     threshold_e4: int = 5000,
     max_df: int | None = None,
     max_df_frac: float | None = None,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """All pairs (a < b) with distinct-token Jaccard >= threshold (1e-4
-    fixed point), via the scalable inverted-index shape:
+    fixed point). Output jaccard_e4 = floor(inter * 10000 / union) —
+    integer, engine-exact; |A ∪ B| = |A| + |B| - |A ∩ B|. All three
+    strategies return IDENTICAL rows (equivalence-tested); they differ
+    only in plan shape. Pick by corpus regime:
 
-    tokens -> explode -> join on token -> groupBy pair -> |A ∩ B|;
-    |A ∪ B| = |A| + |B| - |A ∩ B|. Output jaccard_e4 = floor(inter * 10000
-    / union) — integer, engine-exact.
+    - ``"prefix"`` (default — the right asymptotics for realistic sparse
+      text): PPJoin-style prefix filtering (Xiao, Wang, Lin, Yu —
+      "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008;
+      Bayardo et al., "Scaling Up All Pairs", WWW 2007). Tokens get a
+      global canonical order (ascending document frequency, rarest first —
+      ties by token); for J >= t a pair must share a token within each
+      side's first p = |X| - ceil(t*|X|) + 1 tokens (== floor((1-t)*|X|)
+      + 1), so only those PREFIX postings become join keys; candidates are
+      verified exactly with `array_intersect` against the per-doc token
+      arrays (hash joins, auto-broadcast when small). Join volume drops by
+      the suffix mass — on sparse corpora that is the quadratic bulk.
+    - ``"postings"``: the plain inverted-index shape (explode -> join on
+      token -> groupBy pair count). Simplest plan; fine when the df cutoff
+      already bounds fan-out.
+    - ``"bitset64"``: dense/small-vocabulary regime ONLY (retained
+      vocabulary <= 64 tokens — enforced in-plan, the job fails loudly
+      otherwise). Each doc's token set becomes one 64-bit mask;
+      |A ∩ B| = bit_count(a & b) over a broadcast nested-loop pair
+      enumeration. Deliberately quadratic: in this regime the OUTPUT is
+      itself Ω(n²) (the bench corpus: 7.1M of 12.5M possible pairs pass
+      t=0.6), so candidate pruning cannot help and enumerate+popcount is
+      output-bound optimal (PERFORMANCE.md §23: 3.2s postings / 6.7s
+      prefix / <1s bitset64 on the dense bench corpus — and the prefix
+      ordering flips on sparse data). Never the default: a vocabulary
+      that fits 64 bits cannot happen on a real 100 TB corpus.
 
     ``max_df`` (absolute) or ``max_df_frac`` (fraction of the corpus,
     floor) drops tokens with document frequency above the cutoff from BOTH
@@ -313,26 +339,136 @@ def jaccard_pairs(
     posting join fan-out is quadratic in df (see token_postings). At 100 TB
     run with a cutoff always; unguarded mode is validation-scale only.
     """
+    if strategy not in ("prefix", "postings", "bitset64"):
+        raise ValueError(f"unknown jaccard strategy {strategy!r}")
     toks = token_postings(df, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    if strategy == "bitset64":
+        return _jaccard_bitset64(toks, threshold_e4)
+    if strategy == "postings":
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+        a = toks.alias("a")
+        b = toks.alias("b")
+        inter = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.floor(
+                    F.col("n_inter") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                )
+                .cast("long")
+                .alias("jaccard_e4"),
+            )
+            .where(F.col("jaccard_e4") >= threshold_e4)
+        )
+
+    from pyspark.sql import Window
+
+    # global canonical order: ascending df, rarest tokens first — prefix
+    # postings then concentrate on low-df keys, minimizing join fan-out
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("__df", "tok")
+    w_cnt = Window.partitionBy("doc_id")
+    ranked = toks.join(tok_df, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("__n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    # ceil(t*n) in pure integers: floor((n*t_e4 + 9999) / 10000)
+    alpha = F.floor(
+        (F.col("__n") * F.lit(threshold_e4) + F.lit(9999)) / F.lit(10000)
+    ).cast("long")
+    pref = ranked.where(F.col("__rn") <= F.col("__n") - alpha + F.lit(1)).select(
+        "doc_id", "tok"
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docsets = toks.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("__toks"), F.count(F.lit(1)).alias("__n")
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.floor(
-                F.col("n_inter") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            )
+            F.floor(inter * 10000 / (F.col("n_a") + F.col("n_b") - inter))
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+        .where(F.col("jaccard_e4") >= threshold_e4)
+    )
+
+
+def _jaccard_bitset64(toks: DataFrame, threshold_e4: int) -> DataFrame:
+    """Dense-regime exact Jaccard: one 64-bit mask per doc, popcount over
+    an explicit pair enumeration. See jaccard_pairs(strategy='bitset64')
+    for when this is (and is not) the right plan. The <=64-token
+    vocabulary precondition is enforced IN-PLAN: any 65th token index
+    raises through `raise_error` at execution, so a misuse fails loudly
+    instead of silently truncating masks."""
+    from pyspark.sql import Window
+
+    # ≤64 rows by contract; single-partition sort is by construction tiny
+    vocab = toks.select("tok").distinct()
+    vocab_idx = vocab.select(
+        "tok", (F.row_number().over(Window.orderBy("tok")) - 1).alias("__idx")
+    )
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CASE WHEN __idx > 63 THEN "
+        "CAST(raise_error('jaccard bitset64: retained vocabulary exceeds 64 "
+        "tokens; use the prefix or postings strategy') AS INT) "
+        "ELSE __idx END)"
+    )
+    masks = (
+        toks.join(F.broadcast(vocab_idx), "tok")
+        .groupBy("doc_id")
+        .agg(F.bit_or(bit).alias("__m"), F.count(F.lit(1)).alias("__n"))
+    )
+    a = masks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__m").alias("__ma"),
+        F.col("__n").alias("n_a"),
+    )
+    b = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__m").alias("__mb"),
+        F.col("__n").alias("n_b"),
+    )
+    inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(inter * 10000 / (F.col("n_a") + F.col("n_b") - inter))
             .cast("long")
             .alias("jaccard_e4"),
         )

@@ -1822,3 +1822,49 @@ def test_merge_snapshot_and_scd2(spark):
         [Row(k=2, v="x", ver=1), Row(k=2, v="y", ver=3), Row(k=2, v="z", ver=2)]
     )
     assert latest_per_key(multi, "k", "ver").collect()[0]["v"] == "y"
+
+
+def test_jaccard_strategies_identical_and_bitset_guard(spark):
+    """The three jaccard_pairs strategies (postings / prefix / bitset64)
+    return identical rows on a mixed sparse+dense corpus; bitset64 fails
+    loudly in-plan when the retained vocabulary exceeds 64 tokens."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    # sparse part: mostly-unique vocabularies with planted near-dups;
+    # dense part: heavy token sharing (the prefix filter's worst case)
+    docs = [
+        Row(doc_id=i, text=f"u{i}a u{i}b u{i}c shared{i % 3}") for i in range(12)
+    ]
+    docs += [
+        Row(doc_id=50, text="a b c d e f"),
+        Row(doc_id=51, text="a b c d e g"),
+        Row(doc_id=52, text="a b c d h i"),
+        Row(doc_id=53, text="a b c d e f"),
+    ]
+    df = spark.createDataFrame(docs)
+    results = {
+        s: sorted(
+            map(
+                tuple,
+                D.jaccard_pairs(
+                    df, "doc_id", "text", threshold_e4=5000, strategy=s
+                ).collect(),
+            )
+        )
+        for s in ("postings", "prefix", "bitset64")
+    }
+    assert results["postings"] == results["prefix"] == results["bitset64"]
+    assert (50, 53, 10000) in results["prefix"]  # exact dup pair found
+    assert any(a == 50 and b == 51 for a, b, _ in results["prefix"])
+
+    with pytest.raises(ValueError, match="unknown jaccard strategy"):
+        D.jaccard_pairs(df, "doc_id", "text", strategy="nope")
+
+    big = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"tok{j}" for j in range(i, i + 40)))
+         for i in range(0, 80, 10)]
+    )
+    with pytest.raises(Exception, match="exceeds 64"):
+        D.jaccard_pairs(
+            big, "doc_id", "text", threshold_e4=1000, strategy="bitset64"
+        ).collect()

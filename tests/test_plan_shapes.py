@@ -429,3 +429,37 @@ def test_pagerank_and_linkage_joins_are_hash_joins(spark, sf_oracle):
             assert nlj == 0, plan[:500]
         else:
             assert nlj <= 4  # 1-row totals: init + one per iteration
+
+
+def test_jaccard_prefix_plan_is_hash_joins_only(spark, sf_oracle):
+    """The default (prefix) jaccard strategy must plan every join as a
+    hash/merge equi-join — the quadratic enumerate path is only reachable
+    through the explicitly-gated bitset64 strategy, whose plan is allowed
+    exactly one BroadcastNestedLoopJoin (the pair enumeration)."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = _plan(
+        D.jaccard_pairs(docs, "doc_id", "text", threshold_e4=6000, max_df=1000)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # with the lazy fractional cutoff the only sanctioned NLJ is the
+    # broadcast 1-row corpus-total cross-joined onto the hot-token agg
+    # (the plan STRING re-expands that subtree once per posting-list
+    # reference, so count the distinct build plans, not occurrences)
+    plan_f = _plan(
+        D.jaccard_pairs(docs, "doc_id", "text", threshold_e4=6000, max_df_frac=0.9)
+    )
+    assert "CartesianProduct" not in plan_f
+    for line in plan_f.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line and "__n_docs" in line
+
+    plan_b = _plan(
+        D.jaccard_pairs(
+            docs, "doc_id", "text", threshold_e4=6000, strategy="bitset64"
+        )
+    )
+    assert "CartesianProduct" not in plan_b
+    assert plan_b.count("BroadcastNestedLoopJoin") == 1
