@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import register
+from . import read_table, register
 from .extensions import _emb, q_ann_ivf_topk, q_ann_lsh_topk
 from .relational import q_sketch_approx_distinct
 
@@ -67,7 +67,7 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py::test_bpe_*."""
     from ..operators.bpe import bpe_encode, bpe_train
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=64)
     return bpe_encode(docs, merges)
 
@@ -80,7 +80,7 @@ def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials. Approximate (rank error <= the accuracy parameter), so
     rows-only; error bounded against the exact quantiles by
     tests/test_extensions.py::test_approx_quantiles_error_bound."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
@@ -104,7 +104,7 @@ def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     qs = docs.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("qtext"),
@@ -122,7 +122,7 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     qs = docs.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("qtext"),
@@ -145,8 +145,8 @@ def q_quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_contract_oracle.py hash-checks it)."""
     from ..operators.quality import quality_report
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
     return quality_report(
         orders,
         not_null=["o_orderkey", "o_totalprice"],
@@ -215,7 +215,7 @@ def q_rel_windows_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings."""
     from pyspark.sql import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_table(spark, sf_dir, "orders")
     w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_price = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -254,9 +254,9 @@ def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     five columns. The value list is EXPLICIT, so Spark skips the extra
     distinct-values job and the plan is a single groupBy with conditional
     aggregates — the same shape the DuckDB oracle spells out with CASE."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
     dec = "decimal(28,6)"
     joined = orders.join(
         F.broadcast(customer), orders.o_custkey == customer.c_custkey
@@ -407,7 +407,7 @@ def q_sampling_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.training_order)."""
     from ..operators.sampling import training_order
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return training_order(docs, "doc_id", seed=7, n_shards=16)
 
 
@@ -438,7 +438,7 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_retrieval.py::test_compression_ratio_signal."""
     from ..operators.importance import compression_ratio
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return compression_ratio(docs)
 
 
@@ -452,7 +452,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled DuckDB oracle."""
     from ..operators.graph import pagerank
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     pairs = li.select(
         F.col("l_partkey").alias("p"),
         (F.col("l_suppkey") + 10_000_000).alias("s"),
@@ -502,7 +502,7 @@ def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_retrieval.py::test_weighted_sample_aes_properties."""
     from ..operators.sampling import weighted_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return weighted_sample(
         docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
         k=100,
@@ -522,7 +522,7 @@ def q_text_fuzzy_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import fuzzy_term_pairs
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     vocab = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     return fuzzy_term_pairs(vocab)
 
@@ -563,7 +563,7 @@ def q_linkage_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scores and deterministic tie-breaks — exactly oracle-checked."""
     from ..operators.linkage import blocked_candidates, resolve_best_match, score_pairs
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = read_table(spark, sf_dir, "customer")
     dirty = c.select(
         (F.col("c_custkey") + 1_000_000).alias("id_l"),
         F.concat(
@@ -619,7 +619,7 @@ def q_rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join."""
     from ..sources.merge import snapshot_diff
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
     )
     old = o.where(F.col("k") % 7 != 3)
@@ -657,7 +657,7 @@ def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with GROUPING() markers — the
     full grouping-sets family next to rel_pricing_summary's ROLLUP; the
     grouping id disambiguates aggregate NULLs from data NULLs."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -696,7 +696,7 @@ def q_rel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's builtin `corr` accumulates doubles in partition order and is
     NOT reproducible — the sufficient-sums form is the 100 TB shape (one
     map-side-combined aggregation) AND the deterministic one."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     d = "decimal(28,6)"
     x = F.col("l_quantity").cast(d)
     y = F.col("l_discount").cast("decimal(8,6)")

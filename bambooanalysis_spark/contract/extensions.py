@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import register
+from . import read_table, register
 
 # DuckDB equivalents of operators/text.py primitives
 _D_TOKENS = "list_filter(string_split({t}, ' '), x -> length(x) > 0)"
@@ -22,11 +22,11 @@ _STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +38,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     just need the session-timezone (pinned UTC) cast to plain timestamp so
     downstream unix_micros/window math is identical either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = read_table(spark, sf_dir, "events")
     if dict(raw.dtypes)["ts"] == "bigint":
         ts = F.timestamp_micros(F.expr("ts div 1000"))
     else:

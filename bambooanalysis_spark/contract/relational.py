@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import register
+from . import read_table, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
