@@ -203,7 +203,33 @@ register("sketch_approx_quantiles", q_sketch_approx_quantiles)
 register("ann_lsh_topk", q_ann_lsh_topk)
 register("ann_ivf_topk", q_ann_ivf_topk)
 register("ann_ivf_quantized_topk", q_ann_ivf_quantized_topk)
+def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED index (round-4 Next #8 — the actual
+    100 TB lifecycle: build offline once, query many). The index
+    (cell-partitioned parquet of PQ codes + int8 vectors + codebook
+    sidecar) is built on first use per sf_dir and reused; query time is
+    then a pruned index scan + ADC + exact rerank, no corpus re-encode.
+    Row-identical to ann_ivf_pq_topk by construction
+    (tests/test_extensions.py::test_ivf_pq_persisted_index_matches_inmemory),
+    so the same recall gate bounds it."""
+    import hashlib
+    import os
+
+    from ..operators.similarity import ivf_pq_query_index, ivf_pq_write_index
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/bamboo-ivfpq-index-{tag}"
+    if not os.path.exists(f"{index_dir}/meta.json"):
+        ivf_pq_write_index(emb, index_dir, n_centroids=16, m=8, ksub=16)
+    return ivf_pq_query_index(
+        spark, index_dir, queries, k=10, n_probe=6, refine=4
+    )
+
+
 register("ann_ivf_pq_topk", q_ann_ivf_pq_topk)
+register("ann_ivf_pq_served", q_ann_ivf_pq_served)
 register("text_bpe_encode", q_text_bpe_encode)
 register("retrieval_bm25_topk", q_retrieval_bm25_topk)
 register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf)

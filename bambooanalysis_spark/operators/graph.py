@@ -19,6 +19,10 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 3,
     damping_e4: int = 8500,
+    checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
+    tol_e9: int | None = None,
+    return_iterations: bool = False,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic (1e-9 fixed point):
 
@@ -27,33 +31,53 @@ def pagerank(
 
     All divisions are integer `div`, so every engine agrees bit-for-bit
     and the whole iteration history unrolls into a DuckDB oracle.
-    Dangling-node mass is dropped (the standard simplification — ranks
-    then sum to ≤ 1e9; redistribute explicitly if you need a strict
-    distribution).
+
+    Dangling-node mass is dropped by default (ranks then sum to ≤ 1e9);
+    with ``redistribute_dangling=True`` each iteration adds
+    (Σ_dangling rank_t * d_e4) div (1e4 * n) uniformly — still exact
+    integer arithmetic, computed as a broadcast 1-row aggregate in-plan,
+    and rank mass is conserved up to per-node truncation.
 
     Scale shape: per iteration, ONE join of the edge list with the rank
     vector on src (both big — shuffle join on the node key, AQE handles
     hub skew) + one groupBy(dst) with map-side partial sums + a left join
-    back onto the node set. No collect — state stays distributed, unlike
-    the k-means codebook (which is k rows by construction). Plans grow
-    linearly with n_iter; persist the rank vector between iterations for
-    large n_iter (callers at scale checkpoint every few rounds).
+    back onto the node set. No collect of row-scale data — state stays
+    distributed, unlike the k-means codebook (k rows by construction).
+
+    Lineage control (round-4 hardening): the loop invariants (node set,
+    out-degrees) are localCheckpoint'ed lazily — derived once, not once
+    per iteration — and the rank vector is eagerly localCheckpoint'ed
+    every ``checkpoint_every`` iterations, so plan depth and scheduler
+    cost stay bounded at real iteration counts (20+); a 20-iteration run
+    is plan-depth-tested.
+
+    ``tol_e9`` enables a convergence stop: iterate until
+    max_v |rank_{t+1}(v) − rank_t(v)| <= tol_e9 (one bounded 1-row
+    aggregate per iteration — only when requested; the fixed-iteration
+    form stays a single lazy plan between checkpoints). With
+    ``return_iterations=True`` returns (ranks, n_iterations_run).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)  # loop invariant: derive once
+    )
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+        .localCheckpoint(eager=False)
     )
     total = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     # product precomputed in Python: an INT*INT literal pair would overflow
     # under ANSI before widening (1500 * 1e9 > 2^31)
     base = F.expr(f"{(10000 - damping_e4) * 1_000_000_000} div (10000 * __n)")
     ranks = nodes.crossJoin(F.broadcast(total)).select(
         "node", F.expr("1000000000 div __n").cast("long").alias("rank_e9")
     )
-    for _ in range(n_iter):
+    n_done = 0
+    for i in range(n_iter):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, "src")
@@ -66,12 +90,38 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(total))
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (base + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank_e9"),
+        new_rank = base + F.coalesce(F.col("s"), F.lit(0))
+        step = nodes.crossJoin(F.broadcast(total)).join(contribs, "node", "left")
+        if redistribute_dangling:
+            # Σ rank over nodes with no out-edges, as a broadcast 1-row agg
+            dang = (
+                ranks.join(
+                    outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank_e9"), F.lit(0)).alias("__dang"))
             )
-        )
+            step = step.crossJoin(F.broadcast(dang))
+            new_rank = new_rank + F.expr(
+                f"(__dang * {damping_e4}) div (10000 * __n)"
+            )
+        prev = ranks
+        ranks = step.select("node", new_rank.cast("long").alias("rank_e9"))
+        n_done = i + 1
+        if tol_e9 is not None or (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=tol_e9 is not None)
+        if tol_e9 is not None:
+            delta = (
+                ranks.alias("new")
+                .join(prev.alias("old"), "node")
+                .agg(
+                    F.max(
+                        F.abs(F.col("new.rank_e9") - F.col("old.rank_e9"))
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol_e9:
+                break
+    if return_iterations:
+        return ranks, n_done
     return ranks

@@ -983,7 +983,33 @@ def ivf_pq_topk(
     recall — reconstruction error then orders the final list).
     Approximation = cell pruning + shortlist truncation; recall gated by
     tests/test_extensions.py::test_ann_ivf_pq_recall. Returns
-    (query_id, rank, neighbor_id, score_e6)."""
+    (query_id, rank, neighbor_id, score_e6).
+
+    Serving lifecycle: `ivf_pq_write_index` / `ivf_pq_query_index` persist
+    exactly these index frames (build once, query many) — see below."""
+    c, cv, coarse, cb = _ivf_pq_index_frames(
+        corpus, id_col, vec_col, n_centroids, m, ksub,
+        train_iters, coarse_train_iters,
+    )
+    return _ivf_pq_search(
+        c, cv, queries, coarse, cb, id_col, vec_col,
+        k, n_probe, refine, broadcast_limit,
+    )
+
+
+def _ivf_pq_index_frames(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    train_iters: int,
+    coarse_train_iters: int,
+):
+    """Build the IVF-PQ index state: the per-vector index frame
+    (neighbor_id, codes, rnorm2, __ivf_cell), the int8 vectors for exact
+    rerank (neighbor_id, cv), and the two codebooks (bounded metadata)."""
     from .dedup import _barrier, _fan_out
 
     if coarse_train_iters > 0:
@@ -1018,6 +1044,28 @@ def ivf_pq_topk(
         ).alias("rnorm2"),
         "__ivf_cell",
     )
+    cv = qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+    return c, cv, coarse, cb
+
+
+def _ivf_pq_search(
+    c: DataFrame,
+    cv: DataFrame,
+    queries: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    cb: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    refine: int,
+    broadcast_limit: int,
+) -> DataFrame:
+    """ADC shortlist + exact int8 rerank against prepared index frames
+    (shared by the in-memory ivf_pq_topk and the persisted-index query
+    path)."""
+    from .dedup import _barrier
+
     qstaged = _barrier(
         quantize_int8(queries, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), "qvec")
@@ -1072,7 +1120,6 @@ def ivf_pq_topk(
     # exact rerank: candidate-sized id join back to the int8 corpus, then
     # the bit-reproducible integer cosine (same math as quantized_cosine_topk)
     cand = shortlist.select("query_id", "neighbor_id")
-    cv = qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
     qv = qstaged.select("query_id", F.col("qvec").alias("qv"))
     rescore = int_dot(F.col("qv"), F.col("cv")).cast("double") / (
         F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
@@ -1098,6 +1145,89 @@ def ivf_pq_topk(
         reranked.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score_e6")
+    )
+
+
+def ivf_pq_write_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    train_iters: int = 0,
+    coarse_train_iters: int = 0,
+) -> dict:
+    """Materialize the IVF-PQ index once — the actual 100 TB serving
+    lifecycle (build offline, query many times without re-encoding the
+    corpus). Writes:
+
+    - ``{index_dir}/vectors`` — one parquet row per corpus vector
+      (neighbor_id, codes m-array, rnorm2, int8 qvec for exact rerank),
+      PARTITIONED BY the coarse cell, so a probe of n_probe cells reads
+      only those directories (partition pruning; with a broadcast query
+      side, Spark's dynamic partition pruning applies the cell filter at
+      scan time).
+    - ``{index_dir}/meta.json`` — the coarse centroids + PQ codebook
+      (bounded metadata; this is what rides query plans as literals).
+
+    Returns the metadata dict."""
+    import json
+    import os
+
+    c, cv, coarse, cb = _ivf_pq_index_frames(
+        corpus, id_col, vec_col, n_centroids, m, ksub,
+        train_iters, coarse_train_iters,
+    )
+    (
+        c.join(cv, "neighbor_id")
+        .select("neighbor_id", "codes", "rnorm2", F.col("cv").alias("qvec"), "__ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("__ivf_cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+    meta = {
+        "coarse": [[cid, list(vec)] for cid, vec in coarse],
+        "codebook": cb,
+        "n_centroids": n_centroids,
+        "m": m,
+        "ksub": ksub,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_pq_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    broadcast_limit: int = 10_000,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF-PQ index (``ivf_pq_write_index``):
+    identical math and output contract as ivf_pq_topk, but the corpus-side
+    encode (quantize + PQ choice + cell assignment) is a parquet scan of
+    the prebuilt index — no corpus pass at query time, and the cell join
+    prunes to the probed partitions."""
+    import json
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    coarse = [(int(cid), [int(x) for x in vec]) for cid, vec in meta["coarse"]]
+    cb = meta["codebook"]
+    vecs = spark.read.parquet(f"{index_dir}/vectors")
+    c = vecs.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
+    cv = vecs.select("neighbor_id", F.col("qvec").alias("cv"))
+    return _ivf_pq_search(
+        c, cv, queries, coarse, cb, meta["id_col"], meta["vec_col"],
+        k, n_probe, refine, broadcast_limit,
     )
 
 

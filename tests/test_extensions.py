@@ -1868,3 +1868,38 @@ def test_jaccard_strategies_identical_and_bitset_guard(spark):
         D.jaccard_pairs(
             big, "doc_id", "text", threshold_e4=1000, strategy="bitset64"
         ).collect()
+
+
+def test_ivf_pq_persisted_index_matches_inmemory(spark, sf_oracle, tmp_path):
+    """Build/load split (round-4): ivf_pq_write_index + ivf_pq_query_index
+    must return exactly the rows of the one-shot ivf_pq_topk, with the
+    corpus-side encode served from the partitioned parquet index instead
+    of being recomputed per query."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq_index")
+    meta = S.ivf_pq_write_index(emb, idx, n_centroids=16, m=8, ksub=16)
+    assert len(meta["coarse"]) == 16 and len(meta["codebook"]) == 8
+
+    served = S.ivf_pq_query_index(
+        spark, idx, queries, k=10, n_probe=6, refine=4
+    )
+    direct = S.ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=6, refine=4
+    )
+    as_set = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score_e6"])
+        for r in df.collect()
+    }
+    assert as_set(served) == as_set(direct)
+
+    # the index layout is cell-partitioned: probing must not read every
+    # cell directory (partition pruning on the join key)
+    files = spark.read.parquet(f"{idx}/vectors")
+    assert "__ivf_cell" in files.columns
+    import os
+
+    cell_dirs = [d for d in os.listdir(f"{idx}/vectors") if d.startswith("__ivf_cell=")]
+    assert len(cell_dirs) > 1  # genuinely partitioned on disk

@@ -941,3 +941,43 @@ def test_events_trend_hour_bucket_boundary(spark):
               edge_us // 3_600_000_000]
     assert got == expect
     assert got[0] == got[1] - 1
+
+
+def test_pagerank_20_iterations_bounded_plan_and_convergence(spark):
+    """Round-4 hardening: lineage must stay bounded at real iteration
+    counts (localCheckpoint every `checkpoint_every` rounds), a
+    convergence tolerance stops early on an already-stable graph, and
+    dangling-mass redistribution conserves rank mass."""
+    from bambooanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (3, 7)],
+        ["src", "dst"],
+    )
+    ranks = pagerank(edges, n_iter=20, checkpoint_every=5)
+    rows = {r.node: r.rank_e9 for r in ranks.collect()}
+    assert set(rows) == set(range(8))
+    # plan depth bounded: at most the joins of the final (<=5) un-checkpointed
+    # iterations appear above the checkpointed scan — 20 iterations of 3
+    # joins each would show ~60
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3 * 5 + 2
+
+    # a pure cycle is at the fixed point after iteration 1: uniform ranks;
+    # tol stops the loop well before 20
+    cycle = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], ["src", "dst"])
+    r, n_done = pagerank(cycle, n_iter=20, tol_e9=0, return_iterations=True)
+    vals = [x.rank_e9 for x in r.collect()]
+    assert len(set(vals)) == 1
+    assert n_done < 20
+
+    # dangling redistribution: node 2 has no out-edges; without it mass
+    # leaks, with it the total stays within floor-dust of 1e9
+    dang = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    leaky = sum(r.rank_e9 for r in pagerank(dang, n_iter=10).collect())
+    tight = sum(
+        r.rank_e9
+        for r in pagerank(dang, n_iter=10, redistribute_dangling=True).collect()
+    )
+    assert leaky < 0.8e9
+    assert 0.999e9 < tight <= 1e9
