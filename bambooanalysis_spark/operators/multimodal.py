@@ -43,13 +43,78 @@ def attach_blob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes) -> "object":
-    """Real codec entry point — requires an image library (PIL/cv2) that is
-    not available in this environment."""
+def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Real codec entry point. Round 4 de-stubs the uncompressed 24-bit
+    BMP case with a pure-stdlib decoder (struct unpacking of the
+    BITMAPFILEHEADER/BITMAPINFOHEADER layout + bottom-up padded BGR rows —
+    public format, no codec library needed): returns
+    (width, height, row-major top-down [(r, g, b), ...]). Every other
+    format still needs a real library (PIL/cv2, unavailable in this
+    environment) and raises NotImplementedError; tests fall back to
+    fake_decode_meta for those."""
+    if blob[:2] == b"BM":
+        return _decode_bmp24(blob)
     raise NotImplementedError(
-        "image decoding requires a codec library; use fake_decode_meta for "
-        "the deterministic test path"
+        "only uncompressed 24-bit BMP decodes stdlib-side; other formats "
+        "require a codec library (use fake_decode_meta for the "
+        "deterministic test path)"
     )
+
+
+def _decode_bmp24(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    import struct as _struct
+
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = _struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, width, height, planes, bpp, compression = _struct.unpack_from(
+        "<IiihHI", blob, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    if len(blob) < data_off + row_bytes * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        off = data_off + src_row * row_bytes
+        row = blob[off : off + width * 3]
+        # BGR on disk -> (r, g, b)
+        rows.extend((row[i + 2], row[i + 1], row[i]) for i in range(0, width * 3, 3))
+    return width, height, rows
+
+
+def encode_bmp24(
+    width: int, height: int, pixels: list[tuple[int, int, int]]
+) -> bytes:
+    """Minimal BMP writer (bottom-up, 24-bit, BI_RGB) — the test-side
+    counterpart of _decode_bmp24; also handy for generating fixture
+    blobs."""
+    import struct as _struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height row-major top-down")
+    row_pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        for c in range(width):
+            pr, pg, pb = pixels[r * width + c]
+            body += bytes((pb, pg, pr))
+        body += row_pad
+    data_off = 14 + 40
+    header = b"BM" + _struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = _struct.pack(
+        "<IiihHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(body)
 
 
 def fake_decode_meta(blob: bytes) -> tuple[int, int]:
@@ -132,6 +197,62 @@ def extract_frame_features(frames: DataFrame) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame").mapInPandas(
         run, FRAME_FEATURES_SCHEMA
     )
+
+
+IMAGE_META_SCHEMA = STY.StructType(
+    [
+        STY.StructField("doc_id", STY.LongType()),
+        STY.StructField("n_bytes", STY.LongType()),
+        STY.StructField("width", STY.LongType()),
+        STY.StructField("height", STY.LongType()),
+        STY.StructField("mean_r_e4", STY.LongType()),
+        STY.StructField("mean_g_e4", STY.LongType()),
+        STY.StructField("mean_b_e4", STY.LongType()),
+        STY.StructField("real_decode", STY.BooleanType()),
+    ]
+)
+
+
+def extract_image_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage over (doc_id, blob) with the REAL stdlib
+    BMP codec: width/height/channel means come from actual pixel data for
+    BMP blobs (real_decode=true); other formats fall back to the
+    deterministic fake dims with zeroed means (real_decode=false) until a
+    codec library is available. Integer 1e-4 fixed-point means keep the
+    output engine-exact. Same 100 TB shape as extract_blob_meta: blobs
+    stay in their pruned column, Python sees Arrow batches, the output is
+    metadata-sized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                try:
+                    w, h, px = decode_image(b)
+                    n = max(len(px), 1)
+                    sums = [0, 0, 0]
+                    for p in px:
+                        sums[0] += p[0]
+                        sums[1] += p[1]
+                        sums[2] += p[2]
+                    out.append(
+                        (int(doc_id), len(b), w, h,
+                         sums[0] * 10000 // n, sums[1] * 10000 // n,
+                         sums[2] * 10000 // n, True)
+                    )
+                except NotImplementedError:
+                    w, h = fake_decode_meta(b)
+                    out.append((int(doc_id), len(b), w, h, 0, 0, 0, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height",
+                    "mean_r_e4", "mean_g_e4", "mean_b_e4", "real_decode",
+                ],
+            )
+
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)
 
 
 def extract_blob_meta(df: DataFrame) -> DataFrame:

@@ -1903,3 +1903,37 @@ def test_ivf_pq_persisted_index_matches_inmemory(spark, sf_oracle, tmp_path):
 
     cell_dirs = [d for d in os.listdir(f"{idx}/vectors") if d.startswith("__ivf_cell=")]
     assert len(cell_dirs) > 1  # genuinely partitioned on disk
+
+
+def test_bmp_decode_real_bytes_through_arrow_stage(spark):
+    """Round-4 codec de-stub: generated 24-bit BMP bytes decode to exact
+    width/height/channel means through the real mapInPandas stage; non-BMP
+    blobs take the marked fake fallback; the pure-Python round-trip is
+    pixel-exact including row padding (odd width)."""
+    from bambooanalysis_spark.operators import multimodal as M
+
+    # odd width exercises the 4-byte row padding
+    w, h = 3, 2
+    px = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (10, 20, 30), (40, 50, 60), (70, 80, 90),
+    ]
+    blob = M.encode_bmp24(w, h, px)
+    assert M.decode_image(blob) == (w, h, px)
+
+    rows = [(1, bytearray(blob)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in M.extract_image_meta(df).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height, r1.real_decode) == (w, h, True)
+    n = w * h
+    assert r1.mean_r_e4 == sum(p[0] for p in px) * 10000 // n
+    assert r1.mean_g_e4 == sum(p[1] for p in px) * 10000 // n
+    assert r1.mean_b_e4 == sum(p[2] for p in px) * 10000 // n
+    r2 = got[2]
+    assert r2.real_decode is False and r2.mean_r_e4 == 0
+    fw, fh = M.fake_decode_meta(b"not an image")
+    assert (r2.width, r2.height) == (fw, fh)
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
