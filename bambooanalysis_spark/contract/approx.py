@@ -891,3 +891,87 @@ FROM s
 
 
 register("events_trend", q_events_trend, ORACLE_EVENTS_TREND)
+
+
+def q_sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (round 4): keep at most 40 docs per
+    `source`, longest-first with doc_id as the deterministic order — the
+    C4/RefinedWeb-style bound on any one source's share of the training
+    mix. One window shuffle; Spark's window-group-limit pushes the
+    rank<=cap cutoff into the ranking, so a hot domain never materializes
+    its full ranked list."""
+    from ..operators.sampling import per_group_cap
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        # unique deterministic order key: length desc, doc_id asc
+        (F.col("n_chars") * 1_000_000_000 - F.col("doc_id")).alias("__ord"),
+    )
+    return (
+        per_group_cap(docs, "source", "__ord", cap=40, descending=True)
+        .select(
+            "doc_id", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("rank_in_group").cast("long").alias("rank_in_group"),
+        )
+    )
+
+
+ORACLE_SAMPLING_DOMAIN_CAP = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars * 1000000000 - doc_id DESC
+           ) AS rank_in_group
+    FROM documents
+)
+WHERE rank_in_group <= 40
+"""
+
+register("sampling_domain_cap", q_sampling_domain_cap, ORACLE_SAMPLING_DOMAIN_CAP)
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (round 4): users bucketed by first-activity
+    day, counted by distinct active-day offset — the standard
+    product-analytics rollup, exact integer counts. Two shuffles: per-
+    (user, day) distinct, then the matrix groupBy (the per-user min-day
+    window rides the distinct's partitioning)."""
+    from ..operators.temporal import retention_cohorts
+
+    ev = _events_t(spark, sf_dir)
+    # timestamp, not DATE: pandas/arrow date columns compare by dtype in
+    # the hash gate; timestamps round-trip identically in both engines
+    return retention_cohorts(ev).select(
+        F.col("cohort_date").cast("timestamp").alias("cohort_date"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+ORACLE_EVENTS_RETENTION_COHORTS = """
+WITH days AS (
+    SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+),
+coh AS (
+    SELECT u, d, MIN(d) OVER (PARTITION BY u) AS cohort FROM days
+)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort_date,
+       CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM coh
+GROUP BY 1, 2
+"""
+
+register(
+    "events_retention_cohorts",
+    q_events_retention_cohorts,
+    ORACLE_EVENTS_RETENTION_COHORTS,
+)

@@ -208,3 +208,33 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cap: int,
+    descending: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by a deterministic
+    per-group order — the C4/RefinedWeb-style per-domain document cap
+    (bound any one source's share of the training mix). Adds
+    ``rank_in_group`` (1-based).
+
+    Plan: one window shuffle on the group key with a rank cutoff; Spark
+    pushes the `rank <= cap` filter into the window via its group-limit
+    optimization, so a 10M-row domain never materializes its full ranked
+    list per task at 100 TB. Hot domains are EXACTLY the rows this
+    operator exists to bound, and the cutoff applies while ranking.
+    """
+    from pyspark.sql import Window
+
+    # order_col must totally order rows within a group (use a unique key,
+    # or the kept set is nondeterministic under ties)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(oc)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= cap)
+    )

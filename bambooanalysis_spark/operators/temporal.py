@@ -418,3 +418,32 @@ def rolling_anomaly_flags(
     return out.withColumn(
         "is_anomaly", (dev * dev) > (F.lit(z * z) * var_scaled)
     ).drop("__x")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity
+    day (their cohort), counted by how many distinct days later they were
+    active. Output (cohort_date, day_offset, n_users) — day_offset 0 is
+    the cohort size itself.
+
+    Plan: two shuffles total — per-(user, day) distinct, then a min-day
+    window per user riding the same partitioning, then the matrix groupBy.
+    Counts are exact integers (engine-portable)."""
+    from pyspark.sql import Window
+
+    days = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("day", F.col(ts_col)).alias("d")
+    ).distinct()
+    w = Window.partitionBy("u")
+    return (
+        days.withColumn("cohort", F.min("d").over(w))
+        .groupBy(
+            F.to_date("cohort").alias("cohort_date"),
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -34,6 +34,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype("bool")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # unit only (ns vs us) — values compare exactly
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 

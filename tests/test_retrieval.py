@@ -981,3 +981,53 @@ def test_pagerank_20_iterations_bounded_plan_and_convergence(spark):
     )
     assert leaky < 0.8e9
     assert 0.999e9 < tight <= 1e9
+
+
+def test_per_group_cap_and_window_group_limit(spark):
+    from bambooanalysis_spark.operators.sampling import per_group_cap
+
+    rows = [(i, "a" if i < 7 else "b", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = per_group_cap(df, "source", "doc_id", cap=3)
+    got = sorted((r.source, r.doc_id, r.rank_in_group) for r in out.collect())
+    assert got == [
+        ("a", 0, 1), ("a", 1, 2), ("a", 2, 3),
+        ("b", 7, 1), ("b", 8, 2), ("b", 9, 3),
+    ]
+    # descending picks the other end
+    top = sorted(
+        r.doc_id
+        for r in per_group_cap(df, "source", "doc_id", 2, descending=True).collect()
+    )
+    assert top == [5, 6, 8, 9]
+    # the rank<=cap cutoff is pushed into the window (no full ranked list
+    # per group at scale): Spark's WindowGroupLimit node must appear
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        # user 1: first day D0, back on D1 and D3 (two events on D1)
+        (1, datetime(2024, 1, 1, 9)), (1, datetime(2024, 1, 2, 5)),
+        (1, datetime(2024, 1, 2, 23)), (1, datetime(2024, 1, 4, 1)),
+        # user 2: joins D1, never returns
+        (2, datetime(2024, 1, 2, 12)),
+        # user 3: joins D0, returns D1
+        (3, datetime(2024, 1, 1, 1)), (3, datetime(2024, 1, 2, 2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r.cohort_date)[:10], r.day_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 3
+        ("2024-01-01", 1): 2,   # both back next day
+        ("2024-01-01", 3): 1,   # user 1 on D3
+        ("2024-01-02", 0): 1,   # user 2's cohort
+    }
