@@ -1029,6 +1029,24 @@ def _ivf_pq_index_frames(
         if train_iters > 0
         else pq_default_codebook(corpus, m, ksub, id_col, vec_col)
     )
+    combined = _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col)
+    c = combined.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
+    cv = combined.select("neighbor_id", F.col("qvec").alias("cv"))
+    return c, cv, coarse, cb
+
+
+def _ivf_pq_encode(
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    cb: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks: one index row per vector
+    (neighbor_id, codes, rnorm2, qvec, __ivf_cell). Shared by the initial
+    build and incremental append — per-row HOF work, zero shuffle."""
+    from .dedup import _barrier, _fan_out
+
     qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
     staged = _barrier(
         qz.withColumn("__pq", _pq_choice("qvec", cb)).withColumn(
@@ -1036,16 +1054,15 @@ def _ivf_pq_index_frames(
             F.array_max(_int_cell_scores("qvec", coarse))["cid"],
         )
     )
-    c = staged.select(
+    return staged.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col("__pq"), lambda x: x["cid"]).alias("codes"),
         F.aggregate(
             F.col("__pq"), F.lit(0).cast("long"), lambda acc, x: acc + x["n2"]
         ).alias("rnorm2"),
+        "qvec",
         "__ivf_cell",
     )
-    cv = qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
-    return c, cv, coarse, cb
 
 
 def _ivf_pq_search(
@@ -1176,13 +1193,12 @@ def ivf_pq_write_index(
     import json
     import os
 
-    c, cv, coarse, cb = _ivf_pq_index_frames(
+    _c, _cv, coarse, cb = _ivf_pq_index_frames(
         corpus, id_col, vec_col, n_centroids, m, ksub,
         train_iters, coarse_train_iters,
     )
     (
-        c.join(cv, "neighbor_id")
-        .select("neighbor_id", "codes", "rnorm2", F.col("cv").alias("qvec"), "__ivf_cell")
+        _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("__ivf_cell")
         .parquet(f"{index_dir}/vectors")
@@ -1228,6 +1244,28 @@ def ivf_pq_query_index(
     return _ivf_pq_search(
         c, cv, queries, coarse, cb, meta["id_col"], meta["vec_col"],
         k, n_probe, refine, broadcast_limit,
+    )
+
+
+def ivf_pq_index_append(new_vectors: DataFrame, index_dir: str) -> None:
+    """Incremental index maintenance: encode a new vector batch against
+    the index's EXISTING codebooks (no retrain — standard IVF practice;
+    codebook refresh is a periodic rebuild decision, since re-deriving
+    centroids would silently invalidate every already-encoded row) and
+    append the rows into the cell-partitioned layout. Per-row encode, zero
+    shuffle; the write touches only the cells the batch lands in."""
+    import json
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    coarse = [(int(cid), [int(x) for x in vec]) for cid, vec in meta["coarse"]]
+    (
+        _ivf_pq_encode(
+            new_vectors, coarse, meta["codebook"], meta["id_col"], meta["vec_col"]
+        )
+        .write.mode("append")
+        .partitionBy("__ivf_cell")
+        .parquet(f"{index_dir}/vectors")
     )
 
 

@@ -1937,3 +1937,33 @@ def test_bmp_decode_real_bytes_through_arrow_stage(spark):
 
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_ivf_pq_index_append_matches_full_build(spark, sf_oracle, tmp_path):
+    """Incremental maintenance: build the index on the low-id half, append
+    the rest, and get row-identical results to a one-shot full build. The
+    default codebooks derive from the lowest ids (all in the initial
+    half), so the comparison is exact by construction."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    half_a = emb.where(F.col("vec_id") < 100)
+    half_b = emb.where(F.col("vec_id") >= 100)
+    queries = emb.where(F.col("vec_id") < 5)
+
+    inc = str(tmp_path / "incremental")
+    S.ivf_pq_write_index(half_a, inc, n_centroids=16, m=8, ksub=16)
+    S.ivf_pq_index_append(half_b, inc)
+
+    full = str(tmp_path / "full")
+    S.ivf_pq_write_index(emb, full, n_centroids=16, m=8, ksub=16)
+
+    as_set = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score_e6"])
+        for r in df.collect()
+    }
+    got = as_set(S.ivf_pq_query_index(spark, inc, queries, k=10, n_probe=6))
+    want = as_set(S.ivf_pq_query_index(spark, full, queries, k=10, n_probe=6))
+    assert got == want
+    n = spark.read.parquet(f"{inc}/vectors").count()
+    assert n == emb.count()
