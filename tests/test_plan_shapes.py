@@ -463,3 +463,23 @@ def test_jaccard_prefix_plan_is_hash_joins_only(spark, sf_oracle):
     )
     assert "CartesianProduct" not in plan_b
     assert plan_b.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_topk_windows_get_group_limit_pushdown(spark, sf_oracle):
+    """Every rank<=k window in the ANN/retrieval/sampling family must get
+    Spark's WindowGroupLimit pushdown (partial + final), so no group ever
+    materializes its full ranked list — the property that makes windowed
+    top-k viable on 100 TB groups."""
+    from bambooanalysis_spark.contract import QUERIES
+
+    for name in [
+        "similarity_cosine_topk", "ann_ivf_topk", "retrieval_bm25_topk",
+        "similarity_quantized_topk", "sampling_domain_cap",
+    ]:
+        plan = (
+            QUERIES[name](spark, sf_oracle)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("WindowGroupLimit") >= 2, name
