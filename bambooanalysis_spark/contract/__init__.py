@@ -63,6 +63,9 @@ _READ_CACHE: dict[tuple, DataFrame] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # No invalidation by design: the driver fixtures are immutable by
+    # contract (TESTDATA.md). A dir rewritten mid-session would serve the
+    # stale file listing — regenerate into a NEW directory instead.
     key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     df = _READ_CACHE.get(key)
     if df is None:

@@ -214,15 +214,30 @@ def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the same recall gate bounds it."""
     import hashlib
     import os
+    import tempfile
 
     from ..operators.similarity import ivf_pq_query_index, ivf_pq_write_index
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # tag includes the source file's (mtime, size) so a regenerated corpus
+    # invalidates the cached index instead of silently serving stale
+    # neighbors; the build goes to a temp dir then os.rename (atomic on
+    # one filesystem), so a concurrent process either sees the complete
+    # index or builds its own and loses the rename race harmlessly
+    src = f"{os.path.abspath(sf_dir)}/embeddings.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     index_dir = f"/tmp/bamboo-ivfpq-index-{tag}"
-    if not os.path.exists(f"{index_dir}/meta.json"):
-        ivf_pq_write_index(emb, index_dir, n_centroids=16, m=8, ksub=16)
+    if not os.path.isdir(f"{index_dir}/meta"):
+        build = tempfile.mkdtemp(prefix="bamboo-ivfpq-build-")
+        ivf_pq_write_index(emb, build, n_centroids=16, m=8, ksub=16)
+        try:
+            os.rename(build, index_dir)
+        except OSError:
+            pass  # lost the race to a concurrent builder: theirs is complete
     return ivf_pq_query_index(
         spark, index_dir, queries, k=10, n_probe=6, refine=4
     )
@@ -941,8 +956,9 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) distinct, then the matrix groupBy (the per-user min-day
     window rides the distinct's partitioning)."""
     from ..operators.temporal import retention_cohorts
+    from .extensions import _events
 
-    ev = _events_t(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     # timestamp, not DATE: pandas/arrow date columns compare by dtype in
     # the hash gate; timestamps round-trip identically in both engines
     return retention_cohorts(ev).select(
@@ -950,10 +966,6 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         F.col("n_users").cast("long").alias("n_users"),
     )
-
-
-def _events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "events")
 
 
 ORACLE_EVENTS_RETENTION_COHORTS = """

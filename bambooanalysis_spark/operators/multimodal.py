@@ -72,6 +72,8 @@ def _decode_bmp24(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     )
     if hdr_size < 40:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
@@ -241,7 +243,10 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
                          sums[0] * 10000 // n, sums[1] * 10000 // n,
                          sums[2] * 10000 // n, True)
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # non-BMP formats AND malformed/truncated BMPs both
+                    # degrade to the marked fake path — one bad blob must
+                    # not kill a corpus-wide job
                     w, h = fake_decode_meta(b)
                     out.append((int(doc_id), len(b), w, h, 0, 0, 0, False))
             yield pd.DataFrame(

@@ -142,17 +142,20 @@ def cm_estimate(
     estimating if it isn't already materialized — both the d-row derivation
     and the broadcast read it."""
     dvals = sketch.select("d").distinct()
-    probed = (
-        probes.select(F.col(key_col).alias("__k"))
-        .distinct()
-        .crossJoin(F.broadcast(dvals))
-        .withColumn("bucket", _cm_bucket(F.col("__k"), F.col("d"), width))
+    keys = probes.select(F.col(key_col).alias("__k")).distinct()
+    probed = keys.crossJoin(F.broadcast(dvals)).withColumn(
+        "bucket", _cm_bucket(F.col("__k"), F.col("d"), width)
     )
-    return (
+    est = (
         probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy("__k")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
-        .select(F.col("__k").alias(key_col), F.col("est").cast("long").alias("est"))
+    )
+    # left-join back so an EMPTY sketch still yields est=0 for every probe
+    # (the crossJoin above would otherwise drop all probe rows)
+    return keys.join(est, "__k", "left").select(
+        F.col("__k").alias(key_col),
+        F.coalesce(F.col("est"), F.lit(0)).cast("long").alias("est"),
     )
 
 

@@ -1010,8 +1010,28 @@ def _ivf_pq_index_frames(
     """Build the IVF-PQ index state: the per-vector index frame
     (neighbor_id, codes, rnorm2, __ivf_cell), the int8 vectors for exact
     rerank (neighbor_id, cv), and the two codebooks (bounded metadata)."""
-    from .dedup import _barrier, _fan_out
+    coarse, cb = _ivf_pq_codebooks(
+        corpus, id_col, vec_col, n_centroids, m, ksub,
+        train_iters, coarse_train_iters,
+    )
+    combined = _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col)
+    c = combined.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
+    cv = combined.select("neighbor_id", F.col("qvec").alias("cv"))
+    return c, cv, coarse, cb
 
+
+def _ivf_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    train_iters: int,
+    coarse_train_iters: int,
+):
+    """Derive the coarse centroids + PQ codebook (bounded metadata; the
+    only collects in the index lifecycle)."""
     if coarse_train_iters > 0:
         coarse = kmeans_fit_int8(
             corpus, k=n_centroids, n_iter=coarse_train_iters,
@@ -1029,10 +1049,7 @@ def _ivf_pq_index_frames(
         if train_iters > 0
         else pq_default_codebook(corpus, m, ksub, id_col, vec_col)
     )
-    combined = _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col)
-    c = combined.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
-    cv = combined.select("neighbor_id", F.col("qvec").alias("cv"))
-    return c, cv, coarse, cb
+    return coarse, cb
 
 
 def _ivf_pq_encode(
@@ -1186,14 +1203,12 @@ def ivf_pq_write_index(
       only those directories (partition pruning; with a broadcast query
       side, Spark's dynamic partition pruning applies the cell filter at
       scan time).
-    - ``{index_dir}/meta.json`` — the coarse centroids + PQ codebook
-      (bounded metadata; this is what rides query plans as literals).
+    - ``{index_dir}/meta`` — the coarse centroids + PQ codebook as one
+      JSON line, written through Spark's text writer so the whole index
+      lives on whatever filesystem the session reaches (s3a/hdfs/local).
 
     Returns the metadata dict."""
-    import json
-    import os
-
-    _c, _cv, coarse, cb = _ivf_pq_index_frames(
+    coarse, cb = _ivf_pq_codebooks(
         corpus, id_col, vec_col, n_centroids, m, ksub,
         train_iters, coarse_train_iters,
     )
@@ -1212,10 +1227,30 @@ def ivf_pq_write_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    os.makedirs(index_dir, exist_ok=True)
-    with open(f"{index_dir}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+    _write_index_meta(corpus.sparkSession, index_dir, meta)
     return meta
+
+
+def _write_index_meta(spark, index_dir: str, meta: dict) -> None:
+    """Metadata rides Spark's own text writer, so the index lives on ANY
+    filesystem the session can reach (s3a://, hdfs://, local) — a
+    driver-local open() would split the index between the cluster FS and
+    the driver's disk."""
+    import json
+
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{index_dir}/meta")
+    )
+
+
+def _read_index_meta(spark, index_dir: str) -> dict:
+    import json
+
+    rows = spark.read.text(f"{index_dir}/meta").collect()
+    return json.loads("".join(r.value for r in rows))
 
 
 def ivf_pq_query_index(
@@ -1232,10 +1267,7 @@ def ivf_pq_query_index(
     encode (quantize + PQ choice + cell assignment) is a parquet scan of
     the prebuilt index — no corpus pass at query time, and the cell join
     prunes to the probed partitions."""
-    import json
-
-    with open(f"{index_dir}/meta.json") as fh:
-        meta = json.load(fh)
+    meta = _read_index_meta(spark, index_dir)
     coarse = [(int(cid), [int(x) for x in vec]) for cid, vec in meta["coarse"]]
     cb = meta["codebook"]
     vecs = spark.read.parquet(f"{index_dir}/vectors")
@@ -1253,11 +1285,10 @@ def ivf_pq_index_append(new_vectors: DataFrame, index_dir: str) -> None:
     codebook refresh is a periodic rebuild decision, since re-deriving
     centroids would silently invalidate every already-encoded row) and
     append the rows into the cell-partitioned layout. Per-row encode, zero
-    shuffle; the write touches only the cells the batch lands in."""
-    import json
-
-    with open(f"{index_dir}/meta.json") as fh:
-        meta = json.load(fh)
+    shuffle; the write touches only the cells the batch lands in.
+    Appending ids already present duplicates them (the layout is
+    append-only); dedup upstream or rebuild when replacing vectors."""
+    meta = _read_index_meta(new_vectors.sparkSession, index_dir)
     coarse = [(int(cid), [int(x) for x in vec]) for cid, vec in meta["coarse"]]
     (
         _ivf_pq_encode(

@@ -243,15 +243,28 @@ def resample_ffill(
     minute grain emits ~525k grid rows; with it, output per observation
     is bounded by max_gap/step rows.
     """
-    step_us = _interval_us(step)
-    unit_us = _interval_us(f"1 {unit}")
-    if step_us % unit_us != 0:
-        raise ValueError(
-            f"resample_ffill: step={step!r} is not a whole multiple of "
-            f"unit={unit!r}; the sequence() grid would never align with "
-            f"the date_trunc({unit!r}) buckets and every observation "
-            "would be dropped from the grid"
-        )
+    _n_step, _u_step = step.split()
+    _u_step = _u_step.rstrip("s")
+    if unit in ("month", "year") or _u_step in ("month", "year"):
+        # calendar units have no fixed µs length; the grid stays on the
+        # date_trunc lattice only when step and unit are the SAME unit
+        # (sequence with an N-month/-year interval lands on truncation
+        # boundaries by construction)
+        if _u_step != unit:
+            raise ValueError(
+                f"resample_ffill: calendar unit {unit!r} requires a step "
+                f"in the same unit (got step={step!r})"
+            )
+    else:
+        step_us = _interval_us(step)
+        unit_us = _interval_us(f"1 {unit}")
+        if step_us % unit_us != 0:
+            raise ValueError(
+                f"resample_ffill: step={step!r} is not a whole multiple of "
+                f"unit={unit!r}; the sequence() grid would never align with "
+                f"the date_trunc({unit!r}) buckets and every observation "
+                "would be dropped from the grid"
+            )
     bucket = F.date_trunc(unit, F.col(ts_col))
     per_bucket = (
         events.select(
@@ -325,6 +338,7 @@ def _interval_us(window: str) -> int:
         "minute": 60_000_000, "minutes": 60_000_000,
         "hour": 3_600_000_000, "hours": 3_600_000_000,
         "day": 86_400_000_000, "days": 86_400_000_000,
+        "week": 604_800_000_000, "weeks": 604_800_000_000,
     }[unit]
     return int(n) * scale
 

@@ -104,9 +104,14 @@ def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
     classname, pos = _read_tstring(buf, pos)
     name, pos = _read_tstring(buf, pos)
     title, pos = _read_tstring(buf, pos)
-    assert pos - seek == keylen, "corrupt TKey: string block != fKeyLen"
+    if pos - seek != keylen:
+        raise ValueError("corrupt TKey: string block != fKeyLen")
     payload = buf[seek + keylen : seek + nbytes]
-    assert len(payload) == objlen, "compressed keys not supported"
+    if len(payload) != objlen:
+        raise NotImplementedError(
+            "per-key compressed payloads not supported (objlen != "
+            "nbytes - keylen); use uproot for compressed files"
+        )
     return _Key(classname, name, title, cycle, payload), seek + nbytes
 
 
@@ -255,6 +260,7 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
 
     baskets: dict[str, list[tuple[int, bytes, str]]] = {}
     trees = set()
+    basket_trees = set()
     seek = FBEGIN
     while seek < fend:
         key, seek = _unpack_key(buf, seek)
@@ -265,9 +271,14 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
         ktree, leaflist = key.title.split(":", 1)
         if tree is not None and ktree != tree:
             continue
+        basket_trees.add(ktree)
         baskets.setdefault(key.name, []).append((key.cycle, key.payload, leaflist))
     if tree is not None and not baskets and tree not in trees:
         raise KeyError(f"tree {tree!r} not in file (trees: {sorted(trees)})")
+    if tree is None and len(basket_trees) > 1:
+        raise ValueError(
+            f"file holds multiple trees {sorted(basket_trees)}; pass tree="
+        )
 
     out: dict[str, list] = {}
     for bname, parts in baskets.items():

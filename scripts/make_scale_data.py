@@ -105,7 +105,7 @@ def main() -> None:
                         ELSE text || ' copytok' || copy END AS text,
                    lang, source,
                    CASE WHEN copy = 0 THEN n_chars
-                        ELSE n_chars + 9 + CAST(LENGTH(CAST(copy AS VARCHAR)) AS BIGINT)
+                        ELSE n_chars + 8 + CAST(LENGTH(CAST(copy AS VARCHAR)) AS BIGINT)
                    END AS n_chars
             FROM documents, copies""",
         "embeddings": f"""

@@ -1935,6 +1935,12 @@ def test_bmp_decode_real_bytes_through_arrow_stage(spark):
     fw, fh = M.fake_decode_meta(b"not an image")
     assert (r2.width, r2.height) == (fw, fh)
 
+    # a malformed BMP (magic but truncated) must degrade to the fake path,
+    # not kill the job (round-4 review finding)
+    bad = spark.createDataFrame([(3, bytearray(b"BM truncated"))], "doc_id long, blob binary")
+    rb = M.extract_image_meta(bad).collect()[0]
+    assert rb.real_decode is False
+
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
 

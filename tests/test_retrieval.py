@@ -1031,3 +1031,30 @@ def test_retention_cohorts_hand_computed(spark):
         ("2024-01-01", 3): 1,   # user 1 on D3
         ("2024-01-02", 0): 1,   # user 2's cohort
     }
+
+
+def test_cm_estimate_empty_sketch_returns_zero_per_probe(spark):
+    """An empty sketch (nothing inserted) must still return est=0 for
+    every probe key, not an empty frame (round-4 review finding)."""
+    import bambooanalysis_spark.operators.retrieval as R
+
+    empty = spark.createDataFrame([], "d int, bucket long, c long")
+    probes = spark.createDataFrame([("a",), ("b",)], ["term"])
+    got = {r.term: r.est for r in R.cm_estimate(empty, probes, "term", width=64).collect()}
+    assert got == {"a": 0, "b": 0}
+
+
+def test_resample_ffill_calendar_units(spark):
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [("A", datetime(2024, 1, 15), 1.0), ("A", datetime(2024, 4, 2), 2.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = resample_ffill(df, step="1 month", unit="month").orderBy("bucket")
+    got = [(r.bucket.month, r.value_filled, r.is_observed) for r in out.collect()]
+    assert got == [(1, 1.0, True), (2, 1.0, False), (3, 1.0, False), (4, 2.0, True)]
+    with pytest.raises(ValueError, match="calendar unit"):
+        resample_ffill(df, step="30 days", unit="month")
