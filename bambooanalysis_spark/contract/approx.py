@@ -987,3 +987,48 @@ register(
     q_events_retention_cohorts,
     ORACLE_EVENTS_RETENTION_COHORTS,
 )
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repeated-substring detection over the corpus (round 4):
+    4-gram spans occurring in >= 2 distinct documents, merged into maximal
+    per-doc spans — the Lee-et-al-style substring dedup signal. All
+    integer/md5 arithmetic, exact DuckDB oracle."""
+    from ..operators.dedup import repeated_ngram_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", n=4, min_df=2)
+
+
+ORACLE_DEDUP_REPEATED_SPANS = """
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+    FROM documents
+),
+p0 AS (
+    SELECT doc_id, tk,
+           unnest(range(greatest(len(tk) - 4 + 1, 0))) AS pos
+    FROM t
+),
+p AS (
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(('0x' || substr(md5(array_to_string(tk[pos + 1 : pos + 4], ' ')), 1, 15)) AS BIGINT) AS g
+    FROM p0
+),
+r AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+h AS (SELECT p.doc_id, p.pos, LAG(p.pos) OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS prev
+      FROM p JOIN r USING (g)),
+i AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN pos > prev + 4 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM h
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 4 AS span_end,
+       COUNT(*) AS n_grams
+FROM i GROUP BY doc_id, island
+"""
+
+register("dedup_repeated_spans", q_dedup_repeated_spans, ORACLE_DEDUP_REPEATED_SPANS)

@@ -736,3 +736,75 @@ def fuzzy_term_pairs(
     return cand.where(F.levenshtein("term_a", "term_b") <= 1).select(
         "term_a", "term_b", F.levenshtein("term_a", "term_b").cast("int").alias("dist")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Span-level repeated-substring detection — the signal behind
+    substring-level training-data dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, public): every token
+    n-gram occurring in >= ``min_df`` DISTINCT documents marks its
+    position; overlapping/adjacent marked positions merge into maximal
+    spans per document. Returns (doc_id, span_start, span_end, n_grams):
+    token-index spans [span_start, span_end) with the count of repeated
+    n-grams inside.
+
+    Plan: per-row n-gram+position fan-out (zero shuffle, 8-byte md5 gram
+    hashes as keys), gram groupBy for document frequency, semi-join of
+    repeated grams back onto the postings, then the classic
+    gaps-and-islands merge: a lag window per doc marks island starts
+    (ends are monotone because all grams share length n, so only the
+    previous position matters) and a groupBy on (doc, island) emits the
+    spans — the groupBy rides the window's partitioning. Never
+    materializes text in a shuffle.
+    """
+    from pyspark.sql import Window
+
+    staged = _barrier(
+        df.select(
+            F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("__tk")
+        )
+    )
+    nt = F.size("__tk")
+    starts = F.when(
+        nt >= n, F.sequence(F.lit(0), nt - n)
+    ).otherwise(F.array().cast("array<int>"))
+    posting = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    T.hash64(
+                        F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, n))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("__pg"),
+    ).select("doc_id", F.col("__pg.pos").alias("pos"), F.col("__pg.g").alias("g"))
+    repeated = (
+        posting.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("g")
+    )
+    hits = posting.join(repeated, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "__new",
+            F.when(F.col("pos") > F.lag("pos").over(w) + n, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("__new").over(w))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

@@ -1058,3 +1058,33 @@ def test_resample_ffill_calendar_units(spark):
     assert got == [(1, 1.0, True), (2, 1.0, False), (3, 1.0, False), (4, 2.0, True)]
     with pytest.raises(ValueError, match="calendar unit"):
         resample_ffill(df, step="30 days", unit="month")
+
+
+def test_repeated_ngram_spans_hand_computed(spark):
+    """Planted shared substring across two docs -> one maximal span per
+    doc covering exactly the shared region; a doc with no repeats emits
+    nothing; adjacent repeated grams merge into ONE island."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.dedup import repeated_ngram_spans
+
+    docs = [
+        Row(doc_id=1, text="a b c d e f g h i j"),
+        Row(doc_id=2, text="x y a b c d e z q w"),
+        Row(doc_id=3, text="unique tokens only here now"),
+        # doc 4 repeats the shared region TWICE internally -> two islands
+        Row(doc_id=4, text="a b c d e k k k k a b c d e"),
+    ]
+    out = repeated_ngram_spans(
+        spark.createDataFrame(docs), "doc_id", "text", n=3, min_df=2
+    )
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_grams) for r in out.collect())
+    assert got == [
+        (1, 0, 5, 3),     # 'a b c d e' at the head
+        (2, 2, 7, 3),     # same region offset by 2
+        (4, 0, 5, 3),     # first copy
+        (4, 9, 14, 3),    # second copy, separate island
+    ]
+    # short docs (< n tokens) are silently span-free, not an error
+    short = spark.createDataFrame([Row(doc_id=9, text="a b")])
+    assert repeated_ngram_spans(short, "doc_id", "text", n=3).count() == 0
