@@ -808,3 +808,47 @@ def repeated_ngram_spans(
         (F.max("pos") + n).cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Excise repeated spans from documents — the output side of
+    substring-level dedup: given (doc_id, span_start, span_end) token
+    ranges (see ``repeated_ngram_spans``), drop those tokens and re-join
+    the remainder. Returns the input rows with ``text_col`` rewritten plus
+    ``n_removed_tokens``. Documents without spans pass through unchanged.
+
+    Span identity is positional, so occurrence policy (e.g. keep the
+    first copy corpus-wide, excise the rest) is chosen upstream by
+    filtering the span table before passing it in; the given spans are
+    removed verbatim.
+
+    Plan: spans collapse to one array per doc (groupBy on the doc key —
+    span counts are document-bounded), one left join onto the corpus, and
+    a per-row HOF filter over token indices. No Python, one shuffle."""
+    sp = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(sp, id_col, "left")
+    toks = T.tokens(F.col(text_col))
+    in_span = lambda i: F.exists(
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~in_span(i.cast("long")))
+    out_text = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    n_removed = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    others = [c for c in df.columns if c != text_col]
+    return joined.select(
+        *others,
+        out_text.alias(text_col),
+        n_removed.cast("long").alias("n_removed_tokens"),
+    )

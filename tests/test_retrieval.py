@@ -1088,3 +1088,28 @@ def test_repeated_ngram_spans_hand_computed(spark):
     # short docs (< n tokens) are silently span-free, not an error
     short = spark.createDataFrame([Row(doc_id=9, text="a b")])
     assert repeated_ngram_spans(short, "doc_id", "text", n=3).count() == 0
+
+
+def test_remove_spans_excises_repeated_regions(spark):
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.dedup import (
+        remove_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i j"),
+            Row(doc_id=2, text="x y a b c d e z q w"),
+            Row(doc_id=3, text="untouched text stays put"),
+        ]
+    )
+    spans = repeated_ngram_spans(docs, "doc_id", "text", n=3, min_df=2)
+    # policy: keep doc 1's copy, excise from the rest
+    excise = spans.where(F.col("doc_id") != 1)
+    out = {r.doc_id: (r.text, r.n_removed_tokens)
+           for r in remove_spans(docs, excise, "doc_id", "text").collect()}
+    assert out[1] == ("a b c d e f g h i j", 0)
+    assert out[2] == ("x y z q w", 5)
+    assert out[3] == ("untouched text stays put", 0)
