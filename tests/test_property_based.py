@@ -174,3 +174,51 @@ def test_connected_components_match_union_find(spark, n_nodes, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {i: find(i) for i in range(n_nodes)}
     assert got == expect
+
+
+# --- minroot ROOT-format round-trip (pure Python, no Spark needed) ----------
+
+_f32 = st.floats(
+    width=32, allow_nan=False, allow_infinity=False, min_value=-999999995904.0, max_value=999999995904.0
+)
+_f64 = st.floats(allow_nan=False, allow_infinity=False, min_value=-1e300, max_value=1e300)
+_i32 = st.integers(-(2**31), 2**31 - 1)
+_i64 = st.integers(-(2**62), 2**62 - 1)
+
+
+@given(
+    scalar_f=st.lists(_f64, min_size=0, max_size=40),
+    scalar_i=st.lists(_i32, min_size=0, max_size=40),
+    jagged=st.lists(st.lists(_f32, max_size=6), min_size=0, max_size=40),
+    jagged_l=st.lists(st.lists(_i64, max_size=6), min_size=0, max_size=40),
+    basket=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_minroot_roundtrip_property(tmp_path_factory, scalar_f, scalar_i, jagged, jagged_l, basket):
+    """Any combination of basic-type flat/jagged branches round-trips
+    bit-exactly (f64/i32/i64) or to f32 precision, across arbitrary
+    basket chunking — entry counts forced equal across branches."""
+    import math
+    import struct as _struct
+
+    from bambooanalysis_spark.sources import minroot
+
+    n = min(len(scalar_f), len(scalar_i), len(jagged), len(jagged_l))
+    branches = {
+        "sf": ("D", scalar_f[:n]),
+        "si": ("I", scalar_i[:n]),
+        "jf": ("F", jagged[:n]),
+        "jl": ("L", jagged_l[:n]),
+    }
+    path = str(tmp_path_factory.mktemp("mr") / "t.root")
+    minroot.write_flat_tree(path, "tr", branches, basket_entries=basket)
+    got = minroot.read_flat_tree(path, "tr")
+    assert got["sf"] == scalar_f[:n]
+    assert got["si"] == scalar_i[:n]
+    assert got["jl"] == [list(x) for x in jagged_l[:n]]
+    # f32: round-trip through single precision
+    for want_row, got_row in zip(jagged[:n], got["jf"]):
+        assert len(want_row) == len(got_row)
+        for w, g in zip(want_row, got_row):
+            w32 = _struct.unpack(">f", _struct.pack(">f", w))[0]
+            assert g == w32 or (math.isnan(w32) and math.isnan(g))
