@@ -437,9 +437,14 @@ def _jaccard_bitset64(toks: DataFrame, threshold_e4: int) -> DataFrame:
     from pyspark.sql import Window
 
     # ≤64 rows by contract; single-partition sort is by construction tiny
+    # (constant partition key: same plan, but no "no partition defined"
+    # warning spam in logs)
     vocab = toks.select("tok").distinct()
     vocab_idx = vocab.select(
-        "tok", (F.row_number().over(Window.orderBy("tok")) - 1).alias("__idx")
+        "tok",
+        (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("tok")) - 1).alias(
+            "__idx"
+        ),
     )
     bit = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CASE WHEN __idx > 63 THEN "
