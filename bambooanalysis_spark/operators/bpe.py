@@ -46,9 +46,10 @@ def word_frequencies(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    rows = wf.orderBy(F.col("n").desc(), F.col("w")).limit(
-        max_vocab if max_vocab is not None else 1 << 31
-    ).collect()
+    ordered = wf.orderBy(F.col("n").desc(), F.col("w"))
+    if max_vocab is not None:
+        ordered = ordered.limit(max_vocab)
+    rows = ordered.collect()
     return [(r["w"], int(r["n"])) for r in rows]
 
 
@@ -128,8 +129,11 @@ def bpe_encode(
     (Arrow batches); the merge table rides the task closure (bounded
     driver metadata, like the ANN codebooks)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # id column keeps ITS OWN type (string fingerprint ids are common in
+    # the dedup family); hardcoding long crashed every non-integer id
+    id_t = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, n_words long, n_subwords long, subwords_csv string"
+        f"{id_col} {id_t}, n_words long, n_subwords long, subwords_csv string"
     )
 
     def run(batches):

@@ -81,6 +81,36 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --- minhash + LSH ----------------------------------------------------------
 
+
+def bucket_pairs(
+    keyed: DataFrame, key_col: str, id_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Shared bucket-collect pair expansion (minhash LSH / sign-LSH): ONE
+    pass over (bucket key, id) rows — a self-join would execute the whole
+    upstream signature subplan twice — one shuffle on the bucket key, pairs
+    (a < b) expanded in-row per bucket, de-duped across buckets."""
+    buckets = keyed.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    n = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    return (
+        buckets.where(n > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(f"p.{out_a}", f"p.{out_b}")
+        .distinct()
+    )
+
+
+
 def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
     """k-element MinHash signature over a PRE-MATERIALIZED shingle column.
 
@@ -175,28 +205,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    # bucket-collect instead of a self-join: ONE pass over the signatures
-    # (a self-join would execute the whole signature subplan twice), one
-    # shuffle on the band key, pairs expanded in-row per bucket
-    buckets = banded.groupBy("band_key").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    n = F.size(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.where(n > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # shared bucket-collect pair expansion (see bucket_pairs)
+    return bucket_pairs(banded, "band_key", "doc_id", "doc_a", "doc_b")
 
 
 # --- simhash ----------------------------------------------------------------
@@ -518,21 +528,28 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    prev = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
         )
-        labels = labels.localCheckpoint(eager=True)
-        # labels are element-wise non-increasing and integral: the sum is
-        # strictly decreasing until the fixpoint, so equality == converged
-        cur = labels.agg(F.sum("label")).first()[0]
-        if cur == prev:
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # convergence: count of rows whose label changed this round —
+        # overflow-free for any id domain (a sum of 62-bit hash ids could
+        # exceed int64 under ANSI; round-4 review finding). Labels are
+        # element-wise non-increasing, so changed == 0 means fixpoint.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev = cur
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col),

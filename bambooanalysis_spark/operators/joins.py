@@ -32,7 +32,26 @@ def salted_join(
     so results are reproducible; build rows are exploded once per salt
     value. Join key becomes (key, salt): a key with S% of the fact table
     now occupies `salt` reducers instead of one.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported: the
+    build side is REPLICATED per salt value, so right/full-outer would
+    emit one spurious null-extended row per unmatched replica (up to
+    `salt` copies of each unmatched build row) — rejected loudly instead
+    (round-4 review finding).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — build-side replication "
+            "breaks right/full outer semantics; salt the other side or use "
+            "a plain join with AQE skew handling"
+        )
+    if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
+        # semi/anti never expose build columns, so replication is harmless,
+        # but the salt column must not leak into the condition semantics:
+        # a fact row matches iff its (key, salt) replica exists, which is
+        # exactly "key exists" because every salt value is replicated.
+        pass
     fact_salted = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt)).cast("int")
     )

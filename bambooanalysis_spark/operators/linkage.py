@@ -37,6 +37,12 @@ def blocked_candidates(
         F.col(right_id),
         *[F.col(c).alias(f"{c}_r") for c in right.columns if c != right_id],
     )
+    if not block_cols:
+        raise ValueError(
+            "blocked_candidates: block_cols is empty — a blocking-free "
+            "join is the unbounded cross product this module exists to "
+            "avoid; pass at least one blocking column"
+        )
     cond = None
     for c in block_cols:
         eq = F.col(f"{c}_l") == F.col(f"{c}_r")

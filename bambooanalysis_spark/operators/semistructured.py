@@ -33,7 +33,11 @@ def with_json_fields(
     One parse per row regardless of field count; the parquet scan still
     prunes to (json_col + whatever else is selected)."""
     parsed = parse_json(F.col(json_col), schema)
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    # real DDL parse, not a text split: nested STRUCT<...>/MAP<...>/
+    # DECIMAL(p,s) types contain commas (round-4 review finding)
+    from pyspark.sql.types import _parse_datatype_string
+
+    names = [f.name for f in _parse_datatype_string(schema).fields]
     return df.select(
         "*", *[parsed[n].alias(prefix + n) for n in names]
     ).drop(json_col)

@@ -94,23 +94,31 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query among the corpus
     (self-matches excluded). Returns (query_id, neighbor_id, rank,
     cosine_e6)."""
-    from .dedup import _fan_out
+    from .dedup import _barrier, _fan_out
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    # norms staged ONCE PER SIDE behind barriers: the cross join touches
+    # every (query, corpus) pair, so an inline cosine() would recompute
+    # norm(cv) per query and norm(qv) per corpus row — ~2/3 of the
+    # per-pair arithmetic for free (round-4 review finding). Same
+    # expression tree per factor, so scores stay bit-identical.
+    q = _barrier(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn("__qn", norm(F.col("qv")))
     )
-    c = _fan_out(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _barrier(
+        _fan_out(corpus, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("__cn", norm(F.col("cv")))
     )
+    score = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     scored = (
         c.crossJoin(_maybe_broadcast(q, broadcast_limit))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000)
-            .cast("long")
-            .alias("cosine_e6"),
+            F.floor(score * 1000000).cast("long").alias("cosine_e6"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -186,28 +194,12 @@ def near_dup_pairs_cosine(
                 )
             ).alias("band_key"),
         )
-        # bucket-collect instead of a self-join: one pass over signatures,
-        # one shuffle; pairs expanded in-row per bucket, de-duped across
-        # bands before the (more expensive) exact rescoring join
-        buckets = banded.groupBy("band_key").agg(
-            F.array_sort(F.collect_list("__id")).alias("ids")
-        )
-        n = F.size(F.col("ids"))
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-        pairs = (
-            buckets.where(n > 1)
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct()
-        )
+        # shared bucket-collect pair expansion (dedup.bucket_pairs): one
+        # pass over signatures, de-duped across bands before the (more
+        # expensive) exact rescoring join
+        from .dedup import bucket_pairs
+
+        pairs = bucket_pairs(banded, "band_key", "__id", "id_a", "id_b")
         cand = pairs.join(a, "id_a").join(b, "id_b")
     return cand.select(
         "id_a",
@@ -537,17 +529,23 @@ def quantized_cosine_topk(
     (query_id, neighbor_id, rank, qcosine_e6)."""
     from pyspark.sql import Window
 
+    from .dedup import _barrier
+
     qz = quantize_int8(corpus, id_col, vec_col)
-    q = quantize_int8(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    # per-side norm factors staged once (see cosine_topk); identical
+    # expression per factor -> bit-identical scores
+    q = _barrier(
+        quantize_int8(queries, id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"))
+        .withColumn("__qs", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
     )
-    c = qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+    c = _barrier(
+        qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+        .withColumn("__cs", F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double")))
+    )
     score = (
         int_dot(F.col("qv"), F.col("cv")).cast("double")
-        / (
-            F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-            * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
-        )
+        / (F.col("__qs") * F.col("__cs"))
     )
     scored = (
         c.crossJoin(_maybe_broadcast(q, broadcast_limit))

@@ -66,21 +66,31 @@ def asof_join(
     }
 
     chunked = salt_interval is not None
+    # The matched payload travels as ONE struct (all payload columns + the
+    # right timestamp): last(ignorenulls) then picks a whole right ROW
+    # atomically. Per-column last() would mix columns from different right
+    # rows whenever a payload value is genuinely NULL (round-4 review
+    # finding), and would make "matched row with NULL payload" look like
+    # "no match".
+    left_struct_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("s")
+    ).schema["s"].dataType
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left_struct_t).alias("__left"),
+        F.struct(
+            *[F.col(c).alias(f"__p_{c}") for c in payload],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__p"),
+    )
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
-    )
-    rhs = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(lhs.schema["__left"].dataType).alias("__left"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        F.col(right_ts).alias("__rts"),
+        F.lit(None).cast(rhs.schema["__p"].dataType).alias("__p"),
     )
     part_keys = list(keys)
     if chunked:
@@ -97,11 +107,7 @@ def asof_join(
         *part_keys,
         "__side",
         "__left",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__mrts"),
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
     )
     out = matched.where(F.col("__side") == 1)
 
@@ -111,11 +117,7 @@ def asof_join(
         # null means no right row at-or-before within this chunk, so the
         # correct match is the last right row of any EARLIER chunk)
         summary = F.max_by(
-            F.struct(
-                *[F.col(f"__p_{c}").alias(f"__p_{c}") for c in payload],
-                F.col("__rts").alias("__rts"),
-            ),
-            F.struct(F.col("__ts"), F.col("__side")),
+            F.col("__p"), F.struct(F.col("__ts"), F.col("__side"))
         )
         rchunk = rhs.groupBy(*keys, "__chunk").agg(summary.alias("__lr"))
         grid = (
@@ -133,26 +135,21 @@ def asof_join(
             "__chunk",
             F.last("__lr", ignorenulls=True).over(cw).alias("__carry"),
         )
+        # whole-struct coalesce: local-vs-carried choice is also atomic
         out = out.join(carry, keys + ["__chunk"], "left").select(
             "__left",
-            *[
-                F.coalesce(F.col(f"__m_{c}"), F.col("__carry")[f"__p_{c}"]).alias(
-                    f"__m_{c}"
-                )
-                for c in payload
-            ],
-            F.coalesce(F.col("__mrts"), F.col("__carry")["__rts"]).alias("__mrts"),
+            F.coalesce(F.col("__m"), F.col("__carry")).alias("__m"),
         )
 
     in_tol = (
         F.lit(True)
         if tolerance is None
-        else F.col("__mrts") >= F.col("__left")[left_ts] - tolerance
+        else F.col("__m")["__rts"] >= F.col("__left")[left_ts] - tolerance
     )
     return out.select(
         *[F.col("__left")[c].alias(c) for c in left.columns],
         *[
-            F.when(in_tol, F.col(f"__m_{c}")).otherwise(F.lit(None)).alias(name)
+            F.when(in_tol, F.col("__m")[f"__p_{c}"]).otherwise(F.lit(None)).alias(name)
             for c, name in payload.items()
         ],
     )
@@ -273,7 +270,7 @@ def resample_ffill(
             F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")).alias("tv"),
         )
         .groupBy("key", "bucket")
-        .agg(F.max("tv")["v"].alias("v_obs"))
+        .agg(F.max("tv")["v"].alias("v_obs"), F.lit(True).alias("__obs"))
     )
     if max_gap is None:
         grid = (
@@ -325,7 +322,10 @@ def resample_ffill(
             F.col("key").alias(key_col),
             "bucket",
             F.last("v_obs", ignorenulls=True).over(w).alias("value_filled"),
-            F.col("v_obs").isNotNull().alias("is_observed"),
+            # row presence, not value non-nullness: a genuine observation
+            # whose VALUE is NULL is still observed (its value is locf'd,
+            # the standard gapfill semantics) — round-4 review finding
+            F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
         )
     )
 

@@ -1113,3 +1113,34 @@ def test_remove_spans_excises_repeated_regions(spark):
     assert out[1] == ("a b c d e f g h i j", 0)
     assert out[2] == ("x y z q w", 5)
     assert out[3] == ("untouched text stays put", 0)
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """A matched right row with a NULL payload column must be attached
+    AS-IS — not column-mixed with older rows (round-4 review finding: the
+    old per-column last(ignorenulls) returned (a=5, b=7) from two
+    different rows)."""
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 1, 0, 0, 1), 5, None),
+            ("k", datetime(2024, 1, 1, 0, 0, 2), None, 7),
+        ],
+        "user_id string, ts timestamp, a int, b int",
+    )
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0, 3))], "user_id string, ts timestamp"
+    )
+    row = asof_join(
+        left, right, on="user_id", payload={"a": "a", "b": "b"}
+    ).collect()[0]
+    assert (row.a, row.b) == (None, 7)  # the ts=2 row, atomically
+    # salted path must agree
+    row_s = asof_join(
+        left, right, on="user_id", payload={"a": "a", "b": "b"},
+        salt_interval="1 hour",
+    ).collect()[0]
+    assert (row_s.a, row_s.b) == (None, 7)
