@@ -94,19 +94,18 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query among the corpus
     (self-matches excluded). Returns (query_id, neighbor_id, rank,
     cosine_e6)."""
-    from .dedup import _barrier, _fan_out
+    from .dedup import _fan_out
 
-    # norms staged ONCE PER SIDE behind barriers: the cross join touches
-    # every (query, corpus) pair, so an inline cosine() would recompute
-    # norm(cv) per query and norm(qv) per corpus row — ~2/3 of the
-    # per-pair arithmetic for free (round-4 review finding). Same
-    # expression tree per factor, so scores stay bit-identical.
-    q = _barrier(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        ).withColumn("__qn", norm(F.col("qv")))
-    )
-    c = _barrier(
+    # norms staged ONCE PER SIDE: the cross join touches every (query,
+    # corpus) pair, so an inline cosine() would recompute norm(cv) per
+    # query and norm(qv) per corpus row — ~2/3 of the per-pair arithmetic
+    # for free (round-4 review finding). No barrier needed: the join node
+    # itself stops CollapseProject from re-inlining the side projections.
+    # Same expression tree per factor, so scores stay bit-identical.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("__qn", norm(F.col("qv")))
+    c = (
         _fan_out(corpus, id_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .withColumn("__cn", norm(F.col("cv")))
@@ -529,17 +528,16 @@ def quantized_cosine_topk(
     (query_id, neighbor_id, rank, qcosine_e6)."""
     from pyspark.sql import Window
 
-    from .dedup import _barrier
-
     qz = quantize_int8(corpus, id_col, vec_col)
-    # per-side norm factors staged once (see cosine_topk); identical
-    # expression per factor -> bit-identical scores
-    q = _barrier(
+    # per-side norm factors staged once (see cosine_topk; the join blocks
+    # projection collapse, no barrier needed); identical expression per
+    # factor -> bit-identical scores
+    q = (
         quantize_int8(queries, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"))
         .withColumn("__qs", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
     )
-    c = _barrier(
+    c = (
         qz.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
         .withColumn("__cs", F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double")))
     )
