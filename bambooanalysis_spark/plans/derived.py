@@ -101,27 +101,28 @@ def derived_ratio(
 ) -> DataFrame:
     """Bin-wise ratio plot num/den with binomial-style error propagation
     on sumw (sigma_r^2 = r^2 * (s2n/n^2 + s2d/d^2)). Bins absent from the
-    numerator are treated as 0; bins absent from the denominator yield
-    NULL (undefined ratio), matching histogram-division conventions."""
-    num = hist.where(F.col("plot") == numerator).select(
-        "bin", "bin2", F.col("sumw").alias("num_w"), F.col("sumw2").alias("num_w2")
+    numerator are treated as 0 (ratio 0, error 0); bins absent from the
+    denominator yield NULL (undefined ratio), matching histogram-division
+    conventions. Built on the generic ``derived()`` machinery, so the
+    full-outer join covers EVERY bin axis present in the table (a 3D plot
+    pair joins on bin3 too) and num-only bins are emitted rather than
+    dropped (round-4 review finding)."""
+    num_w, num_w2 = F.col("num_w"), F.col("num_w2")
+    den_w, den_w2 = F.col("den_w"), F.col("den_w2")
+    r = F.when(den_w != 0.0, num_w / den_w)
+    err2 = (r * r) * (num_w2 / (num_w * num_w) + den_w2 / (den_w * den_w))
+    err = (
+        F.when((den_w != 0.0) & (num_w != 0.0), F.sqrt(err2))
+        .when(den_w != 0.0, F.lit(0.0))
     )
-    den = hist.where(F.col("plot") == denominator).select(
-        "bin", "bin2", F.col("sumw").alias("den_w"), F.col("sumw2").alias("den_w2")
-    )
-    joined = den.join(num, ["bin", "bin2"], "left")
-    r = F.coalesce(F.col("num_w"), F.lit(0.0)) / F.col("den_w")
-    err2 = (r * r) * (
-        F.coalesce(F.col("num_w2"), F.lit(0.0))
-        / (F.coalesce(F.col("num_w"), F.lit(0.0)) * F.coalesce(F.col("num_w"), F.lit(0.0)))
-        + F.col("den_w2") / (F.col("den_w") * F.col("den_w"))
-    )
-    return joined.select(
-        F.lit(name).alias("plot"),
-        "bin",
-        "bin2",
-        r.alias("ratio"),
-        F.when(F.coalesce(F.col("num_w"), F.lit(0.0)) != 0.0, F.sqrt(err2))
-        .otherwise(F.lit(0.0))
-        .alias("ratio_err"),
+    return (
+        derived(
+            hist,
+            name,
+            {"num": numerator, "den": denominator},
+            value=r,
+            error=err,
+        )
+        .withColumnRenamed("value", "ratio")
+        .withColumnRenamed("error", "ratio_err")
     )

@@ -77,11 +77,20 @@ def _materialize_dag(df: DataFrame, selections: list[Selection]):
             if s.parent is None:
                 layer[m] = s.cond
                 layer[w] = s.weight
+            elif not hasattr(s, "local_cut"):
+                # node built via the public Selection(...) constructor, not
+                # refine(): there are no incremental pieces, and deriving
+                # the mask from the parent column alone would silently DROP
+                # this node's own cut (round-4 review finding). Evaluate
+                # its full cond/weight directly — correct, merely loses
+                # prefix sharing for this one node.
+                layer[m] = F.coalesce(s.cond.cast("boolean"), F.lit(False))
+                layer[w] = s.weight
             else:
                 pm, pw = names[id(s.parent)]
-                local = getattr(s, "local_cut", None)
+                local = s.local_cut
                 cond = F.col(pm) if local is None else (F.col(pm) & local)
-                lw = getattr(s, "local_weight", None)
+                lw = s.local_weight
                 layer[m] = cond
                 layer[w] = F.col(pw) if lw is None else (F.col(pw) * lw)
         df = df.withColumns(layer)

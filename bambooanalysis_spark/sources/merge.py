@@ -42,19 +42,21 @@ def merge_snapshot(
     batches must be unique per key (enforce upstream with the latest-wins
     window, see ``latest_per_key``). Column set = snapshot's columns."""
     cols = snapshot.columns
-    ch = changes
+    # anti-join + union, NOT a full-outer join: Spark cannot broadcast a
+    # full-outer build side (the hint is silently dropped and the whole
+    # snapshot shuffles — round-4 review finding). Equivalent result under
+    # the unique-key-per-batch precondition: untouched snapshot rows are
+    # the keys with no change row; every surviving change row (op != 'D')
+    # contributes itself. The anti join DOES broadcast, so the 100 TB
+    # snapshot genuinely streams through with zero shuffle.
+    ch_keys = changes.select(F.col(key))
     if broadcast_changes:
-        ch = F.broadcast(ch)
-    j = snapshot.alias("s").join(
-        ch.alias("c"), F.col(f"s.{key}") == F.col(f"c.{key}"), "full_outer"
+        ch_keys = F.broadcast(ch_keys)
+    untouched = snapshot.join(ch_keys, key, "left_anti")
+    upserts = changes.where(F.col(op_col) != "D").select(
+        *[F.col(c) for c in cols]
     )
-    is_delete = F.col(f"c.{op_col}") == "D"
-    has_change = F.col(f"c.{key}").isNotNull()
-    out_cols = [
-        F.when(has_change, F.col(f"c.{col}")).otherwise(F.col(f"s.{col}")).alias(col)
-        for col in cols
-    ]
-    return j.where(~(has_change & is_delete)).select(*out_cols)
+    return untouched.unionByName(upserts)
 
 
 def latest_per_key(changes: DataFrame, key: str, version_col: str) -> DataFrame:
@@ -111,27 +113,18 @@ def scd2_apply(
         ),
         F.when(changed, F.lit(False)).otherwise(F.lit(True)).alias("is_current"),
     )
-    opened = ch.alias("c").join(
-        current.alias("h"), F.col(f"c.{key}") == F.col(f"h.{key}"), "left_anti"
-    ).select(
+    # every change row opens a new current version, whether its key is
+    # brand-new or replaces an existing current row — the former
+    # anti/semi-join pair partitioned the batch exactly and computed
+    # nothing (round-4 review finding): this is a zero-join projection
+    opened = ch.select(
         F.col(key),
         *[F.col(a) for a in attrs],
         F.col("__ts").alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    reopened = ch.alias("c").join(
-        current.alias("h"), F.col(f"c.{key}") == F.col(f"h.{key}"), "left_semi"
-    ).select(
-        F.col(key),
-        *[F.col(a) for a in attrs],
-        F.col("__ts").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return closed.unionByName(still_current).unionByName(opened).unionByName(
-        reopened
-    )
+    return closed.unionByName(still_current).unionByName(opened)
 
 
 def scd2_init(

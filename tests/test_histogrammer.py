@@ -154,3 +154,16 @@ def test_plot_name_with_backslash_and_quote(df, values):
     got = _hist_dict(hist, name)
     assert got, "plot name did not round-trip through the map literal"
     assert sum(n for _, n in got.values()) == len(values)
+
+
+def test_constructor_built_selection_keeps_its_cut(df, values):
+    """A Selection built via the public constructor (not refine()) must
+    still apply its own condition (round-4 review finding: the mask
+    derivation used refine()-only attributes and silently dropped it)."""
+    root = Selection.root()
+    s = Selection("half", F.col("x") > 50.0, F.lit(1.0), parent=root)
+    hist = run_analysis(
+        df, [Plot.make1D("hc", F.col("x"), s, EquidistantBinning(1, -1000.0, 1000.0))]
+    )
+    got = _hist_dict(hist, "hc")
+    assert got[0][1] == int((values > 50.0).sum())
