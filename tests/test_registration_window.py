@@ -4,8 +4,9 @@ The driver's CORRECTNESS harness records exactly the FIRST 50 registered
 queries. Round 2 shipped 75 registrations and the 25 newest fell outside the
 window (VERDICT r2 "Next round" #1). The round-3 contract guarantees:
 
-- every oracle-checked query sits inside positions 1-50;
-- position 50 is pipeline_full_run (rows-only end-to-end wiring check);
+- every one of positions 1-50 carries a hash-checked oracle (round-5:
+  pipeline_full_run at position 50 gained a DuckDB oracle over its
+  normalized-cutflow manifest, so the window is now 50/50);
 - only approximate rows-only queries (each bounded by a named recall/error
   unit test) register after the window.
 
@@ -20,17 +21,17 @@ DRIVER_WINDOW = 50
 
 def test_every_window_slot_is_oracle_checked():
     """The driver's hard signal must be maximal: all 50 visible slots carry
-    a hash-checked oracle, except position 50 (pipeline_full_run, the
-    rows-only end-to-end wiring check). Oracle-checked queries are ALSO
-    allowed after the window since round-3 batch 6 — they get the identical
-    in-repo gate (tests/test_contract_oracle.py) instead of a driver row,
-    which is strictly stronger than registering them rows-only."""
+    a hash-checked oracle (since round-5, including pipeline_full_run).
+    Oracle-checked queries are ALSO allowed after the window since round-3
+    batch 6 — they get the identical in-repo gate
+    (tests/test_contract_oracle.py) instead of a driver row, which is
+    strictly stronger than registering them rows-only."""
     from bambooanalysis_spark.contract import ORACLES, QUERIES
 
     names = list(QUERIES)
     window = names[:DRIVER_WINDOW]
     rows_only_in_window = [n for n in window if n not in ORACLES]
-    assert rows_only_in_window == ["pipeline_full_run"]
+    assert rows_only_in_window == []
 
 
 def test_approx_family_stays_after_window():
@@ -39,7 +40,7 @@ def test_approx_family_stays_after_window():
     from bambooanalysis_spark.contract import ORACLES, QUERIES
 
     names = list(QUERIES)
-    rows_only = [n for n in names if n not in ORACLES and n != "pipeline_full_run"]
+    rows_only = [n for n in names if n not in ORACLES]
     for n in rows_only:
         assert names.index(n) >= DRIVER_WINDOW, n
     for n in ("sketch_approx_distinct", "ann_lsh_topk", "ann_ivf_topk",
