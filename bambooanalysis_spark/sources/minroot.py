@@ -1,4 +1,4 @@
-"""Minimal pure-stdlib ROOT-format I/O for UNCOMPRESSED flat TTree data.
+"""Minimal pure-stdlib ROOT-format I/O for flat TTree data.
 
 The reference's actual inputs are ROOT files of flat ntuples
 (/root/reference/jet_test.yml:10-11, phaseII-analysis.py:15-20); the
@@ -27,13 +27,24 @@ Branch typing rides the key *title* as a ROOT leaflist descriptor
 (``elec_pt[nelec]/F``, ``metpuppi_pt/F`` — TTree::Branch syntax), so the
 reader is driven entirely by what is in the file.
 
-Deliberately NOT implemented (documented simplifications): compression,
-TStreamerInfo records, the streamed TTree/TBranch metadata objects, and
-64-bit (>2 GiB) seeks. Files written here are genuine ROOT *container*
-bytes — a ROOT-aware tool can walk the key chain — but the TTree object
-model is carried by the leaflist titles instead of streamers. Real
-reference files need uproot; ``root_ingest.ingest_root_files`` prefers
-uproot when present and falls back to this reader.
+- **Compression frames** (round-5) — ROOT's per-key compression: a key
+  whose fObjLen exceeds fNbytes - fKeyLen carries one or more 9-byte
+  compression frames (2-byte algorithm tag, 1-byte method, 3-byte LE
+  compressed size, 3-byte LE uncompressed size) each followed by the
+  compressed block, chunked at ROOT's 0xffffff-byte buffer ceiling. The
+  writer emits ``ZL`` (zlib, ROOT's default — stdlib ``zlib``); the
+  reader also accepts ``XZ`` (stdlib ``lzma``). ``L4``/``ZS`` frames
+  (lz4/zstd — no stdlib codec) raise with a pointer to uproot.
+
+Deliberately NOT implemented (documented simplifications):
+TStreamerInfo records, the streamed TTree/TBranch metadata objects,
+lz4/zstd frame codecs, and 64-bit (>2 GiB) seeks in the read/write
+paths (``sniff_file`` below does parse large-file headers). Files
+written here are genuine ROOT *container* bytes — a ROOT-aware tool can
+walk the key chain — but the TTree object model is carried by the
+leaflist titles instead of streamers. Real reference files need uproot;
+``root_ingest.ingest_root_files`` prefers uproot when present and falls
+back to this reader.
 
 Scale: ingest parallelism is per-file (see root_ingest docstring); one
 file is read sequentially here, which matches ROOT's own basket-chain
@@ -43,6 +54,7 @@ layout.
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 
 MAGIC = b"root"
@@ -50,6 +62,9 @@ FBEGIN = 100
 _FILE_VERSION = 63200  # ROOT 6.32 era, < 1000000 => 32-bit seeks
 _KEY_VERSION = 4
 _BASKET_VERSION = 3
+# ROOT's R__zip buffer ceiling: one compression frame covers at most this
+# many uncompressed bytes; larger buffers become a frame sequence.
+_MAX_FRAME = 0xFFFFFF
 
 # leaflist dtype code -> struct format char (big-endian applied at pack)
 _DTYPES = {"F": "f", "D": "d", "I": "i", "L": "q"}
@@ -76,12 +91,75 @@ class _Key:
     payload: bytes
 
 
+def _compress_frames(payload: bytes, level: int) -> bytes:
+    """ROOT compression-frame sequence for one key payload: per 16 MB-1
+    chunk, the 9-byte frame header (``ZL`` tag, method byte 8 =
+    Z_DEFLATED, 3-byte little-endian compressed/uncompressed sizes) then
+    a complete zlib stream — the exact on-disk shape ROOT's
+    R__zipMultipleAlgorithm produces for its default zlib setting."""
+    out = bytearray()
+    for start in range(0, len(payload), _MAX_FRAME):
+        chunk = payload[start : start + _MAX_FRAME]
+        comp = zlib.compress(chunk, level)
+        c, u = len(comp), len(chunk)
+        out += b"ZL" + bytes(
+            [8, c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF,
+             u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF]
+        )
+        out += comp
+    return bytes(out)
+
+
+def _decompress_frames(payload: bytes, objlen: int) -> bytes:
+    """Inverse of ``_compress_frames``: walk the frame sequence until
+    ``objlen`` uncompressed bytes are recovered. ``ZL`` (zlib) and ``XZ``
+    (lzma) decode with the stdlib; lz4/zstd frames need uproot."""
+    import lzma
+
+    out = bytearray()
+    pos = 0
+    while len(out) < objlen:
+        if pos + 9 > len(payload):
+            raise ValueError("corrupt compression frame: truncated header")
+        algo = payload[pos : pos + 2]
+        c = payload[pos + 3] | (payload[pos + 4] << 8) | (payload[pos + 5] << 16)
+        u = payload[pos + 6] | (payload[pos + 7] << 8) | (payload[pos + 8] << 16)
+        block = payload[pos + 9 : pos + 9 + c]
+        if len(block) != c:
+            raise ValueError("corrupt compression frame: truncated block")
+        if algo == b"ZL":
+            data = zlib.decompress(block)
+        elif algo == b"XZ":
+            data = lzma.decompress(block)
+        else:
+            raise NotImplementedError(
+                f"compression frame {algo!r} (lz4/zstd) has no stdlib codec; "
+                "use uproot for such files"
+            )
+        if len(data) != u:
+            raise ValueError("corrupt compression frame: size mismatch")
+        out += data
+        pos += 9 + c
+    return bytes(out)
+
+
 def _pack_key(
-    classname: str, name: str, title: str, seek: int, payload: bytes, cycle: int = 1
+    classname: str,
+    name: str,
+    title: str,
+    seek: int,
+    payload: bytes,
+    cycle: int = 1,
+    compress_level: int = 0,
 ) -> bytes:
     strings = _tstring(classname) + _tstring(name) + _tstring(title)
     keylen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + len(strings)
-    nbytes = keylen + len(payload)  # uncompressed: objlen == nbytes - keylen
+    stored = payload
+    if compress_level > 0 and payload:
+        framed = _compress_frames(payload, compress_level)
+        if len(framed) < len(payload):  # ROOT keeps the raw bytes if
+            stored = framed  # compression doesn't actually shrink the key
+    nbytes = keylen + len(stored)  # objlen > nbytes - keylen marks compression
     head = struct.pack(
         ">ihiIhhii",
         nbytes,
@@ -93,7 +171,7 @@ def _pack_key(
         seek,
         FBEGIN,  # fSeekPdir: top-level directory
     )
-    return head + strings + payload
+    return head + strings + stored
 
 
 def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
@@ -107,11 +185,8 @@ def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
     if pos - seek != keylen:
         raise ValueError("corrupt TKey: string block != fKeyLen")
     payload = buf[seek + keylen : seek + nbytes]
-    if len(payload) != objlen:
-        raise NotImplementedError(
-            "per-key compressed payloads not supported (objlen != "
-            "nbytes - keylen); use uproot for compressed files"
-        )
+    if len(payload) != objlen:  # compressed key: frame sequence
+        payload = _decompress_frames(payload, objlen)
     return _Key(classname, name, title, cycle, payload), seek + nbytes
 
 
@@ -148,15 +223,22 @@ def write_flat_tree(
     branches: dict[str, tuple[str, list]],
     basket_entries: int = 5000,
     title: str = "minroot flat tree",
+    compress: int = 0,
 ) -> None:
-    """Write one flat TTree of basic-type branches as an uncompressed
-    ROOT-format file.
+    """Write one flat TTree of basic-type branches as a ROOT-format file.
 
     ``branches`` maps branch name -> (dtype_code, data); dtype codes are
     ROOT leaf codes F/D/I/L. ``data`` is a flat list (scalar branch) or a
     list of per-event lists (jagged branch — the leaflist title becomes
     ``name[n]/X`` and the basket carries the entry-length table).
+
+    ``compress``: zlib level 1-9 (ROOT's default algorithm) — basket
+    payloads become per-key compression-frame sequences and the TFile
+    header records fCompress = 100 + level (algorithm 1 = zlib, ROOT's
+    algorithm*100+level encoding). 0 writes raw payloads.
     """
+    if not 0 <= compress <= 9:
+        raise ValueError(f"compress must be a zlib level 0-9, got {compress}")
     n_entries = None
     for bname, (_code, data) in branches.items():
         if n_entries is None:
@@ -201,7 +283,10 @@ def write_flat_tree(
     out = bytearray(b"\x00" * FBEGIN)
     for classname, name, ktitle, payload, cycle in records:
         seek = len(out)
-        out += _pack_key(classname, name, ktitle, seek, payload, cycle=cycle)
+        out += _pack_key(
+            classname, name, ktitle, seek, payload, cycle=cycle,
+            compress_level=compress if classname == "TBasket" else 0,
+        )
     fend = len(out)
 
     header = MAGIC + struct.pack(
@@ -214,7 +299,7 @@ def write_flat_tree(
         0,  # nfree
         records and len(_pack_key(*records[0][:3], FBEGIN, records[0][3])) or 0,
         4,  # fUnits: bytes per pointer
-        0,  # fCompress: uncompressed
+        100 + compress if compress else 0,  # fCompress: algo*100+level (zlib=1)
         0,  # fSeekInfo: no streamer info (documented simplification)
         0,  # fNbytesInfo
     )
@@ -237,22 +322,24 @@ def list_keys(path: str) -> list[tuple[str, str, str, int]]:
     return keys
 
 
-def _check_header(buf: bytes) -> None:
+def _check_header(buf: bytes) -> int:
+    """Validate magic + version; returns fCompress (algo*100+level).
+    Compression is handled per-key (see _decompress_frames), so any
+    fCompress value is acceptable here."""
     if buf[:4] != MAGIC:
         raise ValueError("not a ROOT file (bad magic)")
     version = struct.unpack(">i", buf[4:8])[0]
     if version >= 1000000:
         raise NotImplementedError("64-bit (large-file) ROOT headers not supported")
     compress_off = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 1
-    compress = struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
-    if compress != 0:
-        raise NotImplementedError("compressed ROOT files not supported; use uproot")
+    return struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
 
 
 def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     """Read every branch of ``tree`` (or the only tree) back as
     branch name -> flat list / list-of-lists, by struct-unpacking the
-    basket chain. Raises on compressed or streamer-based files."""
+    basket chain (per-key zlib/lzma compression frames are handled).
+    Raises on streamer-based files and lz4/zstd compression."""
     with open(path, "rb") as fh:
         buf = fh.read()
     _check_header(buf)
@@ -302,3 +389,92 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
                 data.extend(flat)
         out[bname] = data
     return out
+
+
+def sniff_file(path: str) -> dict:
+    """Header-level metadata probe for an ARBITRARY ROOT file — no
+    decompression, no streamers needed.
+
+    Parses the TFile header (including 64-bit large-file headers, which
+    the read/write paths reject) and walks the physical TKey chain from
+    fBEGIN to fEND record by record, so it works on real compressed,
+    streamer-carrying files: every on-disk record starts with the plain
+    TKey header regardless of how its payload is compressed, gap records
+    (freed keys) carry a negative fNbytes to skip, and big keys
+    (fVersion > 1000) use 64-bit seeks. The catalog layer uses this to
+    validate jet_test.yml-style sample configs against real inputs
+    before launching an ingest.
+
+    Returns::
+
+        {"version", "compression", "fend", "large_file",
+         "keys":  [(classname, name, title, cycle, objlen, nbytes), ...],
+         "trees": {tree_name: n_entries | None},   # None = needs streamers
+         "branches": {tree_name or "": sorted branch names seen in baskets}}
+
+    Tree entry counts come from minroot's ``TNamed entries=N`` marker when
+    present; real files store the count inside the streamed TTree object,
+    so they report ``None`` (reading it requires uproot). Branch names for
+    real files come from TBasket key names, which ROOT writes per branch.
+    """
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != MAGIC:
+        raise ValueError("not a ROOT file (bad magic)")
+    version = struct.unpack(">i", buf[4:8])[0]
+    large = version >= 1000000
+    if large:
+        # 64-bit header: fBEGIN i32, then fEND/fSeekFree are i64
+        begin = struct.unpack(">i", buf[8:12])[0]
+        fend = struct.unpack(">q", buf[12:20])[0]
+        # ... fSeekFree q, fNbytesFree i, nfree i, fNbytesName i, fUnits B
+        compress = struct.unpack(">i", buf[20 + 8 + 4 + 4 + 4 + 1 : 20 + 8 + 4 + 4 + 4 + 1 + 4])[0]
+    else:
+        begin = struct.unpack(">i", buf[8:12])[0]
+        fend = struct.unpack(">i", buf[12:16])[0]
+        compress = _check_header(buf)
+
+    keys: list[tuple[str, str, str, int, int, int]] = []
+    trees: dict[str, int | None] = {}
+    branches: dict[str, set[str]] = {}
+    seek = begin
+    while seek < min(fend, len(buf)):
+        if seek + 18 > len(buf):
+            break
+        nbytes = struct.unpack(">i", buf[seek : seek + 4])[0]
+        if nbytes == 0:
+            break
+        if nbytes < 0:  # gap record (freed key): skip its span
+            seek += -nbytes
+            continue
+        kver, objlen = struct.unpack(">hi", buf[seek + 4 : seek + 10])
+        # skip fDatime(4); fKeyLen i16, fCycle i16
+        _keylen, cycle = struct.unpack(">hh", buf[seek + 14 : seek + 18])
+        pos = seek + 18 + (16 if kver > 1000 else 8)  # fSeekKey + fSeekPdir
+        try:
+            classname, pos = _read_tstring(buf, pos)
+            name, pos = _read_tstring(buf, pos)
+            title, pos = _read_tstring(buf, pos)
+        except (IndexError, UnicodeDecodeError):
+            classname, name, title = "?", "?", "?"
+        keys.append((classname, name, title, cycle, objlen, nbytes))
+        if classname == "TTree":
+            trees.setdefault(name, None)  # real file: count needs streamers
+        elif classname == "TNamed" and title.startswith("entries="):
+            trees[name] = int(title.split("=", 1)[1])  # minroot marker
+        elif classname == "TBasket":
+            if ":" in title:  # minroot basket: "tree:leaflist"
+                ktree, leaflist = title.split(":", 1)
+                branches.setdefault(ktree, set()).add(leaflist.split("[")[0].split("/")[0])
+            else:  # real basket: key name IS the branch name
+                branches.setdefault("", set()).add(name)
+        seek += nbytes
+    return {
+        "version": version,
+        "compression": compress,
+        "fend": fend,
+        "large_file": large,
+        "keys": keys,
+        "trees": trees,
+        "branches": {t: sorted(b) for t, b in branches.items()},
+    }

@@ -18,12 +18,14 @@ elec_eta[], ...) from a TTree named e.g. 'myana/mytree'
 uproot/awkward are NOT in this container (no network; `pip install uproot`
 fails with a DNS error — recorded 2026-08-14), so the uproot shim is gated
 behind import and the ingest falls back to the vendored pure-stdlib
-``minroot`` reader, which struct-unpacks uncompressed ROOT-format
-TKey/TBasket chains (see minroot.py for the exact supported subset). The
-full ingest path — real ROOT-format bytes → flat branches → nested
-pT-sorted event table → phase2 analysis — is exercised end-to-end on
-minroot-written files in tests; real (compressed, streamer-carrying)
-reference files additionally need uproot.
+``minroot`` reader, which struct-unpacks ROOT-format TKey/TBasket chains
+including zlib/lzma per-key compression frames (see minroot.py for the
+exact supported subset). The full ingest path — real ROOT-format bytes,
+compressed and raw → flat branches → nested pT-sorted event table →
+phase2 analysis — is exercised end-to-end on minroot-written files in
+tests; real STREAMER-carrying reference files (and lz4/zstd compression)
+additionally need uproot. ``minroot.sniff_file`` inventories any real
+file's key chain (trees/branches) header-only for config validation.
 
 At 100 TB: ingest parallelizes per file (driver distributes file lists to
 executors via `spark.createDataFrame(files).mapInPandas`), and the output
@@ -109,9 +111,10 @@ def _ntuple_branches() -> list[str]:
 
 def _iter_file_chunks(path: str, tree: str, chunk_events: int):
     """Yield (n_entries_in_chunk, flat-branch dict) chunks from one ROOT
-    file. uproot when available (handles compressed, streamer-based real
-    files, streaming entry ranges); otherwise the vendored minroot reader
-    (uncompressed flat-tree subset, whole file then sliced)."""
+    file. uproot when available (handles streamer-based real files,
+    streaming entry ranges); otherwise the vendored minroot reader
+    (flat-tree subset incl. zlib-compressed baskets, whole file then
+    sliced)."""
     branches = _ntuple_branches()
     if have_uproot():
         import uproot
@@ -152,8 +155,8 @@ def ingest_root_files(
 
     Branch naming: '{collection}_{field}' flat arrays, as in the CMS
     Phase-2 flat ntuples the reference consumes. Reads with uproot when
-    installed; uncompressed flat trees (the vendored minroot subset) work
-    stdlib-only.
+    installed; flat trees, raw or zlib-compressed (the vendored minroot
+    subset), work stdlib-only.
     """
     import pyarrow.parquet as pq
 

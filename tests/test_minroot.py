@@ -87,7 +87,7 @@ def _lcg_events(n, seed=1234):
     return chunk
 
 
-def _write_ntuple(path, chunk, basket_entries=200):
+def _write_ntuple(path, chunk, basket_entries=200, compress=0):
     branches = {}
     for name, data in chunk.items():
         is_jagged = name.split("_", 1)[0] in R.COLLECTION_BRANCHES
@@ -98,7 +98,9 @@ def _write_ntuple(path, chunk, basket_entries=200):
         )
         branches[name] = (code, data)
         assert is_jagged == isinstance(data[0], list)
-    minroot.write_flat_tree(path, "myana/mytree", branches, basket_entries)
+    minroot.write_flat_tree(
+        path, "myana/mytree", branches, basket_entries, compress=compress
+    )
 
 
 def test_root_ingest_end_to_end_phase2(spark, tmp_path):
@@ -113,7 +115,10 @@ def test_root_ingest_end_to_end_phase2(spark, tmp_path):
     n1, n2 = 180, 120
     c1, c2 = _lcg_events(n1, seed=11), _lcg_events(n2, seed=22)
     f1, f2 = str(tmp_path / "a.root"), str(tmp_path / "b.root")
-    _write_ntuple(f1, c1, basket_entries=64)  # multi-basket coverage
+    # f1: multi-basket AND zlib-compressed (ROOT's default on-disk state —
+    # jet_test.yml inputs are compressed) so the full compressed-ingest
+    # path runs through phase2; f2 stays raw for mixed-file coverage
+    _write_ntuple(f1, c1, basket_entries=64, compress=6)
     _write_ntuple(f2, c2)
 
     out = tmp_path / "ingested"
@@ -165,3 +170,100 @@ def test_root_ingest_end_to_end_phase2(spark, tmp_path):
     assert got["noSel"][0] == n1 + n2
     # the fixture must actually exercise the chain, not vacuously pass
     assert got["nmumu"][0] > 0
+
+
+def test_minroot_compressed_roundtrip(tmp_path):
+    """zlib-compressed baskets (round-5 task #2): same data, ZL frame
+    sequences on disk, bit-identical values back; the compressed file is
+    genuinely smaller and its header records fCompress = algo*100+level."""
+    import struct as _struct
+
+    branches = {
+        "x": ("D", [float(i % 17) for i in range(4000)]),  # compressible
+        "j": ("I", [[i % 7] * (i % 4) for i in range(4000)]),
+    }
+    raw_p = str(tmp_path / "raw.root")
+    zip_p = str(tmp_path / "zip.root")
+    minroot.write_flat_tree(raw_p, "t", branches, basket_entries=1500)
+    minroot.write_flat_tree(zip_p, "t", branches, basket_entries=1500, compress=6)
+
+    raw, comp = open(raw_p, "rb").read(), open(zip_p, "rb").read()
+    assert len(comp) < len(raw) / 2  # compression actually happened
+    assert comp[:4] == b"root"
+    compress_field = _struct.unpack(">i", comp[33:37])[0]
+    assert compress_field == 106  # zlib(1)*100 + level 6
+
+    assert minroot.read_flat_tree(zip_p, "t") == minroot.read_flat_tree(raw_p, "t")
+    # key chain still walks (list_keys decompresses per-key)
+    assert {c for c, *_ in minroot.list_keys(zip_p)} >= {"TFile", "TBasket"}
+
+
+def test_minroot_incompressible_payload_stays_raw(tmp_path):
+    """ROOT keeps raw bytes when deflate doesn't shrink a key; the reader
+    must treat such keys as uncompressed even in a compress>0 file."""
+    import os
+
+    rnd = [float(int.from_bytes(os.urandom(7), "big")) for _ in range(50)]
+    p = str(tmp_path / "r.root")
+    minroot.write_flat_tree(p, "t", {"x": ("D", rnd)}, compress=9)
+    assert minroot.read_flat_tree(p, "t")["x"] == rnd
+
+
+def test_minroot_rejects_lz4_zstd_frames(tmp_path):
+    """Foreign-codec frames fail loudly with a pointer to uproot, not with
+    garbage data."""
+    p = str(tmp_path / "t.root")
+    minroot.write_flat_tree(p, "t", {"x": ("D", [0.0] * 1000)}, compress=6)
+    buf = bytearray(open(p, "rb").read())
+    idx = buf.find(b"ZL", minroot.FBEGIN)
+    assert idx > 0
+    buf[idx : idx + 2] = b"L4"
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError, match="uproot"):
+        minroot.read_flat_tree(str(bad), "t")
+
+
+def test_sniff_file_reports_metadata_without_decompressing(tmp_path, monkeypatch):
+    """Round-5 task #5: the header-level probe must inventory a COMPRESSED
+    file's trees/branches/entry counts from the TKey chain alone — no
+    frame may be decompressed along the way."""
+    chunk = _lcg_events(50, seed=7)
+    p = str(tmp_path / "c.root")
+    _write_ntuple(p, chunk, basket_entries=20, compress=6)
+
+    def _boom(*a, **k):  # any decompression attempt fails the test
+        raise AssertionError("sniff_file decompressed a frame")
+
+    monkeypatch.setattr(minroot, "_decompress_frames", _boom)
+    info = minroot.sniff_file(p)
+    assert info["compression"] == 106 and not info["large_file"]
+    assert info["trees"] == {"myana/mytree": 50}
+    assert set(info["branches"]["myana/mytree"]) == set(R._ntuple_branches())
+    classes = {k[0] for k in info["keys"]}
+    assert {"TFile", "TNamed", "TBasket"} <= classes
+    # compressed baskets visibly carry objlen > stored payload
+    tb = [k for k in info["keys"] if k[0] == "TBasket"]
+    assert any(objlen > nbytes for _c, _n, _t, _cy, objlen, nbytes in tb)
+
+
+def test_sniff_file_skips_gap_records(tmp_path):
+    """Real ROOT files contain freed-key gaps (negative fNbytes); the
+    probe must skip them and keep walking."""
+    import struct as _struct
+
+    p = str(tmp_path / "g.root")
+    minroot.write_flat_tree(p, "t", {"x": ("I", [1, 2, 3])})
+    buf = bytearray(open(p, "rb").read())
+    # splice a 32-byte gap record between header and first key
+    gap = _struct.pack(">i", -32) + b"\x00" * 28
+    out = buf[: minroot.FBEGIN] + gap + buf[minroot.FBEGIN :]
+    # patch fEND and every key's implicit position shift is irrelevant to
+    # the walker (it chains by fNbytes), only fEND must grow
+    fend = len(out)
+    out[12:16] = _struct.pack(">i", fend)
+    g = tmp_path / "gap.root"
+    g.write_bytes(bytes(out))
+    info = minroot.sniff_file(str(g))
+    assert info["trees"] == {"t": 3}
+    assert {k[0] for k in info["keys"]} >= {"TFile", "TBasket"}
