@@ -83,17 +83,36 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def bucket_pairs(
-    keyed: DataFrame, key_col: str, id_col: str, out_a: str, out_b: str
+    keyed: DataFrame,
+    key_col: str,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Shared bucket-collect pair expansion (minhash LSH / sign-LSH): ONE
     pass over (bucket key, id) rows — a self-join would execute the whole
     upstream signature subplan twice — one shuffle on the bucket key, pairs
-    (a < b) expanded in-row per bucket, de-duped across buckets."""
+    (a < b) expanded in-row per bucket, de-duped across buckets.
+
+    Hot-bucket cap (round-5): a pathological duplicate cluster (10^6
+    copies of one boilerplate page is routine in web crawl) would emit
+    ~n^2/2 pairs from ONE bucket — 5*10^11 rows out of a single task.
+    Buckets above ``max_bucket`` ids switch to STAR expansion: every id
+    pairs with the bucket-min representative (n-1 pairs). That bounds the
+    output at max(max_bucket^2/2, n-1) pairs per bucket while preserving
+    exactly what downstream consumers rely on — connectivity (connected-
+    components clustering and first-claim keep-selection are unchanged,
+    since the star spans the clique) — at the cost of omitting
+    transitive-only pairs inside mega-cliques. The aggregation buffer
+    stays O(n ids) per hot bucket (tens of MB at 10^6 36-byte ids); the
+    streaming first-claim path (lsh_first_claim_keeps) remains the
+    prescribed API when buckets may exceed executor memory."""
     buckets = keyed.groupBy(key_col).agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
     n = F.size(F.col("ids"))
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -102,6 +121,14 @@ def bucket_pairs(
             ),
         )
     )
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda y: F.struct(
+            F.try_element_at(F.col("ids"), F.lit(1)).alias(out_a),
+            y.alias(out_b),
+        ),
+    )
+    pair_structs = F.when(n <= F.lit(max_bucket), all_pairs).otherwise(star_pairs)
     return (
         buckets.where(n > 1)
         .select(F.explode(pair_structs).alias("p"))
@@ -166,13 +193,16 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
     Plan shape: per-row signature (no shuffle) -> explode bands (k small
     keys/doc) -> self-join on band key -> distinct pairs. The join key is a
     32-char md5; skew only occurs for genuinely repeated content, which is
-    exactly what we want to find.
+    exactly what we want to find — and buckets beyond ``max_bucket`` ids
+    degrade to star expansion (see bucket_pairs) so a mega-clique emits
+    O(n) pairs, not O(n^2).
     """
     rows = k // bands
     # fan the compute-heavy signature stage out across cores — but only on
@@ -206,7 +236,9 @@ def minhash_lsh_pairs(
         ).alias("band_key"),
     )
     # shared bucket-collect pair expansion (see bucket_pairs)
-    return bucket_pairs(banded, "band_key", "doc_id", "doc_a", "doc_b")
+    return bucket_pairs(
+        banded, "band_key", "doc_id", "doc_a", "doc_b", max_bucket=max_bucket
+    )
 
 
 # --- simhash ----------------------------------------------------------------

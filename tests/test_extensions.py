@@ -1973,3 +1973,42 @@ def test_ivf_pq_index_append_matches_full_build(spark, sf_oracle, tmp_path):
     assert got == want
     n = spark.read.parquet(f"{inc}/vectors").count()
     assert n == emb.count()
+
+
+def test_bucket_pairs_hot_bucket_star_cap(spark):
+    """Round-5 task #4: a planted mega-duplicate-cluster (every doc
+    identical -> every band key identical) must emit O(n) star pairs, not
+    n-choose-2, once the bucket exceeds max_bucket — while connectivity
+    (what clustering/first-claim consume) is preserved: the star spans
+    the whole clique from its min id. Small buckets keep exact all-pairs
+    behavior."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    n = 500
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [Row(doc_id=i, text=base) for i in range(n)]  # one mega-cluster
+    rows += [Row(doc_id=n, text=base.replace("tok7", "tokX")),
+             Row(doc_id=n + 1, text=" ".join(f"zzz{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows)
+
+    capped = D.minhash_lsh_pairs(
+        df, "doc_id", "text", k=16, bands=8, max_bucket=64
+    ).collect()
+    # bounded: star emits n-1 edges per hot bucket (identical across the 8
+    # bands -> distinct() folds them); tiny slack for the near-dup doc
+    assert len(capped) <= (n + 1) + 8
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # connectivity: every clique member reachable from the min id
+    assert {(0, b) for b in range(1, n)} <= got
+    # the genuinely-near doc still pairs up despite the cap (it lands in
+    # the hot bucket for the bands its one-token change doesn't touch, and
+    # the star pairs it with the bucket-min)
+    assert (0, n) in got
+
+    # below the cap: output identical to the uncapped expansion
+    small = df.where(F.col("doc_id") < 10)
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(
+        small, "doc_id", "text", k=16, bands=8, max_bucket=4096).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(
+        small, "doc_id", "text", k=16, bands=8, max_bucket=64).collect()} == exact
+    assert exact == {(a, b) for a in range(10) for b in range(a + 1, 10)}
