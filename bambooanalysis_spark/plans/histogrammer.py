@@ -102,6 +102,7 @@ def run_analysis(
     plots: Iterable[Plot],
     cutflows: Iterable[CutFlowReport] = (),
     extra_keys: Iterable[str] = (),
+    max_bookings_per_job: int | None = None,
 ) -> DataFrame:
     """Compute every booked plot and cutflow counter in one job.
 
@@ -115,10 +116,31 @@ def run_analysis(
     multiplies the tiny (#plots x #bins) key space by #samples — still
     aggregate-sized — while the event scan and the per-job fixed costs
     (planning, codegen, scheduling) are paid once instead of per sample.
+
+    ``max_bookings_per_job``: codegen-width escape hatch. The contribs
+    projection is one generated expression over ALL bookings; it stays
+    inside whole-stage codegen to at least 200 single-axis bookings
+    (pinned by tests/test_histogrammer.py::
+    test_histogrammer_codegen_at_200_plots with codegen fallback
+    DISABLED), but an analysis booking many hundreds of wide plots can
+    exceed the JVM's 64KB-per-method generated-code ceiling, where Spark
+    silently drops to interpreted evaluation (measured 7x slower when one
+    extra struct field tipped the 61-plot phaseII projection). Setting
+    this splits the bookings into ceil(N/max) independent jobs whose
+    outputs are unioned — K scans instead of one, each guaranteed narrow
+    enough to compile. Prefer the single job (scan-bound, like the
+    reference's event loop); reach for this only when a plan audit shows
+    the fallback actually tripping.
     """
     extra_keys = list(extra_keys)
     plots = list(plots)
     cutflows = list(cutflows)
+    if max_bookings_per_job is not None:
+        n_bookings = len(plots) + sum(len(c.entries) for c in cutflows)
+        if n_bookings > max_bookings_per_job:
+            return _run_analysis_chunked(
+                df, plots, cutflows, extra_keys, max_bookings_per_job
+            )
     sels = [p.selection for p in plots] + [
         sel for cfr in cutflows for (sel, _t) in cfr.entries
     ]
@@ -237,6 +259,36 @@ def run_analysis(
         "sumw2",
         "n",
     )
+
+
+def _run_analysis_chunked(
+    df: DataFrame,
+    plots: list[Plot],
+    cutflows: list[CutFlowReport],
+    extra_keys: list[str],
+    chunk: int,
+) -> DataFrame:
+    """Split bookings into <=chunk-sized groups, one run_analysis job per
+    group, outputs unioned. Row-identical to the fused job: each output
+    row depends only on its own booking (plot names are unique across the
+    union), so partitioning the booking set partitions the output set.
+    Units are whole plots / whole cutflow reports — a report's entries
+    stay together so cutflow_table reads one chunk's rows."""
+    units: list[tuple[int, Plot | CutFlowReport]] = [(1, p) for p in plots]
+    units += [(len(c.entries), c) for c in cutflows]
+    groups: list[tuple[list[Plot], list[CutFlowReport]]] = []
+    size = chunk  # force a new group on first unit
+    for weight, unit in units:
+        if size + weight > chunk and size > 0:
+            groups.append(([], []))
+            size = 0
+        groups[-1][isinstance(unit, CutFlowReport)].append(unit)
+        size += weight
+    out = None
+    for gplots, gcfrs in groups:
+        part = run_analysis(df, gplots, gcfrs, extra_keys)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def cutflow_table(hist: DataFrame, report_name: str, order: list[str]) -> DataFrame:
