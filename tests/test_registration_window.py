@@ -46,3 +46,44 @@ def test_approx_family_stays_after_window():
     for n in ("sketch_approx_distinct", "ann_lsh_topk", "ann_ivf_topk",
               "ann_ivf_quantized_topk"):
         assert n in names and names.index(n) >= DRIVER_WINDOW, n
+
+
+def test_coverage_window_map_current():
+    """COVERAGE.md's generated slot map must match the live registry —
+    regenerate with `python scripts/gen_window_map.py --write` (round-5
+    task #8: the judge/builder can audit the window split mechanically)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_window_map as G
+
+    text = open(G.COVERAGE).read()
+    assert G.BEGIN in text and G.END in text, "generated block missing"
+    committed = text.split(G.BEGIN)[1].split(G.END)[0]
+    assert G.BEGIN + committed + G.END == G.render(), (
+        "COVERAGE.md window map is stale: run scripts/gen_window_map.py --write"
+    )
+
+
+def test_rows_only_gates_cover_exactly_the_rows_only_set():
+    """Every rows-only query must name its bounding test; a stale entry
+    (query renamed/oracled) must be removed."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_window_map as G
+    from bambooanalysis_spark.contract import ORACLES, QUERIES
+
+    rows_only = {n for n in QUERIES if n not in ORACLES}
+    assert set(G.ROWS_ONLY_GATES) == rows_only
+    # and the named test functions actually exist
+    import re
+
+    tests_dir = os.path.dirname(__file__)
+    for gate in G.ROWS_ONLY_GATES.values():
+        fname, func = gate.split("::")
+        func = re.split(r"\s|\(", func)[0]
+        src = open(os.path.join(tests_dir, fname)).read()
+        assert f"def {func}(" in src, gate
