@@ -1032,3 +1032,58 @@ FROM i GROUP BY doc_id, island
 """
 
 register("dedup_repeated_spans", q_dedup_repeated_spans, ORACLE_DEDUP_REPEATED_SPANS)
+
+
+def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 multimodal de-stub, oracle-checked end-to-end: REAL PNG
+    container bytes are encoded per document (pure-stdlib encode_png,
+    dimensions derived arithmetically from doc_id), carried through the
+    binary column + Arrow batch path, and header-probed back
+    (extract_media_probe) — so the hash check covers the full
+    encode -> binary plumbing -> mapInPandas -> struct-parse loop, with
+    the oracle recomputing the declared dimensions directly. Pixels vary
+    per doc so the payloads are genuine non-trivial zlib streams."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png, extract_media_probe
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+
+    def make(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 1 + d % 13, 1 + d % 7
+                px = [
+                    ((d + i) % 256, (d * 3 + i) % 256, (d * 7 + i) % 256)
+                    for i in range(w * h)
+                ]
+                out.append((d, bytearray(encode_png(w, h, px))))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(make, "doc_id long, blob binary")
+    return extract_media_probe(blobs).select(
+        "doc_id", "format", "width", "height", "bit_depth", "channels"
+    )
+
+
+ORACLE_MULTIMODAL_MEDIA_PROBE = """
+SELECT doc_id,
+       'png' AS format,
+       1 + doc_id % 13 AS width,
+       1 + doc_id % 7 AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(3 AS BIGINT) AS channels
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+register(
+    "multimodal_media_probe", q_multimodal_media_probe,
+    ORACLE_MULTIMODAL_MEDIA_PROBE,
+)

@@ -2,10 +2,16 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side machinery — schema, Arrow-batched
-``mapInPandas``, partition sizing — is real and tested; the actual codec
-step is STUBBED (``NotImplementedError``) because media libraries are not
-in this environment, with a deterministic fake used by tests and the
-driver's correctness gate.
+``mapInPandas``, partition sizing — is real and tested. Codec status:
+
+- REAL, pure-stdlib: BMP 24-bit decode/encode (round 4), PNG 8-bit
+  gray/palette/RGB/RGBA decode + RGB encode via zlib (round 5), and
+  ``probe_media`` — header-level format/dimension/duration metadata for
+  PNG/JPEG/GIF/BMP/WAV/WebP/MP4 containers (struct parsing of the public
+  formats, no codec library).
+- STUBBED (``NotImplementedError``) with a clearly-marked deterministic
+  fake: full pixel decode of JPEG/WebP/video and audio sample decode —
+  these need PIL/cv2, which are not installable in this environment.
 
 At 100 TB: blobs ride in their own column so Parquet column pruning skips
 them unless asked for; decode runs in ``mapInPandas`` with Arrow batches
@@ -44,20 +50,25 @@ def attach_blob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Real codec entry point. Round 4 de-stubs the uncompressed 24-bit
-    BMP case with a pure-stdlib decoder (struct unpacking of the
-    BITMAPFILEHEADER/BITMAPINFOHEADER layout + bottom-up padded BGR rows —
-    public format, no codec library needed): returns
-    (width, height, row-major top-down [(r, g, b), ...]). Every other
-    format still needs a real library (PIL/cv2, unavailable in this
-    environment) and raises NotImplementedError; tests fall back to
-    fake_decode_meta for those."""
+    """Real codec entry point. Round 4 de-stubbed uncompressed 24-bit BMP;
+    round 5 adds PNG (8-bit gray/palette/RGB/RGBA, non-interlaced) — both
+    pure-stdlib decoders from the public format specs (BMP: struct
+    unpacking of BITMAPFILEHEADER/BITMAPINFOHEADER + bottom-up padded BGR
+    rows; PNG: chunk walk, zlib-inflated IDAT, per-scanline unfiltering
+    per RFC 2083 §6). Returns (width, height, row-major top-down
+    [(r, g, b), ...]); PNG alpha is dropped, gray/palette expanded to RGB.
+    Remaining formats (JPEG entropy decode, 16-bit/interlaced PNG) need a
+    real library (PIL/cv2, unavailable in this environment) and raise
+    NotImplementedError; tests fall back to fake_decode_meta for those,
+    and probe_media still reads their header metadata."""
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png(blob)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP decodes stdlib-side; other formats "
-        "require a codec library (use fake_decode_meta for the "
-        "deterministic test path)"
+        "only uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode "
+        "stdlib-side; other formats require a codec library (use "
+        "fake_decode_meta for the deterministic test path)"
     )
 
 
@@ -117,6 +128,241 @@ def encode_bmp24(
         "<IiihHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + dib + bytes(body)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(blob: bytes):
+    """Walk PNG chunks: yields (type, payload). Stops at IEND/truncation."""
+    import struct as _struct
+
+    pos = 8
+    while pos + 8 <= len(blob):
+        ln, typ = _struct.unpack_from(">I4s", blob, pos)
+        payload = blob[pos + 8 : pos + 8 + ln]
+        yield typ, payload
+        if typ == b"IEND":
+            return
+        pos += 12 + ln  # length + type + data + crc
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Pure-stdlib PNG decode (RFC 2083): 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA), non-interlaced. IDAT chunks
+    concatenate into one zlib stream; each scanline starts with a filter
+    byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) undone bytewise."""
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = plte = None
+    idat = bytearray()
+    for typ, payload in _png_chunks(blob):
+        if typ == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", payload[:13])
+        elif typ == b"PLTE":
+            plte = payload
+        elif typ == b"IDAT":
+            idat += payload
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace}: stdlib decoder "
+            "handles 8-bit non-interlaced only (use PIL for the rest)"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"PNG invalid color type {ctype}")
+    raw = _zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG truncated pixel data")
+    prev = bytearray(stride)
+    px: list[tuple[int, int, int]] = []
+    pos = 0
+    for _r in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG invalid filter type {ftype}")
+        prev = line
+        if ctype == 2:
+            px.extend((line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 3))
+        elif ctype == 6:
+            px.extend((line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 4))
+        elif ctype == 0:
+            px.extend((v, v, v) for v in line)
+        elif ctype == 4:
+            px.extend((line[i], line[i], line[i]) for i in range(0, stride, 2))
+        else:  # palette
+            if plte is None:
+                raise ValueError("PNG palette image missing PLTE")
+            px.extend(
+                (plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]) for v in line
+            )
+    return w, h, px
+
+
+def encode_png(
+    width: int, height: int, pixels: list[tuple[int, int, int]], level: int = 6
+) -> bytes:
+    """Minimal PNG writer (8-bit RGB, filter 0, one IDAT) — the test-side
+    counterpart of _decode_png and the fixture generator for the
+    multimodal contract query."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height row-major top-down")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + _struct.pack(">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter: None
+        for c in range(width):
+            raw += bytes(pixels[r * width + c])
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def probe_media(blob: bytes) -> dict | None:
+    """Header-level metadata for common media containers — pure struct
+    parsing of the public formats, NO codec needed (the 100 TB point:
+    format/dimension/duration filters run over every blob cheaply; full
+    decode is reserved for the rows that survive). Returns a dict with
+    ``format`` plus whatever the container declares (width/height for
+    images, channels/sample_rate/bits/n_frames for WAV audio,
+    duration_ms for MP4), or None for unrecognized bytes.
+
+    Formats: PNG (IHDR), JPEG (SOF0-15 marker walk), GIF (logical screen),
+    BMP (DIB header), WAV (RIFF fmt/data chunks), WebP (VP8X canvas),
+    MP4/ISO-BMFF (moov/mvhd timescale+duration)."""
+    import struct as _struct
+
+    try:
+        if blob[:8] == _PNG_MAGIC:
+            for typ, payload in _png_chunks(blob):
+                if typ == b"IHDR" and len(payload) >= 13:
+                    w, h, depth, ctype = _struct.unpack(">IIBB", payload[:10])
+                    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype, 0)
+                    return {"format": "png", "width": w, "height": h,
+                            "bit_depth": depth, "channels": nch}
+            return None
+        if blob[:2] == b"\xff\xd8":  # JPEG SOI; walk to a frame header
+            pos = 2
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = blob[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seglen = _struct.unpack_from(">H", blob, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    depth, h, w, nch = _struct.unpack_from(">BHHB", blob, pos + 4)
+                    return {"format": "jpeg", "width": w, "height": h,
+                            "bit_depth": depth, "channels": nch}
+                pos += 2 + seglen
+            return None
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _struct.unpack_from("<HH", blob, 6)
+            return {"format": "gif", "width": w, "height": h}
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = _struct.unpack_from("<ii", blob, 18)
+            depth = _struct.unpack_from("<H", blob, 28)[0] if len(blob) >= 30 else 0
+            return {"format": "bmp", "width": w, "height": abs(h),
+                    "bit_depth": depth}
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            pos, meta = 12, {"format": "wav"}
+            while pos + 8 <= len(blob):
+                cid = blob[pos : pos + 4]
+                ln = _struct.unpack_from("<I", blob, pos + 4)[0]
+                if cid == b"fmt " and ln >= 16:
+                    _fmt, nch, rate, _bps, align, bits = _struct.unpack_from(
+                        "<HHIIHH", blob, pos + 8
+                    )
+                    meta.update(channels=nch, sample_rate=rate, bit_depth=bits,
+                                block_align=align)
+                elif cid == b"data":
+                    meta["data_bytes"] = ln
+                pos += 8 + ln + (ln & 1)
+            if "block_align" in meta and meta.get("block_align") and "data_bytes" in meta:
+                meta["n_frames"] = meta["data_bytes"] // meta["block_align"]
+            return meta
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+            if blob[12:16] == b"VP8X" and len(blob) >= 30:
+                w = 1 + int.from_bytes(blob[24:27], "little")
+                h = 1 + int.from_bytes(blob[27:30], "little")
+                return {"format": "webp", "width": w, "height": h}
+            return {"format": "webp"}
+        if len(blob) >= 12 and blob[4:8] == b"ftyp":  # ISO-BMFF (MP4 family)
+            meta = {"format": "mp4",
+                    "brand": blob[8:12].decode("ascii", "replace")}
+
+            def walk(start: int, end: int, want: bytes):
+                pos = start
+                while pos + 8 <= end:
+                    size = _struct.unpack_from(">I", blob, pos)[0]
+                    typ = blob[pos + 4 : pos + 8]
+                    if size < 8:
+                        return None
+                    if typ == want:
+                        return pos
+                    pos += size
+                return None
+
+            moov = walk(0, len(blob), b"moov")
+            if moov is not None:
+                size = _struct.unpack_from(">I", blob, moov)[0]
+                mvhd = walk(moov + 8, moov + size, b"mvhd")
+                if mvhd is not None:
+                    ver = blob[mvhd + 8]
+                    if ver == 1:
+                        scale, dur = _struct.unpack_from(">IQ", blob, mvhd + 28)
+                    else:
+                        scale, dur = _struct.unpack_from(">II", blob, mvhd + 20)
+                    if scale:
+                        meta.update(timescale=scale,
+                                    duration_ms=dur * 1000 // scale)
+            return meta
+    except (IndexError, _struct.error):
+        return None
+    return None
 
 
 def fake_decode_meta(blob: bytes) -> tuple[int, int]:
@@ -258,6 +504,42 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+MEDIA_PROBE_SCHEMA = STY.StructType(
+    [
+        STY.StructField("doc_id", STY.LongType()),
+        STY.StructField("format", STY.StringType()),
+        STY.StructField("width", STY.LongType()),
+        STY.StructField("height", STY.LongType()),
+        STY.StructField("bit_depth", STY.LongType()),
+        STY.StructField("channels", STY.LongType()),
+        STY.StructField("sample_rate", STY.LongType()),
+        STY.StructField("n_frames", STY.LongType()),
+        STY.StructField("duration_ms", STY.LongType()),
+    ]
+)
+
+
+def extract_media_probe(df: DataFrame) -> DataFrame:
+    """Arrow-batched header probe over (doc_id, blob): real container
+    metadata (probe_media) for every recognized format, NULL fields where
+    a container doesn't declare them, format=NULL for unrecognized bytes.
+    This is the triage stage a 100 TB multimodal pipeline runs FIRST —
+    cheap struct parsing per blob, no decode, output metadata-sized — so
+    dimension/duration/format filters prune before any codec work."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "bit_depth", "channels",
+                "sample_rate", "n_frames", "duration_ms"]
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                m = probe_media(bytes(blob)) or {}
+                out.append([int(doc_id)] + [m.get(c) for c in cols])
+            yield pd.DataFrame(out, columns=["doc_id"] + cols)
+
+    return df.mapInPandas(run, MEDIA_PROBE_SCHEMA)
 
 
 def extract_blob_meta(df: DataFrame) -> DataFrame:

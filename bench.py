@@ -72,6 +72,50 @@ def _headline():
     }
 
 
+def _time_queries(spark, sf_dir: str, n_timed: int, tag: str) -> dict[str, float]:
+    """BASELINE.md protocol: warm timings (cold runs on this shared host
+    swing 5-7x with page-cache/JIT/neighbor noise). One warm-up execution
+    per query, then the best of ``n_timed`` timed runs."""
+    timings: dict[str, float] = {}
+    for label, fn in _headline().items():
+        n = fn(spark, sf_dir).count()  # warm-up: JIT + page cache
+        best = None
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[label] = round(best, 3)
+        print(f"# {tag}{label}: {timings[label]:.3f}s warm ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def _sf1_dir() -> str | None:
+    """Standing 10x scale pass (round-5 task #6): the sf1 rehearsal fixture
+    (scripts/make_scale_data.py, FK-preserving 10x replication of sf0.1)
+    is benched EVERY round so scaling ratios are tracked round-over-round,
+    not re-derived. Built on first use; disable with SPARK_GRAFT_SF1=0."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    d = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
+    )
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scripts", "make_scale_data.py"), "10", d],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            print(f"# sf1 build failed, skipping 10x pass: {r.stderr[-300:]}",
+                  file=sys.stderr)
+            return None
+    return d
+
+
 def main() -> None:
     from bambooanalysis_spark.session import get_spark
 
@@ -79,20 +123,7 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
-    # BASELINE.md protocol: warm timings (cold runs on this shared host
-    # swing 5-7x with page-cache/JIT/neighbor noise). One warm-up execution
-    # per query, then the better of two timed runs.
-    timings: dict[str, float] = {}
-    for label, fn in _headline().items():
-        n = fn(spark, SF_DIR).count()  # warm-up: JIT + page cache
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[label] = round(best, 3)
-        print(f"# {label}: {timings[label]:.3f}s warm ({n} rows)", file=sys.stderr)
+    timings = _time_queries(spark, SF_DIR, n_timed=2, tag="")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -103,6 +134,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+
+    # 10x scale table in the same JSON line (n=1 after warm-up: drift
+    # detection needs ~10% fidelity, and the 10x corpus triples the cost
+    # of a best-of-2). Ratios vs PERFORMANCE.md §26 are the check.
+    sf1 = _sf1_dir()
+    if sf1:
+        t1 = _time_queries(spark, sf1, n_timed=1, tag="sf1/")
+        out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1, "dir": sf1}
+
     print(json.dumps(out))
 
 
