@@ -1087,3 +1087,62 @@ register(
     "multimodal_media_probe", q_multimodal_media_probe,
     ORACLE_MULTIMODAL_MEDIA_PROBE,
 )
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 audio de-stub, oracle-checked end-to-end: real 16-bit PCM
+    WAV containers are synthesized per document (encode_wav16, sample i =
+    ((doc_id*7 + i*13) % 4001) - 2000, n = 50 + doc_id % 50 samples, mono
+    8kHz), carried through the binary column + Arrow batch path, decoded
+    back (decode_wav — genuine RIFF parsing + struct sample unpack), and
+    reduced to exact integer loudness features. The DuckDB oracle
+    recomputes peak/sum-of-squares over the same closed-form sample
+    series via generate_series — bit-exact, no audio library on either
+    side."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav16, extract_audio_features
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 3)
+    )
+
+    def make(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 50 + d % 50
+                samples = [((d * 7 + i * 13) % 4001) - 2000 for i in range(n)]
+                out.append((d, bytearray(encode_wav16(1, 8000, samples))))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(make, "doc_id long, blob binary")
+    return extract_audio_features(blobs).select(
+        "doc_id", "channels", "sample_rate", "n_samples", "peak_abs", "sum_sq"
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_FEATURES = """
+WITH s AS (
+    SELECT d.doc_id,
+           ((d.doc_id * 7 + t.i * 13) % 4001) - 2000 AS v
+    FROM documents d, generate_series(0, 98) AS t(i)
+    WHERE d.doc_id % 10 = 3 AND t.i < 50 + d.doc_id % 50
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       COUNT(*) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM s
+GROUP BY doc_id
+"""
+
+register(
+    "multimodal_audio_features", q_multimodal_audio_features,
+    ORACLE_MULTIMODAL_AUDIO_FEATURES,
+)

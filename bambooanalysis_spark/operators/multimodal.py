@@ -365,6 +365,102 @@ def probe_media(blob: bytes) -> dict | None:
     return None
 
 
+def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib PCM WAV decode (RIFF/WAVE fmt+data chunks): returns
+    (channels, sample_rate, bits, interleaved int samples). 16-bit
+    little-endian signed and 8-bit unsigned PCM — the uncompressed cases
+    the format defines; compressed codecs (MP3/AAC/ADPCM wFormatTag != 1)
+    raise NotImplementedError (they need a real audio library)."""
+    import struct as _struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        ln = _struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + ln]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate, _bps, _align, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1:
+        raise NotImplementedError(
+            f"only PCM WAV (wFormatTag=1) decodes stdlib-side, got {tag}"
+        )
+    if bits == 16:
+        samples = list(_struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    elif bits == 8:
+        samples = [b - 128 for b in data]  # 8-bit PCM is unsigned
+    else:
+        raise NotImplementedError(f"PCM bit depth {bits} not supported (8/16 only)")
+    return nch, rate, bits, samples
+
+
+def encode_wav16(channels: int, rate: int, samples: list[int]) -> bytes:
+    """Minimal 16-bit PCM WAV writer — test/fixture counterpart of
+    decode_wav."""
+    import struct as _struct
+
+    data = _struct.pack(f"<{len(samples)}h", *samples)
+    align = channels * 2
+    return (
+        b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, channels, rate, rate * align, align, 16)
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+
+
+AUDIO_FEATURES_SCHEMA = STY.StructType(
+    [
+        STY.StructField("doc_id", STY.LongType()),
+        STY.StructField("channels", STY.LongType()),
+        STY.StructField("sample_rate", STY.LongType()),
+        STY.StructField("bits", STY.LongType()),
+        STY.StructField("n_samples", STY.LongType()),
+        STY.StructField("peak_abs", STY.LongType()),
+        STY.StructField("sum_sq", STY.LongType()),
+        STY.StructField("real_decode", STY.BooleanType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature stage over (doc_id, blob): REAL PCM
+    decode (decode_wav) into integer loudness features — exact bigints
+    (peak |sample|, sum of squares), so downstream quality filters and the
+    contract oracle are bit-reproducible. Non-PCM/undecodable blobs
+    degrade to a marked row (real_decode=false, zeroed features) instead
+    of failing the corpus job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                try:
+                    nch, rate, bits, samples = decode_wav(b)
+                    peak = max((abs(s) for s in samples), default=0)
+                    ssq = sum(s * s for s in samples)
+                    out.append(
+                        (int(doc_id), nch, rate, bits, len(samples), peak, ssq, True)
+                    )
+                except (NotImplementedError, ValueError):
+                    out.append((int(doc_id), 0, 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "channels", "sample_rate", "bits",
+                         "n_samples", "peak_abs", "sum_sq", "real_decode"],
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def fake_decode_meta(blob: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode: fake (width, height) derived from
     the payload hash — stable across engines and runs."""

@@ -2162,3 +2162,30 @@ def test_extract_media_probe_spark_path(spark):
     assert got[2]["format"] == "bmp" and got[2]["bit_depth"] == 24
     assert got[3]["format"] == "gif" and got[3]["sample_rate"] is None
     assert got[4]["format"] is None
+
+
+def test_wav_decode_roundtrip_and_boundaries():
+    """PCM WAV codec: 16-bit round-trip exact; 8-bit unsigned recentering;
+    compressed formats and odd depths raise (documented boundary)."""
+    import struct
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456]
+    blob = M.encode_wav16(1, 44100, samples)
+    assert M.decode_wav(blob) == (1, 44100, 16, samples)
+
+    # 8-bit unsigned PCM: 128 is silence
+    data8 = bytes([128, 255, 0, 129])
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 4) + data8)
+    assert M.decode_wav(wav8) == (1, 8000, 8, [0, 127, -128, 1])
+
+    bad = bytearray(M.encode_wav16(1, 8000, [1, 2]))
+    bad[20:22] = struct.pack("<H", 85)  # wFormatTag=85 (MP3)
+    with pytest.raises(NotImplementedError, match="PCM"):
+        M.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"not audio")
