@@ -98,3 +98,58 @@ def merge_counters(spark, sample: Sample) -> dict[str, float]:
     for path in sample.files:
         n += spark.read.parquet(path).count()
     return {"nEvents": float(n), "genEvents": float(n)}
+
+
+def validate_catalog(catalog: "Catalog", tree: str | None = None) -> dict[str, list[str]]:
+    """Pre-flight validation of a jet_test.yml-style catalog against its
+    actual files — header-level only, so it is safe to run against real
+    (compressed, streamer-carrying) ROOT inputs before any ingest job:
+
+    - ``.root`` files go through ``minroot.sniff_file`` (TFile header +
+      TKey chain walk, no decompression): the file must parse and, when
+      ``tree``/``catalog.tree`` names one, declare that tree or baskets.
+    - parquet files must open via the pyarrow footer (schema readable).
+    - missing paths and samples with no files are flagged.
+
+    Returns {sample: [problem, ...]} with only problem entries — empty
+    dict means the catalog is runnable. Driver-side metadata work only
+    (one small read per file), deliberately not a Spark job."""
+    import os
+
+    problems: dict[str, list[str]] = {}
+    want_tree = tree or catalog.tree
+
+    def flag(sample: str, msg: str) -> None:
+        problems.setdefault(sample, []).append(msg)
+
+    for name, sample in catalog.samples.items():
+        if not sample.files:
+            flag(name, "no files listed")
+            continue
+        for path in sample.files:
+            if not os.path.exists(path):
+                flag(name, f"missing file: {path}")
+                continue
+            if path.endswith(".root"):
+                from . import minroot
+
+                try:
+                    info = minroot.sniff_file(path)
+                except (ValueError, NotImplementedError) as e:
+                    flag(name, f"unreadable ROOT header: {path}: {e}")
+                    continue
+                trees = set(info["trees"]) | set(info["branches"])
+                if want_tree and trees and want_tree not in trees:
+                    flag(
+                        name,
+                        f"tree {want_tree!r} not declared in {path} "
+                        f"(found: {sorted(t for t in trees if t)})",
+                    )
+            else:
+                try:
+                    import pyarrow.parquet as pq
+
+                    pq.ParquetFile(path).schema_arrow
+                except Exception as e:  # pyarrow raises several types here
+                    flag(name, f"unreadable parquet footer: {path}: {e}")
+    return problems

@@ -139,3 +139,44 @@ def test_write_plotit_yml_and_era_split(tmp_path, spark):
     split = split_reports_by_era({"TT_FS": cf, "obs": cf}, cat, mode="all")
     assert "HL-LHC" in split and "combined" in split
     assert set(split["combined"]) == {"TT_FS", "obs"}
+
+
+def test_validate_catalog_header_level(tmp_path):
+    """Pre-flight catalog validation (round-5): compressed ROOT files
+    validate header-only via sniff_file; wrong tree names, missing files,
+    unreadable parquet and file-less samples are each flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bambooanalysis_spark.sources import minroot
+    from bambooanalysis_spark.sources.catalog import parse_catalog, validate_catalog
+
+    good_root = str(tmp_path / "good.root")
+    minroot.write_flat_tree(
+        good_root, "myana/mytree", {"x": ("D", [1.0] * 500)}, compress=6
+    )
+    good_pq = str(tmp_path / "good.parquet")
+    pq.write_table(pa.table({"a": [1, 2]}), good_pq)
+    bad_pq = str(tmp_path / "bad.parquet")
+    open(bad_pq, "wb").write(b"not parquet")
+
+    cat = parse_catalog({
+        "tree": "myana/mytree",
+        "eras": {"e": {"luminosity": 1.0}},
+        "samples": {
+            "ok_root": {"era": "e", "files": [good_root]},
+            "ok_pq": {"era": "e", "files": [good_pq]},
+            "wrong_tree": {"era": "e", "files": [good_root]},
+            "gone": {"era": "e", "files": [str(tmp_path / "nope.root")]},
+            "empty": {"era": "e"},
+            "badpq": {"era": "e", "files": [bad_pq]},
+        },
+    })
+    probs = validate_catalog(cat)
+    assert "ok_root" not in probs and "ok_pq" not in probs
+    assert any("missing file" in p for p in probs["gone"])
+    assert probs["empty"] == ["no files listed"]
+    assert any("parquet" in p for p in probs["badpq"])
+    # wrong tree: same files, different requested tree
+    probs2 = validate_catalog(cat, tree="other/tree")
+    assert any("not declared" in p for p in probs2["wrong_tree"])

@@ -1941,8 +1941,13 @@ def test_bmp_decode_real_bytes_through_arrow_stage(spark):
     rb = M.extract_image_meta(bad).collect()[0]
     assert rb.real_decode is False
 
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for real since round 5, so PNG-magic garbage is now a
+    # ValueError (malformed), and the NotImplementedError boundary moved
+    # to genuinely library-needing formats (JPEG entropy decode)
+    with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def test_ivf_pq_index_append_matches_full_build(spark, sf_oracle, tmp_path):
