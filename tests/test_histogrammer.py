@@ -231,3 +231,23 @@ def test_run_analysis_chunked_matches_fused(spark):
     c = {tuple(r[k] for k in key): (r["sumw"], r["sumw2"], r["n"])
          for r in chunked.collect()}
     assert f == c and len(f) > 0
+
+
+def test_full_pass_plan_cache_matches_fresh(spark, sf_small):
+    """The memoized full-pass logical plan (contract/hep._full_pass_hist)
+    must produce rows identical to a from-scratch build — only plan
+    CONSTRUCTION is cached; execution runs fresh per invocation."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.contract.hep import _full_pass_hist, _hep
+    from bambooanalysis_spark.plans import run_analysis as fresh_run
+
+    cached = _full_pass_hist(spark, sf_small, "phase2")
+    again = _full_pass_hist(spark, sf_small, "phase2")
+    assert cached is again  # same immutable logical plan object
+
+    df, plots, cfr, _sels = define_phase2(_hep(spark, sf_small))
+    fresh = fresh_run(df, plots, [cfr])
+    key = ["plot", "kind", "bin", "bin2", "bin3"]
+    a = {tuple(r[k] for k in key): (r["sumw"], r["n"]) for r in cached.collect()}
+    b = {tuple(r[k] for k in key): (r["sumw"], r["n"]) for r in fresh.collect()}
+    assert a == b and len(a) > 0
