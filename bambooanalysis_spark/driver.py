@@ -35,6 +35,7 @@ from .report.postprocess import (
     normalize_histograms,
     stack_by_group,
     write_histograms,
+    write_histograms_pdf,
     write_plotit_yml,
     yields_table_tex,
 )
@@ -157,50 +158,51 @@ def run_pipeline(
 
     plots_ref: list
     adf, plots_ref, cfr_ref, _sels = analysis(union)
-    hist_all = run_analysis(adf, plots_ref, [cfr_ref], extra_keys=["__sample"])
+    # DataFrame-provided samples need an input-event counter (mergeCounters
+    # has no files to read): book a synthetic always-true root cutflow so
+    # the per-sample counts RIDE the fused job (one extra pid in the tiny
+    # key space) instead of costing a second full scan of the union.
+    from .plans import CutFlowReport, Selection
+
+    count_cfr = CutFlowReport("__counters").add(Selection.root("__input"))
+    hist_all = run_analysis(
+        adf, plots_ref, [cfr_ref, count_cfr], extra_keys=["__sample"]
+    )
     # aggregate-sized (#samples x #plots x #bins rows) -> ONE partition
     # before pinning: every downstream sink/report action then schedules a
     # single task instead of shuffle-partition-count near-empty ones
     hist_all = hist_all.coalesce(1).persist()
     hist_all.count()
 
-    # counters: parquet-footer counts for file-backed samples (metadata-only
-    # jobs); one grouped count pass for DataFrame-provided ones
-    uncounted = [n for n, s in catalog.samples.items() if not s.files]
-    grouped_counts = (
-        {
-            r["__sample"]: float(r["count"])
-            for r in union.where(F.col("__sample").isin(uncounted))
-            .groupBy("__sample")
-            .count()
-            .collect()
-        }
-        if uncounted
-        else {}
-    )
-
     # the whole aggregate comes to the driver ONCE (it is #samples x #plots
     # x #bins rows by construction); per-sample report frames are pandas
-    # slices of it, not one Spark action per sample per frame
+    # slices of it, and the per-sample sinks are written driver-side from
+    # the same slices (a KB-sized table per sample — a Spark write job per
+    # sample cost ~0.2s each for zero benefit)
     pdf_all = hist_all.toPandas()
+    hist_all.unpersist()
+    input_counts = {
+        r["__sample"]: float(r["n"])
+        for _i, r in pdf_all[pdf_all["plot"] == "__counters/__input"].iterrows()
+    }
+    pdf_all = pdf_all[~pdf_all["plot"].str.startswith("__counters/")]
     prefix = cfr_ref.name + "/"
     seq_of = {s: i for i, s in enumerate([sel.name for sel, _t in cfr_ref.entries])}
     order = list(seq_of)
 
     hists, cutflows, counters_all = {}, {}, {}
     for name, sample in catalog.samples.items():
-        table = hist_all.where(F.col("__sample") == name).drop("__sample")
-        write_histograms(table, out_dir, name)
+        sub = pdf_all[pdf_all["__sample"] == name]
+        write_histograms_pdf(sub.drop(columns="__sample"), out_dir, name)
         counters = (
             merge_counters(spark, sample)
             if sample.files
-            else {"nEvents": grouped_counts.get(name, 0.0)}
+            else {"nEvents": input_counts.get(name, 0.0)}
         )
         os.makedirs(f"{out_dir}/{name}", exist_ok=True)
         with open(f"{out_dir}/{name}/counters.json", "w") as f:
             json.dump(counters, f, indent=2, sort_keys=True)
         counters_all[name] = counters
-        sub = pdf_all[pdf_all["__sample"] == name]
         hists[name] = (
             sub[sub["kind"] == "plot"].drop(columns="__sample").reset_index(drop=True)
         )
@@ -214,7 +216,6 @@ def run_pipeline(
             ]
             .reset_index(drop=True)
         )
-    hist_all.unpersist()
 
     # ---- postprocess phase (driver-side, aggregate-sized inputs) ----
     scales = {s: catalog.scale(s, counters_all[s]) for s in hists}

@@ -21,6 +21,26 @@ def write_histograms(hist: DataFrame, out_dir: str, sample: str) -> str:
     return path
 
 
+def write_histograms_pdf(pdf: pd.DataFrame, out_dir: str, sample: str) -> str:
+    """Driver-side histogram sink for an ALREADY-COLLECTED aggregate slice
+    (run_pipeline holds the whole #samples x #plots x #bins table in
+    pandas): same directory-of-parquet layout `spark.read.parquet` expects,
+    written with pyarrow in ~ms instead of scheduling a Spark write job
+    per sample (~0.2 s each of pure overhead on a KB-sized table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{out_dir}/{sample}/hists.parquet"
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False),
+        f"{path}/part-00000.parquet",
+    )
+    return path
+
+
 def cutflow_efficiencies(cutflow: pd.DataFrame, gen_events: float | None = None) -> pd.DataFrame:
     """Per printCutFlowReports (phaseII-analysis.py:190-199): for each node
     Eff = SumW / SumW_parent (sequential, phaseII-analysis.py:105-111) and
