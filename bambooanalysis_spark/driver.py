@@ -162,11 +162,26 @@ def run_pipeline(
     # has no files to read): book a synthetic always-true root cutflow so
     # the per-sample counts RIDE the fused job (one extra pid in the tiny
     # key space) instead of costing a second full scan of the union.
+    #
+    # Validity: the engine's analysis contract is mask-based (SURVEY §2.6 —
+    # selections are boolean Columns over the SAME DataFrame, never a
+    # df.filter), so adf must hold every input row and the fused counter
+    # equals the input count. A user analysis that row-filters anyway
+    # would silently shrink the genEvents denominator, so we detect
+    # analysis-added Filter nodes (adf's logical plan vs union's — legit
+    # pre-filters the caller baked into its INPUT DataFrames live below
+    # union and appear in both counts) and fall back to counting the
+    # union for that rare shape.
     from .plans import CutFlowReport, Selection
 
+    def _n_filters(df: DataFrame) -> int:
+        return str(df._jdf.queryExecution().logical()).count("Filter ")
+
+    analysis_filters = _n_filters(adf) > _n_filters(union)
     count_cfr = CutFlowReport("__counters").add(Selection.root("__input"))
     hist_all = run_analysis(
-        adf, plots_ref, [cfr_ref, count_cfr], extra_keys=["__sample"]
+        adf, plots_ref, [cfr_ref] + ([] if analysis_filters else [count_cfr]),
+        extra_keys=["__sample"],
     )
     # aggregate-sized (#samples x #plots x #bins rows) -> ONE partition
     # before pinning: every downstream sink/report action then schedules a
@@ -181,11 +196,19 @@ def run_pipeline(
     # sample cost ~0.2s each for zero benefit)
     pdf_all = hist_all.toPandas()
     hist_all.unpersist()
-    input_counts = {
-        r["__sample"]: float(r["n"])
-        for _i, r in pdf_all[pdf_all["plot"] == "__counters/__input"].iterrows()
-    }
-    pdf_all = pdf_all[~pdf_all["plot"].str.startswith("__counters/")]
+    if analysis_filters:
+        # row-filtering analysis: the fused counter would under-count, so
+        # pay the one extra grouped-count scan of the actual input
+        input_counts = {
+            r["__sample"]: float(r["count"])
+            for r in union.groupBy("__sample").count().collect()
+        }
+    else:
+        input_counts = {
+            r["__sample"]: float(r["n"])
+            for _i, r in pdf_all[pdf_all["plot"] == "__counters/__input"].iterrows()
+        }
+        pdf_all = pdf_all[~pdf_all["plot"].str.startswith("__counters/")]
     prefix = cfr_ref.name + "/"
     seq_of = {s: i for i, s in enumerate([sel.name for sel, _t in cfr_ref.entries])}
     order = list(seq_of)

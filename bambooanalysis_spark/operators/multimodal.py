@@ -289,6 +289,9 @@ def probe_media(blob: bytes) -> dict | None:
                     pos += 1
                     continue
                 marker = blob[pos + 1]
+                if marker == 0xFF:  # legal fill byte before a marker
+                    pos += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2
                     continue
@@ -387,6 +390,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk truncated ({len(fmt)} < 16 bytes)")
     tag, nch, rate, _bps, _align, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
     if tag != 1:
         raise NotImplementedError(
@@ -437,6 +442,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     contract oracle are bit-reproducible. Non-PCM/undecodable blobs
     degrade to a marked row (real_decode=false, zeroed features) instead
     of failing the corpus job."""
+    import struct as _struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -450,7 +456,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     out.append(
                         (int(doc_id), nch, rate, bits, len(samples), peak, ssq, True)
                     )
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, _struct.error):
                     out.append((int(doc_id), 0, 0, 0, 0, 0, 0, False))
             yield pd.DataFrame(
                 out,
@@ -566,6 +572,8 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
     output engine-exact. Same 100 TB shape as extract_blob_meta: blobs
     stay in their pruned column, Python sees Arrow batches, the output is
     metadata-sized."""
+    import struct as _struct
+    import zlib as _zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -585,10 +593,13 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
                          sums[0] * 10000 // n, sums[1] * 10000 // n,
                          sums[2] * 10000 // n, True)
                     )
-                except (NotImplementedError, ValueError):
-                    # non-BMP formats AND malformed/truncated BMPs both
-                    # degrade to the marked fake path — one bad blob must
-                    # not kill a corpus-wide job
+                except (NotImplementedError, ValueError, IndexError,
+                        _struct.error, _zlib.error):
+                    # unsupported formats AND malformed blobs (truncated
+                    # headers -> struct.error, bad deflate streams ->
+                    # zlib.error, out-of-palette indexes -> IndexError)
+                    # all degrade to the marked fake path — one bad blob
+                    # must not kill a corpus-wide job
                     w, h = fake_decode_meta(b)
                     out.append((int(doc_id), len(b), w, h, 0, 0, 0, False))
             yield pd.DataFrame(

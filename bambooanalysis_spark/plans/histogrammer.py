@@ -277,9 +277,12 @@ def _run_analysis_chunked(
     units: list[tuple[int, Plot | CutFlowReport]] = [(1, p) for p in plots]
     units += [(len(c.entries), c) for c in cutflows]
     groups: list[tuple[list[Plot], list[CutFlowReport]]] = []
-    size = chunk  # force a new group on first unit
+    size = 0
     for weight, unit in units:
-        if size + weight > chunk and size > 0:
+        # always open the first group (even for a weight-0 unit, e.g. an
+        # entry-less CutFlowReport); after that, open a new one when the
+        # unit would overflow a non-empty group
+        if not groups or (size + weight > chunk and size > 0):
             groups.append(([], []))
             size = 0
         groups[-1][isinstance(unit, CutFlowReport)].append(unit)

@@ -34,8 +34,22 @@ def write_histograms_pdf(pdf: pd.DataFrame, out_dir: str, sample: str) -> str:
 
     path = f"{out_dir}/{sample}/hists.parquet"
     os.makedirs(path, exist_ok=True)
+    # explicit schema: an EMPTY slice (sample tag matched zero events)
+    # would otherwise infer its object columns as pyarrow null type, which
+    # Spark cannot read back; the old Spark write preserved string/long
+    fields = [
+        pa.field(
+            col,
+            pa.string() if pdf[col].dtype == object
+            else pa.from_numpy_dtype(pdf[col].dtype),
+        )
+        for col in pdf.columns
+    ]
     pq.write_table(
-        pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False),
+        pa.Table.from_pandas(
+            pdf.reset_index(drop=True), schema=pa.schema(fields),
+            preserve_index=False,
+        ),
         f"{path}/part-00000.parquet",
     )
     return path

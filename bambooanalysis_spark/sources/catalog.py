@@ -139,7 +139,12 @@ def validate_catalog(catalog: "Catalog", tree: str | None = None) -> dict[str, l
                     flag(name, f"unreadable ROOT header: {path}: {e}")
                     continue
                 trees = set(info["trees"]) | set(info["branches"])
-                if want_tree and trees and want_tree not in trees:
+                # real files store 'dir/tree' as a TDirectory key 'dir'
+                # plus a TTree key 'tree' (no slash in the key name);
+                # minroot writes the slash-containing name literally —
+                # accept either spelling
+                wanted = {want_tree, want_tree.rsplit("/", 1)[-1]} if want_tree else set()
+                if wanted and trees and not (wanted & trees):
                     flag(
                         name,
                         f"tree {want_tree!r} not declared in {path} "

@@ -91,7 +91,7 @@ class _Key:
     payload: bytes
 
 
-def _compress_frames(payload: bytes, level: int) -> bytes:
+def _compress_frames(payload: bytes, level: int) -> bytes | None:
     """ROOT compression-frame sequence for one key payload: per 16 MB-1
     chunk, the 9-byte frame header (``ZL`` tag, method byte 8 =
     Z_DEFLATED, 3-byte little-endian compressed/uncompressed sizes) then
@@ -102,6 +102,12 @@ def _compress_frames(payload: bytes, level: int) -> bytes:
         chunk = payload[start : start + _MAX_FRAME]
         comp = zlib.compress(chunk, level)
         c, u = len(comp), len(chunk)
+        if c > _MAX_FRAME:
+            # an incompressible ~16MB chunk can deflate to MORE than the
+            # 3-byte size field holds; truncating would corrupt the frame
+            # walk, so signal the caller to keep the whole key raw (ROOT's
+            # own fallback for keys compression doesn't shrink)
+            return None
         out += b"ZL" + bytes(
             [8, c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF,
              u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF]
@@ -157,8 +163,10 @@ def _pack_key(
     stored = payload
     if compress_level > 0 and payload:
         framed = _compress_frames(payload, compress_level)
-        if len(framed) < len(payload):  # ROOT keeps the raw bytes if
-            stored = framed  # compression doesn't actually shrink the key
+        # ROOT keeps the raw bytes if compression doesn't actually shrink
+        # the key (framed is None when a chunk overflows the 3-byte size)
+        if framed is not None and len(framed) < len(payload):
+            stored = framed
     nbytes = keylen + len(stored)  # objlen > nbytes - keylen marks compression
     head = struct.pack(
         ">ihiIhhii",

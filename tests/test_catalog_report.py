@@ -180,3 +180,22 @@ def test_validate_catalog_header_level(tmp_path):
     # wrong tree: same files, different requested tree
     probs2 = validate_catalog(cat, tree="other/tree")
     assert any("not declared" in p for p in probs2["wrong_tree"])
+
+
+def test_write_histograms_pdf_empty_slice_schema(spark, tmp_path):
+    """Review fix: an empty per-sample aggregate slice must still write a
+    Spark-readable parquet (object columns as string, not null type)."""
+    import pandas as pd
+
+    from bambooanalysis_spark.report.postprocess import write_histograms_pdf
+
+    empty = pd.DataFrame({
+        "plot": pd.Series(dtype=object), "kind": pd.Series(dtype=object),
+        "bin": pd.Series(dtype="int32"), "bin2": pd.Series(dtype="int32"),
+        "bin3": pd.Series(dtype="int32"), "sumw": pd.Series(dtype="float64"),
+        "sumw2": pd.Series(dtype="float64"), "n": pd.Series(dtype="int64"),
+    })
+    path = write_histograms_pdf(empty, str(tmp_path), "void")
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert dict(back.dtypes)["plot"] == "string"

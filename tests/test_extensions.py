@@ -2194,3 +2194,67 @@ def test_wav_decode_roundtrip_and_boundaries():
         M.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         M.decode_wav(b"not audio")
+
+
+def test_malformed_media_blobs_degrade_not_fail(spark):
+    """Review fixes (round-5): malformed PNGs (bad deflate, truncated
+    IHDR, out-of-palette index) and truncated WAVs must degrade to marked
+    rows through the Arrow stages — one bad blob must not kill the job."""
+    import struct
+    import zlib
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    bad_deflate = (M._PNG_MAGIC
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+                   + chunk(b"IDAT", b"this is not zlib data")
+                   + chunk(b"IEND", b""))
+    short_ihdr = M._PNG_MAGIC + chunk(b"IHDR", b"\x00\x01") + chunk(b"IEND", b"")
+    # palette image whose index exceeds the 1-entry PLTE
+    pal_raw = zlib.compress(bytes([0, 5, 0, 5]))  # filter0 + idx5 (x2 rows)
+    bad_pal = (M._PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", b"\x01\x02\x03")
+               + chunk(b"IDAT", pal_raw)
+               + chunk(b"IEND", b""))
+    rows = [(1, bytearray(bad_deflate)), (2, bytearray(short_ihdr)),
+            (3, bytearray(bad_pal)),
+            (4, bytearray(M.encode_png(2, 1, [(1, 2, 3), (4, 5, 6)])))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in M.extract_image_meta(df).collect()}
+    assert got[1]["real_decode"] is False
+    assert got[2]["real_decode"] is False
+    assert got[3]["real_decode"] is False
+    assert got[4]["real_decode"] is True and got[4]["width"] == 2
+
+    trunc_fmt = (b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+                 + b"data" + struct.pack("<I", 0))
+    adf = spark.createDataFrame(
+        [(1, bytearray(trunc_fmt)),
+         (2, bytearray(M.encode_wav16(1, 8000, [5, -5])))],
+        "doc_id long, blob binary",
+    )
+    agot = {r["doc_id"]: r for r in M.extract_audio_features(adf).collect()}
+    assert agot[1]["real_decode"] is False
+    assert agot[2]["real_decode"] is True and agot[2]["peak_abs"] == 5
+
+
+def test_probe_media_jpeg_fill_bytes():
+    """JPEG spec allows 0xFF fill bytes before a marker; the probe must
+    skip them, not parse padding as a segment length."""
+    import struct
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xff\xff"  # fill bytes
+            + b"\xff\xc0" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 100, 200, 3) + b"\x00" * 3)
+    got = M.probe_media(jpeg)
+    assert got == {"format": "jpeg", "width": 200, "height": 100,
+                   "bit_depth": 8, "channels": 3}

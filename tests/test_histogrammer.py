@@ -251,3 +251,15 @@ def test_full_pass_plan_cache_matches_fresh(spark, sf_small):
     a = {tuple(r[k] for k in key): (r["sumw"], r["n"]) for r in cached.collect()}
     b = {tuple(r[k] for k in key): (r["sumw"], r["n"]) for r in fresh.collect()}
     assert a == b and len(a) > 0
+
+
+def test_run_analysis_chunked_empty_first_report(spark):
+    """Review fix: a weight-0 leading unit (entry-less CutFlowReport with
+    no plots) must not crash the chunk grouping."""
+    df = spark.createDataFrame([Row(x=float(i)) for i in range(20)])
+    root = Selection.root()
+    empty = CutFlowReport("empty")
+    full = CutFlowReport("yields").add(root)
+    hist = run_analysis(df, [], [empty, full], max_bookings_per_job=0)
+    cf = cutflow_table(hist, "yields", ["noSel"]).collect()
+    assert cf[0]["num_events"] == 20
