@@ -222,3 +222,66 @@ def test_minroot_roundtrip_property(tmp_path_factory, scalar_f, scalar_i, jagged
         for w, g in zip(want_row, got_row):
             w32 = _struct.unpack(">f", _struct.pack(">f", w))[0]
             assert g == w32 or (math.isnan(w32) and math.isnan(g))
+
+
+@given(
+    scalar_f=st.lists(_f64, min_size=1, max_size=60),
+    jagged_l=st.lists(st.lists(_i64, max_size=5), min_size=1, max_size=60),
+    basket=st.integers(1, 9),
+    level=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_minroot_compressed_roundtrip_property(
+    tmp_path_factory, scalar_f, jagged_l, basket, level
+):
+    """Compressed write == raw write at every zlib level and basket
+    chunking: identical values back, and every payload byte-identical to
+    the uncompressed read (round-5 ZL frame codec)."""
+    from bambooanalysis_spark.sources import minroot
+
+    n = min(len(scalar_f), len(jagged_l))
+    branches = {"sf": ("D", scalar_f[:n]), "jl": ("L", jagged_l[:n])}
+    base = tmp_path_factory.mktemp("mrc")
+    raw_p, zip_p = str(base / "raw.root"), str(base / "zip.root")
+    minroot.write_flat_tree(raw_p, "tr", branches, basket_entries=basket)
+    minroot.write_flat_tree(
+        zip_p, "tr", branches, basket_entries=basket, compress=level
+    )
+    assert minroot.read_flat_tree(zip_p, "tr") == minroot.read_flat_tree(raw_p, "tr")
+
+
+_px = st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    data=st.data(),
+    level=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_png_roundtrip_property(w, h, data, level):
+    """encode_png -> decode_image is the identity on arbitrary 8-bit RGB
+    pixel grids at every compression level."""
+    from bambooanalysis_spark.operators import multimodal as M
+
+    px = data.draw(st.lists(_px, min_size=w * h, max_size=w * h))
+    assert M.decode_image(M.encode_png(w, h, px, level=level)) == (w, h, px)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(samples, rate, channels):
+    """encode_wav16 -> decode_wav is the identity on arbitrary int16
+    sample streams; probe_media agrees on the container metadata."""
+    from bambooanalysis_spark.operators import multimodal as M
+
+    blob = M.encode_wav16(channels, rate, samples)
+    assert M.decode_wav(blob) == (channels, rate, 16, samples)
+    meta = M.probe_media(blob)
+    assert meta["format"] == "wav" and meta["sample_rate"] == rate
+    assert meta["channels"] == channels
