@@ -1263,16 +1263,42 @@ def ivf_pq_query_index(
     encode (quantize + PQ choice + cell assignment) is a parquet scan of
     the prebuilt index — no corpus pass at query time, and the cell join
     prunes to the probed partitions."""
-    meta = _read_index_meta(spark, index_dir)
+    meta, vecs = _load_index(spark, index_dir)
     coarse = [(int(cid), [int(x) for x in vec]) for cid, vec in meta["coarse"]]
     cb = meta["codebook"]
-    vecs = spark.read.parquet(f"{index_dir}/vectors")
     c = vecs.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
     cv = vecs.select("neighbor_id", F.col("qvec").alias("cv"))
     return _ivf_pq_search(
         c, cv, queries, coarse, cb, meta["id_col"], meta["vec_col"],
         k, n_probe, refine, broadcast_limit,
     )
+
+
+# Serving cache: a query-serving process loads an index ONCE and answers
+# many queries against it; re-running the metadata collect job (~0.2 s)
+# and the parquet footer listing per query is per-call overhead with no
+# information. Keyed by (session, dir); ivf_pq_index_append invalidates.
+_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _index_cache_key(spark, index_dir: str) -> tuple:
+    import os
+
+    return (
+        id(spark),
+        spark.sparkContext.applicationId,
+        os.path.abspath(index_dir),
+    )
+
+
+def _load_index(spark, index_dir: str):
+    key = _index_cache_key(spark, index_dir)
+    hit = _INDEX_CACHE.get(key)
+    if hit is None:
+        meta = _read_index_meta(spark, index_dir)
+        vecs = spark.read.parquet(f"{index_dir}/vectors")
+        hit = _INDEX_CACHE[key] = (meta, vecs)
+    return hit
 
 
 def ivf_pq_index_append(new_vectors: DataFrame, index_dir: str) -> None:
@@ -1294,6 +1320,9 @@ def ivf_pq_index_append(new_vectors: DataFrame, index_dir: str) -> None:
         .partitionBy("__ivf_cell")
         .parquet(f"{index_dir}/vectors")
     )
+    # drop any cached scan of this index: its file listing is now stale
+    key = _index_cache_key(new_vectors.sparkSession, index_dir)
+    _INDEX_CACHE.pop(key, None)
 
 
 def semantic_dedup(
