@@ -1146,3 +1146,53 @@ register(
     "multimodal_audio_features", q_multimodal_audio_features,
     ORACLE_MULTIMODAL_AUDIO_FEATURES,
 )
+
+
+_D_NORM_A = "regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g')"
+
+
+def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup, oracle-checked end-to-end: the corpus
+    arrives as two snapshots (doc_id parity), each deduped against the
+    PERSISTED fingerprint store of everything kept so far
+    (operators/dedup.exact_dedup_incremental — durable-store counterpart
+    of the streaming first-claim state). Output: every kept row with the
+    snapshot that admitted it. The DuckDB oracle recomputes both rounds
+    relationally (min-id within snapshot 1; snapshot 2 minus snapshot 1's
+    fingerprints)."""
+    import tempfile
+
+    from ..operators.dedup import exact_dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="bamboo-dedup-store-")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    k1 = exact_dedup_incremental(b1, "doc_id", "text", store).withColumn(
+        "batch", F.lit(1).cast("long")
+    )
+    k2 = exact_dedup_incremental(b2, "doc_id", "text", store).withColumn(
+        "batch", F.lit(2).cast("long")
+    )
+    return k1.unionByName(k2).select("batch", "doc_id", "fp")
+
+
+ORACLE_DEDUP_INCREMENTAL_STORE = f"""
+WITH f AS (
+    SELECT doc_id, md5({_D_NORM_A.format(t='text')}) AS fp, doc_id % 2 AS par
+    FROM documents
+),
+b1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM f WHERE par = 0 GROUP BY fp),
+b2 AS (
+    SELECT fp, MIN(doc_id) AS doc_id FROM f WHERE par = 1 GROUP BY fp
+)
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, fp FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id, fp
+FROM b2 WHERE fp NOT IN (SELECT fp FROM b1)
+"""
+
+register(
+    "dedup_incremental_store", q_dedup_incremental_store,
+    ORACLE_DEDUP_INCREMENTAL_STORE,
+)

@@ -906,3 +906,38 @@ def remove_spans(
         out_text.alias(text_col),
         n_removed.cast("long").alias("n_removed_tokens"),
     )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame, id_col: str, text_col: str, store_dir: str
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: drop batch rows whose fingerprint
+    was EVER seen before — in this batch (keep the min id) or in any prior
+    batch recorded in the persisted store — then append the novel
+    fingerprints so the next snapshot dedups against them. This is the
+    batch-persisted counterpart of streaming_exact_dedup (same keep
+    semantics, durable store instead of streaming state): the pattern a
+    crawl pipeline runs on snapshot N+1 against the union of snapshots
+    1..N without ever rescanning them.
+
+    Returns the kept (fp, id) rows of this batch. Scale shape: the store
+    holds one 36-byte-keyed row per DISTINCT document ever kept (not per
+    input row); the batch pays one fingerprint groupBy (min-id) and one
+    fp anti-join against the store scan — both shuffle the 36-byte key,
+    never the documents. The kept set is materialized (localCheckpoint)
+    BEFORE the store append so the returned frame cannot observe its own
+    write."""
+    import os
+
+    spark = batch.sparkSession
+    fps = batch.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp")
+    )
+    keep = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    store = f"{store_dir}/fingerprints.parquet"
+    if os.path.isdir(store):
+        history = spark.read.parquet(store)
+        keep = keep.join(history.select("fp"), "fp", "left_anti")
+    keep = keep.localCheckpoint(eager=True)
+    keep.write.mode("append").parquet(store)
+    return keep

@@ -2258,3 +2258,33 @@ def test_probe_media_jpeg_fill_bytes():
     got = M.probe_media(jpeg)
     assert got == {"format": "jpeg", "width": 200, "height": 100,
                    "bit_depth": 8, "channels": 3}
+
+
+def test_exact_dedup_incremental_store_rounds(spark, tmp_path):
+    """Persisted-store dedup semantics across three snapshots: batch-
+    internal min-id keep, cross-snapshot suppression, store growth is
+    append-only novel fingerprints."""
+    from bambooanalysis_spark.operators.dedup import exact_dedup_incremental
+
+    store = str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    k1 = exact_dedup_incremental(
+        batch([(1, "aa"), (2, "aa"), (3, "bb")]), "doc_id", "text", store
+    ).collect()
+    assert {(r["doc_id"]) for r in k1} == {1, 3}  # min-id per group
+
+    k2 = exact_dedup_incremental(
+        batch([(10, "aa"), (11, "cc"), (12, "cc")]), "doc_id", "text", store
+    ).collect()
+    assert {r["doc_id"] for r in k2} == {11}  # 'aa' seen in snapshot 1
+
+    k3 = exact_dedup_incremental(
+        batch([(20, "bb"), (21, "cc"), (22, "dd")]), "doc_id", "text", store
+    ).collect()
+    assert {r["doc_id"] for r in k3} == {22}
+
+    stored = spark.read.parquet(f"{store}/fingerprints.parquet")
+    assert stored.count() == 4  # aa bb cc dd — one row per distinct doc
