@@ -2288,3 +2288,48 @@ def test_exact_dedup_incremental_store_rounds(spark, tmp_path):
 
     stored = spark.read.parquet(f"{store}/fingerprints.parquet")
     assert stored.count() == 4  # aa bb cc dd — one row per distinct doc
+
+
+def test_streaming_ingest_pipeline_matches_batch(spark, tmp_path):
+    """Composed streaming ingestion (quality gate -> fingerprint ->
+    stateful dedup) must land the same kept set as running the IDENTICAL
+    graph on the same files as one batch (streaming/ingest.py)."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.streaming.ingest import ingest_stream
+
+    good = "the quick brown fox jumps over a lazy dog again"
+    rows1 = [Row(doc_id=1, text=good), Row(doc_id=2, text="too short"),
+             Row(doc_id=3, text=good + " encore version two")]
+    rows2 = [Row(doc_id=10, text=good.upper() + "!"),  # dup of 1 normalized
+             Row(doc_id=11, text="1234 5678 9012 3456 7890 numbers only"),
+             Row(doc_id=12, text=good + " third different ending here")]
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ingest_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ingest_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest: dict = {}
+    for r in spark.sql("SELECT * FROM ingest_out").collect():
+        latest[r["fp"]] = min(latest.get(r["fp"], r["doc_id"]), r["doc_id"])
+
+    batch_out = {
+        (r["fp"], r["doc_id"])
+        for r in ingest_stream(spark.read.parquet(src)).collect()
+    }
+    assert set(latest.items()) == batch_out
+    kept_ids = {i for _fp, i in batch_out}
+    assert kept_ids == {1, 3, 12}  # 2 too short, 11 non-alpha, 10 dup of 1
