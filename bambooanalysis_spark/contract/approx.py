@@ -1196,3 +1196,103 @@ register(
     "dedup_incremental_store", q_dedup_incremental_store,
     ORACLE_DEDUP_INCREMENTAL_STORE,
 )
+
+
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the classic 3-way join + filtered aggregate +
+    top-k: BUILDING-segment customers' orders placed before a date, their
+    lineitems shipped after it, revenue per order, top 10. Plan notes for
+    the 100 TB shape: filters reach all three parquet scans (pushdown),
+    customer is broadcast at this size and AQE decides at scale, the
+    groupBy key (l_orderkey) inherits the join partitioning so the
+    aggregate adds no extra exchange, and the top-10 is TakeOrdered (no
+    global sort). Revenue in exact DECIMAL fixed-point (e4 cents) so the
+    oracle hash-matches bit-for-bit."""
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
+    ).cast("decimal(38,10)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_REL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                AS DECIMAL(38,10))) * 10000 AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+register(
+    "rel_shipping_priority", q_rel_shipping_priority,
+    ORACLE_REL_SHIPPING_PRIORITY,
+)
+
+
+def q_rel_part_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested semi-join chain: suppliers holding a
+    surplus (> 60 units shipped across the window) of any 'small %' part.
+    Exercises multi-level IN-subquery planning as joins: part-name filter
+    -> semi-join into the lineitem aggregate -> HAVING -> semi-join into
+    supplier. All integer/exact (quantity sums in DECIMAL), every filter
+    pushed to its scan, the small filtered part list broadcast."""
+    part_f = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    surplus = (
+        li.join(part_f, li.l_partkey == part_f.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .where(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(surplus, sup.s_suppkey == surplus.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_REL_PART_SURPLUS_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 60
+)
+ORDER BY s_suppkey
+"""
+
+register(
+    "rel_part_surplus_suppliers", q_rel_part_surplus_suppliers,
+    ORACLE_REL_PART_SURPLUS_SUPPLIERS,
+)
