@@ -135,14 +135,15 @@ def main() -> None:
         "sf": float(sf),
     }
 
-    # 10x scale table in the same JSON line. Best-of-2 like the sf0.1 pass:
-    # an n=1 draw on this shared host produced uniform 1.5x false alarms
-    # (including no-op queries) the first time. Ratios vs PERFORMANCE.md
-    # §26 are the check; run bench SOLO — concurrent Spark sessions on the
-    # same 32 cores inflate every entry.
+    # 10x scale table in the same JSON line. One timed run after warm-up:
+    # the sf1 pass exists for DRIFT detection (ratios vs PERFORMANCE.md
+    # §26/§28, which hold the careful n>=2 numbers); a second timed run
+    # would add ~75s of wall per round for fidelity the drift check does
+    # not need. Run bench SOLO — concurrent Spark sessions on the same 32
+    # cores inflate every entry ~1.5-2x (measured, §28).
     sf1 = _sf1_dir()
     if sf1:
-        t1 = _time_queries(spark, sf1, n_timed=2, tag="sf1/")
+        t1 = _time_queries(spark, sf1, n_timed=1, tag="sf1/")
         out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1, "dir": sf1}
 
     print(json.dumps(out))
