@@ -79,3 +79,42 @@ def test_query_matches_oracle(spark, ducks, sf_oracle, query_name):
         pytest.skip(f"{query_name}: rows-only check (non-SQL-expressible)")
     duck_pdf = ducks.execute(ORACLES[query_name]).df()
     _compare(query_name, spark_pdf, duck_pdf)
+
+
+# --- sf0.1 spot-check: scale-sensitive queries -------------------------------
+# The standing gate runs at sf0.01; these five run ALSO at sf0.1 because
+# their behavior can change with volume (LSH bucket occupancy vs the
+# hot-bucket cap, AQE join-strategy flips in the multi-way join, the 1M-row
+# resample grid, k-means cell sizes) — a cap or strategy bug that only
+# triggers past a size threshold would otherwise ship green.
+
+# dedup_near_dup_clusters exercises the banding + hot-bucket-cap path
+# with an aggregate-sized output; the raw pairs query is excluded — its
+# 7M-row cross-engine compare alone cost ~6 min for the same coverage.
+SF01_SPOTCHECK = [
+    "dedup_near_dup_clusters",
+    "events_resample_ffill",
+    "rel_shipping_priority",
+    "embedding_kmeans_cells",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks_sf01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.1/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_SPOTCHECK)
+def test_query_matches_oracle_at_sf01(spark, ducks_sf01, name):
+    from bambooanalysis_spark.contract import ORACLES, QUERIES
+
+    spark_pdf = QUERIES[name](spark, "/root/testdata/sf0.1").toPandas()
+    duck_pdf = ducks_sf01.execute(ORACLES[name]).df()
+    _compare(f"{name}@sf0.1", spark_pdf, duck_pdf)
