@@ -88,11 +88,13 @@ def test_query_matches_oracle(spark, ducks, sf_oracle, query_name):
 # resample grid, k-means cell sizes) — a cap or strategy bug that only
 # triggers past a size threshold would otherwise ship green.
 
-# dedup_near_dup_clusters exercises the banding + hot-bucket-cap path
-# with an aggregate-sized output; the raw pairs query is excluded — its
-# 7M-row cross-engine compare alone cost ~6 min for the same coverage.
+# dedup_signatures exercises the shingle/minhash/banding expressions at
+# 10x volume; the pair/cluster queries are excluded — not for Spark cost
+# but for the ORACLE's (a 7M-edge recursive-CTE closure in DuckDB alone
+# ran ~8 min); their cap semantics are pinned by the planted-mega-cluster
+# unit test and the sf1 bench instead.
 SF01_SPOTCHECK = [
-    "dedup_near_dup_clusters",
+    "dedup_signatures",
     "events_resample_ffill",
     "rel_shipping_priority",
     "embedding_kmeans_cells",
