@@ -1164,17 +1164,26 @@ def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import exact_dedup_incremental
 
+    import shutil
+
     docs = read_table(spark, sf_dir, "documents")
     store = tempfile.mkdtemp(prefix="bamboo-dedup-store-")
-    b1 = docs.where(F.col("doc_id") % 2 == 0)
-    b2 = docs.where(F.col("doc_id") % 2 == 1)
-    k1 = exact_dedup_incremental(b1, "doc_id", "text", store).withColumn(
-        "batch", F.lit(1).cast("long")
-    )
-    k2 = exact_dedup_incremental(b2, "doc_id", "text", store).withColumn(
-        "batch", F.lit(2).cast("long")
-    )
-    return k1.unionByName(k2).select("batch", "doc_id", "fp")
+    try:
+        b1 = docs.where(F.col("doc_id") % 2 == 0)
+        b2 = docs.where(F.col("doc_id") % 2 == 1)
+        k1 = exact_dedup_incremental(b1, "doc_id", "text", store).withColumn(
+            "batch", F.lit(1).cast("long")
+        )
+        k2 = exact_dedup_incremental(b2, "doc_id", "text", store).withColumn(
+            "batch", F.lit(2).cast("long")
+        )
+        return k1.unionByName(k2).select("batch", "doc_id", "fp")
+    finally:
+        # the kept sets are localCheckpointed (eager) inside the operator,
+        # so the returned frame never re-reads the store — safe to remove
+        # immediately; repeated gate/bench invocations must not accumulate
+        # /tmp fingerprint stores
+        shutil.rmtree(store, ignore_errors=True)
 
 
 ORACLE_DEDUP_INCREMENTAL_STORE = f"""

@@ -196,24 +196,25 @@ def _hep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine work. Only the unexecuted DataFrame (logical plan) is cached —
 # every invocation still runs the full job. Results are invariant by
 # construction: same fixture object (via _HEP_CACHE), same static booking.
+# Keyed like contract.read_table (id + applicationId — a weak key would be
+# defeated anyway, since a cached DataFrame strongly references its
+# session); same documented lifetime tradeoff: entries persist for the
+# process, a handful of plans per (session, fixture).
 # Fresh-vs-cached equality is pinned by
 # tests/test_histogrammer.py::test_full_pass_plan_cache_matches_fresh.
-_HIST_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+_HIST_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _full_pass_hist(spark: SparkSession, sf_dir: str, analysis: str) -> DataFrame:
     from ..analyses import define_jet_test, define_phase2
     from ..plans import run_analysis
 
-    per_session = _HIST_PLAN_CACHE.setdefault(spark, {})
-    key = (sf_dir, analysis)
-    if key not in per_session:
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, analysis)
+    if key not in _HIST_PLAN_CACHE:
         define = {"phase2": define_phase2, "jet_test": define_jet_test}[analysis]
         df, plots, cfr, _sels = define(_hep(spark, sf_dir))
-        per_session[key] = run_analysis(df, plots, [cfr])
-    return per_session[key]
+        _HIST_PLAN_CACHE[key] = run_analysis(df, plots, [cfr])
+    return _HIST_PLAN_CACHE[key]
 
 
 # --- op.select + op.rng_len: within-event filter and count ------------------

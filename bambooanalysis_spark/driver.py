@@ -166,18 +166,25 @@ def run_pipeline(
     # Validity: the engine's analysis contract is mask-based (SURVEY §2.6 —
     # selections are boolean Columns over the SAME DataFrame, never a
     # df.filter), so adf must hold every input row and the fused counter
-    # equals the input count. A user analysis that row-filters anyway
-    # would silently shrink the genEvents denominator, so we detect
-    # analysis-added Filter nodes (adf's logical plan vs union's — legit
-    # pre-filters the caller baked into its INPUT DataFrames live below
-    # union and appear in both counts) and fall back to counting the
-    # union for that rare shape.
+    # equals the input count. A user analysis that drops rows anyway
+    # would silently shrink the genEvents denominator, so we compare the
+    # logical plans for ANY row-count-affecting node kind the analysis
+    # could have added (filter, dedup, limit, sample, set ops, joins,
+    # aggregates) — nodes the caller baked into its INPUT DataFrames live
+    # below union and appear in both counts — and fall back to counting
+    # the union for that rare shape.
     from .plans import CutFlowReport, Selection
 
-    def _n_filters(df: DataFrame) -> int:
-        return str(df._jdf.queryExecution().logical()).count("Filter ")
+    _ROW_CHANGING = (
+        "Filter ", "Deduplicate", "GlobalLimit", "LocalLimit", "Sample ",
+        "Join ", "Intersect", "Except", "Aggregate", "Distinct",
+    )
 
-    analysis_filters = _n_filters(adf) > _n_filters(union)
+    def _n_row_changing(df: DataFrame) -> int:
+        plan = str(df._jdf.queryExecution().logical())
+        return sum(plan.count(kind) for kind in _ROW_CHANGING)
+
+    analysis_filters = _n_row_changing(adf) > _n_row_changing(union)
     count_cfr = CutFlowReport("__counters").add(Selection.root("__input"))
     hist_all = run_analysis(
         adf, plots_ref, [cfr_ref] + ([] if analysis_filters else [count_cfr]),
@@ -197,12 +204,23 @@ def run_pipeline(
     pdf_all = hist_all.toPandas()
     hist_all.unpersist()
     if analysis_filters:
-        # row-filtering analysis: the fused counter would under-count, so
-        # pay the one extra grouped-count scan of the actual input
-        input_counts = {
-            r["__sample"]: float(r["count"])
-            for r in union.groupBy("__sample").count().collect()
-        }
+        # row-dropping analysis: the fused counter would under-count, so
+        # pay the extra grouped-count scan of the actual input — but only
+        # for the samples that NEED it (file-backed samples count via
+        # parquet footers in merge_counters; when every sample has files
+        # this job is skipped entirely)
+        uncounted = [n for n, s in catalog.samples.items() if not s.files]
+        input_counts = (
+            {
+                r["__sample"]: float(r["count"])
+                for r in union.where(F.col("__sample").isin(uncounted))
+                .groupBy("__sample")
+                .count()
+                .collect()
+            }
+            if uncounted
+            else {}
+        )
     else:
         input_counts = {
             r["__sample"]: float(r["n"])

@@ -927,7 +927,7 @@ def exact_dedup_incremental(
     never the documents. The kept set is materialized (localCheckpoint)
     BEFORE the store append so the returned frame cannot observe its own
     write."""
-    import os
+    from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
     fps = batch.select(
@@ -935,8 +935,15 @@ def exact_dedup_incremental(
     )
     keep = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
     store = f"{store_dir}/fingerprints.parquet"
-    if os.path.isdir(store):
+    # existence probe through Spark itself, NOT os.path: the store lives on
+    # whatever filesystem the session reaches (s3a://, hdfs://, local) — a
+    # driver-local isdir would silently report "no history" for any remote
+    # URI and cross-batch dedup would never happen
+    try:
         history = spark.read.parquet(store)
+    except AnalysisException:  # first batch: store not created yet
+        history = None
+    if history is not None:
         keep = keep.join(history.select("fp"), "fp", "left_anti")
     keep = keep.localCheckpoint(eager=True)
     keep.write.mode("append").parquet(store)

@@ -1224,6 +1224,7 @@ def ivf_pq_write_index(
         "vec_col": vec_col,
     }
     _write_index_meta(corpus.sparkSession, index_dir, meta)
+    _invalidate_index_cache(index_dir)  # rebuild into an existing dir
     return meta
 
 
@@ -1277,8 +1278,22 @@ def ivf_pq_query_index(
 # Serving cache: a query-serving process loads an index ONCE and answers
 # many queries against it; re-running the metadata collect job (~0.2 s)
 # and the parquet footer listing per query is per-call overhead with no
-# information. Keyed by (session, dir); ivf_pq_index_append invalidates.
+# information. Keyed by (session, dir); any in-process mutation
+# (ivf_pq_write_index rebuild, ivf_pq_index_append) invalidates the dir
+# for EVERY cached session — a session we didn't invalidate would serve a
+# stale codebook against a file listing of deleted/incomplete files.
+# (Out-of-process mutations need an external signal, as with any cache.)
+# Entries are plan-and-metadata-sized and live for the session, the same
+# documented tradeoff as contract.read_table's scan memoization.
 _INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _invalidate_index_cache(index_dir: str) -> None:
+    import os
+
+    target = os.path.abspath(index_dir)
+    for key in [k for k in _INDEX_CACHE if k[2] == target]:
+        _INDEX_CACHE.pop(key, None)
 
 
 def _index_cache_key(spark, index_dir: str) -> tuple:
@@ -1320,9 +1335,8 @@ def ivf_pq_index_append(new_vectors: DataFrame, index_dir: str) -> None:
         .partitionBy("__ivf_cell")
         .parquet(f"{index_dir}/vectors")
     )
-    # drop any cached scan of this index: its file listing is now stale
-    key = _index_cache_key(new_vectors.sparkSession, index_dir)
-    _INDEX_CACHE.pop(key, None)
+    # drop every session's cached scan of this index: the listing is stale
+    _invalidate_index_cache(index_dir)
 
 
 def semantic_dedup(

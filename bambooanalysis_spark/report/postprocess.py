@@ -33,6 +33,12 @@ def write_histograms_pdf(pdf: pd.DataFrame, out_dir: str, sample: str) -> str:
     import pyarrow.parquet as pq
 
     path = f"{out_dir}/{sample}/hists.parquet"
+    # overwrite semantics (what the Spark writer's mode('overwrite') gave):
+    # stale part files from an earlier run into the same out_dir would
+    # otherwise be read back alongside the new one as duplicate rows
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     # explicit schema: an EMPTY slice (sample tag matched zero events)
     # would otherwise infer its object columns as pyarrow null type, which

@@ -141,10 +141,16 @@ def validate_catalog(catalog: "Catalog", tree: str | None = None) -> dict[str, l
                 trees = set(info["trees"]) | set(info["branches"])
                 # real files store 'dir/tree' as a TDirectory key 'dir'
                 # plus a TTree key 'tree' (no slash in the key name);
-                # minroot writes the slash-containing name literally —
-                # accept either spelling
-                wanted = {want_tree, want_tree.rsplit("/", 1)[-1]} if want_tree else set()
-                if wanted and trees and not (wanted & trees):
+                # minroot writes the slash-containing name literally.
+                # Accept the bare tree name ONLY when the directory part
+                # is also present as a key — otherwise 'anaA/events'
+                # would pass against a file holding anaB/events.
+                key_names = {k[1] for k in info["keys"]}
+                ok = want_tree in trees if want_tree else True
+                if not ok and want_tree and "/" in want_tree:
+                    d, base = want_tree.rsplit("/", 1)
+                    ok = base in trees and d in key_names
+                if want_tree and trees and not ok:
                     flag(
                         name,
                         f"tree {want_tree!r} not declared in {path} "

@@ -4,10 +4,12 @@ crawl feed runs (Spark-native extension; the reference is batch-only).
 One `readStream` in, one `writeStream` out:
 
     raw document files (parquet dir, arriving continuously)
+      -> quality gate (Gopher-style text stats as Column exprs, JVM-side)
+         — FIRST, so rejected docs never enter dedup state and a gated-out
+         early copy cannot claim a fingerprint a later good copy needs
       -> fingerprint (per-row md5, zero shuffle)
       -> streaming exact dedup (applyInPandasWithState keyed on fp —
          sharded, checkpointable state; one tiny record per distinct doc)
-      -> quality gate (Gopher-style text stats as Column exprs, JVM-side)
       -> append sink (parquet), ready for sampling/packing
 
 Every stage is the SAME operator the batch path uses (operators/text,

@@ -82,7 +82,7 @@ def test_query_matches_oracle(spark, ducks, sf_oracle, query_name):
 
 
 # --- sf0.1 spot-check: scale-sensitive queries -------------------------------
-# The standing gate runs at sf0.01; these five run ALSO at sf0.1 because
+# The standing gate runs at sf0.01; these run ALSO at sf0.1 because
 # their behavior can change with volume (LSH bucket occupancy vs the
 # hot-bucket cap, AQE join-strategy flips in the multi-way join, the 1M-row
 # resample grid, k-means cell sizes) — a cap or strategy bug that only
