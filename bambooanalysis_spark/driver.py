@@ -350,7 +350,21 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("catalog", help="YAML sample catalog (jet_test.yml shape)")
     runp.add_argument("-o", "--output", default="out", help="output directory")
     runp.add_argument("--master", default=None, help="Spark master override")
+    valp = sub.add_parser(
+        "validate",
+        help="pre-flight a catalog against its actual files (header-level: "
+        "works on real compressed ROOT inputs, no Spark session needed)",
+    )
+    valp.add_argument("catalog", help="YAML sample catalog")
+    valp.add_argument("--tree", default=None, help="tree name override")
     args = ap.parse_args(argv)
+
+    if args.cmd == "validate":
+        from .sources.catalog import validate_catalog
+
+        problems = validate_catalog(load_catalog(args.catalog), tree=args.tree)
+        print(json.dumps({"ok": not problems, "problems": problems}, indent=2))
+        return 0 if not problems else 1
 
     spark = get_spark(app_name=f"bamboo:{args.analysis}", master=args.master)
     manifest = run_pipeline(spark, args.analysis, load_catalog(args.catalog), args.output)

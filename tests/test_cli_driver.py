@@ -117,3 +117,43 @@ def test_get_spark_master_override(monkeypatch):
     except Exception:
         pass  # FakeBuilder's getOrCreate returns self; downstream calls may fail
     assert captured["master"] == "spark://cluster:7077"
+
+
+def test_cli_validate_subcommand(tmp_path):
+    """`python -m bambooanalysis_spark validate catalog.yml` pre-flights
+    files header-only (no Spark session) and exits nonzero on problems."""
+    import json
+    import subprocess
+    import sys
+
+    from bambooanalysis_spark.sources import minroot
+
+    root = str(tmp_path / "s.root")
+    minroot.write_flat_tree(root, "myana/mytree", {"x": ("D", [1.0] * 50)}, compress=6)
+    cat = tmp_path / "cat.yml"
+    cat.write_text(
+        "tree: myana/mytree\n"
+        "eras: {e: {luminosity: 1.0}}\n"
+        "samples:\n"
+        f"  good: {{era: e, files: [{root}]}}\n"
+        f"  gone: {{era: e, files: [{tmp_path}/missing.root]}}\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "bambooanalysis_spark", "validate", str(cat)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(r.stdout)
+    assert r.returncode == 1 and out["ok"] is False
+    assert "gone" in out["problems"] and "good" not in out["problems"]
+
+    cat2 = tmp_path / "cat2.yml"
+    cat2.write_text(
+        "tree: myana/mytree\n"
+        "eras: {e: {luminosity: 1.0}}\n"
+        f"samples: {{good: {{era: e, files: [{root}]}}}}\n"
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bambooanalysis_spark", "validate", str(cat2)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0 and json.loads(r2.stdout)["ok"] is True
