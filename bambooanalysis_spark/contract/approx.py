@@ -1362,3 +1362,36 @@ ORDER BY 1, 2, 3
 """
 
 register("rel_volume_shipping", q_rel_volume_shipping, ORACLE_REL_VOLUME_SHIPPING)
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet: per-(source, lang) rollup of release-grade
+    integer statistics in ONE aggregation pass (operators/corpus.
+    corpus_datacard). Every value exact -> full DuckDB hash check."""
+    from ..operators.corpus import corpus_datacard
+
+    return corpus_datacard(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_DATACARD = f"""
+WITH base AS (
+    SELECT source, lang,
+           len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS toks,
+           length(text) AS chars,
+           md5({_D_NORM_A.format(t='text')}) AS fp
+    FROM documents
+)
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT fp) AS n_distinct_texts,
+       CAST(SUM(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dup_docs
+FROM base
+GROUP BY ROLLUP(source, lang)
+ORDER BY 1, 2
+"""
+
+register("corpus_datacard", q_corpus_datacard, ORACLE_CORPUS_DATACARD)

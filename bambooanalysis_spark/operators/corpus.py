@@ -151,3 +151,52 @@ def bigram_coherence(
         F.sum("k").alias("n_bigrams"),
         F.floor(F.sum(F.col("k") * F.col("r_e6")) / F.sum("k")).alias("coherence_e6"),
     )
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    lang_col: str | None = "lang",
+    short_doc_tokens: int = 20,
+) -> DataFrame:
+    """One-pass corpus datasheet ("Datasheets for Datasets"-style summary):
+    per (source, lang) ROLLUP — so per-source, per-lang, per-pair and
+    grand-total rows ride ONE aggregation over ONE scan — of the integer
+    statistics a training-data release publishes:
+
+        n_docs, n_tokens, n_chars, n_distinct_texts (exact, via md5
+        fingerprint), n_short_docs (< short_doc_tokens), n_exact_dup_docs
+        (docs minus distinct texts).
+
+    All counts are exact integers (count-distinct on the 32-char
+    fingerprint, never the text), so the output is engine-exact and
+    oracle-checkable. Missing grouping columns are labeled 'ALL', matching
+    the rel_pricing_summary rollup convention.
+
+    Scale shape: one scan; the only shuffle keys are (source, lang,
+    grouping-set id) plus the fingerprint for the distinct count —
+    partial aggregation collapses everything map-side. Output is
+    #sources x #langs rows — driver-safe at any corpus size."""
+    from . import text as T
+
+    groups = [c for c in (source_col, lang_col) if c]
+    toks = T.token_count(F.col(text_col))
+    fp = T.fingerprint(F.col(text_col))
+    agg = (
+        docs.rollup(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+            F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+            F.countDistinct(fp).alias("n_distinct_texts"),
+            F.sum((toks < short_doc_tokens).cast("bigint")).alias("n_short_docs"),
+        )
+        .withColumn(
+            "n_exact_dup_docs", F.col("n_docs") - F.col("n_distinct_texts")
+        )
+    )
+    for c in groups:
+        agg = agg.withColumn(c, F.coalesce(F.col(c), F.lit("ALL")))
+    return agg.orderBy(*groups)
