@@ -199,4 +199,4 @@ def corpus_datacard(
     )
     for c in groups:
         agg = agg.withColumn(c, F.coalesce(F.col(c), F.lit("ALL")))
-    return agg.orderBy(*groups)
+    return agg.orderBy(*groups) if groups else agg
