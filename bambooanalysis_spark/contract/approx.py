@@ -1395,3 +1395,64 @@ ORDER BY 1, 2
 """
 
 register("corpus_datacard", q_corpus_datacard, ORACLE_CORPUS_DATACARD)
+
+
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl extraction, oracle-checked end-to-end: each document is
+    wrapped in a deterministic HTML shell (head/style/script blocks, an
+    attribute-bearing tag, entities) and recovered with
+    operators/text.strip_html; the oracle performs the identical wrap +
+    RE2 strip in SQL. Output keyed by md5 so the hash check covers every
+    byte of the recovered text."""
+    from ..operators.text import strip_html
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 7)
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><h1 class="t">'),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail</p><script>var a=1;</script></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(strip_html(html)).alias("clean_md5"),
+        F.length(strip_html(html)).cast("bigint").alias("clean_len"),
+    )
+
+
+ORACLE_TEXT_STRIP_HTML = """
+WITH wrapped AS (
+    SELECT doc_id,
+           '<html><head><style>p{color:red}</style></head><body><h1 class="t">'
+           || substring(text, 1, 20) || '</h1><p>' || text
+           || ' &amp; tail</p><script>var a=1;</script></body></html>' AS h
+    FROM documents WHERE doc_id % 10 = 7
+),
+stripped AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                   '&quot;', '"', 'g'),
+                 '&#39;', $$'$$, 'g'),
+               '&nbsp;', ' ', 'g')
+             , '\\s+', ' ', 'g')) AS clean
+    FROM wrapped
+)
+SELECT doc_id, md5(replace(clean, '&amp;', '&')) AS clean_md5,
+       CAST(length(replace(clean, '&amp;', '&')) AS BIGINT) AS clean_len
+FROM stripped
+"""
+
+register("text_strip_html", q_text_strip_html, ORACLE_TEXT_STRIP_HTML)

@@ -347,3 +347,20 @@ def hashed_bow(
         dense.alias("fvec"),
         nnz.cast("long").alias("nnz"),
     )
+
+
+def strip_html(text: Column) -> Column:
+    """Crawl-extraction step: drop <script>/<style> blocks (dotall,
+    non-greedy), strip remaining tags, decode the common entities,
+    collapse whitespace. Pure Column regexps (Java regex on the Spark
+    side; every pattern avoids backreferences so the RE2-based DuckDB
+    oracle evaluates them identically)."""
+    t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

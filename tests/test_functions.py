@@ -81,3 +81,24 @@ def test_in_range_open_strict(spark):
     assert _eval(spark, in_range_open(76, F.lit(76.0), 106)) is False  # strict
     assert _eval(spark, in_range_open(76, F.lit(106.0), 106)) is False
     assert _eval(spark, in_range_open(76, F.lit(90.0), 106)) is True
+
+
+def test_strip_html(spark):
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.text import strip_html
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var a = '<p>';</script>text", "text"),
+        ("<style>p{color:red}</style>a<br/>b", "a b"),
+        ("x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;z",
+         "x & y <tag> \"q\" 's' z"),
+        ("no markup at all", "no markup at all"),
+        ("<div class=\"a\" data-x='<'>inner</div>", "inner"),
+        ("a\n\n  b\t c", "a b c"),
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _e) in enumerate(cases)])
+    got = {r["i"]: r["s"] for r in df.select("i", strip_html(F.col("t")).alias("s")).collect()}
+    for i, (_t, expect) in enumerate(cases):
+        assert got[i] == expect, (i, got[i])
