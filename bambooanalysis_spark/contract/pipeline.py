@@ -64,21 +64,30 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, "TT_FS").otherwise("TT_Delphes"),
     )
     out_dir = tempfile.mkdtemp(prefix="bamboo-pipeline-")
-    manifest = run_pipeline(
-        spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
-    )
-    # wiring check: every artifact family the reference's postprocess phase
-    # writes (phaseII-analysis.py:270-286) must actually be on disk
-    for path in (
-        manifest["yields_tex"],
-        manifest["cutflow_image"],
-        manifest["plotit_yml"],
-        *manifest["hists"].values(),
-        *manifest["plot_images"].values(),
-    ):
-        assert os.path.exists(path), f"pipeline artifact missing: {path}"
-    assert manifest["plot_images"], "pipeline wrote no plot images"
-    assert int(manifest["stacked"]["group"].nunique()) == 2
+    try:
+        manifest = run_pipeline(
+            spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
+        )
+        # wiring check: every artifact family the reference's postprocess
+        # phase writes (phaseII-analysis.py:270-286) must actually be on disk
+        for path in (
+            manifest["yields_tex"],
+            manifest["cutflow_image"],
+            manifest["plotit_yml"],
+            *manifest["hists"].values(),
+            *manifest["plot_images"].values(),
+        ):
+            assert os.path.exists(path), f"pipeline artifact missing: {path}"
+        assert manifest["plot_images"], "pipeline wrote no plot images"
+        assert int(manifest["stacked"]["group"].nunique()) == 2
+    finally:
+        # the hash-checked payload below is built from driver-side manifest
+        # numbers, never re-read from disk — so the artifact tree (60+ PNGs
+        # + parquet per invocation) must not accumulate in /tmp across
+        # repeated gate/bench runs
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     # the hash-checked payload: the normalized cutflow manifest. Values come
     # from the REAL pipeline outputs (fused histogrammer aggregate + counter
