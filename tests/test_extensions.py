@@ -2333,3 +2333,59 @@ def test_streaming_ingest_pipeline_matches_batch(spark, tmp_path):
     assert set(latest.items()) == batch_out
     kept_ids = {i for _fp, i in batch_out}
     assert kept_ids == {1, 3, 12}  # 2 too short, 11 non-alpha, 10 dup of 1
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Operational resilience: a streaming dedup query stopped and
+    RESTARTED from its checkpoint must carry its fingerprint state — a
+    duplicate arriving after the restart is still recognized. This is the
+    recovery path a 100 TB ingest depends on (executor loss, planned
+    restarts, code redeploys)."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators import text as T
+    from bambooanalysis_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta")]
+    ).coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            # update-mode stateful output -> durable sink via foreachBatch
+            # (the file sink is append-only); exactly the production shape
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # append mode with applyInPandasWithState emits on state change; run 1
+    run_once()
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    # new arrivals AFTER the query stopped: one dup of doc 1, one novel
+    spark.createDataFrame(
+        [Row(doc_id=10, text="ALPHA beta!"), Row(doc_id=11, text="epsilon")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+    rows = spark.read.parquet(out).collect()
+    ids = {r["doc_id"] for r in rows}
+    # doc 10 must be suppressed by state recovered from the checkpoint
+    # (its fingerprint equals doc 1's); doc 11 is new
+    assert 11 in ids and 10 not in ids
