@@ -2389,3 +2389,73 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     # doc 10 must be suppressed by state recovered from the checkpoint
     # (its fingerprint equals doc 1's); doc 11 is new
     assert 11 in ids and 10 not in ids
+
+
+def test_watermark_finalizes_windows_and_evicts_state(spark, tmp_path):
+    """What the watermark actually guarantees for an unbounded stream on
+    this engine version (empirically pinned): append-mode windows emit
+    ONLY once the watermark passes their end, each exactly once, and
+    finalized window state is EVICTED (bounded memory — the contract that
+    keeps a 100 TB stream's state from growing without bound). Note:
+    Spark 4.1 admits a late row into a fresh below-watermark window
+    (numRowsDroppedByWatermark stays 0) and finalizes it in the same
+    batch — so downstream must treat per-window rows as append-only
+    facts, not expect silent late-row discard."""
+    import datetime as dt
+    import time
+
+    from bambooanalysis_spark.streaming.windows import windowed_event_stats
+
+    day = dt.datetime(2024, 1, 1)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props map<string,string>")
+
+    def ev(h, m=0):
+        return (h * 100 + m, day + dt.timedelta(hours=h, minutes=m),
+                1, "click", 1.0, None)
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            windowed_event_stats(stream, "1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    spark.createDataFrame([ev(10), ev(12)], schema).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([ev(11, 30)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # watermark = 10:00 -> NO window (all end > 10:00) may emit yet
+    import glob
+    emitted = spark.read.parquet(out).collect() if glob.glob(f"{out}/*.parquet") else []
+    assert emitted == [], "windows must not emit before the watermark passes them"
+
+    # far-future sentinel pushes the watermark past every open window
+    spark.createDataFrame([ev(30)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = run_once()
+    got = {r["window_start"].hour: r["n_events"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {10: 1, 11: 1, 12: 1}  # each exactly once; sentinel open
+    # eviction: only the sentinel's own window remains in state
+    state_rows = [so.get("numRowsTotal") for p in q.recentProgress
+                  for so in p["stateOperators"]]
+    assert state_rows and state_rows[-1] == 1
