@@ -1456,3 +1456,52 @@ FROM stripped
 """
 
 register("text_strip_html", q_text_strip_html, ORACLE_TEXT_STRIP_HTML)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per node (degree-ordered exact counting,
+    operators/graph.triangle_counts) over the supplier co-purchase graph:
+    suppliers are adjacent when they ship >= 25 common parts. Integer
+    counts -> full DuckDB hash check via the naive a<b<c closure."""
+    from ..operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    a = sp.select(F.col("l_suppkey").alias("s1"), "l_partkey")
+    b = sp.select(F.col("l_suppkey").alias("s2"), "l_partkey")
+    edges = (
+        a.join(b, "l_partkey")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 25)
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 25
+),
+tris AS (
+    SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.s1 = e1.s2
+    JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+)
+GROUP BY node
+ORDER BY node
+"""
+
+register("graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES)

@@ -125,3 +125,61 @@ def pagerank(
     if return_iterations:
         return ranks, n_done
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles) over an
+    undirected simple graph — exact integers.
+
+    Scale shape: DEGREE-ORDERED counting (the standard trick that makes
+    triangle enumeration feasible on skewed graphs): each undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher, so
+    wedges are enumerated only at their lowest-degree apex — the
+    intermediate wedge set is O(m^1.5) instead of sum(deg^2), and a hub
+    node never fans out its full neighborhood. Wedges close against the
+    canonical edge set with one more join. Every triangle is found
+    exactly once, then exploded to its three members for the per-node
+    aggregate. Shuffles: degree agg, two joins on node keys, final
+    count — all on id-sized rows."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge low->high by (deg, id); ties break on id so the
+    # orientation is total and deterministic
+    e = (
+        canon.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = e.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = e.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        canon,
+        (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -2459,3 +2459,28 @@ def test_watermark_finalizes_windows_and_evicts_state(spark, tmp_path):
     state_rows = [so.get("numRowsTotal") for p in q.recentProgress
                   for so in p["stateOperators"]]
     assert state_rows and state_rows[-1] == 1
+
+
+def test_triangle_counts_hand_computed(spark):
+    """Known graph: K4 on {1,2,3,4} (every node in C(3,2)=3 triangles)
+    plus a pendant 5-1 (no triangle) and a hub 0 connected to 1..4
+    (each hub edge pair closing -> hub in 6 triangles, lifting 1..4 to
+    3+3=6... verified by hand below). Duplicate/reversed/self edges must
+    be ignored."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.graph import triangle_counts
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    hub = [(0, i) for i in range(1, 5)]
+    edges = k4 + hub + [(5, 1), (1, 5), (2, 2), (3, 2)]  # noise: dup/rev/self
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # triangles: C(4,3)=4 inside K4; hub closes C(4,2)=6 pairs (all pairs
+    # of 1..4 are edges) -> total 10. Node 0: 6. Nodes 1-4: 3 (in K4) +
+    # 3 (with hub, paired with each of the other three) = 6. Node 5: none.
+    assert got[0] == 6
+    assert all(got[i] == 6 for i in range(1, 5))
+    assert 5 not in got
+    total = sum(got.values())
+    assert total == 3 * 10  # each triangle counted once per member
