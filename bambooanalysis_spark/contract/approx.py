@@ -1505,3 +1505,45 @@ ORDER BY node
 """
 
 register("graph_triangles", q_graph_triangles, ORACLE_GRAPH_TRIANGLES)
+
+
+def q_pretrain_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination (operators/pretrain.
+    fuzzy_decontaminate): every corpus doc sharing an LSH band with the
+    pseudo-benchmark slice (doc_id % 97 == 0) is dropped — the fuzzy
+    companion to the exact n-gram `pretrain_decontamination`. The
+    signatures are md5-deterministic, so the DuckDB oracle replicates the
+    band membership exactly."""
+    from ..operators.pretrain import fuzzy_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return fuzzy_decontaminate(docs, bench).select("doc_id").orderBy("doc_id")
+
+
+def _oracle_fuzzy_decontamination() -> str:
+    from .extensions import _lsh_pairs_sql
+
+    base = _lsh_pairs_sql("documents")
+    # reuse the banded CTE block, swap the pair join for the
+    # benchmark-band semi-join + anti-join
+    banded_ctes = base[: base.rindex("SELECT DISTINCT a.doc_id")]
+    return f"""{banded_ctes}
+, bench_keys AS (
+    SELECT DISTINCT band_key FROM banded WHERE doc_id % 97 = 0
+),
+flagged AS (
+    SELECT DISTINCT doc_id FROM banded
+    WHERE band_key IN (SELECT band_key FROM bench_keys)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+ORDER BY doc_id
+"""
+
+
+register(
+    "pretrain_fuzzy_decontamination",
+    q_pretrain_fuzzy_decontamination,
+    _oracle_fuzzy_decontamination(),
+)

@@ -198,3 +198,61 @@ def redact(
         )
         out = F.regexp_replace(out, pat, repl)
     return docs.select(F.col(id_col), out.alias("text_redacted"), *counts)
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop corpus docs sharing >= 1
+    MinHash-LSH band with ANY benchmark document — catches paraphrased /
+    lightly-edited eval contamination that exact n-gram decontamination
+    (``decontaminate``) misses. Same deterministic md5-derived signature
+    machinery as the dedup family, so the result is bit-reproducible.
+
+    Scale shape: the benchmark side is eval-set-sized, so its distinct
+    band-key set is BROADCAST; the corpus pays one per-row signature pass
+    (zero shuffle) + a broadcast semi-join + the final anti-join on ids.
+    Docs too short to shingle never band (sentinel guard) and are kept."""
+    from .dedup import (
+        _barrier,
+        lsh_band_keys,
+        minhash_signature_from_shingles,
+    )
+    from .text import shingles
+
+    rows = k // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        src = df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+        staged = _barrier(src.withColumn("__sh", shingles(F.col("__text"), shingle_k)))
+        staged = _barrier(
+            staged.withColumn(
+                "__sig", minhash_signature_from_shingles(F.col("__sh"), k)
+            )
+        )
+        return staged.select(
+            "__id",
+            F.explode(
+                F.when(
+                    F.try_element_at(F.col("__sig"), F.lit(1)) != -1,
+                    lsh_band_keys(F.col("__sig"), bands, rows),
+                )
+            ).alias("band_key"),
+        )
+
+    bench_keys = banded(benchmarks).select("band_key").distinct()
+    flagged = (
+        banded(docs)
+        .join(F.broadcast(bench_keys), "band_key", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")

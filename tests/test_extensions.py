@@ -2484,3 +2484,24 @@ def test_triangle_counts_hand_computed(spark):
     assert 5 not in got
     total = sum(got.values())
     assert total == 3 * 10  # each triangle counted once per member
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """Planted contamination: a lightly-edited copy of a benchmark doc
+    (one token changed) must be removed; an unrelated doc survives; the
+    benchmark doc itself is removed from the corpus; too-short docs are
+    kept (sentinel guard)."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.pretrain import fuzzy_decontaminate
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=base),                        # exact benchmark copy
+        Row(doc_id=2, text=base.replace("tok7", "tokX")),  # paraphrase
+        Row(doc_id=3, text=" ".join(f"zzz{i}" for i in range(30))),
+        Row(doc_id=4, text="x"),                         # too short to shingle
+    ])
+    bench = spark.createDataFrame([Row(doc_id=100, text=base)])
+    kept = {r["doc_id"] for r in fuzzy_decontaminate(corpus, bench).collect()}
+    assert kept == {3, 4}
