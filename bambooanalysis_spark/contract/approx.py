@@ -1447,7 +1447,7 @@ stripped AS (
                    '&quot;', '"', 'g'),
                  '&#39;', $$'$$, 'g'),
                '&nbsp;', ' ', 'g')
-             , '\\s+', ' ', 'g')) AS clean
+             , '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean
     FROM wrapped
 )
 SELECT doc_id, md5(replace(clean, '&amp;', '&')) AS clean_md5,

@@ -48,6 +48,30 @@ ANALYSES: dict[str, Callable] = {
 }
 
 
+# Logical-plan node kinds that change row counts. Used by run_pipeline to
+# decide whether an analysis broke the mask-based contract (selections are
+# boolean Columns over the SAME DataFrame — SURVEY §2.6) and the fused
+# input-event counter would therefore miscount genEvents. "Union " matters
+# even though the multi-sample input is itself a Union: the comparison is
+# analysis-plan count MINUS input-plan count, so baseline nodes cancel and
+# only analysis-ADDED ones trip the fallback. "Generate " (explode family)
+# and "Expand" (rollup/cube/grouping sets) are row-multiplying too
+# (round-6, advisor).
+_ROW_CHANGING = (
+    "Filter ", "Deduplicate", "GlobalLimit", "LocalLimit", "Sample ",
+    "Join ", "Intersect", "Except", "Aggregate", "Distinct",
+    "Generate ", "Union ", "Expand",
+)
+
+
+def _n_row_changing(df: DataFrame) -> int:
+    # the ANALYZED plan, not the parsed one: generators stay embedded in
+    # Project until the analyzer extracts them into Generate nodes, so
+    # an explode-adding analysis is invisible to the parsed-plan string
+    plan = str(df._jdf.queryExecution().analyzed())
+    return sum(plan.count(kind) for kind in _ROW_CHANGING)
+
+
 def resolve_analysis(spec: str) -> Callable:
     """Resolve an analysis: a built-in name, or ``path/to/module.py:func``
     like ``bambooRun -m module.py:ClassName`` (README.md:63-66)."""
@@ -174,15 +198,6 @@ def run_pipeline(
     # below union and appear in both counts — and fall back to counting
     # the union for that rare shape.
     from .plans import CutFlowReport, Selection
-
-    _ROW_CHANGING = (
-        "Filter ", "Deduplicate", "GlobalLimit", "LocalLimit", "Sample ",
-        "Join ", "Intersect", "Except", "Aggregate", "Distinct",
-    )
-
-    def _n_row_changing(df: DataFrame) -> int:
-        plan = str(df._jdf.queryExecution().logical())
-        return sum(plan.count(kind) for kind in _ROW_CHANGING)
 
     analysis_filters = _n_row_changing(adf) > _n_row_changing(union)
     count_cfr = CutFlowReport("__counters").add(Selection.root("__input"))

@@ -88,26 +88,34 @@ def bucket_pairs(
     id_col: str,
     out_a: str,
     out_b: str,
-    max_bucket: int = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Shared bucket-collect pair expansion (minhash LSH / sign-LSH): ONE
     pass over (bucket key, id) rows — a self-join would execute the whole
     upstream signature subplan twice — one shuffle on the bucket key, pairs
     (a < b) expanded in-row per bucket, de-duped across buckets.
 
-    Hot-bucket cap (round-5): a pathological duplicate cluster (10^6
-    copies of one boilerplate page is routine in web crawl) would emit
-    ~n^2/2 pairs from ONE bucket — 5*10^11 rows out of a single task.
-    Buckets above ``max_bucket`` ids switch to STAR expansion: every id
+    Hot-bucket cap: a pathological duplicate cluster (10^6 copies of one
+    boilerplate page is routine in web crawl) would emit ~n^2/2 pairs from
+    ONE bucket — 5*10^11 rows out of a single task. With ``max_bucket``
+    set, buckets above that many ids switch to STAR expansion: every id
     pairs with the bucket-min representative (n-1 pairs). That bounds the
     output at max(max_bucket^2/2, n-1) pairs per bucket while preserving
-    exactly what downstream consumers rely on — connectivity (connected-
-    components clustering and first-claim keep-selection are unchanged,
-    since the star spans the clique) — at the cost of omitting
-    transitive-only pairs inside mega-cliques. The aggregation buffer
-    stays O(n ids) per hot bucket (tens of MB at 10^6 36-byte ids); the
-    streaming first-claim path (lsh_first_claim_keeps) remains the
-    prescribed API when buckets may exceed executor memory."""
+    exactly what connectivity consumers rely on (connected-components
+    clustering and first-claim keep-selection are unchanged, since the
+    star spans the clique) — at the cost of omitting transitive-only
+    pairs inside mega-cliques.
+
+    The default is ``None`` = EXACT all-pairs (round-6, advisor): pair-
+    level consumers that post-verify candidates pairwise (Jaccard
+    rescoring, the all-pairs oracles) silently lose recall under a cap,
+    so capping is an explicit opt-in. Connectivity-only callers
+    (near_dup_clusters) opt in themselves; crawl-scale pair consumers
+    should pass a cap knowingly or use lsh_first_claim_keeps. Either way
+    the aggregation buffer stays O(n ids) per hot bucket (tens of MB at
+    10^6 36-byte ids) — the cap bounds the EMITTED pairs, not the
+    buffer; first-claim remains the prescribed API when buckets may
+    exceed executor memory."""
     buckets = keyed.groupBy(key_col).agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -128,7 +136,10 @@ def bucket_pairs(
             y.alias(out_b),
         ),
     )
-    pair_structs = F.when(n <= F.lit(max_bucket), all_pairs).otherwise(star_pairs)
+    if max_bucket is None:
+        pair_structs = all_pairs
+    else:
+        pair_structs = F.when(n <= F.lit(max_bucket), all_pairs).otherwise(star_pairs)
     return (
         buckets.where(n > 1)
         .select(F.explode(pair_structs).alias("p"))
@@ -193,16 +204,19 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    max_bucket: int = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
     Plan shape: per-row signature (no shuffle) -> explode bands (k small
     keys/doc) -> self-join on band key -> distinct pairs. The join key is a
     32-char md5; skew only occurs for genuinely repeated content, which is
-    exactly what we want to find — and buckets beyond ``max_bucket`` ids
-    degrade to star expansion (see bucket_pairs) so a mega-clique emits
-    O(n) pairs, not O(n^2).
+    exactly what we want to find. Default output is EXACT all-bucket-pairs
+    (matches the all-pairs oracle; pairwise post-verifiers see full
+    recall); set ``max_bucket`` to degrade mega-clique buckets to star
+    expansion (see bucket_pairs) so they emit O(n) pairs, not O(n^2) —
+    mandatory on adversarial crawl corpora, where connectivity consumers
+    lose nothing but pair-level recall inside capped cliques drops.
     """
     rows = k // bands
     # fan the compute-heavy signature stage out across cores — but only on
@@ -736,13 +750,22 @@ def near_dup_clusters(
     k: int = 16,
     bands: int = 8,
     shingle_k: int = 2,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs -> connected components -> cluster table
     (id, cluster_id, is_representative): the standard large-scale near-dup
     dedup pipeline (candidates are transitive — a~b and b~c cluster a,b,c
     even when a,c share no band). Filtering to is_representative gives the
-    deduplicated keep-list."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k)
+    deduplicated keep-list.
+
+    This consumer needs only CONNECTIVITY, which star expansion preserves
+    exactly, so it opts into the hot-bucket cap by default (a mega-clique
+    contributes O(n) edges instead of O(n^2) with identical components);
+    pass max_bucket=None to force exact pair expansion."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
     return connected_components(pairs, df, id_col)
 
 

@@ -338,27 +338,39 @@ def probe_media(blob: bytes) -> dict | None:
                     "brand": blob[8:12].decode("ascii", "replace")}
 
             def walk(start: int, end: int, want: bytes):
+                # returns (payload_start, payload_end) of the first `want`
+                # box; handles the two alternate size encodings real-world
+                # MP4s use — size==1 (64-bit largesize follows the type)
+                # and size==0 (box extends to end of container)
                 pos = start
                 while pos + 8 <= end:
                     size = _struct.unpack_from(">I", blob, pos)[0]
                     typ = blob[pos + 4 : pos + 8]
-                    if size < 8:
+                    hdr = 8
+                    if size == 1:
+                        if pos + 16 > end:
+                            return None
+                        size = _struct.unpack_from(">Q", blob, pos + 8)[0]
+                        hdr = 16
+                    elif size == 0:
+                        size = end - pos
+                    if size < hdr:
                         return None
                     if typ == want:
-                        return pos
+                        return (pos + hdr, pos + min(size, end - pos))
                     pos += size
                 return None
 
             moov = walk(0, len(blob), b"moov")
             if moov is not None:
-                size = _struct.unpack_from(">I", blob, moov)[0]
-                mvhd = walk(moov + 8, moov + size, b"mvhd")
+                mvhd = walk(moov[0], moov[1], b"mvhd")
                 if mvhd is not None:
-                    ver = blob[mvhd + 8]
+                    p = mvhd[0]  # fullbox payload: version(1) + flags(3)
+                    ver = blob[p]
                     if ver == 1:
-                        scale, dur = _struct.unpack_from(">IQ", blob, mvhd + 28)
+                        scale, dur = _struct.unpack_from(">IQ", blob, p + 20)
                     else:
-                        scale, dur = _struct.unpack_from(">II", blob, mvhd + 20)
+                        scale, dur = _struct.unpack_from(">II", blob, p + 12)
                     if scale:
                         meta.update(timescale=scale,
                                     duration_ms=dur * 1000 // scale)

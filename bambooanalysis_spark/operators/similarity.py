@@ -139,6 +139,7 @@ def near_dup_pairs_cosine(
     rows_per_band: int = 8,
     dim: int = 64,
     exact: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold.
 
@@ -198,7 +199,11 @@ def near_dup_pairs_cosine(
         # expensive) exact rescoring join
         from .dedup import bucket_pairs
 
-        pairs = bucket_pairs(banded, "band_key", "__id", "id_a", "id_b")
+        # default exact all-bucket-pairs (rescoring wants full recall);
+        # max_bucket opts mega-clique buckets into star expansion at scale
+        pairs = bucket_pairs(
+            banded, "band_key", "__id", "id_a", "id_b", max_bucket=max_bucket
+        )
         cand = pairs.join(a, "id_a").join(b, "id_b")
     return cand.select(
         "id_a",

@@ -354,7 +354,9 @@ def strip_html(text: Column) -> Column:
     non-greedy), strip remaining tags, decode the common entities,
     collapse whitespace. Pure Column regexps (Java regex on the Spark
     side; every pattern avoids backreferences so the RE2-based DuckDB
-    oracle evaluates them identically)."""
+    oracle evaluates them identically — including the whitespace class,
+    spelled explicitly as [ \\t\\n\\r\\f] because Java \\s includes
+    \\x0B vertical tab while RE2 \\s does not)."""
     t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
@@ -363,4 +365,4 @@ def strip_html(text: Column) -> Column:
         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
     ):
         t = F.regexp_replace(t, ent, rep)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(F.regexp_replace(t, r"[ \t\n\r\f]+", " "))

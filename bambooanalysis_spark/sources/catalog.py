@@ -150,11 +150,15 @@ def validate_catalog(catalog: "Catalog", tree: str | None = None) -> dict[str, l
                 if not ok and want_tree and "/" in want_tree:
                     d, base = want_tree.rsplit("/", 1)
                     ok = base in trees and d in key_names
-                if want_tree and trees and not ok:
+                if want_tree and not ok:
+                    # a file declaring NO trees at all (histogram-only or
+                    # wrong file) is just as unrunnable as one declaring
+                    # the wrong tree — distinct message, same severity
+                    found = sorted(t for t in trees if t)
                     flag(
                         name,
                         f"tree {want_tree!r} not declared in {path} "
-                        f"(found: {sorted(t for t in trees if t)})",
+                        + (f"(found: {found})" if found else "(no trees found)"),
                     )
             else:
                 try:

@@ -182,6 +182,39 @@ def test_validate_catalog_header_level(tmp_path):
     assert any("not declared" in p for p in probs2["wrong_tree"])
 
 
+def test_validate_catalog_treeless_root_file(tmp_path):
+    """Round-6 (advisor): a ROOT file declaring NO trees at all
+    (histogram-only or wrong file) must be flagged when a tree is
+    requested — previously it passed tree validation silently."""
+    import struct
+
+    from bambooanalysis_spark.sources import minroot as mr
+    from bambooanalysis_spark.sources.catalog import parse_catalog, validate_catalog
+
+    # hand-lay a valid header + a single non-tree key (a histogram)
+    path = str(tmp_path / "histsonly.root")
+    out = bytearray(b"\x00" * mr.FBEGIN)
+    out += mr._pack_key("TH1F", "h_pt", "a histogram", mr.FBEGIN, b"\x00" * 16)
+    fend = len(out)
+    header = mr.MAGIC + struct.pack(
+        ">iiiiiiiBiii", mr._FILE_VERSION, mr.FBEGIN, fend, fend, 0, 0, 0, 4, 0, 0, 0
+    )
+    header += struct.pack(">h", 1) + b"\x00" * 16
+    out[: len(header)] = header
+    open(path, "wb").write(bytes(out))
+
+    info = mr.sniff_file(path)
+    assert not info["trees"] and not info["branches"]  # precondition
+
+    cat = parse_catalog({
+        "tree": "myana/mytree",
+        "eras": {"e": {"luminosity": 1.0}},
+        "samples": {"hists": {"era": "e", "files": [path]}},
+    })
+    probs = validate_catalog(cat)
+    assert any("no trees found" in p for p in probs.get("hists", []))
+
+
 def test_write_histograms_pdf_empty_slice_schema(spark, tmp_path):
     """Review fix: an empty per-sample aggregate slice must still write a
     Spark-readable parquet (object columns as string, not null type)."""

@@ -2019,6 +2019,83 @@ def test_bucket_pairs_hot_bucket_star_cap(spark):
     assert exact == {(a, b) for a in range(10) for b in range(a + 1, 10)}
 
 
+def test_bucket_pairs_default_is_exact(spark):
+    """Round-6 (advisor): the hot-bucket cap is opt-in. With no
+    max_bucket argument, a clique LARGER than the old 4096 default...
+    is impractical here, so assert the mechanism directly: default None
+    emits full n-choose-2 on a planted clique that a 64-cap would star,
+    i.e. pair-level consumers see exact recall unless they opt in."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    n = 120
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame([Row(doc_id=i, text=base) for i in range(n)])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", k=16, bands=8).collect()
+    }
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+    # connectivity consumer still opts into the cap by default: same
+    # clique clusters identically under near_dup_clusters either way
+    clusters = D.near_dup_clusters(df, "doc_id", "text").collect()
+    assert {r["cluster_id"] for r in clusters} == {0}
+    assert sum(r["is_representative"] for r in clusters) == 1
+
+
+def test_probe_media_bmff_alt_size_encodings():
+    """Round-6 (advisor): ISO-BMFF boxes using size==1 (64-bit largesize)
+    or size==0 (extends to end of file) must still yield moov/mvhd
+    duration metadata — real-world MP4s use both encodings."""
+    import struct
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    mvhd = b"\x00" * 4 + struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 5500)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+
+    # moov with size==1: 16-byte header (size=1, type, 64-bit largesize)
+    moov_large = (
+        struct.pack(">I", 1) + b"moov"
+        + struct.pack(">Q", 16 + len(mvhd_box)) + mvhd_box
+    )
+    got = M.probe_media(ftyp + moov_large)
+    assert got["format"] == "mp4" and got["duration_ms"] == 5500
+
+    # moov with size==0: box extends to end of buffer
+    moov_eof = struct.pack(">I", 0) + b"moov" + mvhd_box
+    got = M.probe_media(ftyp + moov_eof)
+    assert got["format"] == "mp4" and got["duration_ms"] == 5500
+
+    # a free box BEFORE moov also using size==0 would swallow moov — but
+    # size==0 is only legal on the LAST top-level box, so walking past it
+    # correctly terminates; probe still returns the format
+    got = M.probe_media(ftyp + struct.pack(">I", 0) + b"free" + moov_eof)
+    assert got["format"] == "mp4" and "duration_ms" not in got
+
+
+def test_strip_html_vertical_tab_matches_re2(spark):
+    """Round-6 (advisor): the whitespace-collapse class is spelled
+    explicitly ([ \\t\\n\\r\\f]) because Java \\s includes \\x0B while
+    RE2 \\s does not; a document containing a vertical tab must keep it
+    (what the DuckDB oracle computes) rather than collapse it."""
+    import duckdb
+
+    from bambooanalysis_spark.operators.text import strip_html
+
+    raw = "a \x0b b   c\t\nd"
+    got = (
+        spark.createDataFrame([Row(t=raw)])
+        .select(strip_html(F.col("t")).alias("s"))
+        .collect()[0]["s"]
+    )
+    want = duckdb.execute(
+        "SELECT trim(regexp_replace(?, '[ \\t\\n\\r\\f]+', ' ', 'g'))", [raw]
+    ).fetchone()[0]
+    assert got == want == "a \x0b b c d"
+
+
 def test_png_roundtrip_and_filters(spark):
     """Pure-stdlib PNG codec (round-5 de-stub): encode_png -> decode_image
     round-trips RGB pixels exactly, and the decoder undoes every filter

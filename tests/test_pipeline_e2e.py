@@ -27,6 +27,30 @@ from bambooanalysis_spark.sources.catalog import parse_catalog
 
 ORDER = ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
 
+
+def test_row_changing_classifier(spark, sf_small):
+    """Round-6 (advisor): the fused-counter guard must catch EVERY
+    row-count-changing node an analysis could add — including Generate
+    (explode), Union, and Expand (rollup/cube), which the original
+    substring list missed — while mask-style column adds (the contract
+    shape every registered analysis follows) stay on the fused path."""
+    from bambooanalysis_spark.driver import _n_row_changing
+
+    df = build_hep_events(spark, sf_small)
+    base = _n_row_changing(df)
+
+    # contract-conformant shapes: no new row-changing nodes
+    assert _n_row_changing(df.withColumn("m", F.col("event_id") % 2 == 0)) == base
+    assert _n_row_changing(df.select("*", F.lit(1).alias("w"))) == base
+
+    # row-changing shapes an analysis could sneak in
+    assert _n_row_changing(df.withColumn("j", F.explode("muon"))) > base
+    assert _n_row_changing(df.unionByName(df)) > base
+    assert _n_row_changing(df.rollup("event_id").count()) > base
+    assert _n_row_changing(df.where(F.col("event_id") > 0)) > base
+    assert _n_row_changing(df.limit(5)) > base
+    assert _n_row_changing(df.dropDuplicates(["event_id"])) > base
+
 CATALOG = {
     "eras": {"HL-LHC": {"luminosity": 3000000}},
     "samples": {
