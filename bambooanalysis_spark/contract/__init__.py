@@ -86,3 +86,4 @@ from . import relational  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import approx  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401

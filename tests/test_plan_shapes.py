@@ -483,3 +483,35 @@ def test_topk_windows_get_group_limit_pushdown(spark, sf_oracle):
             .toString()
         )
         assert plan.count("WindowGroupLimit") >= 2, name
+
+
+def test_tpch_shapes_round6(spark, sf_oracle):
+    """Round-6 TPC-H-shape family: the plan properties each query's
+    docstring claims must be visible in the executed plan."""
+    from bambooanalysis_spark.contract import QUERIES
+
+    # Q2 shape: window min-per-group, NOT a derived-frame self-join — the
+    # lineitem scan must appear exactly once
+    plan = _plan(QUERIES["rel_min_cost_supplier"](spark, sf_oracle))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan and "SortMergeJoin" not in plan
+
+    # Q18 shape: top-100 is TakeOrdered, never a global sort
+    plan = _plan(QUERIES["rel_large_volume_customers"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+    # Q14 shape: part dimension broadcasts; the CASE and the total ride
+    # ONE aggregate (no second scan of lineitem)
+    plan = _plan(QUERIES["rel_promo_revenue"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+    # Q17 shape: per-part aggregate broadcast back into the join
+    plan = _plan(QUERIES["rel_small_qty_revenue"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+
+    # Q22 shape: date filter pushed into the orders scan feeding the
+    # anti-join; scalar aggregate is a broadcast (1-row) join
+    plan = _plan(QUERIES["rel_idle_rich_customers"](spark, sf_oracle))
+    assert "PushedFilters: [GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
