@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import read_table, register
-from .extensions import _emb, q_ann_ivf_topk, q_ann_lsh_topk
+from .extensions import _D_TOKENS, _emb, q_ann_ivf_topk, q_ann_lsh_topk
 from .relational import q_sketch_approx_distinct
 
 
@@ -1547,3 +1547,69 @@ register(
     q_pretrain_fuzzy_decontamination,
     _oracle_fuzzy_decontamination(),
 )
+
+
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/lm.py): train a Laplace-
+    smoothed bigram LM on the 80% training slice (doc_id % 10 < 8), score
+    the held-out 20% — per held-out doc the bigram count, OOV-bigram
+    count, and the exact e6 fixed-point smoothed-probability floor-mean.
+    The float perplexity columns the operator also emits are transcendental
+    and unit-tested against plain Python instead (test_lm_perplexity_*);
+    this query carries the engine-exact integer surface."""
+    from ..operators.lm import score_bigram_lm, train_bigram_lm
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs.where(F.col("doc_id") % 10 < 8))
+    held_out = docs.where(F.col("doc_id") % 10 >= 8)
+    return (
+        score_bigram_lm(held_out, model)
+        .select("doc_id", "n_bigrams", "n_oov_bigrams", "lm_score_e6")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_LM_QUALITY = f"""
+WITH train AS (
+    SELECT {_D_TOKENS.format(t='text')} AS toks FROM documents
+    WHERE doc_id % 10 < 8
+),
+tb AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> [toks[i], toks[i + 1]])) AS pr
+    FROM train WHERE len(toks) >= 2
+),
+cbg AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c12 FROM tb GROUP BY 1, 2),
+cpre AS (SELECT pr[1] AS w1, COUNT(*) AS c1 FROM tb GROUP BY 1),
+voc AS (
+    SELECT COUNT(DISTINCT tok) AS v
+    FROM (SELECT unnest(toks) AS tok FROM train)
+),
+held AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM documents
+    WHERE doc_id % 10 >= 8
+),
+ab AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> [toks[i], toks[i + 1]])) AS pr
+    FROM held WHERE len(toks) >= 2
+),
+j AS (
+    SELECT ab.doc_id, cbg.c12, cpre.c1, voc.v
+    FROM ab
+    LEFT JOIN cbg ON ab.pr[1] = cbg.w1 AND ab.pr[2] = cbg.w2
+    LEFT JOIN cpre ON ab.pr[1] = cpre.w1
+    CROSS JOIN voc
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_bigrams,
+       CAST(SUM((COALESCE(c12, 0) + 1) * 1000000 // (COALESCE(c1, 0) + v))
+            // COUNT(*) AS BIGINT) AS lm_score_e6
+FROM j GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+register("text_lm_quality", q_text_lm_quality, ORACLE_TEXT_LM_QUALITY)

@@ -69,6 +69,10 @@ def _headline():
         # gap-filled time-series resampling (1.05M-row hourly grid at sf0.1)
         "bm25_topk": ca.q_retrieval_bm25_topk,
         "resample_ffill": ce.q_events_resample_ffill,
+        # round-6 additions: the Q7-shape 6-relation join-reordering
+        # stress and the CCNet-style train/apply bigram-LM quality scorer
+        "volume_shipping": ca.q_rel_volume_shipping,
+        "lm_quality": ca.q_text_lm_quality,
     }
 
 

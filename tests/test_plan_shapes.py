@@ -515,3 +515,16 @@ def test_tpch_shapes_round6(spark, sf_oracle):
     plan = _plan(QUERIES["rel_idle_rich_customers"](spark, sf_oracle))
     assert "PushedFilters: [GreaterThanOrEqual(o_orderdate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_scoring_plan_shape(spark, sf_oracle):
+    """LM scoring (round-6): model tables broadcast at this scale, the
+    vocab size is a 1-row broadcast, and nothing degrades to a sort-merge
+    join or a data-sized cartesian."""
+    from bambooanalysis_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["text_lm_quality"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only nested-loop join is the 1-row vocab-size broadcast
+    assert plan.count("CartesianProduct") == 0

@@ -1144,3 +1144,59 @@ def test_asof_join_null_payload_is_atomic(spark):
         salt_interval="1 hour",
     ).collect()[0]
     assert (row_s.a, row_s.b) == (None, 7)
+
+
+def test_lm_perplexity_matches_python_reference(spark):
+    """operators/lm.py float surface: Laplace-smoothed bigram log-prob and
+    perplexity must match a plain-Python reimplementation to 1e-12, and
+    the exact integer columns must match it EXACTLY (train/apply split,
+    unseen bigram and unseen prefix both exercised)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.lm import score_bigram_lm, train_bigram_lm
+
+    train = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat"),
+    ]
+    apply_ = [
+        (10, "the cat sat"),        # all bigrams seen
+        (11, "the dog sat quietly"),  # unseen bigrams, seen + unseen prefix
+        (12, "zebra"),               # single token: no bigrams -> absent
+    ]
+    tdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in train])
+    adf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in apply_])
+    model = train_bigram_lm(tdf)
+    got = {r["doc_id"]: r for r in score_bigram_lm(adf, model).collect()}
+
+    # plain-Python reference
+    c12, c1, vocab = {}, {}, set()
+    for _, t in train:
+        toks = t.split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+    assert 12 not in got  # single-token doc contributes no bigrams
+    for doc_id, t in apply_[:2]:
+        toks = t.split()
+        pairs = list(zip(toks, toks[1:]))
+        nll, p_e6s, oov = [], [], 0
+        for a, b in pairs:
+            n, d = c12.get((a, b), 0) + 1, c1.get(a, 0) + V
+            if (a, b) not in c12:
+                oov += 1
+            nll.append(-math.log(n / d))
+            p_e6s.append(n * 1000000 // d)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert r["n_oov_bigrams"] == oov
+        assert r["lm_score_e6"] == sum(p_e6s) // len(pairs)
+        assert r["avg_logprob"] == pytest.approx(-sum(nll) / len(nll), rel=1e-12)
+        assert r["perplexity"] == pytest.approx(
+            math.exp(sum(nll) / len(nll)), rel=1e-12
+        )
