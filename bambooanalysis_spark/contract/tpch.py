@@ -2,7 +2,8 @@
 not yet represented in the contract — outer-join distributions (Q13),
 conditional-aggregate ratios (Q14), scalar-max subqueries (Q15), nested
 correlated-average predicates (Q17), having + join-back (Q18), min-per-
-group decorrelation (Q2), and scalar-avg + anti-join (Q22). The testdata
+group decorrelation (Q2), scalar-avg + anti-join (Q22), EXISTS
+decorrelation (Q4), and NOT IN + count-distinct (Q16). The testdata
 schema lacks partsupp/phone/comment/commitdate, so each query keeps the
 SHAPE (the operator/decorrelation pattern Catalyst must plan) on the
 columns that exist; reference parity is at the capability level
@@ -411,6 +412,78 @@ ORDER BY c_nationkey
 """
 
 
+def q_rel_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelation: orders in a quarter having
+    at least one returned lineitem, counted per priority. The correlated
+    EXISTS becomes a left-semi join whose build side is the distinct
+    qualifying orderkeys; the date filter is pushed into the orders scan
+    and the returnflag filter into the lineitem scan, so the semi-join
+    sees two pre-shrunk inputs."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_REL_PRIORITY_ORDER_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_rel_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN + COUNT(DISTINCT): how many distinct
+    suppliers ship each (brand, type, size) part class, excluding one
+    brand and excluding negative-balance suppliers via an anti-join (the
+    NOT IN decorrelation; the excluded-supplier list is tiny and
+    broadcasts). The count-distinct runs on the post-join projection of
+    three grouping columns + suppkey — nothing wider survives pruning."""
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20)
+    )
+    bad_sup = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(bad_sup, li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_REL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1' AND p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 register(
     "rel_customer_distribution",
     q_rel_customer_distribution,
@@ -433,4 +506,14 @@ register(
     "rel_idle_rich_customers",
     q_rel_idle_rich_customers,
     ORACLE_REL_IDLE_RICH_CUSTOMERS,
+)
+register(
+    "rel_priority_order_check",
+    q_rel_priority_order_check,
+    ORACLE_REL_PRIORITY_ORDER_CHECK,
+)
+register(
+    "rel_supplier_part_counts",
+    q_rel_supplier_part_counts,
+    ORACLE_REL_SUPPLIER_PART_COUNTS,
 )

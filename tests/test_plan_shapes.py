@@ -528,3 +528,17 @@ def test_lm_scoring_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in plan
     # the only nested-loop join is the 1-row vocab-size broadcast
     assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q4_q16_plan_shapes(spark, sf_oracle):
+    """Q4 EXISTS -> semi-join with both scans pre-filtered; Q16 NOT IN ->
+    anti-join with the tiny excluded-supplier list broadcast."""
+    from bambooanalysis_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["rel_priority_order_check"](spark, sf_oracle))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [EqualTo(l_returnflag,R)" in plan
+    assert "PushedFilters: [GreaterThanOrEqual(o_orderdate" in plan
+
+    plan = _plan(QUERIES["rel_supplier_part_counts"](spark, sf_oracle))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
