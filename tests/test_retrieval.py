@@ -1200,3 +1200,44 @@ def test_lm_perplexity_matches_python_reference(spark):
         assert r["perplexity"] == pytest.approx(
             math.exp(sum(nll) / len(nll)), rel=1e-12
         )
+
+
+def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
+    """LM model serving in Structured Streaming: the trained bigram model
+    (three static DataFrames) scores a streaming doc feed via stream-
+    static joins + a per-doc aggregation, and the result matches the
+    batch scorer row-for-row — the shape of a continuous-ingestion
+    quality gate backed by a periodically retrained model."""
+    from pyspark.sql import Row
+
+    from bambooanalysis_spark.operators.lm import score_bigram_lm, train_bigram_lm
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    apply_ = docs.where(F.col("doc_id") % 5 == 0).limit(100)
+    model = train_bigram_lm(train)
+    # model tables must be static snapshots for the stream-static join:
+    # persist them (a real deployment writes them as parquet)
+    model = type(model)(*[d.localCheckpoint() for d in model])
+
+    expect = {
+        (r["doc_id"], r["n_bigrams"], r["n_oov_bigrams"], r["lm_score_e6"])
+        for r in score_bigram_lm(apply_, model).collect()
+    }
+
+    src = str(tmp_path / "doc_stream")
+    apply_.write.parquet(src)
+    stream = spark.readStream.schema(apply_.schema).parquet(src)
+    out = score_bigram_lm(stream, model).select(
+        "doc_id", "n_bigrams", "n_oov_bigrams", "lm_score_e6"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("lm_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM lm_stream").collect()}
+    assert got == expect and got
