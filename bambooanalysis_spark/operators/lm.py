@@ -76,6 +76,27 @@ def train_bigram_lm(
     return BigramLM(cbg, cpre, vocab)
 
 
+def save_bigram_lm(model: BigramLM, path: str) -> None:
+    """Persist the model as three parquet tables under ``path`` — the
+    serialized form for scoring later batches/streams without retraining
+    (the persisted-index lifecycle, same as the IVF-PQ ANN index:
+    build once on the training slice, serve many times). Overwrites."""
+    model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    model.prefixes.write.mode("overwrite").parquet(f"{path}/prefixes")
+    model.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    """Load a model written by save_bigram_lm. The tables come back as
+    plain parquet scans — static snapshots, directly usable as the static
+    side of a streaming quality gate."""
+    return BigramLM(
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/prefixes"),
+        spark.read.parquet(f"{path}/vocab"),
+    )
+
+
 def score_bigram_lm(
     docs: DataFrame,
     model: BigramLM,

@@ -1241,3 +1241,28 @@ def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM lm_stream").collect()}
     assert got == expect and got
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    """Persisted-model lifecycle: save -> load -> scores identical to the
+    in-memory model."""
+    from bambooanalysis_spark.operators.lm import (
+        load_bigram_lm,
+        save_bigram_lm,
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    model = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    held = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lm_model")
+    save_bigram_lm(model, path)
+    loaded = load_bigram_lm(spark, path)
+    cols = ["doc_id", "n_bigrams", "n_oov_bigrams", "lm_score_e6"]
+    a = {tuple(r) for r in score_bigram_lm(held, model).select(cols).collect()}
+    b = {tuple(r) for r in score_bigram_lm(held, loaded).select(cols).collect()}
+    assert a == b and a
