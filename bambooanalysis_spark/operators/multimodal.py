@@ -57,18 +57,26 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     rows; PNG: chunk walk, zlib-inflated IDAT, per-scanline unfiltering
     per RFC 2083 §6). Returns (width, height, row-major top-down
     [(r, g, b), ...]); PNG alpha is dropped, gray/palette expanded to RGB.
-    Remaining formats (JPEG entropy decode, 16-bit/interlaced PNG) need a
-    real library (PIL/cv2, unavailable in this environment) and raise
+    Round 6 adds baseline JPEG (operators/jpegcodec.py: full huffman
+    entropy decode + numpy IDCT, generic 4:4:4/4:2:0/4:2:2/grayscale
+    sampling, restart markers) — lossy, so JPEG-decoded pixels feed
+    PSNR-bounded tests rather than bit-exact oracles. Remaining formats
+    (progressive JPEG, 16-bit/interlaced PNG, WebP/video) need a real
+    library (PIL/cv2, unavailable in this environment) and raise
     NotImplementedError; tests fall back to fake_decode_meta for those,
     and probe_media still reads their header metadata."""
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     if blob[:8] == _PNG_MAGIC:
         return _decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        from bambooanalysis_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode "
-        "stdlib-side; other formats require a codec library (use "
-        "fake_decode_meta for the deterministic test path)"
+        "only BMP/PNG/baseline-JPEG decode stdlib-side; other formats "
+        "require a codec library (use fake_decode_meta for the "
+        "deterministic test path)"
     )
 
 

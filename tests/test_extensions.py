@@ -1941,13 +1941,15 @@ def test_bmp_decode_real_bytes_through_arrow_stage(spark):
     rb = M.extract_image_meta(bad).collect()[0]
     assert rb.real_decode is False
 
-    # PNG decodes for real since round 5, so PNG-magic garbage is now a
-    # ValueError (malformed), and the NotImplementedError boundary moved
-    # to genuinely library-needing formats (JPEG entropy decode)
+    # PNG decodes for real since round 5 and baseline JPEG since round 6,
+    # so magic-prefixed garbage is a ValueError (malformed) for both; the
+    # NotImplementedError boundary is now progressive JPEG / WebP / video
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_ivf_pq_index_append_matches_full_build(spark, sf_oracle, tmp_path):
@@ -2171,6 +2173,118 @@ def test_png_roundtrip_and_filters(spark):
            + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="16"):
         M.decode_image(bad)
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    x = np.asarray(a, dtype=float)
+    y = np.asarray(b, dtype=float)
+    mse = ((x - y) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _jpeg_gradient(w, h):
+    return [((x * 255) // max(w - 1, 1), (y * 255) // max(h - 1, 1),
+             ((x + y) * 255) // max(w + h - 2, 1))
+            for y in range(h) for x in range(w)]
+
+
+def test_jpeg_baseline_roundtrip_444_and_420():
+    """Round-6 de-stub: pure Python+numpy baseline JPEG (T.81) encoder ->
+    decode_image round-trips a smooth gradient above standard PSNR floors
+    (JPEG is lossy, so the bound is fidelity, not bit-equality), at both
+    4:4:4 and box-filtered 4:2:0, including MCU-unaligned dimensions."""
+    from bambooanalysis_spark.operators import jpegcodec as J
+    from bambooanalysis_spark.operators import multimodal as M
+
+    w, h = 43, 21  # deliberately not multiples of 8 / 16
+    px = _jpeg_gradient(w, h)
+    for sub, floor in (("444", 40.0), ("420", 33.0)):
+        blob = J.encode_jpeg(w, h, px, quality=90, subsampling=sub)
+        w2, h2, out = M.decode_image(blob)
+        assert (w2, h2) == (w, h)
+        assert _psnr(px, out) > floor, (sub, _psnr(px, out))
+
+    # flat color survives exactly (DC-only blocks, no ringing)
+    flat = [(100, 150, 200)] * (16 * 16)
+    _, _, out = M.decode_image(J.encode_jpeg(16, 16, flat, quality=90))
+    assert _psnr(flat, out) > 55
+
+
+def test_jpeg_restart_markers_and_grayscale():
+    """DRI/RSTn round-trip decodes pixel-identically to the same image
+    without restarts (predictor resets change the bitstream, never the
+    dequantized coefficients); grayscale single-component frames expand
+    to equal RGB triples."""
+    from bambooanalysis_spark.operators import jpegcodec as J
+
+    w, h = 40, 24
+    px = _jpeg_gradient(w, h)
+    plain = J.decode_jpeg(J.encode_jpeg(w, h, px, quality=85))
+    rst = J.decode_jpeg(J.encode_jpeg(w, h, px, quality=85, restart_interval=2))
+    assert plain == rst
+
+    _, _, gray = J.decode_jpeg(J.encode_jpeg(w, h, px, subsampling="gray"))
+    assert all(r == g == b for r, g, b in gray)
+    lum = [min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+           for r, g, b in px]
+    assert _psnr([(v, v, v) for v in lum], gray) > 40
+
+
+def test_jpeg_decoder_boundaries():
+    """Progressive (SOF2) raises NotImplementedError naming the limit;
+    truncated entropy data and missing tables raise ValueError; the
+    encoder's output parses under the existing header-level probe."""
+    import struct
+
+    import pytest as _pytest
+
+    from bambooanalysis_spark.operators import jpegcodec as J
+    from bambooanalysis_spark.operators import multimodal as M
+
+    progressive = (b"\xff\xd8"
+                   + b"\xff\xc2" + struct.pack(">H", 11)
+                   + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        J.decode_jpeg(progressive)
+
+    blob = J.encode_jpeg(16, 16, [(9, 99, 199)] * 256, quality=75)
+    assert M.probe_media(blob) == {
+        "format": "jpeg", "width": 16, "height": 16,
+        "bit_depth": 8, "channels": 3}
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(blob[:len(blob) // 2])  # truncated mid-stream
+
+    # extract_image_meta flips real_decode on for JPEG blobs now
+    import numpy as np
+
+    means = np.asarray([(9, 99, 199)] * 256, dtype=float).mean(axis=0)
+    w2, h2, out = J.decode_jpeg(blob)
+    got = np.asarray(out, dtype=float).mean(axis=0)
+    assert np.abs(got - means).max() < 2.0
+
+
+def test_jpeg_image_meta_spark_stage(spark):
+    """The Arrow-batched extract_image_meta stage decodes JPEG blobs for
+    real (real_decode=true, true dims and channel means) next to BMP/PNG
+    rows in the same batch."""
+    from bambooanalysis_spark.operators import jpegcodec as J
+    from bambooanalysis_spark.operators import multimodal as M
+
+    px = [(200, 40, 90)] * (24 * 8)
+    rows = [
+        (1, bytearray(J.encode_jpeg(24, 8, px, quality=90))),
+        (2, bytearray(M.encode_bmp24(24, 8, px))),
+        (3, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),  # undecodable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in M.extract_image_meta(df).collect()}
+    assert got[1].real_decode and got[2].real_decode and not got[3].real_decode
+    assert (got[1].width, got[1].height) == (24, 8)
+    # lossy vs lossless agree to ~2 units of channel mean (1e4 fixed point)
+    for ch in ("mean_r_e4", "mean_g_e4", "mean_b_e4"):
+        assert abs(getattr(got[1], ch) - getattr(got[2], ch)) < 2 * 10000
 
 
 def test_probe_media_formats():
