@@ -109,7 +109,9 @@ def bucket_pairs(
     The default is ``None`` = EXACT all-pairs (round-6, advisor): pair-
     level consumers that post-verify candidates pairwise (Jaccard
     rescoring, the all-pairs oracles) silently lose recall under a cap,
-    so capping is an explicit opt-in. Connectivity-only callers
+    so capping is an explicit opt-in. ``max_bucket=1`` star-expands EVERY
+    bucket — the connectivity-consumer setting (components unchanged,
+    O(n) edges per bucket; §32 measured 13.7x on 100x-scale clustering). Connectivity-only callers
     (near_dup_clusters) opt in themselves; crawl-scale pair consumers
     should pass a cap knowingly or use lsh_first_claim_keeps. Either way
     the aggregation buffer stays O(n ids) per hot bucket (tens of MB at
@@ -750,7 +752,7 @@ def near_dup_clusters(
     k: int = 16,
     bands: int = 8,
     shingle_k: int = 2,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs -> connected components -> cluster table
     (id, cluster_id, is_representative): the standard large-scale near-dup
@@ -759,9 +761,17 @@ def near_dup_clusters(
     deduplicated keep-list.
 
     This consumer needs only CONNECTIVITY, which star expansion preserves
-    exactly, so it opts into the hot-bucket cap by default (a mega-clique
-    contributes O(n) edges instead of O(n^2) with identical components);
-    pass max_bucket=None to force exact pair expansion."""
+    exactly — a bucket's star (every id paired with the bucket-min) spans
+    the same component as its clique — so the default is ``max_bucket=1``:
+    star-expand EVERY bucket, O(n) edges per bucket instead of O(n^2).
+    Round-6 measurement (PERFORMANCE.md §32): at 100x (500k docs whose
+    near-dup families hold ~100 members) the previous default of starring
+    only >4096-id buckets still emitted ~200M pre-distinct pair rows from
+    the ~100-id buckets below the cap, putting 905 s into pair expansion +
+    distinct + CC joins; star-everywhere runs the same query in 66 s
+    (13.7x) with an identical cluster table. Pass a larger cap to keep
+    exact pairs for small buckets, or None to force exact expansion
+    everywhere."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k,
         max_bucket=max_bucket,

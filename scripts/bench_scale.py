@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""100x scale rehearsal (round-6): run the headline bench entries at an
+N-fold fixture (default .scale/sf10 = 100x the sf0.1 driver fixture,
+built by make_scale_data.py) and emit one JSON line shaped like bench.py's
+sf1 section, for PERFORMANCE.md's sf0.1 -> sf1 -> sf10 scaling table.
+
+Protocol: one timed execution per query after a global session warm-up —
+NOT the per-query warm-up + best-of-n of the standing bench. At this size
+a per-query warm-up doubles a ~7-minute pass for fidelity a scaling-trend
+readout does not need; treat single-run entries as +/-15% (PERFORMANCE.md
+§27) and re-pin anything surprising at n>=3 before drawing conclusions.
+
+Exclusions, by design rather than omission (logged in the JSON):
+- dedup_jaccard / dedup_minhash_lsh: EXACT all-pairs enumeration — the
+  OUTPUT is what grows superlinearly (§23/§26: output-bound, not
+  plan-bound). At 100x the correct production path is the capped/cluster
+  one, benched here as dedup_clusters_capped (near_dup_clusters +
+  lsh_first_claim_keeps, star-capped buckets, §30).
+
+Run SOLO (concurrent Spark sessions fake 1.4-2x regressions, §28).
+Usage: python scripts/bench_scale.py [dir] [label]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The 8g default heap is an sf0.1 tuning (PERFORMANCE.md: big heaps lose
+# to GC on the wide-codegen passes at small inputs). At 100x the cached
+# hep fixture + 32 concurrent task unrolls OOM an 8g JVM — a real
+# cluster's executors would carry tens of GB each, so the rehearsal gets
+# a heap sized like one (the box has 128 GiB).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+EXCLUDED = {
+    "dedup_jaccard": "exact all-pairs output is quadratic-prone; scale path benched as dedup_clusters_capped",
+    "dedup_minhash_lsh": "exact in-bucket pair enumeration; scale path benched as dedup_clusters_capped",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf10"
+    label = sys.argv[2] if len(sys.argv) > 2 else "sf10"
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        raise SystemExit(f"fixture missing: {sf_dir} (run make_scale_data.py first)")
+
+    import bench
+    from bambooanalysis_spark.contract import extensions as ce
+    from bambooanalysis_spark.session import get_spark
+
+    queries = dict(bench._headline())
+    for k in EXCLUDED:
+        queries.pop(k, None)
+    queries["dedup_clusters_capped"] = ce.q_dedup_near_dup_clusters
+
+    spark = get_spark("bamboo-bench-scale")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # session warm-up
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+        print(f"# {label}/{name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"headline queries at {label} ({sf_dir}), single timed run",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "excluded": EXCLUDED,
+        "dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2045,6 +2045,24 @@ def test_bucket_pairs_default_is_exact(spark):
     assert sum(r["is_representative"] for r in clusters) == 1
 
 
+def test_near_dup_clusters_star_all_matches_exact(spark, sf_oracle):
+    """Round-6 scale fix (PERFORMANCE.md §32): near_dup_clusters defaults
+    to star-expanding EVERY LSH bucket (max_bucket=1). A bucket's star
+    spans the same connected component as its clique, so the cluster table
+    must be row-identical to the exact all-pairs expansion — checked on
+    the real documents fixture (mixed family sizes, transitive chains
+    across bands), not a planted clique."""
+    from bambooanalysis_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    star = D.near_dup_clusters(docs, "doc_id", "text")          # default: 1
+    exact = D.near_dup_clusters(docs, "doc_id", "text", max_bucket=None)
+    key = lambda r: (r["doc_id"], r["cluster_id"], r["is_representative"])
+    srows = sorted(map(key, star.collect()))
+    erows = sorted(map(key, exact.collect()))
+    assert srows == erows and len(srows) > 0
+
+
 def test_probe_media_bmff_alt_size_encodings():
     """Round-6 (advisor): ISO-BMFF boxes using size==1 (64-bit largesize)
     or size==0 (extends to end of file) must still yield moov/mvhd
