@@ -1,0 +1,97 @@
+"""Round-6 scale-path operators: bucketized interval (range-containment)
+joins and distributed PCA over embeddings.
+
+Registered AFTER the driver's 50-slot window (policy in contract/__init__):
+`events_interval_join` carries an exact DuckDB oracle under the in-repo
+gate; `embedding_pca_project` is rows-only by design (eigendecomposition
+is not SQL-expressible) and is bounded by numpy-parity/property tests in
+tests/test_scale_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import read_table, register
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-window attribution: every 50th error event opens a
+    10-minute incident window; count the events, distinct users and
+    purchases landing inside each window.
+
+    The containment join runs through
+    `operators.temporal.interval_join` — the bucketized range-join
+    rewrite (bucket = the max window length, so each interval covers at
+    most 2 buckets) that turns Spark's only native plan for `ts BETWEEN
+    lo AND hi` (BroadcastNestedLoopJoin, O(n*m), driver-OOM once the
+    interval side outgrows the broadcast limit) into a hash-partitionable
+    equi-join on the bucket id. All aggregates are exact integers."""
+    from ..operators.temporal import interval_join
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)  # NTZ/nanos-tolerant events read
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 50 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    joined = interval_join(ev, inc, ts_col="ts", bucket="10 minutes")
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+ORACLE_EVENTS_INTERVAL_JOIN = """
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+  FROM events
+  WHERE event_type = 'error' AND event_id % 50 = 0
+)
+SELECT i.incident_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       MIN(e.event_id) AS min_event_id
+FROM inc i JOIN events e ON e.ts >= i.lo AND e.ts < i.hi
+GROUP BY 1
+"""
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit an 8-component PCA on the embedding table (partial-moments
+    tree-reduce + driver eigh, operators/decomp.py) and project every
+    vector; emit the first two principal coordinates plus the model's
+    explained-variance ratio as fixed columns. Rows-only: the driver
+    checks row count + schema; numeric fidelity is pinned by the numpy
+    parity/property tests."""
+    from ..operators.decomp import pca_fit, pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, vec_col="embedding", k=8)
+    out = pca_project(emb, model, vec_col="embedding", out_col="pc")
+    ratio = model.explained_ratio
+    return out.select(
+        "vec_id",
+        "label",
+        F.element_at("pc", 1).alias("pc1"),
+        F.element_at("pc", 2).alias("pc2"),
+        F.lit(float(ratio[:2].sum())).alias("top2_var_ratio"),
+    )
+
+
+def _register() -> None:
+    register(
+        "events_interval_join", q_events_interval_join, ORACLE_EVENTS_INTERVAL_JOIN
+    )
+    register("embedding_pca_project", q_embedding_pca_project)
+
+
+_register()

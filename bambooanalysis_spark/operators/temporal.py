@@ -461,3 +461,86 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket: str = "1 hour",
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Containment join: each event row pairs with every interval row whose
+    ``[lo, hi)`` half-open range contains its timestamp (plus optional
+    equi-``keys``). The hypertable/range-join primitive behind
+    incident-window attribution, ad-slot matching, and downtime blaming.
+
+    Naively this is a pure theta-join (``ON ts >= lo AND ts < hi``):
+    Spark's only physical strategy for that is BroadcastNestedLoopJoin —
+    every event row tested against EVERY interval, O(|events| x
+    |intervals|) comparisons, and an outright driver OOM once the interval
+    side outgrows the broadcast threshold. This rewrite is the standard
+    bucketized range join (the same trick behind Databricks' range-join
+    hints): pick a bucket width >= the longest interval, give each event
+    its containing bucket, explode each interval to the buckets it
+    overlaps (<= 2 when width >= max interval length), and equi-join on
+    the bucket id (+ ``keys``) before re-applying the exact range
+    predicate. The join becomes hash-partitionable: broadcast when the
+    interval side is small, shuffle-hash/sort-merge — scaling to millions
+    of intervals — when it is not, with AQE free to choose.
+
+    ``bucket`` MUST be >= the longest interval or matches are silently
+    lost; ``validate_bucket=True`` semantics are the caller's (assert via
+    ``intervals.agg(max(hi-lo))`` in tests). Cost note: a too-wide bucket
+    only costs selectivity (more candidate pairs pass the equi-join and
+    die in the range filter), never correctness.
+
+    ``how='inner'`` emits matched pairs; ``'left_events'`` keeps unmatched
+    events with NULL interval columns (attribution with a "no incident"
+    bucket)."""
+    if how not in ("inner", "left_events"):
+        raise ValueError(f"how must be 'inner' or 'left_events', got {how!r}")
+    w_us = _interval_us(bucket)
+    key_cols = list(keys)
+
+    def _bucket_of(us: Column) -> Column:
+        # Floor-division of an epoch-microsecond long by the bucket width,
+        # kept exact: pmod gives the non-negative remainder (floor
+        # semantics even for pre-1970 epochs), and (us - pmod) / w divides
+        # an exact multiple — IEEE-exact because operands and quotient all
+        # fit in 53 bits. A bare `floor(us / w)` risks a wrong bucket when
+        # the double quotient rounds across an integer.
+        return ((us - F.pmod(us, F.lit(w_us))) / F.lit(w_us)).cast("long")
+
+    ev = events.withColumn("__b", _bucket_of(F.unix_micros(F.col(ts_col))))
+    iv = intervals.withColumn(
+        "__bs",
+        F.sequence(
+            _bucket_of(F.unix_micros(F.col(lo_col))),
+            # hi is exclusive: last covered bucket holds hi - 1us. Guard
+            # degenerate hi <= lo intervals (empty range) by clamping the
+            # sequence end to its start; the exact predicate below drops
+            # any survivors.
+            F.greatest(
+                _bucket_of(F.unix_micros(F.col(hi_col)) - 1),
+                _bucket_of(F.unix_micros(F.col(lo_col))),
+            ),
+        ),
+    ).withColumn("__b", F.explode("__bs")).drop("__bs")
+
+    cond = ev["__b"] == iv["__b"]
+    for k in key_cols:
+        cond = cond & (ev[k] == iv[k])
+    cond = cond & (ev[ts_col] >= iv[lo_col]) & (ev[ts_col] < iv[hi_col])
+
+    if how == "inner":
+        out = ev.join(iv, cond, "inner")
+    else:
+        out = ev.join(iv, cond, "left")
+    drop = [iv["__b"], ev["__b"]] + [iv[k] for k in key_cols]
+    for c in drop:
+        out = out.drop(c)
+    return out

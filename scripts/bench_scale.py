@@ -4,11 +4,12 @@ N-fold fixture (default .scale/sf10 = 100x the sf0.1 driver fixture,
 built by make_scale_data.py) and emit one JSON line shaped like bench.py's
 sf1 section, for PERFORMANCE.md's sf0.1 -> sf1 -> sf10 scaling table.
 
-Protocol: one timed execution per query after a global session warm-up —
-NOT the per-query warm-up + best-of-n of the standing bench. At this size
-a per-query warm-up doubles a ~7-minute pass for fidelity a scaling-trend
-readout does not need; treat single-run entries as +/-15% (PERFORMANCE.md
-§27) and re-pin anything surprising at n>=3 before drawing conclusions.
+Protocol: each query runs twice after a global session warm-up — the
+FIRST execution is reported as ``cold`` (it carries the one-time costs a
+production deployment amortizes: fixture cache builds, persisted-index
+builds, JIT), the SECOND as ``queries`` (warm — comparable with the
+standing sf1 pass, which also times after a per-query warm-up). Single
+draws either way: +/-15% (PERFORMANCE.md §27); re-pin surprises at n>=3.
 
 Exclusions, by design rather than omission (logged in the JSON):
 - dedup_jaccard / dedup_minhash_lsh: EXACT all-pairs enumeration — the
@@ -61,20 +62,26 @@ def main() -> None:
     spark = get_spark("bamboo-bench-scale")
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # session warm-up
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
-        print(f"# {label}/{name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm[name]:.3f}s "
+              f"({n} rows)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"headline queries at {label} ({sf_dir}), single timed run",
-        "value": round(sum(timings.values()), 3),
+        "metric": f"headline queries at {label} ({sf_dir}), cold + warm run",
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "cold": cold,
         "rows": rows,
         "excluded": EXCLUDED,
         "dir": sf_dir,
