@@ -87,11 +87,67 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch with an EXACT oracle: int8-quantize
+    (the existing bit-reproducible op), then 8 signed integer
+    projections from a sha256-derived ±1 matrix — the ANN/dedup
+    prefilter that reads 8 longs instead of 64 floats per row. All
+    integer math, whole-stage codegen, no shuffle."""
+    from ..operators.decomp import signed_projection
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return signed_projection(emb, out_dim=8, in_dim=64)
+
+
+def _oracle_random_projection() -> str:
+    from ..operators.decomp import jl_sign_matrix
+
+    from .extensions import _D_QUANT
+
+    signs = jl_sign_matrix(8, 64)
+    cols = ",\n       ".join(
+        "list_aggregate(list_transform(range(1, 65), "
+        f"j -> qvec[j] * ([{', '.join(str(s) for s in signs[i])}])[j]), 'sum') "
+        f"AS rp{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH q AS ({_D_QUANT})
+SELECT vec_id, scale_e9,
+       {cols}
+FROM q
+"""
+
+
+def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch set operations: per-returnflag sketches of
+    the ~10k-distinct l_orderkey sets, then pairwise union/intersection/
+    Jaccard estimates — the mergeable-sketch capability HLL cannot
+    provide (set intersection), at O(k) state per group. Deterministic
+    (xxhash64 order statistics) but not SQL-expressible in DuckDB, so
+    rows-only; error bounded by
+    tests/test_scale_ops.py::test_kmv_error_bounds and the mergeability
+    property by test_kmv_union_merge_property."""
+    from ..operators.retrieval import kmv_set_ops, kmv_sketch
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_orderkey", k=256)
+    a = sk.select(F.col("l_returnflag").alias("flag_a"), "kmv", "m")
+    b = sk.select(F.col("l_returnflag").alias("flag_b"), "kmv", "m")
+    return kmv_set_ops(a, b, k=256).where(F.col("flag_a") < F.col("flag_b"))
+
+
 def _register() -> None:
     register(
         "events_interval_join", q_events_interval_join, ORACLE_EVENTS_INTERVAL_JOIN
     )
     register("embedding_pca_project", q_embedding_pca_project)
+    register(
+        "embedding_random_projection",
+        q_embedding_random_projection,
+        _oracle_random_projection(),
+    )
+    register("sketch_kmv_set_ops", q_sketch_kmv_set_ops)
 
 
 _register()

@@ -152,3 +152,101 @@ def pca_project(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, project(F.col(vec_col).cast("array<double>")))
+
+
+# --- model persistence -------------------------------------------------------
+
+
+def pca_save(spark, model: PCAModel, path: str) -> None:
+    """Persist the model as one tiny parquet (k+1 rows: row -1 is the
+    mean with n in `aux`, rows 0..k-1 the components with their
+    explained variance) — the build-once / serve-many lifecycle, same as
+    the persisted IVF-PQ index. Parquet doubles round-trip bit-exactly,
+    so load == fit to the last ulp."""
+    rows = [(-1, [float(x) for x in model.mean], float(model.n), model.total_var)]
+    for i in range(model.components.shape[0]):
+        rows.append(
+            (
+                i,
+                [float(x) for x in model.components[i]],
+                float(model.explained_var[i]),
+                model.total_var,
+            )
+        )
+    spark.createDataFrame(
+        rows, "row INT, vec ARRAY<DOUBLE>, aux DOUBLE, total_var DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pca_load(spark, path: str) -> PCAModel:
+    rows = {r["row"]: r for r in spark.read.parquet(path).collect()}
+    mean_row = rows.pop(-1)
+    ks = sorted(rows)
+    return PCAModel(
+        mean=np.array(mean_row["vec"]),
+        components=np.array([rows[i]["vec"] for i in ks]),
+        explained_var=np.array([rows[i]["aux"] for i in ks]),
+        total_var=mean_row["total_var"],
+        n=int(mean_row["aux"]),
+    )
+
+
+# --- signed random projection (Johnson-Lindenstrauss sketch) -----------------
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 matrix from sha256 — reproducible across engines
+    and sessions with no RNG state, so the SQL oracle can inline the same
+    literals. (Achlioptas 2003: ±1 entries satisfy the JL lemma with the
+    same distortion bounds as Gaussian entries.)"""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.sha256(f"jl:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def signed_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random projection over int8-quantized vectors — 64 floats ->
+    `out_dim` exact BIGINT coordinates (`rp0..rpN`), the cheap sketch an
+    ANN prefilter or dedup pass runs BEFORE touching full vectors (8
+    longs vs 256 bytes per row; distances preserved within JL
+    distortion, gated in tests).
+
+    Exactness is the point of quantizing first: sign * int8 products sum
+    in integer space, so the output hash-matches the DuckDB oracle —
+    unlike a float projection (summation-order ulps) or the PCA path
+    (eigensolver). All math inlines into whole-stage codegen: the sign
+    matrix rides the plan as `out_dim` array literals, zip_with +
+    aggregate per output coordinate, no UDF, no shuffle."""
+    from .dedup import _barrier
+    from .similarity import quantize_int8
+
+    signs = jl_sign_matrix(out_dim, in_dim)
+    # barrier: qvec is a transform-expression; without it each of the
+    # out_dim aggregates would re-quantize the whole vector (no CSE
+    # inside HOF lambdas)
+    q = _barrier(quantize_int8(df, id_col=id_col, vec_col=vec_col))
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                F.array(*[F.lit(s) for s in signs[i]]),
+                lambda a, b: a.cast("long") * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"rp{i}")
+        for i in range(out_dim)
+    ]
+    return q.select(F.col(id_col), F.col("scale_e9"), *cols)

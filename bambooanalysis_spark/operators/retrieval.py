@@ -333,3 +333,103 @@ def hll_merge_estimate(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataF
         .withColumn("n_distinct_est", F.hll_sketch_estimate("hll").cast("long"))
         .drop("hll")
     )
+
+
+# --- KMV sketch (k-minimum-values: distinct counts WITH set operations) ------
+
+_KMV_TWO64 = float(2**64)
+
+
+def kmv_sketch(
+    df: DataFrame, keys: Sequence[str], col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) sketch over ``col``:
+    the k smallest distinct xxhash64 values, as a sorted array. The
+    sketch family that complements HLL: same mergeable distinct
+    estimate, but bottom-k sketches additionally support INTERSECTION /
+    Jaccard estimation (`kmv_set_ops`), which HLL fundamentally cannot
+    (inclusion-exclusion on HLL estimates compounds error; the bottom-k
+    of a union is computable from the bottom-k of the parts — Beyer et
+    al., SIGMOD 2007).
+
+    Output: keys + `kmv` (sorted array, len = min(k, ndv)) + `m`
+    (that length — when m < k the sketch IS the exact distinct set).
+    Plan: distinct on (keys, hash) — one shuffle with map-side combine —
+    then a per-group bottom-k window riding the same hash partitioning.
+    State is O(k) per group regardless of input size."""
+    from pyspark.sql import Window
+
+    dedup = df.select(*keys, F.xxhash64(F.col(col)).alias("__h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    topk = dedup.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count(F.lit(1)).alias("m"),
+    )
+
+
+def _kmv_estimate(kmv: Column, m: Column, k: int) -> Column:
+    """Distinct estimate: exact m when the sketch isn't full; else the
+    order-statistics estimator (k-1)/U(k) with U(k) = the k-th smallest
+    hash mapped to (0,1) — signed long h -> (h + 2^63 + 1) / 2^64."""
+    u_k = (
+        F.element_at(kmv, k).cast("double") + F.lit(2.0**63) + F.lit(1.0)
+    ) / F.lit(_KMV_TWO64)
+    return F.when(m < k, m.cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """keys + n_distinct_est (long) from `kmv_sketch` output."""
+    return sketches.withColumn(
+        "n_distinct_est",
+        F.round(_kmv_estimate(F.col("kmv"), F.col("m"), k)).cast("long"),
+    ).drop("kmv")
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, k: int = 256, suffixes: tuple = ("_a", "_b")
+) -> DataFrame:
+    """Cross-join two single-row-per-group sketch frames (caller
+    pre-filters/aliases the group columns to distinct names) and
+    estimate, per pair: distinct counts of each side, their union,
+    intersection, and Jaccard (e6 fixed-point).
+
+    Union sketch = bottom-k of the merged arrays (exact — the defining
+    KMV property). Intersection via the ratio estimator: the fraction of
+    the union sketch's members present in BOTH input sketches, times the
+    union estimate. Error ~ 1/sqrt(k) relative — gated by
+    tests/test_scale_ops.py::test_kmv_error_bounds."""
+    ka, kb = f"kmv{suffixes[0]}", f"kmv{suffixes[1]}"
+    ma, mb = f"m{suffixes[0]}", f"m{suffixes[1]}"
+    pair = a.select(
+        *[F.col(c).alias(c + suffixes[0]) if c in ("kmv", "m") else F.col(c) for c in a.columns]
+    ).crossJoin(
+        b.select(
+            *[F.col(c).alias(c + suffixes[1]) if c in ("kmv", "m") else F.col(c) for c in b.columns]
+        )
+    )
+    union_full = F.array_sort(F.array_distinct(F.concat(F.col(ka), F.col(kb))))
+    pair = pair.withColumn("__u", F.slice(union_full, 1, k)).withColumn(
+        "__um", F.least(F.size(union_full), F.lit(k)).cast("long")
+    )
+    in_both = F.size(
+        F.filter(
+            F.col("__u"),
+            lambda x: F.array_contains(F.col(ka), x)
+            & F.array_contains(F.col(kb), x),
+        )
+    )
+    est_u = _kmv_estimate(F.col("__u"), F.col("__um"), k)
+    rho = in_both.cast("double") / F.size(F.col("__u")).cast("double")
+    return (
+        pair.withColumn("n_a_est", F.round(_kmv_estimate(F.col(ka), F.col(ma), k)).cast("long"))
+        .withColumn("n_b_est", F.round(_kmv_estimate(F.col(kb), F.col(mb), k)).cast("long"))
+        .withColumn("n_union_est", F.round(est_u).cast("long"))
+        .withColumn("n_intersect_est", F.round(rho * est_u).cast("long"))
+        .withColumn("jaccard_e6", F.round(rho * F.lit(1e6)).cast("long"))
+        .drop(ka, kb, ma, mb, "__u", "__um")
+    )

@@ -4,12 +4,14 @@ N-fold fixture (default .scale/sf10 = 100x the sf0.1 driver fixture,
 built by make_scale_data.py) and emit one JSON line shaped like bench.py's
 sf1 section, for PERFORMANCE.md's sf0.1 -> sf1 -> sf10 scaling table.
 
-Protocol: each query runs twice after a global session warm-up — the
+Protocol: each query runs twice in its OWN fresh SparkSession — the
 FIRST execution is reported as ``cold`` (it carries the one-time costs a
 production deployment amortizes: fixture cache builds, persisted-index
-builds, JIT), the SECOND as ``queries`` (warm — comparable with the
-standing sf1 pass, which also times after a per-query warm-up). Single
-draws either way: +/-15% (PERFORMANCE.md §27); re-pin surprises at n>=3.
+builds, JIT), the SECOND as ``queries`` (warm — steady-state serving).
+Per-entry sessions, not one shared session: earlier entries' pinned
+caches/checkpoints otherwise starve later entries' execution memory
+(4-10x tail inflation, PERFORMANCE.md §33). Single draws either way:
++/-15% (PERFORMANCE.md §27); re-pin surprises at n>=3.
 
 Exclusions, by design rather than omission (logged in the JSON):
 - dedup_jaccard / dedup_minhash_lsh: EXACT all-pairs enumeration — the
@@ -59,13 +61,20 @@ def main() -> None:
         queries.pop(k, None)
     queries["dedup_clusters_capped"] = ce.q_dedup_near_dup_clusters
 
-    spark = get_spark("bamboo-bench-scale")
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # session warm-up
-
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in queries.items():
+        # One FRESH session per entry (PERFORMANCE.md §33): in a shared
+        # session, caches and checkpoints built by EARLIER entries (the
+        # 15M-row cleaning fixture, kmeans features, the LM model) stay
+        # pinned in storage memory and starve later entries' execution
+        # memory — measured 4-10x inflation on the tail entries
+        # (ann_ivf_pq 76.8s shared vs 7.3s solo). Per-entry sessions make
+        # every number the true production shape: cold = job submit incl.
+        # this entry's own fixture/index builds, warm = steady state.
+        spark = get_spark("bamboo-bench-scale")
+        spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm-up
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -75,6 +84,7 @@ def main() -> None:
         rows[name] = n
         print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm[name]:.3f}s "
               f"({n} rows)", file=sys.stderr)
+        spark.stop()
 
     print(json.dumps({
         "metric": f"headline queries at {label} ({sf_dir}), cold + warm run",

@@ -276,3 +276,167 @@ def test_streaming_interval_join_matches_batch(spark, ev_iv, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM interval_stream").collect()}
     assert got == expect and got
+
+
+def test_pca_save_load_roundtrip(spark, emb, tmp_path):
+    """Persisted-model serving: parquet round-trip reproduces the fitted
+    model bit-exactly (doubles survive parquet), so serving-side
+    projections equal fit-side projections exactly."""
+    from bambooanalysis_spark.operators.decomp import pca_load, pca_save
+
+    model = pca_fit(emb, vec_col="embedding", k=6)
+    pca_save(spark, model, str(tmp_path / "pca_model"))
+    loaded = pca_load(spark, str(tmp_path / "pca_model"))
+    assert loaded.n == model.n and loaded.total_var == model.total_var
+    np.testing.assert_array_equal(loaded.mean, model.mean)
+    np.testing.assert_array_equal(loaded.components, model.components)
+    np.testing.assert_array_equal(loaded.explained_var, model.explained_var)
+    a = pca_project(emb, model).select("vec_id", "pc").collect()
+    b = pca_project(emb, loaded).select("vec_id", "pc").collect()
+    assert {(r["vec_id"], tuple(r["pc"])) for r in a} == {
+        (r["vec_id"], tuple(r["pc"])) for r in b
+    }
+
+
+# --- JL signed projection ----------------------------------------------------
+
+
+def test_signed_projection_matches_python_reference(spark, emb):
+    """Integer-exact: Spark output equals a plain-Python requantize+project
+    to the last bit (same floor(+0.5) quantization, same sha256 signs)."""
+    from bambooanalysis_spark.operators.decomp import (
+        jl_sign_matrix,
+        signed_projection,
+    )
+
+    signs = jl_sign_matrix(8, 64)
+    got = {
+        r["vec_id"]: tuple(r[f"rp{i}"] for i in range(8))
+        for r in signed_projection(emb, out_dim=8, in_dim=64).collect()
+    }
+    import math
+
+    for r in emb.collect():
+        v = [float(x) for x in r["embedding"]]
+        ma = max(abs(x) for x in v)
+        q = [0] * 64 if ma == 0 else [math.floor(x * 127.0 / ma + 0.5) for x in v]
+        want = tuple(sum(s * c for s, c in zip(row, q)) for row in signs)
+        assert got[r["vec_id"]] == want
+
+
+def test_signed_projection_preserves_distances(spark, emb):
+    """JL sanity: projected squared distances correlate strongly with the
+    original quantized distances (rank correlation > 0.8 over 200 random
+    pairs on the real fixture) — the property that makes the sketch a
+    usable prefilter."""
+    from bambooanalysis_spark.operators.decomp import (
+        jl_sign_matrix,
+        signed_projection,
+    )
+    import math
+
+    rows = emb.limit(60).collect()
+    proj = {
+        r["vec_id"]: np.array([r[f"rp{i}"] for i in range(8)], dtype=np.float64)
+        for r in signed_projection(emb.limit(60), out_dim=8, in_dim=64).collect()
+    }
+    qv = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        ma = max(abs(x) for x in v)
+        qv[r["vec_id"]] = np.array(
+            [0] * 64 if ma == 0 else [math.floor(x * 127.0 / ma + 0.5) for x in v],
+            dtype=np.float64,
+        )
+    ids = list(qv)
+    orig, sk = [], []
+    for a in range(0, len(ids) - 1):
+        b = a + 1
+        orig.append(np.sum((qv[ids[a]] - qv[ids[b]]) ** 2))
+        # E[||Sx||^2] = out_dim * ||x||^2 for +-1 signs; normalize
+        sk.append(np.sum((proj[ids[a]] - proj[ids[b]]) ** 2) / 8.0)
+    orig, sk = np.array(orig), np.array(sk)
+    ro = np.argsort(np.argsort(orig)).astype(float)
+    rs = np.argsort(np.argsort(sk)).astype(float)
+    corr = np.corrcoef(ro, rs)[0, 1]
+    assert corr > 0.8, corr
+
+
+def test_signed_projection_plan_is_codegen_no_shuffle(spark, emb):
+    from bambooanalysis_spark.operators.decomp import signed_projection
+
+    plan = _plan(signed_projection(emb, out_dim=8, in_dim=64))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- KMV sketch --------------------------------------------------------------
+
+
+def test_kmv_exact_when_not_full(spark):
+    """m < k: the sketch IS the distinct hash set, and every estimate
+    (counts, union, intersection, Jaccard) is exact."""
+    from bambooanalysis_spark.operators.retrieval import (
+        kmv_estimate,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=i % 40) for i in range(200)]
+        + [Row(g="b", v=20 + (i % 40)) for i in range(200)]
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=1024)
+    est = {r["g"]: r["n_distinct_est"] for r in kmv_estimate(sk, k=1024).collect()}
+    assert est == {"a": 40, "b": 40}
+    a = sk.where(F.col("g") == "a").select(F.col("g").alias("ga"), "kmv", "m")
+    b = sk.where(F.col("g") == "b").select(F.col("g").alias("gb"), "kmv", "m")
+    out = kmv_set_ops(a, b, k=1024).collect()[0]
+    assert out["n_a_est"] == 40 and out["n_b_est"] == 40
+    assert out["n_union_est"] == 60  # 0..59
+    assert out["n_intersect_est"] == 20  # 20..39
+    assert out["jaccard_e6"] == round(20 / 60 * 1e6)
+
+
+def test_kmv_error_bounds(spark):
+    """Saturated sketches (ndv >> k): planted 20k/16k sets with 8k
+    overlap, k=256 -> estimates within ~4/sqrt(k) (25%) relative error,
+    Jaccard within 0.1 absolute. (Beyer et al. give ~1/sqrt(k-2) std
+    error for the distinct estimator; the bound here is ~4 sigma.)"""
+    from bambooanalysis_spark.operators.retrieval import kmv_set_ops, kmv_sketch
+
+    k = 256
+    a_df = spark.range(0, 20000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b_df = spark.range(12000, 28000).select(
+        F.lit("b").alias("g"), F.col("id").alias("v")
+    )
+    sk = kmv_sketch(a_df.unionByName(b_df), ["g"], "v", k=k)
+    a = sk.where(F.col("g") == "a").select(F.col("g").alias("ga"), "kmv", "m")
+    b = sk.where(F.col("g") == "b").select(F.col("g").alias("gb"), "kmv", "m")
+    out = kmv_set_ops(a, b, k=k).collect()[0]
+    rel = 4.0 / (k ** 0.5)  # 0.25
+    assert abs(out["n_a_est"] - 20000) <= 20000 * rel
+    assert abs(out["n_b_est"] - 16000) <= 16000 * rel
+    assert abs(out["n_union_est"] - 28000) <= 28000 * rel
+    assert abs(out["n_intersect_est"] - 8000) <= 8000 * 2 * rel  # ratio est: 2 error terms
+    true_j = 8000 / 28000
+    assert abs(out["jaccard_e6"] / 1e6 - true_j) <= 0.1
+
+
+def test_kmv_union_merge_property(spark):
+    """Mergeability — the property that makes bottom-k sketches
+    maintainable incrementally: bottom-k of (sketch(A) ∪ sketch(B))
+    equals sketch(A ∪ B) computed directly from the raw data."""
+    from bambooanalysis_spark.operators.retrieval import kmv_sketch
+
+    k = 64
+    a_df = spark.range(0, 5000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b_df = spark.range(3000, 9000).select(
+        F.lit("b").alias("g"), F.col("id").alias("v")
+    )
+    parts = kmv_sketch(a_df.unionByName(b_df), ["g"], "v", k=k).collect()
+    merged = sorted(set(parts[0]["kmv"]) | set(parts[1]["kmv"]))[:k]
+    direct = kmv_sketch(
+        a_df.unionByName(b_df).select(F.lit("u").alias("g"), "v"), ["g"], "v", k=k
+    ).collect()[0]["kmv"]
+    assert merged == list(direct)
