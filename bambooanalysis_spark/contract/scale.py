@@ -105,10 +105,13 @@ def _oracle_random_projection() -> str:
     from .extensions import _D_QUANT
 
     signs = jl_sign_matrix(8, 64)
+    # CAST: DuckDB's list_aggregate(..., 'sum') returns HUGEINT, which
+    # pandas renders as float64; Spark emits BIGINT. Same values, so pin
+    # the oracle dtype to match (ADVICE r6).
     cols = ",\n       ".join(
-        "list_aggregate(list_transform(range(1, 65), "
+        "CAST(list_aggregate(list_transform(range(1, 65), "
         f"j -> qvec[j] * ([{', '.join(str(s) for s in signs[i])}])[j]), 'sum') "
-        f"AS rp{i}"
+        f"AS BIGINT) AS rp{i}"
         for i in range(8)
     )
     return f"""

@@ -324,42 +324,88 @@ def test_signed_projection_matches_python_reference(spark, emb):
         assert got[r["vec_id"]] == want
 
 
-def test_signed_projection_preserves_distances(spark, emb):
-    """JL sanity: projected squared distances correlate strongly with the
-    original quantized distances (rank correlation > 0.8 over 200 random
-    pairs on the real fixture) — the property that makes the sketch a
-    usable prefilter."""
-    from bambooanalysis_spark.operators.decomp import (
-        jl_sign_matrix,
-        signed_projection,
-    )
+def _quant(v):
     import math
 
-    rows = emb.limit(60).collect()
+    ma = max(abs(x) for x in v)
+    return np.array(
+        [0] * 64 if ma == 0 else [math.floor(x * 127.0 / ma + 0.5) for x in v],
+        dtype=np.float64,
+    )
+
+
+def _pair_df(spark, emb, scales, n, seed):
+    """Base fixture vectors paired with noise-perturbed copies at the
+    given scales (relative to each vector's std). Gives the pair set a
+    genuinely wide true-distance spread: the fixture's RANDOM pairs are
+    near-equidistant (squared-distance cv ~0.22, measured), which no
+    low-dim JL sketch can rank-order — r6's 0.42 correlation was a
+    property of the pair set, not a sketch bug (PERFORMANCE.md §35)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, r in enumerate(emb.limit(n).collect()):
+        v = np.array([float(x) for x in r["embedding"]])
+        w = v + rng.normal(0, scales[i % len(scales)] * v.std(), 64)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_signed_projection_preserves_distances(spark, emb):
+    """JL sanity at out_dim=8 over 140 pairs spanning a wide distance
+    ladder (perturbation scales 0.01..3x vector std): projected squared
+    distances rank-correlate > 0.9 with the true quantized distances.
+    Calibrated offline at 0.985; see _pair_df for why random fixture
+    pairs are the wrong pair set for this property."""
+    from bambooanalysis_spark.operators.decomp import signed_projection
+
+    df = _pair_df(spark, emb, [0.01, 0.03, 0.08, 0.2, 0.5, 1.2, 3.0], 140, seed=7)
+    base = {r["vec_id"]: r["embedding"] for r in df.collect()}
     proj = {
         r["vec_id"]: np.array([r[f"rp{i}"] for i in range(8)], dtype=np.float64)
-        for r in signed_projection(emb.limit(60), out_dim=8, in_dim=64).collect()
+        for r in signed_projection(df, out_dim=8, in_dim=64).collect()
     }
-    qv = {}
-    for r in rows:
-        v = [float(x) for x in r["embedding"]]
-        ma = max(abs(x) for x in v)
-        qv[r["vec_id"]] = np.array(
-            [0] * 64 if ma == 0 else [math.floor(x * 127.0 / ma + 0.5) for x in v],
-            dtype=np.float64,
-        )
-    ids = list(qv)
     orig, sk = [], []
-    for a in range(0, len(ids) - 1):
-        b = a + 1
-        orig.append(np.sum((qv[ids[a]] - qv[ids[b]]) ** 2))
+    for i in range(140):
+        a, b = 2 * i, 2 * i + 1
+        orig.append(np.sum((_quant(base[a]) - _quant(base[b])) ** 2))
         # E[||Sx||^2] = out_dim * ||x||^2 for +-1 signs; normalize
-        sk.append(np.sum((proj[ids[a]] - proj[ids[b]]) ** 2) / 8.0)
+        sk.append(np.sum((proj[a] - proj[b]) ** 2) / 8.0)
     orig, sk = np.array(orig), np.array(sk)
     ro = np.argsort(np.argsort(orig)).astype(float)
     rs = np.argsort(np.argsort(sk)).astype(float)
     corr = np.corrcoef(ro, rs)[0, 1]
-    assert corr > 0.8, corr
+    assert corr > 0.9, corr
+
+
+def test_signed_projection_prefilter_separation(spark, emb):
+    """The property that makes the 8-long sketch a usable near-dup /
+    ANN prefilter: planted near-duplicates (0.3% noise) land orders of
+    magnitude below random far pairs in sketch distance, so a threshold
+    between them keeps every near-dup while discarding ~all far pairs.
+    Calibrated offline: near max 22 vs far min 45618 (ratio ~2000x);
+    asserted at 100x margin."""
+    from bambooanalysis_spark.operators.decomp import signed_projection
+
+    near_df = _pair_df(spark, emb, [0.003], 100, seed=11)
+    proj = {
+        r["vec_id"]: np.array([r[f"rp{i}"] for i in range(8)], dtype=np.float64)
+        for r in signed_projection(near_df, out_dim=8, in_dim=64).collect()
+    }
+    near = np.array(
+        [np.sum((proj[2 * i] - proj[2 * i + 1]) ** 2) / 8.0 for i in range(100)]
+    )
+    fixture_proj = [
+        np.array([r[f"rp{i}"] for i in range(8)], dtype=np.float64)
+        for r in signed_projection(emb.limit(200), out_dim=8, in_dim=64).collect()
+    ]
+    rng = np.random.default_rng(13)
+    far = []
+    for _ in range(500):
+        a, b = rng.choice(len(fixture_proj), 2, replace=False)
+        far.append(np.sum((fixture_proj[a] - fixture_proj[b]) ** 2) / 8.0)
+    far = np.array(far)
+    assert far.min() > 100 * max(near.max(), 1.0), (near.max(), far.min())
 
 
 def test_signed_projection_plan_is_codegen_no_shuffle(spark, emb):
