@@ -39,7 +39,11 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("lo"),
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
     )
-    joined = interval_join(ev, inc, ts_col="ts", bucket="10 minutes")
+    # validate=False: every interval is exactly `lo + 10 minutes` by
+    # construction, and validation would re-scan the events table.
+    joined = interval_join(
+        ev, inc, ts_col="ts", bucket="10 minutes", validate=False
+    )
     return joined.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

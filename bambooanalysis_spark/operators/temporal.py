@@ -472,6 +472,7 @@ def interval_join(
     bucket: str = "1 hour",
     keys: Sequence[str] = (),
     how: str = "inner",
+    validate: bool = True,
 ) -> DataFrame:
     """Containment join: each event row pairs with every interval row whose
     ``[lo, hi)`` half-open range contains its timestamp (plus optional
@@ -492,11 +493,22 @@ def interval_join(
     interval side is small, shuffle-hash/sort-merge — scaling to millions
     of intervals — when it is not, with AQE free to choose.
 
-    ``bucket`` MUST be >= the longest interval or matches are silently
-    lost; ``validate_bucket=True`` semantics are the caller's (assert via
-    ``intervals.agg(max(hi-lo))`` in tests). Cost note: a too-wide bucket
-    only costs selectivity (more candidate pairs pass the equi-join and
-    die in the range filter), never correctness.
+    The join is EXACT for any bucket width — each interval explodes to
+    every bucket it overlaps, so nothing is ever lost (gated by
+    test_interval_join_validates_bucket_vs_longest_interval, which
+    proves a too-narrow bucket still matches the naive theta join).
+    What a too-narrow bucket DOES cost is explode fan-out: an interval
+    ``n`` buckets long becomes ``n`` candidate rows, so a year-long
+    interval over a 1-minute bucket is a 525k-row blowup from one input
+    row. ``validate=True`` (the default) therefore runs one tiny
+    aggregate on the interval side — ``max(hi - lo)`` — and raises when
+    any interval is longer than the bucket (fan-out > 2), naming the
+    offender. Pass ``validate=False`` when the bound is enforced
+    upstream (skips the extra job at 100 TB scale) or when the interval
+    side is a streaming DataFrame, which cannot be eagerly aggregated.
+    Cost note: a too-WIDE bucket only costs selectivity (more candidate
+    pairs pass the equi-join and die in the range filter) — also never
+    correctness.
 
     ``how='inner'`` emits matched pairs; ``'left_events'`` keeps unmatched
     events with NULL interval columns (attribution with a "no incident"
@@ -505,6 +517,29 @@ def interval_join(
         raise ValueError(f"how must be 'inner' or 'left_events', got {how!r}")
     w_us = _interval_us(bucket)
     key_cols = list(keys)
+
+    if validate:
+        if intervals.isStreaming:
+            raise ValueError(
+                "interval_join cannot validate the bucket bound on a "
+                "streaming interval side; guarantee max(hi - lo) <= "
+                f"bucket ({bucket!r}) upstream and pass validate=False"
+            )
+        row = intervals.agg(
+            F.max(
+                F.unix_micros(F.col(hi_col)) - F.unix_micros(F.col(lo_col))
+            ).alias("m")
+        ).first()
+        longest = row["m"] if row is not None else None
+        if longest is not None and longest > w_us:
+            raise ValueError(
+                f"interval_join bucket {bucket!r} ({w_us} us) is narrower "
+                f"than the longest interval ({longest} us): each such "
+                f"interval explodes into {-(-longest // w_us)}+ candidate "
+                "rows (results stay exact, but fan-out can blow up the "
+                "join). Widen the bucket, or pass validate=False if the "
+                "fan-out is acceptable or the bound is enforced upstream."
+            )
 
     def _bucket_of(us: Column) -> Column:
         # Floor-division of an epoch-microsecond long by the bucket width,

@@ -108,6 +108,42 @@ def test_interval_join_rejects_bad_how(spark, ev_iv):
         interval_join(events, intervals, how="outer")
 
 
+def test_interval_join_validates_bucket_vs_longest_interval(spark, ev_iv):
+    """A bucket narrower than the longest interval multiplies explode
+    fan-out, so the default validate=True raises loudly (r6 ADVICE: no
+    surprising defaults). With validate=False the result is still EXACT
+    — intervals explode to every overlapped bucket, so narrow buckets
+    cost fan-out, never rows (this assert is the proof the r6 docstring's
+    'silently lost' claim was stale)."""
+    events, intervals = ev_iv  # longest interval is 30 minutes
+    with pytest.raises(ValueError, match="narrower than the longest"):
+        interval_join(events, intervals, bucket="10 minutes").collect()
+    narrow = {
+        tuple(r)
+        for r in interval_join(
+            events, intervals, bucket="10 minutes", validate=False
+        )
+        .select("eid", "iid")
+        .collect()
+    }
+    assert narrow == _naive(events, intervals)
+
+
+def test_interval_join_streaming_interval_side_requires_opt_out(spark, tmp_path):
+    """A streaming interval side cannot be eagerly aggregated, so
+    validate=True must fail loudly rather than skip the check."""
+    events = spark.createDataFrame([Row(eid=1, ts=_ts(5))])
+    path = str(tmp_path / "iv")
+    spark.createDataFrame(
+        [Row(iid=1, lo=_ts(0), hi=_ts(10))]
+    ).write.parquet(path)
+    stream_iv = spark.readStream.schema(
+        "iid long, lo timestamp, hi timestamp"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="streaming interval side"):
+        interval_join(events, stream_iv, bucket="30 minutes")
+
+
 def test_interval_join_plan_is_equi_join_not_nested_loop(spark, ev_iv):
     """The whole point: the naive theta formulation plans as
     BroadcastNestedLoopJoin (and would be a driver OOM past the broadcast
