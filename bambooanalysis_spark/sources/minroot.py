@@ -89,6 +89,11 @@ class _Key:
     title: str
     cycle: int
     payload: bytes
+    # key-header bytes between the title TString and fKeyLen: empty for
+    # minroot-written keys; real ROOT TBasket keys store the basket
+    # header here (fVersion/fBufferSize/fNevBufSize/fNevBuf/fLast/flag)
+    extra: bytes = b""
+    keylen: int = 0
 
 
 def _compress_frames(payload: bytes, level: int) -> bytes | None:
@@ -190,12 +195,18 @@ def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
     classname, pos = _read_tstring(buf, pos)
     name, pos = _read_tstring(buf, pos)
     title, pos = _read_tstring(buf, pos)
-    if pos - seek != keylen:
-        raise ValueError("corrupt TKey: string block != fKeyLen")
+    if pos - seek > keylen:
+        raise ValueError("corrupt TKey: string block overruns fKeyLen")
+    # bytes between the strings and fKeyLen: real ROOT TBasket keys carry
+    # the basket header here; minroot-written keys have none
+    extra = buf[pos : seek + keylen]
     payload = buf[seek + keylen : seek + nbytes]
     if len(payload) != objlen:  # compressed key: frame sequence
         payload = _decompress_frames(payload, objlen)
-    return _Key(classname, name, title, cycle, payload), seek + nbytes
+    return (
+        _Key(classname, name, title, cycle, payload, extra, keylen),
+        seek + nbytes,
+    )
 
 
 def _pack_basket(values: bytes, n_entries: int, lengths: list[int] | None) -> bytes:
