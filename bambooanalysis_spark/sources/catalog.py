@@ -145,11 +145,27 @@ def validate_catalog(catalog: "Catalog", tree: str | None = None) -> dict[str, l
                 # Accept the bare tree name ONLY when the directory part
                 # is also present as a key — otherwise 'anaA/events'
                 # would pass against a file holding anaB/events.
+                # ROOT's 'name;cycle' suffix pins a specific backup cycle
+                # (bare names mean highest): validated against the cycles
+                # sniff saw on the TTree key chain.
                 key_names = {k[1] for k in info["keys"]}
-                ok = want_tree in trees if want_tree else True
-                if not ok and want_tree and "/" in want_tree:
-                    d, base = want_tree.rsplit("/", 1)
+                spec, cyc = want_tree, None
+                if spec and ";" in spec:
+                    spec, c = spec.rsplit(";", 1)
+                    cyc = int(c)
+                ok = spec in trees if spec else True
+                if not ok and spec and "/" in spec:
+                    d, base = spec.rsplit("/", 1)
                     ok = base in trees and d in key_names
+                if ok and cyc is not None:
+                    base = spec.rsplit("/", 1)[-1]
+                    cycles = info.get("tree_cycles", {}).get(base, [])
+                    if cyc not in cycles:
+                        flag(
+                            name,
+                            f"tree {spec!r} has no cycle {cyc} in {path} "
+                            f"(cycles: {cycles})",
+                        )
                 if want_tree and not ok:
                     # a file declaring NO trees at all (histogram-only or
                     # wrong file) is just as unrunnable as one declaring

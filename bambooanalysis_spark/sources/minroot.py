@@ -36,15 +36,23 @@ reader is driven entirely by what is in the file.
   reader also accepts ``XZ`` (stdlib ``lzma``). ``L4``/``ZS`` frames
   (lz4/zstd — no stdlib codec) raise with a pointer to uproot.
 
-Deliberately NOT implemented (documented simplifications):
-TStreamerInfo records, the streamed TTree/TBranch metadata objects,
-lz4/zstd frame codecs, and 64-bit (>2 GiB) seeks in the read/write
-paths (``sniff_file`` below does parse large-file headers). Files
-written here are genuine ROOT *container* bytes — a ROOT-aware tool can
-walk the key chain — but the TTree object model is carried by the
-leaflist titles instead of streamers. Real reference files need uproot;
-``root_ingest.ingest_root_files`` prefers uproot when present and falls
-back to this reader.
+- **Real-ROOT layout** (round-7) — ``write_streamered_tree`` emits (and
+  ``read_flat_tree``/``sniff_file`` consume) the on-disk shape actual
+  ROOT produces for flat leaflist ntuples: a StreamerInfo key pointed at
+  by fSeekInfo (skipped, never parsed), TDirectory keys for
+  ``dir/tree`` paths, a streamed-TTree metadata key (skimmed for the
+  leaflist descriptor TStrings only — ``_skim_leaflists``), ``name;cycle``
+  backup cycles (bare names resolve to the highest), and TBasket keys in
+  the real shape: key name = branch, title = tree, basket header inside
+  fKeyLen, WriteArray fEntryOffset tables for jagged branches.
+
+Deliberately NOT implemented (documented simplifications): full
+TStreamerInfo parsing (the streamed TTree object model — flat leaflist
+branches are recovered by descriptor skim, object-model branches raise
+with a pointer to uproot), lz4/zstd frame codecs, and 64-bit (>2 GiB)
+seeks in the read/write paths (``sniff_file`` below does parse
+large-file headers). ``root_ingest.ingest_root_files`` prefers uproot
+when present and falls back to this reader.
 
 Scale: ingest parallelism is per-file (see root_ingest docstring); one
 file is read sequentially here, which matches ROOT's own basket-chain
@@ -162,8 +170,11 @@ def _pack_key(
     payload: bytes,
     cycle: int = 1,
     compress_level: int = 0,
+    extra: bytes = b"",
 ) -> bytes:
-    strings = _tstring(classname) + _tstring(name) + _tstring(title)
+    """``extra`` lands between the title TString and fKeyLen — the slot
+    where real ROOT TBasket keys store the basket header (see _Key)."""
+    strings = _tstring(classname) + _tstring(name) + _tstring(title) + extra
     keylen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + len(strings)
     stored = payload
     if compress_level > 0 and payload:
@@ -328,6 +339,168 @@ def write_flat_tree(
         fh.write(bytes(out))
 
 
+def write_streamered_tree(
+    path: str,
+    tree: str,
+    branches: dict[str, tuple[str, list]],
+    basket_entries: int = 5000,
+    title: str = "minroot streamered tree",
+    compress: int = 1,
+    tree_cycles: int = 1,
+) -> None:
+    """Write a flat TTree in the REAL ROOT on-disk layout — the shape
+    files written by actual ROOT have (jet_test.yml:10-11 inputs), which
+    ``write_flat_tree`` deliberately simplifies away:
+
+    - a **StreamerInfo** key (class ``TList``, compressed payload) at the
+      end of the key chain, with the TFile header's fSeekInfo/fNbytesInfo
+      pointing at it — readers must skip it, not choke on it;
+    - a **TTree** metadata key whose payload is a streamed-object blob;
+      this writer cannot reproduce ROOT's full streamer serialization,
+      but it embeds what the skimming reader (and real blobs) contain:
+      each branch's name and its leaflist descriptor (``elec_pt[nelec]/F``)
+      as length-prefixed TStrings surrounded by binary object framing.
+      Written ``tree_cycles`` times with cycles 1..N (ROOT's backup-cycle
+      convention: ``Write()`` twice → ``name;1`` + ``name;2``, bare name
+      resolves to the highest cycle);
+    - a **TDirectory** key when ``tree`` is ``"dir/name"`` — real files
+      store the directory as its own key and the TTree under the bare
+      name, never a slash-containing key name;
+    - **TBasket keys in the real shape**: key *name* = branch name, key
+      *title* = tree name, and the basket header (fVersion i16,
+      fBufferSize i32, fNevBufSize i32, fNevBuf i32, fLast i32, flag u8)
+      inside fKeyLen — NOT at the front of the payload. Jagged branches
+      carry ROOT's fEntryOffset table after the data block: WriteArray
+      framing (i32 count, then count i32 byte offsets, each counted from
+      the start of the basket buffer INCLUDING fKeyLen), fLast marking
+      the end of the value region.
+
+    Exists so the reader/sniffer paths that real CMS files exercise are
+    testable without uproot or network access; layout per the public ROOT
+    I/O documentation and the uproot source's format notes.
+    """
+    if not 0 <= compress <= 9:
+        raise ValueError(f"compress must be a zlib level 0-9, got {compress}")
+    n_entries = None
+    for bname, (_code, data) in branches.items():
+        if n_entries is None:
+            n_entries = len(data)
+        elif len(data) != n_entries:
+            raise ValueError(f"branch {bname}: {len(data)} != {n_entries} entries")
+    n_entries = n_entries or 0
+
+    tdir, tname = tree.rsplit("/", 1) if "/" in tree else ("", tree)
+
+    out = bytearray(b"\x00" * FBEGIN)
+
+    def emit(classname, name, ktitle, payload, cycle=1, extra=b"",
+             compress_level=0):
+        seek = len(out)
+        out.extend(
+            _pack_key(
+                classname, name, ktitle, seek, payload, cycle=cycle,
+                extra=extra, compress_level=compress_level,
+            )
+        )
+        return seek
+
+    fname = path.rsplit("/", 1)[-1]
+    emit("TFile", fname, title, _tstring(fname) + _tstring(title))
+    if tdir:
+        emit("TDirectory", tdir, tdir, _tstring(tdir) + _tstring(tdir))
+
+    # streamed-TTree-like metadata blob: binary framing around the
+    # branch-name / leaflist-title TStrings a real streamed TTree carries
+    def _leaflist(bname, code, jagged):
+        return f"{bname}[n_{bname}]/{code}" if jagged else f"{bname}/{code}"
+
+    blob = bytearray()
+    blob += struct.pack(">hI", 5, 0x40000000)  # fake version/bytecount framing
+    blob += _tstring(tname) + _tstring(title)
+    blob += struct.pack(">qqd", n_entries, n_entries, 0.0)  # fEntries-like
+    for bname, (code, data) in branches.items():
+        jagged = n_entries > 0 and isinstance(data[0], (list, tuple))
+        blob += struct.pack(">hI", 13, 0x40000000)
+        blob += _tstring("TBranch") + _tstring(bname)
+        blob += _tstring(_leaflist(bname, code, jagged))
+        blob += struct.pack(">iii", 32000, basket_entries, 0)
+    for cyc in range(1, tree_cycles + 1):
+        emit("TTree", tname, title, bytes(blob), cycle=cyc,
+             compress_level=compress)
+
+    for bname, (code, data) in branches.items():
+        fmt = _DTYPES[code]
+        jagged = n_entries > 0 and isinstance(data[0], (list, tuple))
+        for start in range(0, max(n_entries, 1), basket_entries):
+            stop = min(start + basket_entries, n_entries)
+            rows = data[start:stop]
+            if jagged:
+                flat = [v for row in rows for v in row]
+                lengths = [len(row) for row in rows]
+            else:
+                flat, lengths = list(rows), None
+            values = struct.pack(f">{len(flat)}{fmt}", *flat)
+            # the real basket key: header lives in the key extension, so
+            # fKeyLen must be known before offsets — compute it exactly
+            # as _pack_key will lay it out (26 + strings + 19)
+            strings_len = (
+                len(_tstring("TBasket")) + len(_tstring(bname))
+                + len(_tstring(tname))
+            )
+            keylen = 26 + strings_len + 19
+            if lengths is None:
+                payload = values
+            else:
+                width = struct.calcsize(fmt)
+                offs, pos = [], keylen
+                for ln in lengths:
+                    offs.append(pos)
+                    pos += ln * width
+                payload = values + struct.pack(
+                    f">i{len(offs)}i", len(offs), *offs
+                )
+            extra = struct.pack(
+                ">hiiiiB",
+                _BASKET_VERSION,
+                keylen + len(payload),
+                4 if lengths is not None else 0,
+                stop - start,
+                keylen + len(values),  # fLast: end of value region
+                0,
+            )
+            emit("TBasket", bname, tname, payload, extra=extra,
+                 compress_level=compress)
+
+    seek_info = emit(
+        "TList", "StreamerInfo", "Doubly linked list",
+        # payload content is opaque to this reader by design; real files
+        # hold the streamed TStreamerInfo list here
+        struct.pack(">hI", 5, 0x40000000) + _tstring("TStreamerInfo") * 40,
+        compress_level=compress,
+    )
+    nbytes_info = len(out) - seek_info
+    fend = len(out)
+
+    header = MAGIC + struct.pack(
+        ">iiiiiiiBiii",
+        _FILE_VERSION,
+        FBEGIN,
+        fend,
+        fend,
+        0,
+        0,
+        0,
+        4,
+        100 + compress if compress else 0,
+        seek_info,
+        nbytes_info,
+    )
+    header += struct.pack(">h", 1) + b"\x00" * 16
+    out[: len(header)] = header
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
 def list_keys(path: str) -> list[tuple[str, str, str, int]]:
     """Walk the TKey chain: (classname, name, title, cycle) per key."""
     with open(path, "rb") as fh:
@@ -354,17 +527,75 @@ def _check_header(buf: bytes) -> int:
     return struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
 
 
+def _split_tree_spec(tree: str | None) -> tuple[str | None, int | None]:
+    """ROOT's ``name;cycle`` convention: ``'mytree;2'`` pins cycle 2,
+    bare ``'mytree'`` means highest cycle. Directory paths keep only the
+    basename — real files store ``dir/tree`` as a TDirectory key plus a
+    bare-named TTree key."""
+    if tree is None:
+        return None, None
+    cycle = None
+    if ";" in tree:
+        tree, c = tree.rsplit(";", 1)
+        cycle = int(c)
+    if "/" in tree:
+        tree = tree.rsplit("/", 1)[1]
+    return tree, cycle
+
+
+def _skim_leaflists(blob: bytes, branch_names: list[str]) -> dict[str, str]:
+    """Extract each branch's leaflist descriptor (``name[ctr]/F``) from a
+    streamed-TTree metadata blob WITHOUT streamer machinery: TLeaf titles
+    are stored as plain length-prefixed TStrings inside the blob, so a
+    byte-level search for ``<branch>(\\[ctr\\])?/<code>`` is layout-
+    independent — it only relies on the descriptor strings being present,
+    which TTree::Branch leaflist booking guarantees for flat ntuples."""
+    import re
+
+    out: dict[str, str] = {}
+    for bname in branch_names:
+        m = re.search(
+            rb"(?<![A-Za-z0-9_])"
+            + re.escape(bname.encode())
+            + rb"(\[[A-Za-z0-9_]+\])?/([FDIL])(?![A-Za-z0-9_/])",
+            blob,
+        )
+        if m:
+            out[bname] = m.group(0).decode()
+    return out
+
+
 def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     """Read every branch of ``tree`` (or the only tree) back as
     branch name -> flat list / list-of-lists, by struct-unpacking the
     basket chain (per-key zlib/lzma compression frames are handled).
-    Raises on streamer-based files and lz4/zstd compression."""
+
+    Handles BOTH layouts:
+
+    - minroot's simplified layout (``write_flat_tree``): basket key
+      title = ``tree:leaflist``, basket header at the payload front;
+    - the real ROOT layout (``write_streamered_tree``, and what actual
+      ROOT writes for flat leaflist ntuples): StreamerInfo / TDirectory /
+      streamed-TTree metadata keys in the chain (skipped / skimmed, never
+      fully parsed), basket key name = branch & title = tree, basket
+      header inside fKeyLen, fEntryOffset table after the value region
+      for jagged branches, branch dtypes recovered by skimming the TTree
+      blob for leaflist descriptor strings (``_skim_leaflists``).
+
+    ``tree`` accepts ``dir/name`` (directory stored as its own key) and
+    ROOT's ``name;cycle`` suffix — bare names resolve to the highest
+    cycle of the TTree metadata key. lz4/zstd compression still raises
+    (no stdlib codec)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     _check_header(buf)
     fend = struct.unpack(">i", buf[12:16])[0]
+    want, want_cycle = _split_tree_spec(tree)
+    want_full = tree.rsplit(";", 1)[0] if tree and ";" in tree else tree
 
     baskets: dict[str, list[tuple[int, bytes, str]]] = {}
+    real: dict[str, dict[str, list[_Key]]] = {}  # tree -> branch -> keys
+    ttree_meta: dict[str, dict[int, bytes]] = {}  # tree -> cycle -> blob
     trees = set()
     basket_trees = set()
     seek = FBEGIN
@@ -372,16 +603,36 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
         key, seek = _unpack_key(buf, seek)
         if key.classname == "TNamed":
             trees.add(key.name)
-        if key.classname != "TBasket" or ":" not in key.title:
+        elif key.classname == "TTree":
+            trees.add(key.name)
+            ttree_meta.setdefault(key.name, {})[key.cycle] = key.payload
+        if key.classname != "TBasket":
             continue
-        ktree, leaflist = key.title.split(":", 1)
-        if tree is not None and ktree != tree:
-            continue
-        basket_trees.add(ktree)
-        baskets.setdefault(key.name, []).append((key.cycle, key.payload, leaflist))
-    if tree is not None and not baskets and tree not in trees:
+        if ":" in key.title:  # minroot layout
+            ktree, leaflist = key.title.split(":", 1)
+            # minroot writes slash-containing tree names literally, so
+            # accept both the full spec and the basename
+            if want is not None and ktree not in (want, want_full):
+                continue
+            basket_trees.add(ktree)
+            baskets.setdefault(key.name, []).append(
+                (key.cycle, key.payload, leaflist)
+            )
+        else:  # real layout: name = branch, title = tree
+            if want is not None and key.title != want:
+                continue
+            basket_trees.add(key.title)
+            real.setdefault(key.title, {}).setdefault(key.name, []).append(key)
+
+    if (
+        want is not None
+        and not baskets
+        and not real
+        and want not in trees
+        and want_full not in trees
+    ):
         raise KeyError(f"tree {tree!r} not in file (trees: {sorted(trees)})")
-    if tree is None and len(basket_trees) > 1:
+    if want is None and len(basket_trees) > 1:
         raise ValueError(
             f"file holds multiple trees {sorted(basket_trees)}; pass tree="
         )
@@ -407,6 +658,69 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
             else:
                 data.extend(flat)
         out[bname] = data
+
+    for rtree, branches in real.items():
+        meta_cycles = ttree_meta.get(rtree, {})
+        if want_cycle is not None:
+            if want_cycle not in meta_cycles:
+                raise KeyError(
+                    f"tree {rtree!r} has no cycle {want_cycle} "
+                    f"(cycles: {sorted(meta_cycles)})"
+                )
+            blob = meta_cycles[want_cycle]
+        else:
+            blob = meta_cycles[max(meta_cycles)] if meta_cycles else b""
+        descs = _skim_leaflists(blob, list(branches))
+        missing = sorted(set(branches) - set(descs))
+        if missing:
+            raise NotImplementedError(
+                f"tree {rtree!r}: no leaflist descriptor found in the "
+                f"streamed TTree metadata for branches {missing} — only "
+                "flat leaflist-booked ntuples are readable without "
+                "streamers; use uproot for object-model branches"
+            )
+        for bname, keys in branches.items():
+            desc = descs[bname]
+            code = desc.rsplit("/", 1)[1]
+            fmt = _DTYPES[code]
+            width = struct.calcsize(fmt)
+            jagged = "[" in desc
+            data: list = []
+            for key in keys:  # file order == entry order in real files
+                if len(key.extra) < 19:
+                    raise ValueError(
+                        f"basket {bname}: key extension too short for a "
+                        "real-layout basket header"
+                    )
+                (_ver, _bufsize, nevbufsize, nevbuf, last, _flag) = (
+                    struct.unpack(">hiiiiB", key.extra[:19])
+                )
+                border = last - key.keylen
+                values = key.payload[:border]
+                flat = list(
+                    struct.unpack(f">{len(values) // width}{fmt}", values)
+                )
+                if jagged:
+                    if nevbufsize <= 0:
+                        raise ValueError(
+                            f"basket {bname}: jagged leaflist {desc!r} but "
+                            "no fEntryOffset table"
+                        )
+                    # WriteArray framing: i32 count, then count absolute
+                    # byte offsets (counted from buffer start incl. fKeyLen)
+                    tail = key.payload[border:]
+                    (cnt,) = struct.unpack(">i", tail[:4])
+                    offs = list(
+                        struct.unpack(f">{cnt}i", tail[4 : 4 + 4 * cnt])
+                    )
+                    bounds = [o - key.keylen for o in offs] + [border]
+                    for i in range(nevbuf):
+                        data.append(
+                            flat[bounds[i] // width : bounds[i + 1] // width]
+                        )
+                else:
+                    data.extend(flat)
+            out[bname] = data
     return out
 
 
@@ -455,7 +769,12 @@ def sniff_file(path: str) -> dict:
 
     keys: list[tuple[str, str, str, int, int, int]] = []
     trees: dict[str, int | None] = {}
+    tree_cycles: dict[str, list[int]] = {}
     branches: dict[str, set[str]] = {}
+    # real-layout entry counting: fNevBuf summed over the baskets of ONE
+    # branch per tree (every branch of a flat ntuple has the same total)
+    count_branch: dict[str, str] = {}
+    basket_entries: dict[str, int] = {}
     seek = begin
     while seek < min(fend, len(buf)):
         if seek + 18 > len(buf):
@@ -468,7 +787,7 @@ def sniff_file(path: str) -> dict:
             continue
         kver, objlen = struct.unpack(">hi", buf[seek + 4 : seek + 10])
         # skip fDatime(4); fKeyLen i16, fCycle i16
-        _keylen, cycle = struct.unpack(">hh", buf[seek + 14 : seek + 18])
+        keylen, cycle = struct.unpack(">hh", buf[seek + 14 : seek + 18])
         pos = seek + 18 + (16 if kver > 1000 else 8)  # fSeekKey + fSeekPdir
         try:
             classname, pos = _read_tstring(buf, pos)
@@ -478,16 +797,31 @@ def sniff_file(path: str) -> dict:
             classname, name, title = "?", "?", "?"
         keys.append((classname, name, title, cycle, objlen, nbytes))
         if classname == "TTree":
-            trees.setdefault(name, None)  # real file: count needs streamers
+            trees.setdefault(name, None)  # count filled from baskets below
+            tree_cycles.setdefault(name, []).append(cycle)
         elif classname == "TNamed" and title.startswith("entries="):
             trees[name] = int(title.split("=", 1)[1])  # minroot marker
         elif classname == "TBasket":
             if ":" in title:  # minroot basket: "tree:leaflist"
                 ktree, leaflist = title.split(":", 1)
                 branches.setdefault(ktree, set()).add(leaflist.split("[")[0].split("/")[0])
-            else:  # real basket: key name IS the branch name
-                branches.setdefault("", set()).add(name)
+            else:
+                # real basket: key name IS the branch name, key title the
+                # tree name (empty in some pathological files)
+                branches.setdefault(title, set()).add(name)
+                extra = buf[pos : seek + keylen]
+                if len(extra) >= 19 and title:
+                    # basket header ">hiiiiB": fNevBuf at bytes 10..14
+                    nevbuf = struct.unpack(">i", extra[10:14])[0]
+                    first = count_branch.setdefault(title, name)
+                    if first == name:
+                        basket_entries[title] = (
+                            basket_entries.get(title, 0) + nevbuf
+                        )
         seek += nbytes
+    for t, n in basket_entries.items():
+        if trees.get(t) is None:
+            trees[t] = n
     return {
         "version": version,
         "compression": compress,
@@ -495,5 +829,6 @@ def sniff_file(path: str) -> dict:
         "large_file": large,
         "keys": keys,
         "trees": trees,
+        "tree_cycles": {t: sorted(c) for t, c in tree_cycles.items()},
         "branches": {t: sorted(b) for t, b in branches.items()},
     }

@@ -19,13 +19,14 @@ uproot/awkward are NOT in this container (no network; `pip install uproot`
 fails with a DNS error — recorded 2026-08-14), so the uproot shim is gated
 behind import and the ingest falls back to the vendored pure-stdlib
 ``minroot`` reader, which struct-unpacks ROOT-format TKey/TBasket chains
-including zlib/lzma per-key compression frames (see minroot.py for the
-exact supported subset). The full ingest path — real ROOT-format bytes,
-compressed and raw → flat branches → nested pT-sorted event table →
-phase2 analysis — is exercised end-to-end on minroot-written files in
-tests; real STREAMER-carrying reference files (and lz4/zstd compression)
-additionally need uproot. ``minroot.sniff_file`` inventories any real
-file's key chain (trees/branches) header-only for config validation.
+including zlib/lzma per-key compression frames AND (round-7) the
+real-ROOT layout: streamer-carrying files with streamed-TTree metadata
+keys, ``name;cycle`` backup cycles, and branch-named basket keys, as
+long as the branches are flat leaflist-booked (the reference's ntuples
+are — jet_test.yml:10-11). Object-model branches and lz4/zstd
+compression still need uproot and raise with that pointer.
+``minroot.sniff_file`` inventories any real file's key chain
+(trees/branches/entries/cycles) header-only for config validation.
 
 At 100 TB: ingest parallelizes per file (driver distributes file lists to
 executors via `spark.createDataFrame(files).mapInPandas`), and the output

@@ -73,6 +73,10 @@ def _headline():
         # stress and the CCNet-style train/apply bigram-LM quality scorer
         "volume_shipping": ca.q_rel_volume_shipping,
         "lm_quality": ca.q_text_lm_quality,
+        # round-7 addition (VERDICT r6 #8): the 100TB-default dedup path
+        # (star-expanded near-dup clustering) tracked round-over-round in
+        # the standing bench, not only in the sf10 rehearsals
+        "dedup_clusters_capped": ce.q_dedup_near_dup_clusters,
     }
 
 
@@ -145,8 +149,17 @@ def main() -> None:
     # would add ~75s of wall per round for fidelity the drift check does
     # not need. Run bench SOLO — concurrent Spark sessions on the same 32
     # cores inflate every entry ~1.5-2x (measured, §28).
+    #
+    # The sf1 section runs in a FRESH SparkSession (§34): by the time it
+    # starts, the shared session has executed 20+ sf0.1 entries whose
+    # cached state (LM vocab, CC checkpoints, IVF cells) squeezes the
+    # execution-memory region and inflated r6's sf1 tail entries 1.4-1.6x
+    # — the §33 mechanism recurring inside the standing bench itself.
     sf1 = _sf1_dir()
     if sf1:
+        spark.stop()
+        spark = get_spark("bamboo-bench-sf1")
+        spark.read.parquet(f"{sf1}/nation.parquet").count()
         t1 = _time_queries(spark, sf1, n_timed=1, tag="sf1/")
         out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1, "dir": sf1}
 

@@ -267,3 +267,182 @@ def test_sniff_file_skips_gap_records(tmp_path):
     info = minroot.sniff_file(str(g))
     assert info["trees"] == {"t": 3}
     assert {k[0] for k in info["keys"]} >= {"TFile", "TBasket"}
+
+
+# --- real-ROOT layout: streamer-carrying files (round-7 task #3) -------------
+
+
+def _write_streamered_ntuple(path, chunk, basket_entries=200, compress=1,
+                             tree="myana/mytree", tree_cycles=1):
+    branches = {}
+    for name, data in chunk.items():
+        code = (
+            "I"
+            if name.endswith(("charge", "isopass", "idpass", "btag"))
+            else "D"
+        )
+        branches[name] = (code, data)
+    minroot.write_streamered_tree(
+        path, tree, branches, basket_entries, compress=compress,
+        tree_cycles=tree_cycles,
+    )
+
+
+def test_streamered_roundtrip_and_layout(tmp_path):
+    """A file in the REAL ROOT layout — StreamerInfo key (fSeekInfo set),
+    TDirectory, streamed-TTree metadata key, baskets keyed by branch name
+    with the basket header inside fKeyLen and a WriteArray fEntryOffset
+    table — reads back bit-identically, with the streamer record skipped
+    rather than choked on."""
+    import struct as _struct
+
+    path = str(tmp_path / "s.root")
+    branches = {
+        "s_f64": ("D", [1.1, 2.2, 3.3, -4.4, 5.5]),
+        "s_i32": ("I", [1, -2, 3, 2**31 - 1, 0]),
+        "j_f64": ("D", [[1.0, 2.0], [], [3.5], [4.0, 5.0, 6.0], [7.0]]),
+        "j_i64": ("L", [[2**40], [0, -5], [], [7], [8, 9]]),
+    }
+    minroot.write_streamered_tree(
+        path, "myana/mytree", branches, basket_entries=2, compress=6
+    )
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"root"
+    seek_info = _struct.unpack(">i", raw[45:49])[0]
+    assert seek_info > 0  # fSeekInfo points at the StreamerInfo key
+
+    keys = minroot.list_keys(path)
+    classes = {c for c, *_ in keys}
+    assert {"TFile", "TDirectory", "TTree", "TBasket", "TList"} <= classes
+    # real shape: basket key NAME is the branch, title the bare tree name
+    tb = [(n, t) for c, n, t, _cy in keys if c == "TBasket"]
+    assert ("s_f64", "mytree") in tb and ("j_f64", "mytree") in tb
+
+    got = minroot.read_flat_tree(path, "myana/mytree")
+    for name, (_code, data) in branches.items():
+        assert got[name] == data, name
+    # bare basename and trailing ;cycle resolve too
+    assert minroot.read_flat_tree(path, "mytree") == got
+    assert minroot.read_flat_tree(path, "myana/mytree;1") == got
+
+
+def test_streamered_tree_cycles(tmp_path):
+    """ROOT's name;cycle convention: two Write() cycles of the TTree key;
+    bare name resolves to the highest cycle, explicit ;N pins one, a
+    missing cycle raises."""
+    path = str(tmp_path / "c.root")
+    minroot.write_streamered_tree(
+        path, "myana/mytree", {"x": ("D", [1.0, 2.0, 3.0])}, tree_cycles=2
+    )
+    cycles = sorted(
+        cy for c, n, _t, cy in minroot.list_keys(path)
+        if c == "TTree" and n == "mytree"
+    )
+    assert cycles == [1, 2]
+    got = minroot.read_flat_tree(path, "myana/mytree")
+    assert got["x"] == [1.0, 2.0, 3.0]
+    assert minroot.read_flat_tree(path, "mytree;2") == got
+    assert minroot.read_flat_tree(path, "mytree;1") == got
+    with pytest.raises(KeyError, match="no cycle 3"):
+        minroot.read_flat_tree(path, "mytree;3")
+
+    info = minroot.sniff_file(path)
+    assert info["tree_cycles"] == {"mytree": [1, 2]}
+
+
+def test_sniff_streamered_counts_entries_from_baskets(tmp_path, monkeypatch):
+    """Real files store the entry count inside the streamed TTree object;
+    sniff now recovers it layout-only by summing fNevBuf over one
+    branch's basket key headers — still zero decompression."""
+    chunk = _lcg_events(50, seed=7)
+    p = str(tmp_path / "s.root")
+    _write_streamered_ntuple(p, chunk, basket_entries=20, compress=6)
+
+    def _boom(*a, **k):
+        raise AssertionError("sniff_file decompressed a frame")
+
+    monkeypatch.setattr(minroot, "_decompress_frames", _boom)
+    info = minroot.sniff_file(p)
+    assert info["trees"]["mytree"] == 50
+    assert set(info["branches"]["mytree"]) == set(R._ntuple_branches())
+
+
+def test_validate_catalog_streamered_runnable(tmp_path):
+    """VERDICT r6 #3 'Done =' clause: validate_catalog reports a
+    streamer-carrying file runnable for jet_test.yml-style configs,
+    including ;cycle specs."""
+    from bambooanalysis_spark.sources.catalog import Catalog, Sample, validate_catalog
+
+    p = str(tmp_path / "s.root")
+    _write_streamered_ntuple(p, _lcg_events(10, seed=3), tree_cycles=2)
+    cat = Catalog(
+        tree="myana/mytree",
+        eras={},
+        samples={"sig": Sample(name="sig", files=[p], group="SIG")},
+        plot_defaults={},
+    )
+    assert validate_catalog(cat) == {}
+    assert validate_catalog(cat, tree="myana/mytree;2") == {}
+    probs = validate_catalog(cat, tree="myana/mytree;9")
+    assert "sig" in probs and "no cycle 9" in probs["sig"][0]
+    probs = validate_catalog(cat, tree="otherana/mytree")
+    assert "sig" in probs
+
+
+def test_root_ingest_end_to_end_phase2_streamered(spark, tmp_path):
+    """The round-7 'Done =' criterion: ingest -> phase2 cutflow on a file
+    CARRYING A STREAMER RECORD (real ROOT layout, zlib-compressed),
+    matching the same events ingested from the simplified minroot layout
+    row-for-row."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.plans.histogrammer import cutflow_table
+
+    n = 150
+    chunk = _lcg_events(n, seed=33)
+    f_stream = str(tmp_path / "stream.root")
+    f_plain = str(tmp_path / "plain.root")
+    _write_streamered_ntuple(f_stream, chunk, basket_entries=64, compress=6)
+    _write_ntuple(f_plain, chunk, basket_entries=64, compress=6)
+
+    out_s, out_p = tmp_path / "ing_s", tmp_path / "ing_p"
+    out_s.mkdir(); out_p.mkdir()
+    cs = R.ingest_root_files([f_stream], "myana/mytree", str(out_s), chunk_events=64)
+    cp = R.ingest_root_files([f_plain], "myana/mytree", str(out_p), chunk_events=64)
+    assert cs == cp == {"nEvents": float(n), "genEvents": float(n)}
+
+    ing_s = spark.read.parquet(str(out_s / "events.parquet"))
+    ing_p = spark.read.parquet(str(out_p / "events.parquet"))
+
+    order = ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
+
+    def cutflow(df):
+        d, plots, cfr, _sels = define_phase2(df)
+        hist = run_analysis(d, plots, [cfr])
+        return {
+            r["selection"]: (r["num_events"], r["sum_weights"])
+            for r in cutflow_table(hist, "yields", order).collect()
+        }
+
+    got, expect = cutflow(ing_s), cutflow(ing_p)
+    assert got == expect
+    assert got["noSel"][0] == n
+    assert got["nmumu"][0] > 0
+
+
+def test_streamered_unskimmable_branch_raises(tmp_path):
+    """A real-layout basket whose branch has no leaflist descriptor in
+    the TTree blob (object-model branch) must fail loudly with a pointer
+    to uproot, never return garbage."""
+    path = str(tmp_path / "s.root")
+    # compress=0 so the descriptor bytes are findable for corruption
+    minroot.write_streamered_tree(path, "t", {"x": ("D", [1.0, 2.0])}, compress=0)
+    buf = bytearray(open(path, "rb").read())
+    # corrupt the descriptor string inside the TTree blob: x/D -> q/D
+    idx = buf.find(b"\x03x/D")
+    assert idx > 0
+    buf[idx + 1] = ord("q")
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError, match="uproot"):
+        minroot.read_flat_tree(str(bad), "t")
