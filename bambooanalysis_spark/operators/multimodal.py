@@ -59,10 +59,12 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     [(r, g, b), ...]); PNG alpha is dropped, gray/palette expanded to RGB.
     Round 6 adds baseline JPEG (operators/jpegcodec.py: full huffman
     entropy decode + numpy IDCT, generic 4:4:4/4:2:0/4:2:2/grayscale
-    sampling, restart markers) — lossy, so JPEG-decoded pixels feed
-    PSNR-bounded tests rather than bit-exact oracles. Remaining formats
-    (progressive JPEG, 16-bit/interlaced PNG, WebP/video) need a real
-    library (PIL/cv2, unavailable in this environment) and raise
+    sampling, restart markers); round 7 adds progressive (SOF2: spectral
+    selection + successive approximation, EOB runs) through the same
+    dispatch — lossy, so JPEG-decoded pixels feed PSNR-bounded tests
+    rather than bit-exact oracles. Remaining formats (arithmetic-coded
+    JPEG, 16-bit/interlaced PNG, WebP/video) need a real library
+    (PIL/cv2, unavailable in this environment) and raise
     NotImplementedError; tests fall back to fake_decode_meta for those,
     and probe_media still reads their header metadata."""
     if blob[:2] == b"BM":
@@ -74,9 +76,9 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
 
         return decode_jpeg(blob)
     raise NotImplementedError(
-        "only BMP/PNG/baseline-JPEG decode stdlib-side; other formats "
-        "require a codec library (use fake_decode_meta for the "
-        "deterministic test path)"
+        "only BMP/PNG/JPEG (baseline + progressive) decode stdlib-side; "
+        "other formats require a codec library (use fake_decode_meta for "
+        "the deterministic test path)"
     )
 
 

@@ -2251,9 +2251,10 @@ def test_jpeg_restart_markers_and_grayscale():
 
 
 def test_jpeg_decoder_boundaries():
-    """Progressive (SOF2) raises NotImplementedError naming the limit;
-    truncated entropy data and missing tables raise ValueError; the
-    encoder's output parses under the existing header-level probe."""
+    """Arithmetic coding (SOF9) raises NotImplementedError naming the
+    limit; a SOF2 header with no scans, truncated entropy data, and
+    missing tables raise ValueError; the encoder's output parses under
+    the existing header-level probe."""
     import struct
 
     import pytest as _pytest
@@ -2261,11 +2262,18 @@ def test_jpeg_decoder_boundaries():
     from bambooanalysis_spark.operators import jpegcodec as J
     from bambooanalysis_spark.operators import multimodal as M
 
-    progressive = (b"\xff\xd8"
-                   + b"\xff\xc2" + struct.pack(">H", 11)
-                   + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
-    with _pytest.raises(NotImplementedError, match="SOF2"):
-        J.decode_jpeg(progressive)
+    arith = (b"\xff\xd8"
+             + b"\xff\xc9" + struct.pack(">H", 11)
+             + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(NotImplementedError, match="SOF9"):
+        J.decode_jpeg(arith)
+    # SOF2 parses now (round 7) but a scanless progressive stream is invalid
+    scanless = (b"\xff\xd8"
+                + b"\xff\xc2" + struct.pack(">H", 11)
+                + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+                + b"\xff\xd9")
+    with _pytest.raises(ValueError, match="no scan data"):
+        J.decode_jpeg(scanless)
 
     blob = J.encode_jpeg(16, 16, [(9, 99, 199)] * 256, quality=75)
     assert M.probe_media(blob) == {
@@ -2451,6 +2459,88 @@ def test_malformed_media_blobs_degrade_not_fail(spark):
     agot = {r["doc_id"]: r for r in M.extract_audio_features(adf).collect()}
     assert agot[1]["real_decode"] is False
     assert agot[2]["real_decode"] is True and agot[2]["peak_abs"] == 5
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Round-7 de-stub: progressive (SOF2) decode. The progressive
+    encoder's scan script (DC first at Al=1, spectral-selection AC
+    bands, DC + AC successive-approximation refinements) transmits the
+    SAME quantized coefficients as the baseline scan, completely — so
+    the progressive decode must equal the baseline decode PIXEL-FOR-
+    PIXEL, across subsamplings and on MCU-unaligned dims. Much stronger
+    than a PSNR bound: any slip in the refinement algebra (toward-zero
+    AC point transform, arithmetic DC shift, correction-bit order)
+    breaks exact equality."""
+    from bambooanalysis_spark.operators import jpegcodec as J
+    from bambooanalysis_spark.operators import multimodal as M
+
+    w, h = 43, 21
+    px = _jpeg_gradient(w, h)
+    for sub in ("444", "420", "gray"):
+        base = J.encode_jpeg(w, h, px, quality=85, subsampling=sub)
+        prog = J.encode_jpeg(w, h, px, quality=85, subsampling=sub,
+                             progressive=True)
+        assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog  # really SOF2
+        assert J.decode_jpeg(prog) == J.decode_jpeg(base), sub
+    # decode_image dispatches progressive blobs transparently
+    prog = J.encode_jpeg(w, h, px, quality=85, progressive=True)
+    w2, h2, out = M.decode_image(prog)
+    assert (w2, h2) == (w, h)
+    assert _psnr(px, out) > 40.0
+
+
+def test_jpeg_progressive_restarts_and_noise():
+    """DRI/RSTn inside progressive scans (predictor + EOB-run resets at
+    byte-aligned markers) change the bitstream, never the coefficients;
+    a full-range noise image exercises every refinement branch (new
+    significance at each Al, positive/negative correction bits, ZRL in
+    refinement scans) and still round-trips equal to baseline."""
+    import random
+
+    from bambooanalysis_spark.operators import jpegcodec as J
+
+    w, h = 40, 24
+    px = _jpeg_gradient(w, h)
+    for sub in ("444", "420", "gray"):
+        a = J.decode_jpeg(J.encode_jpeg(w, h, px, quality=85, subsampling=sub,
+                                        progressive=True))
+        b = J.decode_jpeg(J.encode_jpeg(w, h, px, quality=85, subsampling=sub,
+                                        progressive=True, restart_interval=2))
+        assert a == b, sub
+
+    rnd = random.Random(5)
+    noisy = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+             for _ in range(37 * 19)]
+    a = J.decode_jpeg(J.encode_jpeg(37, 19, noisy, quality=60))
+    b = J.decode_jpeg(J.encode_jpeg(37, 19, noisy, quality=60,
+                                    progressive=True))
+    assert a == b
+
+
+def test_jpeg_progressive_eob_runs_gt_one():
+    """Real encoders (libjpeg optimized tables) emit EOBn symbols whose
+    runs span MANY blocks; our encoder caps runs at 1, so the EOBRUN>1
+    decode path gets a hand-built fixture: a custom huffman table whose
+    only symbol is EOB1, an entropy stream declaring a 2-extra-blocks
+    EOB run, and a 3-block AC-first scan that must leave every
+    coefficient zero while consuming exactly that stream."""
+    from bambooanalysis_spark.operators.jpegcodec import (
+        _HuffTable,
+        _ProgState,
+    )
+
+    frame = {"w": 24, "h": 8, "progressive": True,
+             "comps": [{"id": 1, "h": 1, "v": 1, "tq": 0}]}
+    st = _ProgState(frame)
+    assert st.bdims[1] == (1, 3)
+    # single-code table: bit '0' -> symbol 0x10 (EOB1: eobrun = 2 + ext bit)
+    tbl = _HuffTable([1] + [0] * 15, [0x10])
+    # entropy: '0' (EOB1) + extension bit '1' -> eobrun = (1<<1)+1 = 3 blocks
+    # (current + 2 more); pad to a byte, then EOI so the scan terminates
+    blob = b"\x40" + b"\xff\xd9"
+    pos = st._ac_first(blob, 0, 1, tbl, 0, 1, 63, 0)
+    assert (st.coefs[1] == 0).all()
+    assert blob[pos:pos + 2] == b"\xff\xd9"
 
 
 def test_probe_media_jpeg_fill_bytes():
