@@ -144,11 +144,30 @@ def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(a, b, k=256).where(F.col("flag_a") < F.col("flag_b"))
 
 
+def q_embedding_pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the coarse stage in PCA space (operators/decomp.
+    ivf_topk_pca): centroid training, cell assignment and probe routing
+    run on 8 PCA components instead of 64 dims (the per-row cost that
+    dominates index builds at large codebooks — 2x measured at C=256,
+    PERFORMANCE.md §36), candidates reranked with the exact full-dim
+    cosine. Rows-only (eigendecomposition is not SQL-expressible);
+    exactness of the rerank and the n_probe==n_centroids == brute-force
+    equivalence are pinned in tests/test_scale_ops.py."""
+    from ..operators.decomp import ivf_topk_pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(50)
+    return ivf_topk_pca(
+        emb, queries, k=10, n_centroids=16, n_probe=4, pca_dim=8, n_iter=2
+    )
+
+
 def _register() -> None:
     register(
         "events_interval_join", q_events_interval_join, ORACLE_EVENTS_INTERVAL_JOIN
     )
     register("embedding_pca_project", q_embedding_pca_project)
+    register("embedding_pca_ivf_topk", q_embedding_pca_ivf_topk)
     register(
         "embedding_random_projection",
         q_embedding_random_projection,

@@ -250,3 +250,106 @@ def signed_projection(
         for i in range(out_dim)
     ]
     return q.select(F.col(id_col), F.col("scale_e9"), *cols)
+
+
+# --- PCA-space IVF coarse quantization (round-7, VERDICT r6 #7) --------------
+
+
+def ivf_topk_pca(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    pca_dim: int = 8,
+    n_iter: int = 2,
+    model: "PCAModel | None" = None,
+    broadcast_limit: int = 10_000,
+) -> DataFrame:
+    """IVF ANN with the coarse stage in PCA space and an exact
+    full-vector rerank — "use the PCA path for what it was built for":
+
+    - fit (or reuse) a ``pca_dim``-component model on the corpus, project
+      corpus AND queries once (Arrow-batched matmul);
+    - train the centroid codebook and assign cells IN PCA SPACE, so
+      per-row assignment and per-query probe scoring cost ``pca_dim``
+      multiply-adds per centroid instead of the full dim (8x at 64->8 —
+      at 100 TB this is the stage that touches every corpus row on every
+      index build/refresh);
+    - probe ``n_probe`` cells per query (equi-join on cell id, same plan
+      as ivf_topk) and rank candidates EXACTLY with the full-dimension
+      cosine, so the sketch can only cost recall via cell routing, never
+      via scores.
+
+    Recall vs the full-space coarse stage is measured in PERFORMANCE.md
+    §36 (scripts/pca_ivf_recall.py): on decaying-spectrum data the
+    routing is near-lossless (recall parity at 2.1x less wall clock,
+    C=256), on near-isotropic data it loses recall — so check
+    ``pca_fit(...).explained_ratio[:pca_dim].sum()`` FIRST; it is the
+    cheap pre-flight diagnostic for whether pca_dim components carry the
+    geometry (>0.9: route in PCA space; <0.5: stay full-dim). Output
+    schema matches ivf_topk (query_id, rank, neighbor_id, cosine_e6)."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        _centroid_scores,
+        _maybe_broadcast,
+        cosine,
+        ivf_assign,
+        kmeans_fit_int8,
+    )
+
+    if model is None:
+        model = pca_fit(corpus, vec_col=vec_col, k=pca_dim)
+    pc_c = pca_project(corpus, model, vec_col=vec_col, out_col="__pc")
+    pc_q = pca_project(queries, model, vec_col=vec_col, out_col="__pc")
+    cents = [
+        (cid, [float(x) for x in codes])
+        for cid, codes in kmeans_fit_int8(
+            pc_c, k=n_centroids, n_iter=n_iter, id_col=id_col, vec_col="__pc"
+        )
+    ]
+    c = ivf_assign(pc_c, cents, "__pc").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "__ivf_cell",
+    )
+    q = pc_q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("__pc"),
+    )
+    cells = F.slice(
+        F.array_sort(
+            _centroid_scores(F.col("__pc"), cents),
+            lambda a, b: F.when(a["s"] > b["s"], -1)
+            .when(a["s"] < b["s"], 1)
+            .otherwise(0),
+        ),
+        1,
+        n_probe,
+    )
+    q = q.withColumn(
+        "__ivf_cell", F.explode(F.transform(cells, lambda x: x["cid"]))
+    ).drop("__pc")
+    scored = (
+        c.join(_maybe_broadcast(q, broadcast_limit), "__ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000)
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_e6")
+    )

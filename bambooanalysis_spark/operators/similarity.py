@@ -400,7 +400,14 @@ def ivf_topk(
     balances cell populations — better recall at the same n_probe, and no
     mega-cell skew key in the probe join. At 100 TB the centroid list is
     broadcast metadata and the bucketed corpus is partitioned by cell.
-    """
+
+    Codebook-size note (PERFORMANCE.md §36): the literal-codebook
+    assignment expression scales linearly in n_centroids x dim and
+    measurably degrades past a few hundred centroids (C=256 x 64d costs
+    ~6x the C=32 plan). For large codebooks, either route the coarse
+    stage through PCA components (decomp.ivf_topk_pca — 2x measured at
+    C=256 when the spectrum allows) or replace the literals with a
+    broadcast join against a centroid DataFrame."""
     if train_iters > 0:
         cents = [
             (cid, [float(x) for x in codes])

@@ -43,6 +43,7 @@ ROWS_ONLY_GATES: dict[str, str] = {
     "text_compression_ratio": "test_retrieval.py::test_compression_ratio_signal",
     "sampling_weighted": "test_retrieval.py::test_weighted_sample_aes_properties",
     "embedding_pca_project": "test_scale_ops.py::test_pca_fit_matches_numpy_reference (+ projection parity, orthonormality/variance/sign properties)",
+    "embedding_pca_ivf_topk": "test_scale_ops.py::test_ivf_topk_pca_full_probe_equals_brute_force (+ schema/routing test; recall curve PERFORMANCE.md §36)",
     "sketch_kmv_set_ops": "test_scale_ops.py::test_kmv_error_bounds (+ exact-when-not-full, union mergeability)",
 }
 

