@@ -227,6 +227,13 @@ FROM sig
 
 
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-bucket-pairs (max_bucket=None, the r5-ADVICE default):
+    right for this oracle-checked pair surface, but a deliberate
+    crawl-scale footgun — one mega-clique bucket (10^6 boilerplate
+    copies) emits ~n^2/2 pairs from a single task. At crawl scale pass
+    a finite max_bucket (or max_bucket=1 when only connectivity is
+    consumed, as near_dup_clusters does), or use lsh_first_claim_keeps;
+    see bucket_pairs' docstring and COVERAGE.md's row for this query."""
     from ..operators import dedup as D
 
     return D.minhash_lsh_pairs(
