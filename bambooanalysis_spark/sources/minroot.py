@@ -32,9 +32,12 @@ reader is driven entirely by what is in the file.
   compression frames (2-byte algorithm tag, 1-byte method, 3-byte LE
   compressed size, 3-byte LE uncompressed size) each followed by the
   compressed block, chunked at ROOT's 0xffffff-byte buffer ceiling. The
-  writer emits ``ZL`` (zlib, ROOT's default — stdlib ``zlib``); the
-  reader also accepts ``XZ`` (stdlib ``lzma``). ``L4``/``ZS`` frames
-  (lz4/zstd — no stdlib codec) raise with a pointer to uproot.
+  writer emits ``ZL`` (zlib, ROOT's classic default — stdlib ``zlib``)
+  or, round-7, ``L4`` (lz4, ROOT's 6.14+ default — the vendored
+  pure-Python block codec in ``lz4block.py``, with the XXH64-checksummed
+  ZipLZ4 frame layout); the reader additionally accepts ``XZ`` (stdlib
+  ``lzma``). ``ZS`` frames (zstd — no stdlib codec, format too large to
+  vendor) raise with a pointer to uproot.
 
 - **Real-ROOT layout** (round-7) — ``write_streamered_tree`` emits (and
   ``read_flat_tree``/``sniff_file`` consume) the on-disk shape actual
@@ -49,7 +52,7 @@ reader is driven entirely by what is in the file.
 Deliberately NOT implemented (documented simplifications): full
 TStreamerInfo parsing (the streamed TTree object model — flat leaflist
 branches are recovered by descriptor skim, object-model branches raise
-with a pointer to uproot), lz4/zstd frame codecs, and 64-bit (>2 GiB)
+with a pointer to uproot), the zstd frame codec, and 64-bit (>2 GiB)
 seeks in the read/write paths (``sniff_file`` below does parse
 large-file headers). ``root_ingest.ingest_root_files`` prefers uproot
 when present and falls back to this reader.
@@ -104,16 +107,24 @@ class _Key:
     keylen: int = 0
 
 
-def _compress_frames(payload: bytes, level: int) -> bytes | None:
+def _compress_frames(payload: bytes, level: int, algo: str = "ZL") -> bytes | None:
     """ROOT compression-frame sequence for one key payload: per 16 MB-1
-    chunk, the 9-byte frame header (``ZL`` tag, method byte 8 =
-    Z_DEFLATED, 3-byte little-endian compressed/uncompressed sizes) then
-    a complete zlib stream — the exact on-disk shape ROOT's
-    R__zipMultipleAlgorithm produces for its default zlib setting."""
+    chunk, the 9-byte frame header (algo tag, method byte, 3-byte
+    little-endian compressed/uncompressed sizes) then the compressed
+    block — the exact on-disk shape ROOT's R__zipMultipleAlgorithm
+    produces. ``algo``: ``"ZL"`` (zlib, ROOT's classic default) or
+    ``"L4"`` (lz4 — ROOT's 6.14+ default; block preceded by the 8-byte
+    big-endian XXH64 of the compressed block, per ZipLZ4.cxx)."""
     out = bytearray()
     for start in range(0, len(payload), _MAX_FRAME):
         chunk = payload[start : start + _MAX_FRAME]
-        comp = zlib.compress(chunk, level)
+        if algo == "L4":
+            from .lz4block import lz4_block_compress, xxh64
+
+            blk = lz4_block_compress(chunk)
+            comp = xxh64(blk).to_bytes(8, "big") + blk
+        else:
+            comp = zlib.compress(chunk, level)
         c, u = len(comp), len(chunk)
         if c > _MAX_FRAME:
             # an incompressible ~16MB chunk can deflate to MORE than the
@@ -121,8 +132,9 @@ def _compress_frames(payload: bytes, level: int) -> bytes | None:
             # walk, so signal the caller to keep the whole key raw (ROOT's
             # own fallback for keys compression doesn't shrink)
             return None
-        out += b"ZL" + bytes(
-            [8, c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF,
+        method = 8 if algo == "ZL" else 4  # Z_DEFLATED / kLZ4
+        out += algo.encode() + bytes(
+            [method, c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF,
              u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF]
         )
         out += comp
@@ -132,7 +144,8 @@ def _compress_frames(payload: bytes, level: int) -> bytes | None:
 def _decompress_frames(payload: bytes, objlen: int) -> bytes:
     """Inverse of ``_compress_frames``: walk the frame sequence until
     ``objlen`` uncompressed bytes are recovered. ``ZL`` (zlib) and ``XZ``
-    (lzma) decode with the stdlib; lz4/zstd frames need uproot."""
+    (lzma) decode with the stdlib, ``L4`` (lz4) with the vendored block
+    codec; zstd frames need uproot."""
     import lzma
 
     out = bytearray()
@@ -150,9 +163,20 @@ def _decompress_frames(payload: bytes, objlen: int) -> bytes:
             data = zlib.decompress(block)
         elif algo == b"XZ":
             data = lzma.decompress(block)
+        elif algo == b"L4":
+            # ROOT L4 frame: 8-byte big-endian XXH64 of the compressed
+            # block, then the raw lz4 block (ZipLZ4.cxx layout)
+            from .lz4block import lz4_block_decompress, xxh64
+
+            if c < 8:
+                raise ValueError("corrupt L4 frame: no room for checksum")
+            stored = int.from_bytes(block[:8], "big")
+            if xxh64(block[8:]) != stored:
+                raise ValueError("corrupt L4 frame: XXH64 mismatch")
+            data = lz4_block_decompress(block[8:], u)
         else:
             raise NotImplementedError(
-                f"compression frame {algo!r} (lz4/zstd) has no stdlib codec; "
+                f"compression frame {algo!r} (zstd) has no stdlib codec; "
                 "use uproot for such files"
             )
         if len(data) != u:
@@ -171,6 +195,7 @@ def _pack_key(
     cycle: int = 1,
     compress_level: int = 0,
     extra: bytes = b"",
+    compress_algo: str = "ZL",
 ) -> bytes:
     """``extra`` lands between the title TString and fKeyLen — the slot
     where real ROOT TBasket keys store the basket header (see _Key)."""
@@ -178,7 +203,7 @@ def _pack_key(
     keylen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + len(strings)
     stored = payload
     if compress_level > 0 and payload:
-        framed = _compress_frames(payload, compress_level)
+        framed = _compress_frames(payload, compress_level, compress_algo)
         # ROOT keeps the raw bytes if compression doesn't actually shrink
         # the key (framed is None when a chunk overflows the 3-byte size)
         if framed is not None and len(framed) < len(payload):
@@ -254,6 +279,7 @@ def write_flat_tree(
     basket_entries: int = 5000,
     title: str = "minroot flat tree",
     compress: int = 0,
+    compress_algo: str = "ZL",
 ) -> None:
     """Write one flat TTree of basic-type branches as a ROOT-format file.
 
@@ -316,6 +342,7 @@ def write_flat_tree(
         out += _pack_key(
             classname, name, ktitle, seek, payload, cycle=cycle,
             compress_level=compress if classname == "TBasket" else 0,
+            compress_algo=compress_algo,
         )
     fend = len(out)
 
@@ -329,7 +356,8 @@ def write_flat_tree(
         0,  # nfree
         records and len(_pack_key(*records[0][:3], FBEGIN, records[0][3])) or 0,
         4,  # fUnits: bytes per pointer
-        100 + compress if compress else 0,  # fCompress: algo*100+level (zlib=1)
+        # fCompress: algorithm*100+level (kZLIB=1, kLZ4=4)
+        ((100 if compress_algo == "ZL" else 400) + compress) if compress else 0,
         0,  # fSeekInfo: no streamer info (documented simplification)
         0,  # fNbytesInfo
     )
@@ -347,6 +375,7 @@ def write_streamered_tree(
     title: str = "minroot streamered tree",
     compress: int = 1,
     tree_cycles: int = 1,
+    compress_algo: str = "ZL",
 ) -> None:
     """Write a flat TTree in the REAL ROOT on-disk layout — the shape
     files written by actual ROOT have (jet_test.yml:10-11 inputs), which
@@ -400,6 +429,7 @@ def write_streamered_tree(
             _pack_key(
                 classname, name, ktitle, seek, payload, cycle=cycle,
                 extra=extra, compress_level=compress_level,
+                compress_algo=compress_algo,
             )
         )
         return seek
@@ -491,7 +521,7 @@ def write_streamered_tree(
         0,
         0,
         4,
-        100 + compress if compress else 0,
+        ((100 if compress_algo == "ZL" else 400) + compress) if compress else 0,
         seek_info,
         nbytes_info,
     )

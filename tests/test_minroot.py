@@ -209,19 +209,113 @@ def test_minroot_incompressible_payload_stays_raw(tmp_path):
     assert minroot.read_flat_tree(p, "t")["x"] == rnd
 
 
-def test_minroot_rejects_lz4_zstd_frames(tmp_path):
+def test_minroot_rejects_zstd_frames(tmp_path):
     """Foreign-codec frames fail loudly with a pointer to uproot, not with
-    garbage data."""
+    garbage data (lz4 became readable round 7; zstd remains out)."""
     p = str(tmp_path / "t.root")
     minroot.write_flat_tree(p, "t", {"x": ("D", [0.0] * 1000)}, compress=6)
     buf = bytearray(open(p, "rb").read())
     idx = buf.find(b"ZL", minroot.FBEGIN)
     assert idx > 0
-    buf[idx : idx + 2] = b"L4"
+    buf[idx : idx + 2] = b"ZS"
     bad = tmp_path / "bad.root"
     bad.write_bytes(bytes(buf))
     with pytest.raises(NotImplementedError, match="uproot"):
         minroot.read_flat_tree(str(bad), "t")
+
+
+def test_minroot_lz4_frames_roundtrip(tmp_path):
+    """Round-7: L4 (lz4) compression frames — ROOT's 6.14+ default — in
+    both layouts, via the vendored pure-Python block codec with the
+    ZipLZ4 XXH64-checksummed frame shape; a flipped payload byte must
+    fail the checksum loudly."""
+    import struct as _struct
+
+    branches = {
+        "x": ("D", [float(i % 17) for i in range(4000)]),
+        "j": ("I", [[i % 7] * (i % 4) for i in range(4000)]),
+    }
+    want = {k: v for k, (_c, v) in branches.items()}
+    p = str(tmp_path / "l4.root")
+    minroot.write_flat_tree(p, "t", branches, basket_entries=1500,
+                            compress=1, compress_algo="L4")
+    assert minroot.read_flat_tree(p, "t") == want
+    # fCompress records kLZ4*100 + level
+    comp = _struct.unpack(">i", open(p, "rb").read()[33:37])[0]
+    assert comp == 401
+    s = str(tmp_path / "l4s.root")
+    minroot.write_streamered_tree(s, "myana/mytree", branches,
+                                  basket_entries=1500, compress=1,
+                                  compress_algo="L4")
+    assert minroot.read_flat_tree(s, "myana/mytree") == want
+
+    buf = bytearray(open(p, "rb").read())
+    idx = buf.find(b"L4", minroot.FBEGIN)
+    assert idx > 0
+    buf[idx + 9 + 8 + 3] ^= 0xFF  # flip a byte inside the lz4 block
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="XXH64 mismatch"):
+        minroot.read_flat_tree(str(bad), "t")
+
+
+def test_lz4_block_codec_and_xxh64():
+    """The vendored codec itself: spec-conformance via a hand-built block
+    (literals + overlapping-match RLE), roundtrips over pathological
+    inputs, truncation errors; XXH64 against its published empty-input
+    vector."""
+    import random
+
+    from bambooanalysis_spark.sources.lz4block import (
+        lz4_block_compress,
+        lz4_block_decompress,
+        xxh64,
+    )
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999  # published reference vector
+
+    # hand-built: 4 literals, match offset 4 len 8, then 4 literals
+    hand = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00, 0x40]) + b"wxyz"
+    assert lz4_block_decompress(hand, 16) == b"abcdabcdabcdwxyz"
+    # overlapping match (offset 1) = RLE expansion
+    rle = bytes([0x1B]) + b"z" + bytes([0x01, 0x00]) + bytes([0x00])
+    assert lz4_block_decompress(rle, 16) == b"z" * 16
+
+    rnd = random.Random(1)
+    for case in (b"", b"a", b"abcd" * 1000, bytes(rnd.randrange(256) for _ in range(10000)),
+                 b"\x00" * 100000, bytes(rnd.randrange(4) for _ in range(50000))):
+        z = lz4_block_compress(case)
+        assert lz4_block_decompress(z, len(case)) == case
+
+    with pytest.raises(ValueError, match="truncated"):
+        lz4_block_decompress(bytes([0xF4]), 100)
+    with pytest.raises(ValueError, match="zero match offset"):
+        lz4_block_decompress(bytes([0x14]) + b"a" + bytes([0x00, 0x00]), 6)
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Independent oracle for the vendored XXH64: Spark's JVM xxhash64
+    (seed 42) over random binary rows must equal the pure-Python value
+    with the same seed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.sources.lz4block import xxh64
+
+    rnd = random.Random(9)
+    blobs = [bytes(rnd.randrange(256) for _ in range(ln))
+             for ln in (0, 1, 3, 4, 7, 8, 9, 31, 32, 33, 100, 1000)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "i long, b binary"
+    )
+    got = {r["i"]: r["h"] for r in df.select(
+        "i", F.xxhash64("b").alias("h")).collect()}
+    for i, b in enumerate(blobs):
+        want = xxh64(b, seed=42)
+        if want >= 1 << 63:
+            want -= 1 << 64  # Spark returns signed long
+        assert got[i] == want, (i, len(b))
 
 
 def test_sniff_file_reports_metadata_without_decompressing(tmp_path, monkeypatch):
