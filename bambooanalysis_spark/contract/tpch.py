@@ -517,3 +517,496 @@ register(
     q_rel_supplier_part_counts,
     ORACLE_REL_SUPPLIER_PART_COUNTS,
 )
+
+
+# --- round-7: the remaining classic shapes (Q5/Q6/Q8/Q9/Q10/Q11/Q12/Q19/Q21) -
+
+
+def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-relation "local supplier" join: revenue
+    from lineitems where the CUSTOMER and the SUPPLIER share a nation,
+    restricted to one region and one order year. The c_nationkey ==
+    s_nationkey equality is the interesting bit: it links two otherwise
+    independent dimension paths, and Catalyst must keep both nation/
+    region dimensions broadcast while the fact join chain shuffles on
+    orderkey. Region/date filters push to their scans."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_revenue()) * 10000).cast("bigint").alias("revenue_e4"))
+    )
+
+
+ORACLE_REL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       CAST(SUM({_SQL_REVENUE}) * 10000 AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-aggregate: one table, three
+    range predicates, no joins, one output row. Exists to pin predicate
+    pushdown: all three filters must reach the parquet scan (asserted in
+    test_plan_shapes), and the whole query is a single whole-stage-
+    codegen pass with a map-side partial aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice").cast(_DEC_PRICE)
+        * F.col("l_discount").cast(_DEC_DISC)
+    ).cast(_DEC_WIDE)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(_DEC_DISC) >= F.lit("0.03").cast(_DEC_DISC))
+            & (F.col("l_discount").cast(_DEC_DISC) <= F.lit("0.05").cast(_DEC_DISC))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(amount) * 10000).cast("bigint").alias("forecast_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,10)))
+            * 10000 AS BIGINT) AS forecast_e4,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(8,6)) BETWEEN CAST('0.03' AS DECIMAL(8,6))
+                                           AND CAST('0.05' AS DECIMAL(8,6))
+  AND l_quantity < 24
+"""
+
+
+def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    sold into one region's customers, what basis-point share came from
+    one supplier nation, per order year. TWO aliases of the nation
+    dimension (customer's region path and supplier's nationality path) —
+    the self-join-of-dimensions pattern — plus a conditional aggregate
+    over the same rows. Share is exact integer basis points: the sums
+    stay DECIMAL(38) and the final divide is integral (`div`), matching
+    DuckDB HUGEINT floor division; no doubles anywhere."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _revenue()
+    share_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+        F.lit(0).cast(_DEC_WIDE)
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (F.sum(share_rev) * 10000).cast("decimal(38,0)").alias("nat_e4"),
+        (F.sum(rev) * 10000).cast("decimal(38,0)").alias("tot_e4"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("CAST((nat_e4 * 10000) div tot_e4 AS BIGINT)").alias("share_bp"),
+        F.col("tot_e4").cast("bigint").alias("total_revenue_e4"),
+    )
+
+
+ORACLE_REL_MARKET_SHARE = f"""
+WITH j AS (
+    SELECT year(o_orderdate) AS o_year,
+           {_SQL_REVENUE} AS rev,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+),
+a AS (
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                         ELSE CAST(0 AS DECIMAL(38,10)) END) * 10000 AS HUGEINT)
+               AS nat_e4,
+           CAST(SUM(rev) * 10000 AS HUGEINT) AS tot_e4
+    FROM j GROUP BY o_year
+)
+SELECT o_year,
+       CAST((nat_e4 * 10000) // tot_e4 AS BIGINT) AS share_bp,
+       CAST(tot_e4 AS BIGINT) AS total_revenue_e4
+FROM a
+"""
+
+
+def q_rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and year: a part-
+    name LIKE filter fans into the full fact chain, profit = revenue
+    minus a cost term derived from the joined part dimension (the
+    testdata has no partsupp, so cost = quantity * 80% of retail price —
+    same join/aggregate shape, exact DECIMAL). Group keys come from two
+    different dimensions (supplier nation x order year)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast(_DEC_PRICE)
+        * F.lit("0.8").cast(_DEC_DISC)
+    ).cast(_DEC_WIDE)
+    profit = (_revenue() - cost).cast(_DEC_WIDE)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit) * 10000).cast("bigint").alias("profit_e4"))
+    )
+
+
+ORACLE_REL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(SUM(CAST({_SQL_REVENUE}
+                - CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(p_retailprice AS DECIMAL(18,4))
+                       * CAST('0.8' AS DECIMAL(8,6)) AS DECIMAL(38,10))
+                AS DECIMAL(38,10))) * 10000 AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: per-customer revenue
+    lost to returns in one quarter, top 20 customers with their nation.
+    The group-by keys include three customer attributes + n_name (wide
+    key, classic reporting shape); top-20 must plan as TakeOrdered."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("acctbal_e4"),
+            "n_name",
+        )
+        .agg((F.sum(_revenue()) * 10000).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_REL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS acctbal_e4,
+       n_name,
+       CAST(SUM({_SQL_REVENUE}) * 10000 AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, acctbal_e4, n_name
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_rel_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups above a global-fraction threshold: per
+    (part, supplier) revenue that exceeds 0.1% of TOTAL revenue (no
+    partsupp table, so lineitem revenue stands in for stock value —
+    identical decorrelation shape: a grouped aggregate HAVING-compared
+    against a scalar aggregate of the SAME source). The scalar total is
+    a 1-row broadcast; the comparison is exact integer (value*1000 >
+    total in DECIMAL(38), HUGEINT in DuckDB)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(_revenue()) * 10000).cast("decimal(38,0)").alias("value_e4")
+    )
+    total = li.agg(
+        (F.sum(_revenue()) * 10000).cast("decimal(38,0)").alias("total_e4")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .where(F.col("value_e4") * 1000 > F.col("total_e4"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("value_e4").cast("bigint").alias("value_e4"),
+        )
+    )
+
+
+ORACLE_REL_IMPORTANT_STOCK = f"""
+WITH per AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM({_SQL_REVENUE}) * 10000 AS HUGEINT) AS value_e4
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+    SELECT CAST(SUM({_SQL_REVENUE}) * 10000 AS HUGEINT) AS total_e4
+    FROM lineitem
+)
+SELECT l_partkey, l_suppkey, CAST(value_e4 AS BIGINT) AS value_e4
+FROM per, tot
+WHERE value_e4 * 1000 > total_e4
+"""
+
+
+def q_rel_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-aggregates by category: per line status,
+    how many LATE shipments (ship > order date + 90 days; the testdata
+    has no commit/receipt dates) carried urgent-priority orders vs not.
+    One join, two conditional counts over the same rows — the shape that
+    proves CASE folding into a single aggregate pass."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+ORACLE_REL_LATE_SHIPMENT_PRIORITY = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_rel_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunction of conjunctions: three
+    (brand, size-range, quantity-range) alternatives OR-ed across a
+    lineitem x part join. The classic test that an optimizer (a) keeps
+    the common join key extraction out of the OR, and (b) pushes the
+    per-table residuals (p_size bounds, l_quantity bounds) below the
+    join rather than evaluating the whole disjunction post-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    alt = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return j.where(alt).agg(
+        (F.sum(_revenue()) * 10000).cast("bigint").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_REL_DISCOUNTED_REVENUE = f"""
+SELECT CAST(SUM({_SQL_REVENUE}) * 10000 AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the double correlated subquery: suppliers whose
+    lineitem shipped LATE (> order date + 60 days; no receipt/commit
+    dates in the testdata) on a finished multi-supplier order where NO
+    OTHER supplier was late — EXISTS(other supplier) AND NOT EXISTS
+    (other late supplier), decorrelated into one semi- and one anti-join
+    on l_orderkey with a suppkey-inequality residual. Top 20 suppliers
+    by count of such orders."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        # one supplier can be late on an order via several lineitems;
+        # the subject of the count is (supplier, order), not lineitems
+        .select("s_name", "s_suppkey", "l_orderkey")
+        .distinct()
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_REL_WAITING_SUPPLIERS = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+    SELECT DISTINCT s_name, s_suppkey, l1.l_orderkey
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+) w
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+register(
+    "rel_local_supplier_volume",
+    q_rel_local_supplier_volume,
+    ORACLE_REL_LOCAL_SUPPLIER_VOLUME,
+)
+register("rel_forecast_revenue", q_rel_forecast_revenue, ORACLE_REL_FORECAST_REVENUE)
+register("rel_market_share", q_rel_market_share, ORACLE_REL_MARKET_SHARE)
+register("rel_product_profit", q_rel_product_profit, ORACLE_REL_PRODUCT_PROFIT)
+register("rel_returned_items", q_rel_returned_items, ORACLE_REL_RETURNED_ITEMS)
+register("rel_important_stock", q_rel_important_stock, ORACLE_REL_IMPORTANT_STOCK)
+register(
+    "rel_late_shipment_priority",
+    q_rel_late_shipment_priority,
+    ORACLE_REL_LATE_SHIPMENT_PRIORITY,
+)
+register(
+    "rel_discounted_revenue",
+    q_rel_discounted_revenue,
+    ORACLE_REL_DISCOUNTED_REVENUE,
+)
+register(
+    "rel_waiting_suppliers", q_rel_waiting_suppliers, ORACLE_REL_WAITING_SUPPLIERS
+)

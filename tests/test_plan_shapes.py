@@ -542,3 +542,45 @@ def test_tpch_q4_q16_plan_shapes(spark, sf_oracle):
 
     plan = _plan(QUERIES["rel_supplier_part_counts"](spark, sf_oracle))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_tpch_shapes_round7(spark, sf_oracle):
+    """Round-7 TPC-H-shape family: the plan properties the docstrings
+    claim, visible in the executed plan."""
+    from bambooanalysis_spark.contract import QUERIES
+
+    # Q6 shape: all three predicates reach the parquet scan; no join
+    plan = _plan(QUERIES["rel_forecast_revenue"](spark, sf_oracle))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "Join" not in plan
+
+    # Q5 shape: dimensions broadcast, the fact chain is the only shuffle path
+    plan = _plan(QUERIES["rel_local_supplier_volume"](spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+    # Q8 shape: two nation aliases resolve to two broadcast joins of the
+    # same tiny table; the share division happens post-aggregate
+    plan = _plan(QUERIES["rel_market_share"](spark, sf_oracle))
+    assert plan.count("nation.parquet") == 2
+    assert "BroadcastHashJoin" in plan
+
+    # Q10 shape: top-20 is TakeOrdered, never a global sort
+    plan = _plan(QUERIES["rel_returned_items"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+    # Q11 shape: the scalar total joins as a 1-row broadcast (nested-loop
+    # on a single row is fine; a shuffled join would not be)
+    plan = _plan(QUERIES["rel_important_stock"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    # Q19 shape: the disjunction must not break the equi-join on partkey
+    plan = _plan(QUERIES["rel_discounted_revenue"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q21 shape: EXISTS/NOT EXISTS decorrelate to one semi and one anti
+    # hash join on the order key; top-20 is TakeOrdered
+    plan = _plan(QUERIES["rel_waiting_suppliers"](spark, sf_oracle))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
