@@ -62,11 +62,12 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     sampling, restart markers); round 7 adds progressive (SOF2: spectral
     selection + successive approximation, EOB runs) through the same
     dispatch — lossy, so JPEG-decoded pixels feed PSNR-bounded tests
-    rather than bit-exact oracles. Remaining formats (arithmetic-coded
-    JPEG, 16-bit/interlaced PNG, WebP/video) need a real library
-    (PIL/cv2, unavailable in this environment) and raise
-    NotImplementedError; tests fall back to fake_decode_meta for those,
-    and probe_media still reads their header metadata."""
+    rather than bit-exact oracles. Round 7 also extends PNG to 16-bit
+    samples (high-byte downscale) and Adam7 interlacing. Remaining
+    formats (arithmetic-coded JPEG, sub-byte PNG depths, WebP/video)
+    need a real library (PIL/cv2, unavailable in this environment) and
+    raise NotImplementedError; tests fall back to fake_decode_meta for
+    those, and probe_media still reads their header metadata."""
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     if blob[:8] == _PNG_MAGIC:
@@ -157,11 +158,82 @@ def _png_chunks(blob: bytes):
         pos += 12 + ln  # length + type + data + crc
 
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_defilter(raw: bytes, pos: int, width_px: int, height: int,
+                  bpp: int) -> tuple[list[bytearray], int]:
+    """Undo per-scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) for one (sub-)image of ``height`` rows of ``width_px``
+    pixels at ``bpp`` bytes/pixel; returns the rows and the new offset.
+    The Sub/Average/Paeth left-neighbor distance is ``bpp`` BYTES — this
+    is what makes the same code correct for 16-bit samples."""
+    stride = width_px * bpp
+    if len(raw) < pos + height * (stride + 1):
+        raise ValueError("PNG truncated pixel data")
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    for _r in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG invalid filter type {ftype}")
+        prev = line
+        rows.append(line)
+    return rows, pos
+
+
+def _png_row_pixels(line: bytearray, ctype: int, depth: int,
+                    plte: bytes | None) -> list[tuple[int, int, int]]:
+    """One defiltered scanline -> RGB triples. 16-bit samples downscale
+    to 8 by taking the high byte (the standard 16->8 conversion); alpha
+    is dropped; gray expands; palette indexes into PLTE."""
+    step = depth // 8
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = nch * step
+    out: list[tuple[int, int, int]] = []
+    for i in range(0, len(line), bpp):
+        if ctype == 2 or ctype == 6:
+            out.append((line[i], line[i + step], line[i + 2 * step]))
+        elif ctype == 0 or ctype == 4:
+            out.append((line[i], line[i], line[i]))
+        else:  # palette (depth 8 only; guarded by caller)
+            v = line[i]
+            out.append((plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]))
+    return out
+
+
 def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Pure-stdlib PNG decode (RFC 2083): 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA), non-interlaced. IDAT chunks
-    concatenate into one zlib stream; each scanline starts with a filter
-    byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) undone bytewise."""
+    """Pure-stdlib PNG decode (RFC 2083): depths 8 and 16 (high-byte
+    downscale), color types 0 (gray), 2 (RGB), 3 (palette, 8-bit),
+    4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and 1 (Adam7 —
+    seven independently-filtered sub-images merged onto the pass grid).
+    IDAT chunks concatenate into one zlib stream; each scanline starts
+    with a filter byte undone bytewise at the bytes-per-pixel distance."""
     import struct as _struct
     import zlib as _zlib
 
@@ -177,75 +249,71 @@ def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace}: stdlib decoder "
-            "handles 8-bit non-interlaced only (use PIL for the rest)"
-        )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"PNG invalid color type {ctype}")
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and ctype == 3)
+        or interlace not in (0, 1)
+        or comp != 0
+        or filt != 0
+    ):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace}: "
+            "stdlib decoder handles 8/16-bit, sequential or Adam7 "
+            "(sub-byte depths need PIL)"
+        )
+    if ctype == 3 and plte is None:
+        raise ValueError("PNG palette image missing PLTE")
+    bpp = nch * (depth // 8)
     raw = _zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG truncated pixel data")
-    prev = bytearray(stride)
-    px: list[tuple[int, int, int]] = []
+    if interlace == 0:
+        rows, _pos = _png_defilter(raw, 0, w, h, bpp)
+        px: list[tuple[int, int, int]] = []
+        for line in rows:
+            px.extend(_png_row_pixels(line, ctype, depth, plte))
+        return w, h, px
+    # Adam7: de-filter each pass sub-image, scatter onto the full grid
+    grid: list[list[tuple[int, int, int] | None]] = [
+        [None] * w for _ in range(h)
+    ]
     pos = 0
-    for _r in range(h):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG invalid filter type {ftype}")
-        prev = line
-        if ctype == 2:
-            px.extend((line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 3))
-        elif ctype == 6:
-            px.extend((line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 4))
-        elif ctype == 0:
-            px.extend((v, v, v) for v in line)
-        elif ctype == 4:
-            px.extend((line[i], line[i], line[i]) for i in range(0, stride, 2))
-        else:  # palette
-            if plte is None:
-                raise ValueError("PNG palette image missing PLTE")
-            px.extend(
-                (plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]) for v in line
-            )
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, pos = _png_defilter(raw, pos, pw, ph, bpp)
+        for j, line in enumerate(rows):
+            y = y0 + j * dy
+            for i, p in enumerate(_png_row_pixels(line, ctype, depth, plte)):
+                grid[y][x0 + i * dx] = p
+    px = []
+    for row in grid:
+        if any(p is None for p in row):
+            raise ValueError("PNG Adam7 grid incomplete (corrupt passes)")
+        px.extend(row)  # type: ignore[arg-type]
     return w, h, px
 
 
 def encode_png(
-    width: int, height: int, pixels: list[tuple[int, int, int]], level: int = 6
+    width: int, height: int, pixels: list[tuple[int, int, int]], level: int = 6,
+    bit_depth: int = 8, interlace: int = 0,
 ) -> bytes:
-    """Minimal PNG writer (8-bit RGB, filter 0, one IDAT) — the test-side
-    counterpart of _decode_png and the fixture generator for the
-    multimodal contract query."""
+    """Minimal PNG writer (RGB, filter 0) — the test-side counterpart of
+    _decode_png and the fixture generator for the multimodal contract
+    query. ``bit_depth=16`` widens each 8-bit sample to v*257 (the exact
+    8->16 expansion, so the decoder's high-byte downscale round-trips
+    bit-identically); ``interlace=1`` serializes the seven Adam7 pass
+    sub-images in pass order, each row filter-0."""
     import struct as _struct
     import zlib as _zlib
 
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height row-major top-down")
+    if bit_depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError("bit_depth must be 8/16, interlace 0/1")
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -255,12 +323,29 @@ def encode_png(
             + _struct.pack(">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF)
         )
 
+    def sample(v: int) -> bytes:
+        return bytes([v]) if bit_depth == 8 else _struct.pack(">H", v * 257)
+
     raw = bytearray()
-    for r in range(height):
-        raw.append(0)  # filter: None
-        for c in range(width):
-            raw += bytes(pixels[r * width + c])
-    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    if interlace == 0:
+        for r in range(height):
+            raw.append(0)  # filter: None
+            for c in range(width):
+                for v in pixels[r * width + c]:
+                    raw += sample(v)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                raw.append(0)
+                y = y0 + j * dy
+                for i in range(pw):
+                    for v in pixels[y * width + x0 + i * dx]:
+                        raw += sample(v)
+    ihdr = _struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, interlace)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

@@ -2247,13 +2247,59 @@ def test_png_roundtrip_and_filters(spark):
     gw, gh, gpx = M.decode_image(g_png)
     assert (gw, gh) == (5, 5) and gpx == [(v, v, v) for v in gray]
 
-    # 16-bit depth must raise (documented boundary), not return garbage
+    # 16-bit decodes since round 7; sub-byte depths still raise loudly
+    deep = (M._PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b""))
+    assert M.decode_image(deep) == (2, 2, [(0, 0, 0)] * 4)
     bad = (M._PNG_MAGIC
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-           + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 4, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="16"):
+    with pytest.raises(NotImplementedError, match="depth=4"):
         M.decode_image(bad)
+
+
+def test_png_16bit_and_adam7_interlace():
+    """Round-7 PNG de-stub: 16-bit samples (high-byte downscale; the
+    writer widens v -> v*257 so the round-trip is bit-identical) and
+    Adam7 interlacing (7 independently-filtered pass sub-images merged
+    on the pass grid), in all 4 combinations and on pass-degenerate
+    dims (1x1 leaves 6 of 7 passes empty). Real filters at the 16-bit
+    byte distance are exercised via a hand-forward-filtered Sub line."""
+    import random
+    import struct
+    import zlib
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    rnd = random.Random(3)
+    for w, h in [(1, 1), (7, 5), (33, 21)]:
+        px = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+              for _ in range(w * h)]
+        for depth in (8, 16):
+            for il in (0, 1):
+                blob = M.encode_png(w, h, px, bit_depth=depth, interlace=il)
+                assert M.decode_image(blob) == (w, h, px), (w, h, depth, il)
+
+    # Sub filter at 16-bit: the left-neighbor distance is 6 BYTES (3
+    # channels x 2), not 3 — a decoder reusing the 8-bit distance fails
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    px = [(10, 200, 30), (40, 50, 255), (7, 8, 9)]
+    line = b"".join(struct.pack(">H", v * 257) for p in px for v in p)
+    enc = bytearray()
+    for i, byte in enumerate(line):
+        left = line[i - 6] if i >= 6 else 0
+        enc.append((byte - left) & 0xFF)
+    blob = (M._PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes([1]) + bytes(enc)))
+            + chunk(b"IEND", b""))
+    assert M.decode_image(blob) == (3, 1, px)
 
 
 def _psnr(a, b):
