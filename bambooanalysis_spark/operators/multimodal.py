@@ -475,12 +475,107 @@ def probe_media(blob: bytes) -> dict | None:
     return None
 
 
+# --- G.711 companding + IMA ADPCM (round-7: compressed-audio de-stub) -------
+# ITU-T G.711 (mu-law / A-law) and the IMA/DVI ADPCM algorithm are public
+# specifications; tables and bit algebra below follow them directly.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ulaw_to_lin(b: int) -> int:
+    b = ~b & 0xFF
+    v = (((b & 0xF) << 3) + 0x84) << ((b >> 4) & 7)
+    v -= 0x84
+    return -v if b & 0x80 else v
+
+
+def _alaw_to_lin(b: int) -> int:
+    b ^= 0x55
+    exp = (b >> 4) & 7
+    mant = b & 0xF
+    v = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    # A-law sign convention is inverted vs mu-law: bit 7 SET = positive
+    return v if b & 0x80 else -v
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble -> (new predictor, new index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> list[int]:
+    """IMA ADPCM WAV payload -> interleaved 16-bit samples. Per block and
+    channel: a 4-byte header (initial sample i16le, step index, reserved)
+    that IS the first output sample, then nibble data — mono packs two
+    nibbles per byte low-first; stereo interleaves 4-byte (8-nibble)
+    groups per channel."""
+    import struct as _struct
+
+    out: list[int] = []
+    for bstart in range(0, len(data) - (len(data) % block_align or 0), block_align):
+        block = data[bstart : bstart + block_align]
+        if len(block) < 4 * nch:
+            break
+        states = []
+        chans: list[list[int]] = []
+        for c in range(nch):
+            pred, idx = _struct.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} > 88")
+            states.append((pred, idx))
+            chans.append([pred])
+        body = block[4 * nch :]
+        if nch == 1:
+            pred, idx = states[0]
+            for byte in body:
+                for nib in (byte & 0xF, byte >> 4):
+                    pred, idx = _ima_step(pred, idx, nib)
+                    chans[0].append(pred)
+        else:
+            for g in range(0, len(body) - (len(body) % (4 * nch)), 4 * nch):
+                for c in range(nch):
+                    pred, idx = states[c]
+                    for byte in body[g + 4 * c : g + 4 * c + 4]:
+                        for nib in (byte & 0xF, byte >> 4):
+                            pred, idx = _ima_step(pred, idx, nib)
+                            chans[c].append(pred)
+                    states[c] = (pred, idx)
+        n = min(len(ch) for ch in chans)
+        for i in range(n):
+            for c in range(nch):
+                out.append(chans[c][i])
+    return out
+
+
 def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
-    """Pure-stdlib PCM WAV decode (RIFF/WAVE fmt+data chunks): returns
-    (channels, sample_rate, bits, interleaved int samples). 16-bit
-    little-endian signed and 8-bit unsigned PCM — the uncompressed cases
-    the format defines; compressed codecs (MP3/AAC/ADPCM wFormatTag != 1)
-    raise NotImplementedError (they need a real audio library)."""
+    """Pure-stdlib WAV decode (RIFF/WAVE fmt+data chunks): returns
+    (channels, sample_rate, bits, interleaved int samples). Handles the
+    uncompressed cases (16-bit signed / 8-bit unsigned PCM, wFormatTag
+    1) and, round-7, the classic compressed telephony/game codecs whose
+    algorithms are public specs: G.711 mu-law (tag 7) and A-law (tag 6)
+    -> 16-bit linear, and IMA/DVI ADPCM (tag 0x11) block decode.
+    Perceptual codecs (MP3/AAC inside WAV) still raise
+    NotImplementedError — they need a real audio library."""
     import struct as _struct
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -499,18 +594,104 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("WAV missing fmt/data chunk")
     if len(fmt) < 16:
         raise ValueError(f"WAV fmt chunk truncated ({len(fmt)} < 16 bytes)")
-    tag, nch, rate, _bps, _align, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
-    if tag != 1:
-        raise NotImplementedError(
-            f"only PCM WAV (wFormatTag=1) decodes stdlib-side, got {tag}"
-        )
-    if bits == 16:
-        samples = list(_struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
-    elif bits == 8:
-        samples = [b - 128 for b in data]  # 8-bit PCM is unsigned
-    else:
-        raise NotImplementedError(f"PCM bit depth {bits} not supported (8/16 only)")
-    return nch, rate, bits, samples
+    tag, nch, rate, _bps, align, bits = _struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 1:
+        if bits == 16:
+            samples = list(
+                _struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+            )
+        elif bits == 8:
+            samples = [b - 128 for b in data]  # 8-bit PCM is unsigned
+        else:
+            raise NotImplementedError(
+                f"PCM bit depth {bits} not supported (8/16 only)"
+            )
+        return nch, rate, bits, samples
+    if tag == 7:  # G.711 mu-law
+        return nch, rate, 16, [_ulaw_to_lin(b) for b in data]
+    if tag == 6:  # G.711 A-law
+        return nch, rate, 16, [_alaw_to_lin(b) for b in data]
+    if tag == 0x11:  # IMA / DVI ADPCM
+        if align < 4 * nch:
+            raise ValueError(f"IMA ADPCM block align {align} < header size")
+        return nch, rate, 16, _decode_ima_adpcm(data, nch, align)
+    raise NotImplementedError(
+        f"WAV wFormatTag={tag} needs a real audio library "
+        "(PCM/mu-law/A-law/IMA-ADPCM decode stdlib-side)"
+    )
+
+
+def encode_wav_ima_adpcm(
+    channels: int, rate: int, samples: list[int], samples_per_block: int = 505
+) -> bytes:
+    """IMA ADPCM WAV writer (wFormatTag 0x11) — the fixture counterpart
+    of the round-7 decode path, using the standard quantize-then-update
+    encoder (each nibble is decoded back into the predictor so encoder
+    and decoder states stay locked). Lossy by design: tests bound SNR,
+    not bit equality. ``samples_per_block`` must be odd (header sample +
+    2 nibbles/byte)."""
+    import struct as _struct
+
+    if samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd")
+    if len(samples) % channels:
+        raise ValueError("samples must be a multiple of channels")
+    per = [samples[c::channels] for c in range(channels)]
+    n = len(per[0])
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+    blocks = bytearray()
+    for start in range(0, n, samples_per_block):
+        chunk_len = min(samples_per_block, n - start)
+        states = []
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            first = per[c][start]
+            states.append((first, 0))
+            blocks += _struct.pack("<hBB", first, 0, 0)
+        for i in range(1, samples_per_block):
+            for c in range(channels):
+                target = per[c][start + i] if i < chunk_len else states[c][0]
+                pred, idx = states[c]
+                step = _IMA_STEPS[idx]
+                diff = target - pred
+                nib = 8 if diff < 0 else 0
+                if diff < 0:
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                states[c] = _ima_step(pred, idx, nib)
+                nibbles[c].append(nib)
+        if channels == 1:
+            for i in range(0, len(nibbles[0]), 2):
+                blocks.append(nibbles[0][i] | (nibbles[0][i + 1] << 4))
+        else:
+            for g in range(0, len(nibbles[0]), 8):
+                for c in range(channels):
+                    grp = nibbles[c][g : g + 8]
+                    for i in range(0, 8, 2):
+                        blocks.append(grp[i] | (grp[i + 1] << 4))
+    fmt = _struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        channels,
+        rate,
+        rate * block_align // samples_per_block,
+        block_align,
+        4,
+        2,  # cbSize
+        samples_per_block,
+    )
+    return (
+        b"RIFF" + _struct.pack("<I", 28 + len(fmt) + len(blocks)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
 
 
 def encode_wav16(channels: int, rate: int, samples: list[int]) -> bytes:
