@@ -3005,3 +3005,34 @@ def test_wav_perceptual_codecs_still_raise():
             + b"data" + struct.pack("<I", 0))
     with _pytest.raises(NotImplementedError, match="wFormatTag=85"):
         M.decode_wav(blob)
+
+
+def test_audio_stage_real_decodes_compressed_wav(spark):
+    """The Arrow audio-feature stage now real-decodes G.711 and IMA
+    ADPCM blobs next to PCM rows in the same batch (real_decode=true
+    with genuine sample counts), keeping MP3-in-WAV as a marked
+    degrade row."""
+    import struct
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    def g711(tag, payload):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(payload))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    mp3 = g711(0x55, b"")
+    rows = [
+        (1, bytearray(M.encode_wav16(1, 8000, [100, -100, 7]))),
+        (2, bytearray(g711(7, bytes(range(64))))),
+        (3, bytearray(M.encode_wav_ima_adpcm(1, 8000, list(range(0, 101, 10)) * 2,
+                                             samples_per_block=21))),
+        (4, bytearray(mp3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in M.extract_audio_features(df).collect()}
+    assert got[1]["real_decode"] and got[1]["n_samples"] == 3
+    assert got[2]["real_decode"] and got[2]["n_samples"] == 64
+    assert got[3]["real_decode"] and got[3]["n_samples"] >= 22
+    assert not got[4]["real_decode"]
