@@ -35,9 +35,10 @@ reader is driven entirely by what is in the file.
   writer emits ``ZL`` (zlib, ROOT's classic default — stdlib ``zlib``)
   or, round-7, ``L4`` (lz4, ROOT's 6.14+ default — the vendored
   pure-Python block codec in ``lz4block.py``, with the XXH64-checksummed
-  ZipLZ4 frame layout); the reader additionally accepts ``XZ`` (stdlib
-  ``lzma``). ``ZS`` frames (zstd — no stdlib codec, format too large to
-  vendor) raise with a pointer to uproot.
+  ZipLZ4 frame layout) or ``ZS`` (zstd — the vendored RFC 8878 decoder/
+  encoder in ``zstd.py``); the reader additionally accepts ``XZ``
+  (stdlib ``lzma``). Every compression algorithm real ROOT writes is
+  now readable without uproot.
 
 - **Real-ROOT layout** (round-7) — ``write_streamered_tree`` emits (and
   ``read_flat_tree``/``sniff_file`` consume) the on-disk shape actual
@@ -52,8 +53,8 @@ reader is driven entirely by what is in the file.
 Deliberately NOT implemented (documented simplifications): full
 TStreamerInfo parsing (the streamed TTree object model — flat leaflist
 branches are recovered by descriptor skim, object-model branches raise
-with a pointer to uproot), the zstd frame codec, and 64-bit (>2 GiB)
-seeks in the read/write paths (``sniff_file`` below does parse
+with a pointer to uproot) and 64-bit (>2 GiB) seeks in the read/write
+paths (``sniff_file`` below does parse
 large-file headers). ``root_ingest.ingest_root_files`` prefers uproot
 when present and falls back to this reader.
 
@@ -123,6 +124,10 @@ def _compress_frames(payload: bytes, level: int, algo: str = "ZL") -> bytes | No
 
             blk = lz4_block_compress(chunk)
             comp = xxh64(blk).to_bytes(8, "big") + blk
+        elif algo == "ZS":
+            from .zstd import zstd_compress
+
+            comp = zstd_compress(chunk, literals="huf", seq_mode="fse")
         else:
             comp = zlib.compress(chunk, level)
         c, u = len(comp), len(chunk)
@@ -132,7 +137,7 @@ def _compress_frames(payload: bytes, level: int, algo: str = "ZL") -> bytes | No
             # walk, so signal the caller to keep the whole key raw (ROOT's
             # own fallback for keys compression doesn't shrink)
             return None
-        method = 8 if algo == "ZL" else 4  # Z_DEFLATED / kLZ4
+        method = {"ZL": 8, "L4": 4, "ZS": 5}[algo]  # deflate / kLZ4 / kZSTD
         out += algo.encode() + bytes(
             [method, c & 0xFF, (c >> 8) & 0xFF, (c >> 16) & 0xFF,
              u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF]
@@ -144,8 +149,8 @@ def _compress_frames(payload: bytes, level: int, algo: str = "ZL") -> bytes | No
 def _decompress_frames(payload: bytes, objlen: int) -> bytes:
     """Inverse of ``_compress_frames``: walk the frame sequence until
     ``objlen`` uncompressed bytes are recovered. ``ZL`` (zlib) and ``XZ``
-    (lzma) decode with the stdlib, ``L4`` (lz4) with the vendored block
-    codec; zstd frames need uproot."""
+    (lzma) decode with the stdlib, ``L4`` (lz4) and ``ZS`` (zstd) with
+    the vendored codecs."""
     import lzma
 
     out = bytearray()
@@ -174,9 +179,15 @@ def _decompress_frames(payload: bytes, objlen: int) -> bytes:
             if xxh64(block[8:]) != stored:
                 raise ValueError("corrupt L4 frame: XXH64 mismatch")
             data = lz4_block_decompress(block[8:], u)
+        elif algo == b"ZS":
+            # ROOT ZS frame: one zstd frame (ZipZSTD.cxx stores the frame
+            # directly; integrity rides zstd's own content checksum)
+            from .zstd import zstd_decompress
+
+            data = zstd_decompress(block, u)
         else:
             raise NotImplementedError(
-                f"compression frame {algo!r} (zstd) has no stdlib codec; "
+                f"unknown compression frame tag {algo!r}; "
                 "use uproot for such files"
             )
         if len(data) != u:
@@ -356,8 +367,9 @@ def write_flat_tree(
         0,  # nfree
         records and len(_pack_key(*records[0][:3], FBEGIN, records[0][3])) or 0,
         4,  # fUnits: bytes per pointer
-        # fCompress: algorithm*100+level (kZLIB=1, kLZ4=4)
-        ((100 if compress_algo == "ZL" else 400) + compress) if compress else 0,
+        # fCompress: algorithm*100+level (kZLIB=1, kLZ4=4, kZSTD=5)
+        ({"ZL": 100, "L4": 400, "ZS": 500}[compress_algo] + compress)
+        if compress else 0,
         0,  # fSeekInfo: no streamer info (documented simplification)
         0,  # fNbytesInfo
     )
@@ -521,7 +533,8 @@ def write_streamered_tree(
         0,
         0,
         4,
-        ((100 if compress_algo == "ZL" else 400) + compress) if compress else 0,
+        ({"ZL": 100, "L4": 400, "ZS": 500}[compress_algo] + compress)
+        if compress else 0,
         seek_info,
         nbytes_info,
     )

@@ -209,15 +209,16 @@ def test_minroot_incompressible_payload_stays_raw(tmp_path):
     assert minroot.read_flat_tree(p, "t")["x"] == rnd
 
 
-def test_minroot_rejects_zstd_frames(tmp_path):
-    """Foreign-codec frames fail loudly with a pointer to uproot, not with
-    garbage data (lz4 became readable round 7; zstd remains out)."""
+def test_minroot_rejects_unknown_codec_frames(tmp_path):
+    """Unknown-codec frames fail loudly with a pointer to uproot, not
+    with garbage data (lz4 AND zstd became readable round 7, so the
+    unknown tag here is synthetic)."""
     p = str(tmp_path / "t.root")
     minroot.write_flat_tree(p, "t", {"x": ("D", [0.0] * 1000)}, compress=6)
     buf = bytearray(open(p, "rb").read())
     idx = buf.find(b"ZL", minroot.FBEGIN)
     assert idx > 0
-    buf[idx : idx + 2] = b"ZS"
+    buf[idx : idx + 2] = b"QQ"
     bad = tmp_path / "bad.root"
     bad.write_bytes(bytes(buf))
     with pytest.raises(NotImplementedError, match="uproot"):
@@ -540,3 +541,82 @@ def test_streamered_unskimmable_branch_raises(tmp_path):
     bad.write_bytes(bytes(buf))
     with pytest.raises(NotImplementedError, match="uproot"):
         minroot.read_flat_tree(str(bad), "t")
+
+
+def test_minroot_zstd_frames_roundtrip(tmp_path):
+    """Round-7: ZS (zstd) compression frames — ROOT's modern option —
+    through the vendored RFC 8878 codec, both layouts; corruption fails
+    loudly via zstd's own content checksum. Every compression algorithm
+    real ROOT writes (zlib/lzma/lz4/zstd) now reads without uproot."""
+    import struct as _struct
+
+    branches = {
+        "x": ("D", [float(i % 17) for i in range(4000)]),
+        "j": ("I", [[i % 7] * (i % 4) for i in range(4000)]),
+    }
+    want = {k: v for k, (_c, v) in branches.items()}
+    p = str(tmp_path / "zs.root")
+    minroot.write_flat_tree(p, "t", branches, basket_entries=1500,
+                            compress=1, compress_algo="ZS")
+    assert minroot.read_flat_tree(p, "t") == want
+    comp = _struct.unpack(">i", open(p, "rb").read()[33:37])[0]
+    assert comp == 501  # kZSTD*100 + level
+    s = str(tmp_path / "zss.root")
+    minroot.write_streamered_tree(s, "myana/mytree", branches,
+                                  basket_entries=1500, compress=1,
+                                  compress_algo="ZS")
+    assert minroot.read_flat_tree(s, "myana/mytree") == want
+
+    buf = bytearray(open(p, "rb").read())
+    idx = buf.find(b"ZS", minroot.FBEGIN)
+    assert idx > 0
+    buf[idx + 9 + 12] ^= 0xFF  # flip a byte inside the zstd frame
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError):
+        minroot.read_flat_tree(str(bad), "t")
+
+
+def test_root_ingest_mixed_compression_phase2(spark, tmp_path):
+    """One sample, three files, three compression algorithms (zlib, lz4,
+    zstd) -> one ingest -> phase2 cutflow equals the all-zlib ingest of
+    the same events row-for-row."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.plans.histogrammer import cutflow_table
+
+    chunks = [_lcg_events(60, seed=s) for s in (1, 2, 3)]
+    mixed, plain = [], []
+    for i, (chunk, algo) in enumerate(zip(chunks, ("ZL", "L4", "ZS"))):
+        branches = {}
+        for name, data in chunk.items():
+            code = ("I" if name.endswith(("charge", "isopass", "idpass", "btag"))
+                    else "D")
+            branches[name] = (code, data)
+        fm = str(tmp_path / f"m{i}.root")
+        fp = str(tmp_path / f"p{i}.root")
+        minroot.write_flat_tree(fm, "myana/mytree", branches, 64,
+                                compress=1, compress_algo=algo)
+        minroot.write_flat_tree(fp, "myana/mytree", branches, 64, compress=6)
+        mixed.append(fm)
+        plain.append(fp)
+
+    out_m, out_p = tmp_path / "im", tmp_path / "ip"
+    out_m.mkdir(); out_p.mkdir()
+    cm = R.ingest_root_files(mixed, "myana/mytree", str(out_m), chunk_events=64)
+    cp = R.ingest_root_files(plain, "myana/mytree", str(out_p), chunk_events=64)
+    assert cm == cp == {"nEvents": 180.0, "genEvents": 180.0}
+
+    def cutflow(path):
+        df = spark.read.parquet(str(path / "events.parquet"))
+        d, plots, cfr, _sels = define_phase2(df)
+        hist = run_analysis(d, plots, [cfr])
+        return {
+            r["selection"]: (r["num_events"], r["sum_weights"])
+            for r in cutflow_table(
+                hist, "yields",
+                ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
+            ).collect()
+        }
+
+    assert cutflow(out_m) == cutflow(out_p)

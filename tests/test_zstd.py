@@ -1,0 +1,202 @@
+"""Vendored pure-Python zstd (RFC 8878): round-trips over every encoder
+mode x data shape, plus hand-built fixtures for the decode-only paths
+the fixture encoder never emits (RLE blocks/literals, repeat offsets,
+treeless literals, RLE sequence tables) with hand-computed expected
+output, and corruption/boundary failures."""
+
+import random
+import struct
+
+import pytest
+
+from bambooanalysis_spark.sources.zstd import (
+    ZSTD_MAGIC,
+    _BackBitWriter,
+    _encode_literals_section,
+    _fse_build_dtable,
+    _fse_encode_chain,
+    _LL_DEFAULT,
+    _ML_DEFAULT,
+    _OF_DEFAULT,
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+def _cases():
+    rnd = random.Random(7)
+    return {
+        "text": b"the quick brown fox jumps over the lazy dog " * 200,
+        "repet": bytes([1, 2, 3, 4]) * 5000,
+        "random": bytes(rnd.randrange(256) for _ in range(5000)),
+        "lowent": bytes(rnd.choice(b"abcd") for _ in range(20000)),
+        "zeros": b"\x00" * 50000,
+        "empty": b"",
+        "one": b"x",
+        "big": b"Lorem ipsum dolor sit amet, consectetur adipiscing elit. "
+        * 5000,
+    }
+
+
+@pytest.mark.parametrize("lit", ["raw", "huf", "huf-fse"])
+@pytest.mark.parametrize("seq", ["predefined", "fse"])
+def test_zstd_roundtrip_matrix(lit, seq):
+    """Every literals mode x sequence-table mode over 8 data shapes:
+    exercises raw literals (all size formats), huffman direct weights
+    (1- and 4-stream), FSE-compressed weights incl. the two-state
+    termination dance, predefined + explicitly-normalized FSE sequence
+    tables, multi-block frames (the 'big' case splits into 3 blocks),
+    content sizes and XXH64-low32 checksums."""
+    for name, src in _cases().items():
+        z = zstd_compress(src, literals=lit, seq_mode=seq)
+        assert zstd_decompress(z) == src, (lit, seq, name)
+        assert zstd_decompress(z, expected_size=len(src)) == src
+
+
+def _frame(blocks: bytes, content_size: int) -> bytes:
+    return (struct.pack("<I", ZSTD_MAGIC) + bytes([(2 << 6) | (1 << 5)])
+            + struct.pack("<I", content_size) + blocks)
+
+
+def test_zstd_rle_block_and_rle_literals():
+    # RLE block: 3-byte header, size = regenerated count, 1 payload byte
+    bh = 1 | (1 << 1) | (100 << 3)
+    blk = struct.pack("<I", bh)[:3] + b"Q"
+    assert zstd_decompress(_frame(blk, 100)) == b"Q" * 100
+
+    # RLE literals inside a compressed block, zero sequences (12-bit
+    # size format: 40 doesn't fit the 5-bit one-byte header)
+    body = (bytes([1 | (1 << 2) | ((40 & 0xF) << 4), 40 >> 4])
+            + b"z" + bytes([0]))  # 40 x 'z', nbSeq=0
+    bh = 1 | (2 << 1) | (len(body) << 3)
+    blk = struct.pack("<I", bh)[:3] + body
+    assert zstd_decompress(_frame(blk, 40)) == b"z" * 40
+
+
+def _seq_stream(seqs, modes_byte=0):
+    """Hand-author a sequences section with predefined tables:
+    seqs = [(ll, offset_value, ml), ...]."""
+    from bambooanalysis_spark.sources.zstd import _ll_code, _ml_code
+
+    ll_t = _fse_build_dtable(*_LL_DEFAULT)
+    of_t = _fse_build_dtable(*_OF_DEFAULT)
+    ml_t = _fse_build_dtable(*_ML_DEFAULT)
+    lls, ofs, mls, extras = [], [], [], []
+    for ll, ov, ml in seqs:
+        lc, lv, ln = _ll_code(ll)
+        oc = ov.bit_length() - 1
+        mc, mv, mn = _ml_code(ml)
+        lls.append(lc)
+        ofs.append(oc)
+        mls.append(mc)
+        extras.append([(ov - (1 << oc), oc), (mv, mn), (lv, ln)])
+    s_ll, u_ll = _fse_encode_chain(ll_t, lls)
+    s_of, u_of = _fse_encode_chain(of_t, ofs)
+    s_ml, u_ml = _fse_encode_chain(ml_t, mls)
+    w = _BackBitWriter()
+    w.add(s_ll, 6)
+    w.add(s_of, 5)
+    w.add(s_ml, 6)
+    for i in range(len(seqs)):
+        for v, nb in extras[i]:
+            w.add(v, nb)
+        if i < len(seqs) - 1:
+            w.add(*u_ll[i])
+            w.add(*u_ml[i])
+            w.add(*u_of[i])
+    return bytes([len(seqs), modes_byte]) + w.finish()
+
+
+def test_zstd_repeat_offsets_and_ll0_shift():
+    """Repeat-offset history (initial [1, 4, 8]) with the
+    literals-length-0 index shift — the semantics the fixture encoder
+    never emits, verified against hand-computed output."""
+    lits = _encode_literals_section(b"abcdefgh", "raw")
+    # seq1: ll=4, offset_value=1 -> rep[0]=1: copy last byte repeatedly
+    # after "abcd" -> match 'dddd'; seq2: ll=0 + offset_value=1 -> SHIFT
+    # to rep[1]=4: copies from 4 back: "dddd" -> "dddd"
+    body = lits + _seq_stream([(4, 1, 4), (0, 1, 4)])
+    bh = 1 | (2 << 1) | (len(body) << 3)
+    blk = struct.pack("<I", bh)[:3] + body
+    out = zstd_decompress(_frame(blk, 16))
+    # seq1: literals 'abcd', rep0=1 -> 'dddd' ; seq2: ll=0, shift ->
+    # offset 4 -> copies 'dddd' ; tail literals 'efgh'
+    assert out == b"abcd" + b"dddd" + b"dddd" + b"efgh"
+
+
+def test_zstd_rle_sequence_tables():
+    """Mode-1 (RLE) sequence tables: each stream is one byte naming the
+    single code; every sequence then repeats it with only extra bits."""
+    lits = _encode_literals_section(b"xy" + b"Z" * 0, "raw")
+    # modes: LL=1, OF=1, ML=1 -> byte (1<<6)|(1<<4)|(1<<2)
+    # codes: ll_code=1 (ll=1), of_code=2 (offset_value=4..7), ml_code=0 (ml=3)
+    w = _BackBitWriter()
+    # no initial states for RLE (accuracy 0); per seq: of extra(2 bits),
+    # ml extra(0), ll extra(0)
+    w.add(0, 2)  # seq1: offset_value = 4+0 =4 -> offset 1
+    w.add(1, 2)  # seq2: offset_value = 5 -> offset 2
+    body = lits + bytes([2, (1 << 6) | (1 << 4) | (1 << 2), 1, 2, 0]) + w.finish()
+    bh = 1 | (2 << 1) | (len(body) << 3)
+    blk = struct.pack("<I", bh)[:3] + body
+    out = zstd_decompress(_frame(blk, 8))
+    # seq1: lit 'x', offset 1 ml 3 -> 'xxx' (RLE expansion of the last
+    # byte); seq2: lit 'y' then offset 2 ml 3 copies out[3:6] with
+    # overlap growth: 'x','y','x'
+    assert out == b"x" + b"xxx" + b"y" + b"xyx"
+
+
+def test_zstd_treeless_literals_reuse_previous_table():
+    """Type-3 (treeless) literals reuse the previous block's huffman
+    table; with no previous table they must fail loudly."""
+    rnd1 = random.Random(1)
+    src1 = bytes(rnd1.choice(b"abcdefgh") for _ in range(400))
+    z1 = zstd_compress(src1, literals="huf")
+    # decode OK (sanity) and build a two-block frame where block 2 is
+    # treeless, reusing block 1's table via the internal encoder
+    assert zstd_decompress(z1) == src1
+
+    from bambooanalysis_spark.sources import zstd as Z
+
+    rnd2 = random.Random(2)
+    lits2 = bytes(rnd2.choice(b"abcdefgh") for _ in range(100))
+    sec1 = Z._encode_literals_section(src1, "huf")
+    # rebuild the same table the encoder used, then hand-encode block2's
+    # stream and mark it type 3 (treeless)
+    _w, _t, _mb, enc = Z._huf_make(src1)
+    stream = Z._huf_encode_stream(lits2, enc)
+    n, comp = len(lits2), len(stream)
+    b0 = 3 | (1 << 2) | ((n & 0xF) << 4)
+    b1 = ((n >> 4) & 0x3F) | ((comp & 3) << 6)
+    b2 = comp >> 2
+    sec2 = bytes([b0, b1, b2]) + stream
+    body1 = sec1 + bytes([0])
+    body2 = sec2 + bytes([0])
+    blocks = (struct.pack("<I", 0 | (2 << 1) | (len(body1) << 3))[:3] + body1
+              + struct.pack("<I", 1 | (2 << 1) | (len(body2) << 3))[:3] + body2)
+    out = zstd_decompress(_frame(blocks, len(src1) + len(lits2)))
+    assert out == src1 + lits2
+
+    # treeless FIRST block: no previous table -> loud error
+    blocks = struct.pack("<I", 1 | (2 << 1) | (len(body2) << 3))[:3] + body2
+    with pytest.raises(ValueError, match="treeless"):
+        zstd_decompress(_frame(blocks, len(lits2)))
+
+
+def test_zstd_corruption_and_boundaries():
+    src = b"hello zstd world " * 100
+    z = zstd_compress(src)
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00" + z[1:])
+    # flip a payload byte: either the checksum catches it or a structural
+    # error fires — never silent corruption
+    bad = bytearray(z)
+    bad[len(z) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(bad))
+    with pytest.raises(ValueError, match="expected"):
+        zstd_decompress(z, expected_size=len(src) + 1)
+    # dict id -> unsupported, loud
+    framed = bytearray(z)
+    framed[4] |= 1
+    with pytest.raises(ValueError, match="dictionaries"):
+        zstd_decompress(bytes(framed))
