@@ -63,7 +63,8 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     selection + successive approximation, EOB runs) through the same
     dispatch — lossy, so JPEG-decoded pixels feed PSNR-bounded tests
     rather than bit-exact oracles. Round 7 also extends PNG to 16-bit
-    samples (high-byte downscale) and Adam7 interlacing. Remaining
+    samples (high-byte downscale) and Adam7 interlacing, and adds GIF
+    (first frame: real LZW, 4-pass interlace, palette). Remaining
     formats (arithmetic-coded JPEG, sub-byte PNG depths, WebP/video)
     need a real library (PIL/cv2, unavailable in this environment) and
     raise NotImplementedError; tests fall back to fake_decode_meta for
@@ -76,10 +77,12 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         from bambooanalysis_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     raise NotImplementedError(
-        "only BMP/PNG/JPEG (baseline + progressive) decode stdlib-side; "
-        "other formats require a codec library (use fake_decode_meta for "
-        "the deterministic test path)"
+        "only BMP/PNG/JPEG (baseline + progressive)/GIF decode "
+        "stdlib-side; other formats require a codec library (use "
+        "fake_decode_meta for the deterministic test path)"
     )
 
 
@@ -156,6 +159,214 @@ def _png_chunks(blob: bytes):
         if typ == b"IEND":
             return
         pos += 12 + ln  # length + type + data + crc
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix): variable code width
+    starting at min_code_size+1, little-endian bit packing, Clear resets
+    the dictionary, End-Of-Information terminates; dictionary caps at 12
+    bits (width stops growing until the next Clear)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    val = int.from_bytes(data, "little")
+    pos = 0
+    total = len(data) * 8
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    next_code = end + 1
+    while pos + width <= total:
+        code = (val >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of sequence")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended at {len(out)} of {n_pixels} pixels"
+        )
+    return out[:n_pixels]
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """First frame of a GIF87a/89a to RGB (public spec): logical screen
+    descriptor, global/local color tables, extension-block skip, LZW
+    image data from 255-byte sub-blocks, 4-pass interlace reorder.
+    Transparency is ignored (the first frame is rendered opaque)."""
+    import struct as _struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(blob)
+    except (IndexError, _struct.error) as e:
+        raise ValueError(f"truncated GIF: {e}") from None
+
+
+def _decode_gif_body(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    import struct as _struct
+
+    sw, sh, flags, _bg, _ar = _struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        x0, y0, w, h, iflags = _struct.unpack_from("<HHHHB", blob, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = blob[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        interlaced = bool(iflags & 0x40)
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+        if interlaced:
+            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+            ordered: list[list[int] | None] = [None] * h
+            src_r = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    ordered[y] = rows[src_r]
+                    src_r += 1
+            idx = [v for row in ordered for v in row]  # type: ignore[union-attr]
+        px = [
+            (ct[3 * v], ct[3 * v + 1], ct[3 * v + 2])
+            if 3 * v + 2 < len(ct)
+            else (0, 0, 0)
+            for v in idx
+        ]
+        return w, h, px
+    raise ValueError("GIF has no image block")
+
+
+def encode_gif(
+    width: int, height: int, pixels: list[tuple[int, int, int]],
+    interlaced: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer (single frame, global color table built from
+    the distinct pixel colors — max 256, real LZW with dictionary growth)
+    — the fixture counterpart of _decode_gif."""
+    import struct as _struct
+
+    colors = sorted(set(pixels))
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    cbits = max(1, (len(colors) - 1).bit_length())
+    cmap = {c: i for i, c in enumerate(colors)}
+    table_n = 1 << cbits
+    ct = bytearray()
+    for c in colors:
+        ct += bytes(c)
+    ct += b"\x00" * (3 * (table_n - len(colors)))
+
+    idx = [cmap[p] for p in pixels]
+    if interlaced:
+        rows = [idx[r * width : (r + 1) * width] for r in range(height)]
+        seq: list[int] = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, height, step):
+                seq.extend(rows[y])
+        idx = seq
+
+    # LZW encode with dictionary growth (12-bit cap, Clear on overflow)
+    min_code = max(2, cbits)
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []
+    width_b = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    out_bits.append((clear, width_b))
+    cur: tuple[int, ...] = ()
+    for v in idx:
+        cand = cur + (v,)
+        if cand in table:
+            cur = cand
+            continue
+        out_bits.append((table[cur], width_b))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width_b) and width_b < 12:
+            width_b += 1
+        elif next_code > 4095:
+            out_bits.append((clear, width_b))
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width_b = min_code + 1
+        cur = (v,)
+    if cur:
+        out_bits.append((table[cur], width_b))
+    out_bits.append((end, width_b))
+    acc = 0
+    nbits = 0
+    for v, nb in out_bits:
+        acc |= v << nbits
+        nbits += nb
+    stream = acc.to_bytes((nbits + 7) // 8, "little")
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", width, height, 0x80 | (cbits - 1), 0, 0)
+    out += ct
+    out += b"\x2c" + _struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+    )
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass

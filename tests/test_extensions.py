@@ -3036,3 +3036,40 @@ def test_audio_stage_real_decodes_compressed_wav(spark):
     assert got[2]["real_decode"] and got[2]["n_samples"] == 64
     assert got[3]["real_decode"] and got[3]["n_samples"] >= 22
     assert not got[4]["real_decode"]
+
+
+def test_gif_decode_roundtrip_and_extensions():
+    """Round-7: GIF87a/89a first-frame decode — real LZW (variable code
+    width, dictionary growth to 12 bits, Clear/EOI, KwKwK case), 4-pass
+    interlace reorder, extension-block skip, palette mapping — against
+    the fixture encoder across palette sizes and both scan orders, plus
+    a dictionary-overflow image that forces a mid-stream Clear."""
+    import random
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    rnd = random.Random(11)
+    for w, h in [(1, 1), (13, 7), (40, 30)]:
+        for ncol in (2, 17, 200):
+            pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                   for _ in range(ncol)]
+            px = [pal[rnd.randrange(ncol)] for _ in range(w * h)]
+            for il in (False, True):
+                blob = M.encode_gif(w, h, px, interlaced=il)
+                assert M.decode_image(blob) == (w, h, px), (w, h, ncol, il)
+
+    # graphic-control extension before the image block is skipped
+    base = M.encode_gif(4, 3, [(1, 2, 3)] * 12)
+    i = base.index(b"\x2c")
+    with_ext = base[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + base[i:]
+    assert M.decode_image(with_ext) == M.decode_image(base)
+
+    # dictionary overflow -> Clear mid-stream
+    px = [((i // 37) % 3 * 100, 0, 0) for i in range(200 * 200)]
+    assert M.decode_image(M.encode_gif(200, 200, px)) == (200, 200, px)
+
+    # truncated LZW stream fails loudly
+    trunc = bytearray(base)
+    j = trunc.index(b"\x2c") + 11
+    with pytest.raises(ValueError):
+        M.decode_image(bytes(trunc[: j + 1]) + b"\x00\x3b")
