@@ -4,14 +4,17 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side machinery — schema, Arrow-batched
 ``mapInPandas``, partition sizing — is real and tested. Codec status:
 
-- REAL, pure-stdlib: BMP 24-bit decode/encode (round 4), PNG 8-bit
-  gray/palette/RGB/RGBA decode + RGB encode via zlib (round 5), and
+- REAL, pure-stdlib/-numpy: BMP 24-bit decode/encode (round 4); PNG
+  gray/palette/RGB/RGBA decode + RGB encode, 8/16-bit, sequential and
+  Adam7 (rounds 5+7); JPEG baseline + progressive (rounds 6+7,
+  operators/jpegcodec.py); GIF first-frame LZW (round 7); WAV PCM +
+  G.711 mu-law/A-law + IMA ADPCM sample decode (rounds 5+7); and
   ``probe_media`` — header-level format/dimension/duration metadata for
   PNG/JPEG/GIF/BMP/WAV/WebP/MP4 containers (struct parsing of the public
   formats, no codec library).
 - STUBBED (``NotImplementedError``) with a clearly-marked deterministic
-  fake: full pixel decode of JPEG/WebP/video and audio sample decode —
-  these need PIL/cv2, which are not installable in this environment.
+  fake: WebP/video pixel decode and perceptual audio (MP3/AAC) — these
+  need PIL/cv2/ffmpeg, which are not installable in this environment.
 
 At 100 TB: blobs ride in their own column so Parquet column pruning skips
 them unless asked for; decode runs in ``mapInPandas`` with Arrow batches
