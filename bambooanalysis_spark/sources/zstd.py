@@ -240,7 +240,12 @@ def _huf_build(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("zstd: huffman weights all zero")
-    size = 1 << (total - 1).bit_length()
+    # the implicit last symbol completes the sum to the power of 2
+    # STRICTLY larger than the transmitted total (§4.2.1) — `1 <<
+    # (total-1).bit_length()` collapses when total is itself a power of
+    # 2 (found by hypothesis on a 2-symbol table: the last symbol would
+    # get weight 0 and vanish)
+    size = 1 << total.bit_length()
     rest = size - total
     if rest & (rest - 1):
         raise ValueError("zstd: huffman weights do not complete a power of 2")
