@@ -162,12 +162,57 @@ def q_embedding_pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototypicality pruning (operators/similarity.
+    prototype_prune): within each exact-integer k-means cell, the 20%
+    most-centroid-similar vectors are dropped (the diversification pass
+    that pairs with semantic dedup in modern pretraining pipelines).
+    Fully oracle-checked despite the iterative fit — the oracle unrolls
+    the same Lloyd's iterations and replays the same int-dot/sqrt score,
+    rank and integer drop rule."""
+    from ..operators.similarity import prototype_prune
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return prototype_prune(emb, k=8, n_iter=2, frac_e2=20)
+
+
+def _oracle_prototype_prune() -> str:
+    from .extensions import _KM_DIM, _KM_ITERS, _oracle_kmeans
+
+    nn = "list_aggregate(list_transform(c.c, x -> x * x), 'sum')"
+    score = (
+        f"CAST(list_aggregate(list_transform(range(1, {_KM_DIM + 1}), "
+        f"j -> v.qvec[j] * c.c[j]), 'sum') AS DOUBLE) / "
+        f"(CASE WHEN {nn} = 0 THEN 1.0 ELSE sqrt(CAST({nn} AS DOUBLE)) END)"
+    )
+    final = f"""
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rn AS BIGINT) AS proto_rank,
+       CAST(CASE WHEN rn * 100 <= 20 * cn THEN 0 ELSE 1 END AS BIGINT) AS kept_i
+FROM (
+  SELECT v.vec_id, a.cid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY a.cid
+                            ORDER BY {score} DESC, v.vec_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY a.cid) AS cn
+  FROM qz v
+  JOIN afinal a USING (vec_id)
+  JOIN c{_KM_ITERS} c ON a.cid = c.cid
+)
+"""
+    return _oracle_kmeans(final=final)
+
 def _register() -> None:
     register(
         "events_interval_join", q_events_interval_join, ORACLE_EVENTS_INTERVAL_JOIN
     )
     register("embedding_pca_project", q_embedding_pca_project)
     register("embedding_pca_ivf_topk", q_embedding_pca_ivf_topk)
+    register(
+        "embedding_prototype_prune",
+        q_embedding_prototype_prune,
+        _oracle_prototype_prune(),
+    )
     register(
         "embedding_random_projection",
         q_embedding_random_projection,

@@ -1466,3 +1466,58 @@ def semantic_dedup(
         .cast("long")
         .alias("kept_i"),
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    frac_e2: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4-style prototypicality pruning (Tirumala et al. 2023, public:
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification") — SemDeDup's companion pass: after clustering,
+    drop the ``frac_e2``% of vectors per cell MOST similar to their own
+    centroid (the prototypical core is the least informative; the tail
+    carries the diversity). Returns one row per vector:
+    (id, cell, proto_rank 1=most prototypical, kept_i 0/1).
+
+    Exactness: cells and scores come from the integer k-means machinery
+    (int dot / correctly-rounded sqrt — the same bit-reproducible score
+    the assignment argmax uses), ranking ties break on id, and the drop
+    rule is the integer comparison rank*100 <= frac_e2 * cell_size — so
+    an iterative-algorithm-derived PRUNING DECISION still has a full SQL
+    oracle. Scale shape: fit is the kmeans jobs (bounded driver state),
+    scoring is the zero-shuffle literal codebook, and the only new
+    exchange is the per-cell window (one shuffle on the cell id)."""
+    from pyspark.sql import Window
+
+    cents = kmeans_fit_int8(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    qz = quantize_int8(df, id_col, vec_col)
+    best = F.array_max(_int_cell_scores("qvec", cents))
+    scored = qz.select(
+        id_col,
+        best["cid"].cast("int").alias("cell"),
+        best["s"].alias("__score"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    cnt = Window.partitionBy("cell")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .select(
+            id_col,
+            "cell",
+            F.col("proto_rank").cast("long").alias("proto_rank"),
+            F.when(
+                F.col("proto_rank") * 100 <= F.lit(frac_e2) * F.col("__n"), 0
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("kept_i"),
+        )
+    )

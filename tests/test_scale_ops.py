@@ -584,3 +584,24 @@ def test_ivf_topk_pca_routes_in_pca_space(spark, emb):
     ]
     rows = out.collect()
     assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_prototype_prune_drop_rule(spark, emb):
+    """Per cell: exactly floor(frac * n / 100) vectors drop, they are
+    precisely the TOP prototypicality ranks (1..dropped), and every
+    vector appears exactly once — the D4 pruning contract."""
+    from bambooanalysis_spark.operators.similarity import prototype_prune
+
+    df = emb.limit(300).select("vec_id", "embedding")
+    out = prototype_prune(df, k=4, n_iter=1, frac_e2=25).collect()
+    assert len(out) == 300
+    assert len({r["vec_id"] for r in out}) == 300
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        dropped = sorted(r["proto_rank"] for r in rows if r["kept_i"] == 0)
+        want = [i for i in range(1, n + 1) if i * 100 <= 25 * n]
+        assert dropped == want, (cell, n)
+        assert sorted(r["proto_rank"] for r in rows) == list(range(1, n + 1))
