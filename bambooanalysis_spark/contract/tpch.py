@@ -650,7 +650,9 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
     )
-    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
         (F.sum(share_rev) * 10000).cast("decimal(38,0)").alias("nat_e4"),
         (F.sum(rev) * 10000).cast("decimal(38,0)").alias("tot_e4"),
     )
@@ -684,7 +686,7 @@ a AS (
            CAST(SUM(rev) * 10000 AS HUGEINT) AS tot_e4
     FROM j GROUP BY o_year
 )
-SELECT o_year,
+SELECT CAST(o_year AS INT) AS o_year,
        CAST((nat_e4 * 10000) // tot_e4 AS BIGINT) AS share_bp,
        CAST(tot_e4 AS BIGINT) AS total_revenue_e4
 FROM a
@@ -723,7 +725,7 @@ def q_rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg((F.sum(profit) * 10000).cast("bigint").alias("profit_e4"))
     )
@@ -731,7 +733,7 @@ def q_rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REL_PRODUCT_PROFIT = f"""
 SELECT n_name AS nation,
-       year(o_orderdate) AS o_year,
+       CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(SUM(CAST({_SQL_REVENUE}
                 - CAST(CAST(l_quantity AS DECIMAL(12,2))
                        * CAST(p_retailprice AS DECIMAL(18,4))
