@@ -191,12 +191,22 @@ list_transform(
 )
 """
 
+# Universal-hash minhash (round-7, mirrors operators/dedup.py): one base
+# hash per shingle mod P = 2^31 - 1, then per-permutation affine maps
+# with the same sha256-derived coefficients inlined as literals.
+from ..operators.dedup import _MINHASH_P as _MH_P
+from ..operators.dedup import _minhash_coeffs as _mh_coeffs
+
+_MH_A = "[%s]" % ", ".join(str(a) for a, _b in _mh_coeffs(16))
+_MH_B = "[%s]" % ", ".join(str(b) for _a, b in _mh_coeffs(16))
+
 _D_SIG = f"""
 list_transform(
     range(0, 16),
     p -> COALESCE(
-        list_min(list_transform(sh,
-            s -> {_D_HASH64.format(s="concat(CAST(p AS VARCHAR), ':', s)")})),
+        list_min(list_transform(
+            list_transform(sh, s -> {_D_HASH64.format(s="s")} % {_MH_P}),
+            h -> ({_MH_A}[p + 1] * h + {_MH_B}[p + 1]) % {_MH_P})),
         -1)
 )
 """

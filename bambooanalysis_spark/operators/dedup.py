@@ -151,26 +151,70 @@ def bucket_pairs(
 
 
 
-def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
-    """k-element MinHash signature over a PRE-MATERIALIZED shingle column.
+# Universal-hash minhash (round-7): hash each shingle ONCE (md5-derived
+# base hash), then derive the k permutation values by affine maps
+# h_i(x) = (a_i * x + b_i) mod P over the Mersenne prime P = 2^31 - 1 —
+# the classic Carter-Wegman construction. Cuts md5 work k-fold in the
+# hottest dedup stage (PERFORMANCE.md §41); coefficients are
+# sha256-derived constants so the DuckDB oracles inline identical
+# literals, and every product fits BIGINT ((P-1)^2 < 2^62).
+_MINHASH_P = 2147483647
 
-    h_i(s) = hash64(i || ':' || s): one md5 per (permutation, shingle) —
-    portable and exactly reproducible, no big-integer modular arithmetic.
-    Empty shingle set -> signature of -1 sentinels (doc too short).
 
-    Take the shingles from a named column: Catalyst does NOT eliminate
-    common subexpressions across lambda bodies, so an inline shingle
-    expression would be recomputed k times (measured 8-16x slowdowns).
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(sh, lambda s: T.hash64(F.concat_ws(":", i.cast("string"), s)))
-            ),
-            F.lit(-1).cast("long"),
-        ),
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = (
+            int.from_bytes(hashlib.sha256(f"mh:a:{i}".encode()).digest()[:8], "big")
+            % (_MINHASH_P - 1)
+            + 1
+        )
+        b = (
+            int.from_bytes(hashlib.sha256(f"mh:b:{i}".encode()).digest()[:8], "big")
+            % _MINHASH_P
+        )
+        out.append((a, b))
+    return out
+
+
+def hashed_shingles(sh: Column) -> Column:
+    """One base hash per shingle, reduced mod P — materialize THIS column
+    (barrier) before computing signatures: Catalyst does not CSE across
+    lambda bodies, so an inline expression would re-hash per permutation."""
+    return F.transform(sh, lambda s: F.pmod(T.hash64(s), F.lit(_MINHASH_P)))
+
+
+def minhash_signature_from_hashes(hsh: Column, k: int = 16) -> Column:
+    """k-element MinHash signature over a PRE-MATERIALIZED hashed-shingle
+    column: per permutation i, min over (a_i * h + b_i) mod P — pure
+    integer codegen, zero additional hashing. Empty set -> -1 sentinels
+    (doc too short)."""
+    coeffs = _minhash_coeffs(k)
+
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity, and PySpark maps lambda arity onto HOF argument count
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hsh, _perm(a, b))),
+                F.lit(-1).cast("long"),
+            )
+            for a, b in coeffs
+        ]
     )
+
+
+def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
+    """Signature straight from a shingle column. Convenient, but the base
+    hash is inlined into all k permutation lambdas (no CSE) — hot paths
+    must stage ``hashed_shingles`` behind a barrier first and call
+    ``minhash_signature_from_hashes``."""
+    return minhash_signature_from_hashes(hashed_shingles(sh), k)
 
 
 def minhash_signature(text: Column, k: int = 16, shingle_k: int = 3) -> Column:
@@ -233,8 +277,10 @@ def minhash_lsh_pairs(
     # _barrier() = explode of a 1-element array: a Generate node projections
     # cannot collapse across, with zero row multiplication.
     staged = _barrier(src.withColumn("__sh", T.shingles(F.col("__text"), shingle_k)))
+    # hash each shingle ONCE (barrier), then k cheap affine mins
+    staged = _barrier(staged.withColumn("__hsh", hashed_shingles(F.col("__sh"))))
     staged = _barrier(
-        staged.withColumn("__sig", minhash_signature_from_shingles(F.col("__sh"), k))
+        staged.withColumn("__sig", minhash_signature_from_hashes(F.col("__hsh"), k))
     )
     # Docs too short to shingle share the sentinel signature; banding them
     # would create an all-pairs clique of unrelated short docs. The guard
@@ -624,9 +670,13 @@ def banded_docs(
     staged = _barrier(
         df.select(
             F.col(id_col),
-            minhash_signature(F.col(text_col), k=k, shingle_k=shingle_k).alias(
-                "__sig"
-            ),
+            hashed_shingles(T.shingles(F.col(text_col), shingle_k)).alias("__hsh"),
+        )
+    )
+    staged = _barrier(
+        staged.select(
+            F.col(id_col),
+            minhash_signature_from_hashes(F.col("__hsh"), k).alias("__sig"),
         )
     ).where(F.element_at("__sig", 1) != -1)
     return staged.select(

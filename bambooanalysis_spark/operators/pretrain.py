@@ -221,8 +221,9 @@ def fuzzy_decontaminate(
     Docs too short to shingle never band (sentinel guard) and are kept."""
     from .dedup import (
         _barrier,
+        hashed_shingles,
         lsh_band_keys,
-        minhash_signature_from_shingles,
+        minhash_signature_from_hashes,
     )
     from .text import shingles
 
@@ -234,8 +235,11 @@ def fuzzy_decontaminate(
         )
         staged = _barrier(src.withColumn("__sh", shingles(F.col("__text"), shingle_k)))
         staged = _barrier(
+            staged.withColumn("__hsh", hashed_shingles(F.col("__sh")))
+        )
+        staged = _barrier(
             staged.withColumn(
-                "__sig", minhash_signature_from_shingles(F.col("__sh"), k)
+                "__sig", minhash_signature_from_hashes(F.col("__hsh"), k)
             )
         )
         return staged.select(
