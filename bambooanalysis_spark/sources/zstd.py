@@ -280,8 +280,8 @@ def _huf_read_weights(data: bytes) -> tuple[list[int], int]:
     """Huffman tree description (§4.2.1): returns (weights-without-last,
     bytes consumed)."""
     h = data[0]
-    if h >= 128:  # direct: (h-128) 4-bit weights
-        n = h - 128
+    if h >= 128:  # direct: (h-127) 4-bit weights (§4.2.1.1)
+        n = h - 127
         nbytes = 1 + (n + 1) // 2
         weights = []
         for i in range(n):
@@ -357,17 +357,18 @@ def _decode_literals(block: bytes, prev_huf) -> tuple[bytearray, int, object]:
                 raise ValueError("zstd: truncated raw literals")
             return lit, hdr + regen, prev_huf
         return bytearray([block[hdr]] * regen), hdr + 1, prev_huf
-    # compressed (2) / treeless (3)
-    if size_format == 0:  # 4 streams, 10-bit sizes, 3-byte header
-        regen = (b0 >> 4) | ((block[1] & 0x3F) << 4)
-        comp = (block[1] >> 6) | (block[2] << 2)
-        hdr = 3
-        four = True
-    elif size_format == 1:  # 1 stream, 10-bit sizes
+    # compressed (2) / treeless (3) — RFC 8878 §3.1.1.3.1.1: size_format
+    # 00 = SINGLE stream, 01 = 4 streams (both 10-bit sizes, 3-byte header)
+    if size_format == 0:  # 1 stream, 10-bit sizes, 3-byte header
         regen = (b0 >> 4) | ((block[1] & 0x3F) << 4)
         comp = (block[1] >> 6) | (block[2] << 2)
         hdr = 3
         four = False
+    elif size_format == 1:  # 4 streams, 10-bit sizes
+        regen = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) | (block[2] << 2)
+        hdr = 3
+        four = True
     elif size_format == 2:  # 4 streams, 14-bit
         regen = (b0 >> 4) | (block[1] << 4) | ((block[2] & 3) << 12)
         comp = (block[2] >> 2) | (block[3] << 6)
@@ -445,7 +446,10 @@ def _decode_sequences(block: bytes, pos: int, lit: bytearray, out: bytearray,
         n_seq = ((b0 - 128) << 8) | block[pos + 1]
         pos += 2
     else:
-        n_seq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        # long form (§3.1.1.3.2.1): byte0 == 255, count = u16 + 0x7F00
+        # (ADDITION per the RFC, not an OR — an OR mis-decodes any block
+        # with >= 0x8000 sequences)
+        n_seq = (block[pos + 1] | (block[pos + 2] << 8)) + 0x7F00
         pos += 3
     if n_seq == 0:
         out += lit
@@ -506,9 +510,9 @@ def _decode_sequences(block: bytes, pos: int, lit: bytearray, out: bytearray,
                 rep[1] = rep[0]
                 rep[0] = offset
 
-        out += lit[lit_pos : lit_pos + ll]
-        if ll and len(out) - len(lit[lit_pos : lit_pos + ll]) < 0:
+        if lit_pos + ll > len(lit):
             raise ValueError("zstd: literal overrun")
+        out += lit[lit_pos : lit_pos + ll]
         lit_pos += ll
         start = len(out) - offset
         if start < 0:
@@ -877,11 +881,11 @@ def _encode_literals_section(lits: bytes, mode: str) -> bytes:
                     header = bytes([len(wblob)]) + wblob
     if mode == "huf":
         nw = len(weights)
-        if nw > 127:
-            # direct headers encode at most 127 weights (h = 128 + nw);
+        if nw > 128:
+            # direct headers encode at most 128 weights (h = 127 + nw);
             # wide symbol sets must go FSE-weights or raw
             return _encode_literals_section(lits, "raw")
-        packed = bytearray([128 + nw])
+        packed = bytearray([127 + nw])
         for k in range(0, nw, 2):
             hi = weights[k] << 4
             lo = weights[k + 1] if k + 1 < nw else 0
@@ -890,7 +894,6 @@ def _encode_literals_section(lits: bytes, mode: str) -> bytes:
     stream = _huf_encode_stream(lits, enc)
     payload = header + stream
     comp = len(payload)
-    # compressed literals, size_format 1 (single stream, 10-bit sizes)
     if n >= 1024 or comp >= 1024:
         # 4-stream, size_format 2 (14-bit sizes)
         per = (n + 3) // 4
@@ -907,7 +910,8 @@ def _encode_literals_section(lits: bytes, mode: str) -> bytes:
         b[2] = ((n >> 12) & 3) | ((comp & 0x3F) << 2)
         b[3] = comp >> 6
         return bytes(b) + payload
-    b0 = 2 | (1 << 2) | ((n & 0xF) << 4)
+    # compressed literals, size_format 0 (single stream, 10-bit sizes)
+    b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
     b1 = ((n >> 4) & 0x3F) | ((comp & 3) << 6)
     b2 = comp >> 2
     return bytes([b0, b1, b2]) + payload
@@ -923,7 +927,11 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]],
         out.append(128 + (n >> 8))
         out.append(n & 0xFF)
     else:
-        out += bytes([255, n & 0xFF, (n >> 8) & 0xFF])
+        # long form stores count - 0x7F00 as a u16 (decoder ADDS it back)
+        m = n - 0x7F00
+        if m > 0xFFFF:
+            raise ValueError(f"zstd: too many sequences in one block ({n})")
+        out += bytes([255, m & 0xFF, (m >> 8) & 0xFF])
     if n == 0:
         return bytes(out)
     ll_codes, of_codes, ml_codes = [], [], []
