@@ -131,10 +131,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     dec = "decimal(28,6)"
-    # dims are small: explicit broadcast keeps the plan shuffle-free on the
-    # probe side at any scale
+    # nation is bounded (25 rows) and hinted; customer grows with SF, so
+    # it carries NO hint — AQE broadcasts it while small and falls back
+    # to a shuffle join at scale (a forced hint is an executor OOM at
+    # 100x, not a slow plan)
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -197,11 +199,13 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_snapshot(snap, chg, key="c_custkey")
     ups = chg.where(F.col("op") != "D").select("c_custkey")
-    m_upserted = merged.join(F.broadcast(ups), "c_custkey", "left_semi").select(
+    # chg/ups derive from customer (1/97 slice) — SF-scaled, so no
+    # broadcast hints: AQE picks broadcast while the batch is small
+    m_upserted = merged.join(ups, "c_custkey", "left_semi").select(
         "c_custkey",
         F.concat(F.lit("merge_upserted:"), F.col("c_nationkey").cast("string")).alias("status"),
     )
-    m_kept = merged.join(F.broadcast(chg.select("c_custkey")), "c_custkey", "left_anti").select(
+    m_kept = merged.join(chg.select("c_custkey"), "c_custkey", "left_anti").select(
         "c_custkey", F.lit("merge_kept").alias("status")
     )
     m_deleted = (
@@ -228,13 +232,13 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.lit("scd2_closed").alias("status")
     )
     s_current = hist1.where(F.col("is_current")).join(
-        F.broadcast(ups), "c_custkey", "left_semi"
+        ups, "c_custkey", "left_semi"
     ).select(
         "c_custkey",
         F.concat(F.lit("scd2_current:"), F.col("c_nationkey").cast("string")).alias("status"),
     )
     s_asof = scd2_as_of(hist1, "2024-03-01 00:00:00").join(
-        F.broadcast(ups), "c_custkey", "left_semi"
+        ups, "c_custkey", "left_semi"
     ).select(
         "c_custkey",
         F.concat(F.lit("scd2_asof_old:"), F.col("c_nationkey").cast("string")).alias("status"),

@@ -183,10 +183,13 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     their part's average quantity. The correlated `l_quantity < 0.2 *
     AVG(...)` is rewritten fraction-free as `5 * qty * cnt < sum` (exact
     integer/decimal math — no division, so both engines agree bit-wise),
-    with the per-part (cnt, sum) aggregate joined back on l_partkey. At
-    scale the aggregate is a fraction of lineitem's size (one row per
-    part) and broadcasts; the two scans of lineitem are the price of
-    decorrelation, each column-pruned to 3 columns."""
+    with the per-part (cnt, sum) aggregate joined back on l_partkey. The
+    aggregate is one row per part — a fraction of lineitem's size but
+    still SF-scaled, so it carries NO broadcast hint: AQE broadcasts it
+    at small scale and falls back to a shuffle join when it outgrows the
+    threshold (a forced hint would OOM executors at 100x). The two scans
+    of lineitem are the price of decorrelation, each column-pruned to 3
+    columns."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
@@ -194,7 +197,7 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast(_DEC_PRICE)).cast("decimal(38,4)").alias("__sq"),
     )
     qual = (
-        li.join(F.broadcast(per_part), li.l_partkey == per_part.__pk)
+        li.join(per_part, li.l_partkey == per_part.__pk)
         .where(
             (F.col("l_quantity").cast(_DEC_PRICE) * 5 * F.col("__cnt")).cast(
                 "decimal(38,4)"
@@ -293,8 +296,9 @@ def q_rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata has no partsupp table, so the per-(part, supplier) cost is
     MIN(l_extendedprice) over shipped lineitems — same two-level-min
     pattern: per-pair aggregate, per-part minimum, equality join-back).
-    The size-5 part list is tiny and broadcast into the lineitem scan
-    BEFORE any aggregation. The per-part minimum is a WINDOW over the
+    The size-5 part list is filtered but SF-scaled, so it carries no
+    broadcast hint — AQE broadcasts the semi-join side into the lineitem
+    scan while it fits and shuffles when it does not. The per-part minimum is a WINDOW over the
     pair aggregate rather than a groupBy + self-join: a derived-frame
     self-join re-executes the whole aggregate subplan (measured: 9
     exchanges vs 3), while the window runs it once — the min-per-group
@@ -308,7 +312,7 @@ def q_rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     pair_cost = (
-        li.join(F.broadcast(part5), li.l_partkey == part5.p_partkey, "left_semi")
+        li.join(part5, li.l_partkey == part5.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (F.min(F.col("l_extendedprice").cast(_DEC_PRICE)) * 10000)
@@ -547,8 +551,8 @@ def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -642,12 +646,12 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(_DEC_WIDE)
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
     )
     agg = joined.groupBy(
@@ -719,8 +723,8 @@ def q_rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(_DEC_WIDE)
     profit = (_revenue() - cost).cast(_DEC_WIDE)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -763,7 +767,7 @@ def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             "c_custkey",
@@ -893,7 +897,7 @@ def q_rel_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join rather than evaluating the whole disjunction post-join."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     alt = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
@@ -961,7 +965,7 @@ def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
         # one supplier can be late on an order via several lineitems;
         # the subject of the count is (supplier, order), not lineitems
         .select("s_name", "s_suppkey", "l_orderkey")

@@ -108,7 +108,10 @@ def running_token_layout(
     sample range boundaries first; the algebra is identical). Phase 2
     cumulates the per-bucket totals: one row per bucket, so the
     single-partition window there touches corpus/bucket_width rows —
-    metadata, not data. Phase 3 broadcasts the offsets back."""
+    metadata, not data. Phase 3 joins the offsets back with no forced
+    hint: AQE broadcasts the bucket table while it is small and falls
+    back to a shuffle join when corpus/bucket_width itself outgrows the
+    threshold (a forced hint would pin an unbounded broadcast)."""
     b = F.floor(F.col(id_col) / bucket_width).alias("__b")
     d = docs.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"), b)
 
@@ -129,7 +132,7 @@ def running_token_layout(
     )
 
     return (
-        d.join(F.broadcast(offsets), "__b")
+        d.join(offsets, "__b")
         .select(
             id_col,
             "n_tokens",

@@ -1,0 +1,84 @@
+"""Scale-hazard lint: a hard `F.broadcast(...)` hint OVERRIDES Spark's
+size threshold, so a hint on an SF-scaled table (customer, supplier,
+part, lineitem-derived aggregates keyed by an SF-scaled key) is an
+executor OOM at 100x by construction — not a slow plan (VERDICT round 7,
+"What's wrong" #1). Bounded sides (nation = 25 rows, region = 5,
+one-row scalar aggregates, fixed-cardinality group-bys) may be hinted.
+
+This test walks every contract/operator module's AST and asserts each
+`F.broadcast(x)` call's argument is on the explicit allowlist below.
+Adding a new hint means proving the side is bounded and listing it here
+with the reason — the review step the ratchet exists to force.
+"""
+
+import ast
+from pathlib import Path
+
+SRC = Path(__file__).resolve().parent.parent / "bambooanalysis_spark"
+
+# variable-name -> why its cardinality is bounded (does not grow with SF)
+ALLOWED = {
+    "nation": "25 rows by TPC-H construction",
+    "region": "5 rows by TPC-H construction",
+    "n1": "nation projection",
+    "n2": "nation projection",
+    "top": "1-row MAX aggregate",
+    "pos": "1-row scalar aggregate",
+    "total": "1-row scalar aggregate",
+    "avg_by_type": "group-by on p_type (fixed 150-value domain)",
+    "q": "query side, size-gated by _maybe_broadcast's count probe",
+    "centroids": "k rows, k is a user parameter independent of SF",
+    "codebook": "k x m codebook, parameter-sized",
+    "model": "d+1 rows (PCA/JL projection), dimension-sized",
+    "vocab_idx": "bitset64 vocabulary, raise_error-guarded at 64 tokens",
+    "b": "bitset64 all-pairs side; strategy is a documented dense/"
+         "small-corpus opt-in (jaccard_pairs docstring)",
+    "dang": "1-row dangling-rank aggregate",
+    "bench_keys": "benchmark band keys; eval sets are fixed-size",
+    "dvals": "count-min depth values, d rows",
+    "sketch": "count-min sketch, d x width parameter-sized",
+    "stats": "1-row corpus aggregate (BM25 avgdl)",
+    "qterms": "distinct query terms; query workload, not corpus-scaled",
+    "thresholds": "one row per stratum, domain-count bounded",
+    "cand": "gated by nq <= broadcast_limit and refine*k product check",
+    "qv": "gated by nq <= broadcast_limit",
+    "ch_keys": "merge change batch; broadcast_changes is an explicit "
+               "caller opt-in documented for bounded batches",
+    "ch": "same broadcast_changes opt-in (scd2_apply)",
+}
+
+
+def _broadcast_args(path: Path):
+    tree = ast.parse(path.read_text())
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        is_bc = (
+            isinstance(fn, ast.Attribute) and fn.attr == "broadcast"
+            and isinstance(fn.value, ast.Name) and fn.value.id == "F"
+        )
+        if not is_bc or not node.args:
+            continue
+        arg = node.args[0]
+        # normalize: broadcast(x), broadcast(x.select(...)), broadcast(f(x))
+        while isinstance(arg, ast.Call):
+            arg = arg.func
+        while isinstance(arg, ast.Attribute):
+            arg = arg.value
+        name = arg.id if isinstance(arg, ast.Name) else ast.dump(arg)
+        yield path.name, node.lineno, name
+
+
+def test_broadcast_hints_only_on_bounded_sides():
+    offenders = []
+    for path in sorted(SRC.rglob("*.py")):
+        for fname, lineno, name in _broadcast_args(path):
+            if name not in ALLOWED:
+                offenders.append(f"{fname}:{lineno} F.broadcast({name})")
+    assert not offenders, (
+        "F.broadcast hint on a side not proven bounded (SF-scaled tables "
+        "OOM executors at scale when hint-forced; use AQE or "
+        "_maybe_broadcast instead, or allowlist with a boundedness "
+        "reason):\n" + "\n".join(offenders)
+    )
