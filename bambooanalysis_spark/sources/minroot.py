@@ -50,13 +50,18 @@ reader is driven entirely by what is in the file.
   the real shape: key name = branch, title = tree, basket header inside
   fKeyLen, WriteArray fEntryOffset tables for jagged branches.
 
-Deliberately NOT implemented (documented simplifications): full
+Both header layouts are supported end-to-end: the 32-bit layout and the
+64-bit ("large-file") layout real ROOT switches to past ~2 GB (header
+fVersion + 1000000, i64 fEND/fSeekFree/fSeekInfo, fUnits=8, big keys
+with fVersion + 1000 and i64 seeks) — multi-GB CMS inputs like the
+reference's EOS files (jet_test.yml:10-11) use exactly that layout. The
+writers accept ``large=True`` to emit it at any size for testability.
+
+Deliberately NOT implemented (documented simplification): full
 TStreamerInfo parsing (the streamed TTree object model — flat leaflist
 branches are recovered by descriptor skim, object-model branches raise
-with a pointer to uproot) and 64-bit (>2 GiB) seeks in the read/write
-paths (``sniff_file`` below does parse
-large-file headers). ``root_ingest.ingest_root_files`` prefers uproot
-when present and falls back to this reader.
+with a pointer to uproot). ``root_ingest.ingest_root_files`` prefers
+uproot when present and falls back to this reader.
 
 Scale: ingest parallelism is per-file (see root_ingest docstring); one
 file is read sequentially here, which matches ROOT's own basket-chain
@@ -207,11 +212,15 @@ def _pack_key(
     compress_level: int = 0,
     extra: bytes = b"",
     compress_algo: str = "ZL",
+    large: bool = False,
 ) -> bytes:
     """``extra`` lands between the title TString and fKeyLen — the slot
-    where real ROOT TBasket keys store the basket header (see _Key)."""
+    where real ROOT TBasket keys store the basket header (see _Key).
+    ``large`` writes the big-key layout (fVersion += 1000, 8-byte
+    fSeekKey/fSeekPdir) that real ROOT uses past the 2 GB mark."""
     strings = _tstring(classname) + _tstring(name) + _tstring(title) + extra
-    keylen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + len(strings)
+    seek_width = 8 if large else 4
+    keylen = 4 + 2 + 4 + 4 + 2 + 2 + 2 * seek_width + len(strings)
     stored = payload
     if compress_level > 0 and payload:
         framed = _compress_frames(payload, compress_level, compress_algo)
@@ -221,24 +230,71 @@ def _pack_key(
             stored = framed
     nbytes = keylen + len(stored)  # objlen > nbytes - keylen marks compression
     head = struct.pack(
-        ">ihiIhhii",
+        ">ihiIhh",
         nbytes,
-        _KEY_VERSION,
+        _KEY_VERSION + (1000 if large else 0),
         len(payload),
         0,  # fDatime: zeroed for deterministic bytes
         keylen,
         cycle,
+    ) + struct.pack(
+        ">qq" if large else ">ii",
         seek,
         FBEGIN,  # fSeekPdir: top-level directory
     )
     return head + strings + stored
 
 
+def _file_header(
+    fend: int,
+    nbytes_name: int,
+    compress_code: int,
+    seek_info: int,
+    nbytes_info: int,
+    large: bool,
+) -> bytes:
+    """TFile header bytes for either layout. The 64-bit ("large-file")
+    layout — what real ROOT switches to past ~2 GB, and what multi-GB CMS
+    inputs use — adds 1000000 to fVersion, widens fEND/fSeekFree/fSeekInfo
+    to i64, and records fUnits=8."""
+    if large:
+        return MAGIC + struct.pack(
+            ">iiqqiiiBiqi",
+            _FILE_VERSION + 1000000,
+            FBEGIN,
+            fend,
+            fend,  # fSeekFree: no free list, points at EOF
+            0,  # fNbytesFree
+            0,  # nfree
+            nbytes_name,
+            8,  # fUnits: bytes per pointer
+            compress_code,
+            seek_info,
+            nbytes_info,
+        ) + struct.pack(">h", 1) + b"\x00" * 16  # UUID v1 slot, zeroed
+    return MAGIC + struct.pack(
+        ">iiiiiiiBiii",
+        _FILE_VERSION,
+        FBEGIN,
+        fend,
+        fend,
+        0,
+        0,
+        nbytes_name,
+        4,
+        compress_code,
+        seek_info,
+        nbytes_info,
+    ) + struct.pack(">h", 1) + b"\x00" * 16
+
+
 def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
-    (nbytes, _ver, objlen, _datime, keylen, cycle, _seekkey, _seekpdir) = struct.unpack(
-        ">ihiIhhii", buf[seek : seek + 26]
+    (nbytes, ver, objlen, _datime, keylen, cycle) = struct.unpack(
+        ">ihiIhh", buf[seek : seek + 18]
     )
-    pos = seek + 26
+    # big keys (written past the 2 GB mark, or by a large-layout writer)
+    # have fVersion += 1000 and 8-byte fSeekKey/fSeekPdir
+    pos = seek + 18 + (16 if ver > 1000 else 8)
     classname, pos = _read_tstring(buf, pos)
     name, pos = _read_tstring(buf, pos)
     title, pos = _read_tstring(buf, pos)
@@ -291,8 +347,15 @@ def write_flat_tree(
     title: str = "minroot flat tree",
     compress: int = 0,
     compress_algo: str = "ZL",
+    large: bool = False,
 ) -> None:
     """Write one flat TTree of basic-type branches as a ROOT-format file.
+
+    ``large`` emits the 64-bit large-file layout (header fVersion +
+    1000000, i64 fEND/fSeekFree/fSeekInfo, fUnits=8, big keys with i64
+    seeks) regardless of actual size — real ROOT switches to it past
+    ~2 GB, so this makes the >2 GB reader paths testable on small
+    fixtures.
 
     ``branches`` maps branch name -> (dtype_code, data); dtype codes are
     ROOT leaf codes F/D/I/L. ``data`` is a flat list (scalar branch) or a
@@ -353,27 +416,22 @@ def write_flat_tree(
         out += _pack_key(
             classname, name, ktitle, seek, payload, cycle=cycle,
             compress_level=compress if classname == "TBasket" else 0,
-            compress_algo=compress_algo,
+            compress_algo=compress_algo, large=large,
         )
     fend = len(out)
 
-    header = MAGIC + struct.pack(
-        ">iiiiiiiBiii",
-        _FILE_VERSION,
-        FBEGIN,
+    header = _file_header(
         fend,
-        fend,  # fSeekFree: no free list, points at EOF
-        0,  # fNbytesFree
-        0,  # nfree
-        records and len(_pack_key(*records[0][:3], FBEGIN, records[0][3])) or 0,
-        4,  # fUnits: bytes per pointer
+        records
+        and len(_pack_key(*records[0][:3], FBEGIN, records[0][3], large=large))
+        or 0,
         # fCompress: algorithm*100+level (kZLIB=1, kLZ4=4, kZSTD=5)
         ({"ZL": 100, "L4": 400, "ZS": 500}[compress_algo] + compress)
         if compress else 0,
         0,  # fSeekInfo: no streamer info (documented simplification)
         0,  # fNbytesInfo
+        large,
     )
-    header += struct.pack(">h", 1) + b"\x00" * 16  # UUID v1 slot, zeroed
     out[: len(header)] = header
     with open(path, "wb") as fh:
         fh.write(bytes(out))
@@ -388,6 +446,7 @@ def write_streamered_tree(
     compress: int = 1,
     tree_cycles: int = 1,
     compress_algo: str = "ZL",
+    large: bool = False,
 ) -> None:
     """Write a flat TTree in the REAL ROOT on-disk layout — the shape
     files written by actual ROOT have (jet_test.yml:10-11 inputs), which
@@ -441,7 +500,7 @@ def write_streamered_tree(
             _pack_key(
                 classname, name, ktitle, seek, payload, cycle=cycle,
                 extra=extra, compress_level=compress_level,
-                compress_algo=compress_algo,
+                compress_algo=compress_algo, large=large,
             )
         )
         return seek
@@ -484,12 +543,13 @@ def write_streamered_tree(
             values = struct.pack(f">{len(flat)}{fmt}", *flat)
             # the real basket key: header lives in the key extension, so
             # fKeyLen must be known before offsets — compute it exactly
-            # as _pack_key will lay it out (26 + strings + 19)
+            # as _pack_key will lay it out (26/34 + strings + 19; big
+            # keys carry 8-byte seek fields)
             strings_len = (
                 len(_tstring("TBasket")) + len(_tstring(bname))
                 + len(_tstring(tname))
             )
-            keylen = 26 + strings_len + 19
+            keylen = (34 if large else 26) + strings_len + 19
             if lengths is None:
                 payload = values
             else:
@@ -523,22 +583,15 @@ def write_streamered_tree(
     nbytes_info = len(out) - seek_info
     fend = len(out)
 
-    header = MAGIC + struct.pack(
-        ">iiiiiiiBiii",
-        _FILE_VERSION,
-        FBEGIN,
-        fend,
+    header = _file_header(
         fend,
         0,
-        0,
-        0,
-        4,
         ({"ZL": 100, "L4": 400, "ZS": 500}[compress_algo] + compress)
         if compress else 0,
         seek_info,
         nbytes_info,
+        large,
     )
-    header += struct.pack(">h", 1) + b"\x00" * 16
     out[: len(header)] = header
     with open(path, "wb") as fh:
         fh.write(bytes(out))
@@ -548,26 +601,56 @@ def list_keys(path: str) -> list[tuple[str, str, str, int]]:
     """Walk the TKey chain: (classname, name, title, cycle) per key."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    _check_header(buf)
-    fend = struct.unpack(">i", buf[12:16])[0]
+    _compress, fend, _large = _check_header(buf)
     keys, seek = [], FBEGIN
     while seek < fend:
+        gap = _gap_skip(buf, seek)
+        if gap is not None:
+            if gap == seek:
+                break
+            seek = gap
+            continue
         key, seek = _unpack_key(buf, seek)
         keys.append((key.classname, key.name, key.title, key.cycle))
     return keys
 
 
-def _check_header(buf: bytes) -> int:
-    """Validate magic + version; returns fCompress (algo*100+level).
+def _gap_skip(buf: bytes, seek: int) -> int | None:
+    """Freed-key gap records (real ROOT: fNbytes < 0 spans a hole left by
+    a deleted/rewritten key) — returns the next seek position if this
+    record is a gap, the same seek if the chain ends (fNbytes == 0), or
+    None for a live key."""
+    nb = struct.unpack(">i", buf[seek : seek + 4])[0]
+    if nb < 0:
+        return seek + (-nb)
+    if nb == 0:
+        return seek
+    return None
+
+
+def _check_header(buf: bytes) -> tuple[int, int, bool]:
+    """Validate magic + version; returns (fCompress, fEND, large_file).
     Compression is handled per-key (see _decompress_frames), so any
-    fCompress value is acceptable here."""
+    fCompress value is acceptable here.
+
+    Real ROOT switches to the 64-bit ("large-file") header once the file
+    outgrows ~2 GB — fVersion gains +1000000 and fEND/fSeekFree/fSeekInfo
+    widen to i64 (fUnits records 8). Multi-GB CMS inputs (the reference's
+    jet_test.yml EOS files) are exactly such files, so both layouts are
+    first-class here; the mirroring writers can emit the 64-bit layout at
+    any size for testability."""
     if buf[:4] != MAGIC:
         raise ValueError("not a ROOT file (bad magic)")
     version = struct.unpack(">i", buf[4:8])[0]
     if version >= 1000000:
-        raise NotImplementedError("64-bit (large-file) ROOT headers not supported")
+        # fBEGIN i32 @8, fEND i64 @12, fSeekFree i64 @20, fNbytesFree i32,
+        # nfree i32, fNbytesName i32, fUnits u8 (=8), fCompress i32
+        fend = struct.unpack(">q", buf[12:20])[0]
+        compress = struct.unpack(">i", buf[41:45])[0]
+        return compress, fend, True
+    fend = struct.unpack(">i", buf[12:16])[0]
     compress_off = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 1
-    return struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
+    return struct.unpack(">i", buf[compress_off : compress_off + 4])[0], fend, False
 
 
 def _split_tree_spec(tree: str | None) -> tuple[str | None, int | None]:
@@ -631,8 +714,7 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     (no stdlib codec)."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    _check_header(buf)
-    fend = struct.unpack(">i", buf[12:16])[0]
+    _compress, fend, _large = _check_header(buf)
     want, want_cycle = _split_tree_spec(tree)
     want_full = tree.rsplit(";", 1)[0] if tree and ";" in tree else tree
 
@@ -643,6 +725,12 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     basket_trees = set()
     seek = FBEGIN
     while seek < fend:
+        gap = _gap_skip(buf, seek)
+        if gap is not None:
+            if gap == seek:
+                break
+            seek = gap
+            continue
         key, seek = _unpack_key(buf, seek)
         if key.classname == "TNamed":
             trees.add(key.name)
@@ -771,8 +859,8 @@ def sniff_file(path: str) -> dict:
     """Header-level metadata probe for an ARBITRARY ROOT file — no
     decompression, no streamers needed.
 
-    Parses the TFile header (including 64-bit large-file headers, which
-    the read/write paths reject) and walks the physical TKey chain from
+    Parses the TFile header (either layout — the read/write paths also
+    handle 64-bit large-file headers) and walks the physical TKey chain from
     fBEGIN to fEND record by record, so it works on real compressed,
     streamer-carrying files: every on-disk record starts with the plain
     TKey header regardless of how its payload is compressed, gap records
@@ -807,8 +895,7 @@ def sniff_file(path: str) -> dict:
         compress = struct.unpack(">i", buf[20 + 8 + 4 + 4 + 4 + 1 : 20 + 8 + 4 + 4 + 4 + 1 + 4])[0]
     else:
         begin = struct.unpack(">i", buf[8:12])[0]
-        fend = struct.unpack(">i", buf[12:16])[0]
-        compress = _check_header(buf)
+        compress, fend, _ = _check_header(buf)
 
     keys: list[tuple[str, str, str, int, int, int]] = []
     trees: dict[str, int | None] = {}

