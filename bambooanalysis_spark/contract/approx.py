@@ -559,20 +559,38 @@ def q_text_fuzzy_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-level fuzzy matching over the corpus vocabulary: SymSpell
     deletion-neighborhood candidate join + exact levenshtein rescoring
     (operators/dedup.fuzzy_term_pairs). Both engines ship levenshtein, so
-    the result is exactly oracle-checked."""
+    the result is exactly oracle-checked.
+
+    The fixture's synthetic vocabulary contains no natural distance-1
+    pairs at ANY scale, which made the original query vacuous (0 == 0
+    hash-matched — the §37 failure mode, caught by the round-8 two-scale
+    audit). Typos are therefore PLANTED deterministically — every term
+    also enters with its 2nd character deleted, the same perturb-and-link
+    pattern as q_linkage_customer_match — so the gate checks real pairs
+    at every scale."""
     from ..operators.dedup import fuzzy_term_pairs
     from ..operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
     vocab = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    return fuzzy_term_pairs(vocab)
+    typos = vocab.select(
+        F.concat(
+            F.substring("term", 1, 1), F.expr("substring(term, 3)")
+        ).alias("term")
+    )
+    return fuzzy_term_pairs(vocab.unionByName(typos))
 
 
 ORACLE_TEXT_FUZZY_TERM_PAIRS = """
-WITH vocab AS (
+WITH base AS (
+    SELECT UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
+    FROM documents
+),
+vocab AS (
     SELECT DISTINCT term FROM (
-        SELECT UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
-        FROM documents
+        SELECT term FROM base
+        UNION ALL
+        SELECT substring(term, 1, 1) || substring(term, 3) FROM base
     ) WHERE length(term) >= 3
 ),
 v AS (

@@ -419,9 +419,23 @@ FROM ranked WHERE rank <= 10
 # --- similarity: embedding near-dup pairs ------------------------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold_e6=400000: the fixture's max pairwise cosine is ~0.48-0.51
+    at sf<=0.01, so the original 0.8 threshold returned 0 rows at every
+    scale and the hash gate was vacuous (0 == 0 — the §37 failure mode,
+    caught by the round-8 two-scale audit). 0.40 keeps the query selective
+    (66/59 pairs at sf0.001/0.01) while checking real values.
+
+    exact=True here BY NECESSITY, not preference: the banded sign-LSH
+    default is calibrated for >=0.95 thresholds (per-pair miss <2e-4
+    there) but recalls only ~1/3 of pairs at 0.40, and an exact-hash
+    oracle slot cannot tolerate probabilistic recall. The scale-default
+    LSH path keeps its own recall gate
+    (tests/test_extensions.py::test_near_dup_bucketed_matches_exact)."""
     from ..operators import similarity as S
 
-    return S.near_dup_pairs_cosine(_emb(spark, sf_dir), threshold_e6=800000)
+    return S.near_dup_pairs_cosine(
+        _emb(spark, sf_dir), threshold_e6=400000, exact=True
+    )
 
 
 ORACLE_EMBEDDING_NEAR_DUP = f"""
@@ -431,7 +445,7 @@ SELECT id_a, id_b,
        CAST(FLOOR({_D_COS.format(a='va', b='vb')} * 1000000) AS BIGINT) AS cosine_e6
 FROM a CROSS JOIN b
 WHERE id_a < id_b
-  AND FLOOR({_D_COS.format(a='va', b='vb')} * 1000000) >= 800000
+  AND FLOOR({_D_COS.format(a='va', b='vb')} * 1000000) >= 400000
 """
 
 
