@@ -39,13 +39,27 @@ COUNTERS = [
 ]
 
 
-def collect() -> dict[str, dict[str, int]]:
+def targets() -> dict:
+    """Everything budgeted: the bench headline entries plus every
+    registered relational/TPC-H-shape query (VERDICT r7 #7) — the
+    generic counter gate catches what bespoke plan asserts forget,
+    e.g. a refactor that re-adds a forced broadcast or a Python stage."""
     import bench
+    from bambooanalysis_spark.contract import QUERIES
+
+    out = dict(bench._headline())
+    for name, fn in QUERIES.items():
+        if name.startswith("rel_"):
+            out.setdefault(name, fn)
+    return out
+
+
+def collect() -> dict[str, dict[str, int]]:
     from bambooanalysis_spark.session import get_spark
 
     spark = get_spark("plan-budgets")
     budgets: dict[str, dict[str, int]] = {}
-    for name, fn in bench._headline().items():
+    for name, fn in targets().items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         budgets[name] = {c: plan.count(c) for c in COUNTERS}
     return budgets
