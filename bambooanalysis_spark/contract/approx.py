@@ -1631,3 +1631,82 @@ ORDER BY doc_id
 """
 
 register("text_lm_quality", q_text_lm_quality, ORACLE_TEXT_LM_QUALITY)
+
+
+# --- weighted cutflow: refine(weight=...) with NON-UNIT weights --------------
+# (VERDICT r7 #9 / SURVEY §2.6 [B]): the weight path was implemented and
+# exercised via hep_histograms_1d, but always with weight 1 end-to-end in
+# a driver-visible slot. This query computes a lumi x xsec-style weighted
+# cutflow where parent and child weights DIFFER: the root carries a
+# constant 1.5, the dimuon selection multiplies a per-event scale factor
+# that depends on event content, and the MET selection halves again.
+# Every weight is a dyadic rational (1.5, 0.75, 0.5, 0.375), so each
+# per-event product and every partial sum is EXACT in binary floating
+# point — the oracle's SUMs match bit-wise in any accumulation order.
+
+def q_hep_weighted_cutflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analyses.phase2 import define_objects
+    from ..operators import collections as op
+    from ..plans.cutflow import CutFlowReport
+    from ..plans.histogrammer import cutflow_table, run_analysis
+    from ..plans.selection import Selection
+    from .hep import _hep
+
+    df = define_objects(_hep(spark, sf_dir))
+    ident_mu = op.Collection(F.col("identifiedMuons"))
+    good_jets = op.Collection(F.col("cleanedGoodJets"))
+    met_pt = F.col("metpuppi")["pt"]
+
+    no_sel = Selection.root("noSel", weight=F.lit(1.5))
+    # per-event muon scale factor: 0.75 when the event also has >= 2 good
+    # jets, 0.5 otherwise (shape of a data/MC correction keyed on topology)
+    sf_mu = F.lit(0.5) + F.lit(0.25) * (op.rng_len(good_jets) > 1).cast("double")
+    sel1 = no_sel.refine(
+        "nmumu",
+        cut=(op.rng_len(ident_mu) > 1)
+        & (op.product(ident_mu[0].charge, ident_mu[1].charge) < 0),
+        weight=sf_mu,
+    )
+    sel2 = sel1.refine("MET", cut=met_pt > 40, weight=F.lit(0.5))
+
+    cfr = CutFlowReport("wyields")
+    cfr.add(no_sel).add(sel1).add(sel2)
+    hist = run_analysis(df, [], [cfr])
+    cf = cutflow_table(hist, "wyields", ["noSel", "nmumu", "MET"])
+    return cf.select("selection", "seq", "num_events", "sum_weights")
+
+
+def _oracle_weighted_cutflow() -> str:
+    from .hep import CHAIN_CTES
+
+    return f"""{CHAIN_CTES}
+, w AS (
+    -- every factor cast to DOUBLE up front: bare numeric literals are
+    -- DECIMAL in DuckDB and decimal-scale rounding diverges from the
+    -- (exact, dyadic) double arithmetic the Spark side performs
+    SELECT met, pass1,
+           CAST(1.5 AS DOUBLE) * (CAST(0.5 AS DOUBLE)
+               + CAST(0.25 AS DOUBLE)
+                 * CASE WHEN n_jets >= 2 THEN 1 ELSE 0 END) AS w1
+    FROM flags
+)
+SELECT s.selection, s.seq, c.num_events, c.sum_weights
+FROM (VALUES ('noSel', 0), ('nmumu', 1), ('MET', 2)) AS s(selection, seq)
+JOIN (
+    SELECT 0 AS seq, COUNT(*) AS num_events,
+           SUM(CAST(1.5 AS DOUBLE)) AS sum_weights FROM w
+    UNION ALL
+    SELECT 1, COUNT(*) FILTER (WHERE pass1),
+           SUM(w1) FILTER (WHERE pass1) FROM w
+    UNION ALL
+    SELECT 2, COUNT(*) FILTER (WHERE pass1 AND met > 40),
+           SUM(w1 * CAST(0.5 AS DOUBLE)) FILTER (WHERE pass1 AND met > 40)
+    FROM w
+) c ON c.seq = s.seq
+WHERE c.num_events > 0
+"""
+
+
+register(
+    "hep_weighted_cutflow", q_hep_weighted_cutflow, _oracle_weighted_cutflow()
+)
