@@ -363,6 +363,87 @@ def _centroid_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> C
     )
 
 
+# Crossover between the literal-codebook expressions and the broadcast
+# one-row codebook DataFrame (PERFORMANCE.md §43, implementing §36 #3):
+# literal codebooks unroll C x dim expression nodes into codegen — fast
+# for small C, but plan-build and compile time grow linearly with C
+# while the join path (same numbers shipped as DATA in a one-row
+# broadcast, scored by a constant-size runtime HOF loop) stays flat.
+# Measured end-to-end at 64d/sf0.1 (§43): literal/join = 0.70x at C=16,
+# 1.11x at 64, 1.76x at 128, 2.82x at 256, 4.54x at 512.
+_CODEBOOK_JOIN_MIN_C = 64
+
+
+def _resolve_codebook_mode(mode: str, n_centroids: int) -> str:
+    if mode == "auto":
+        return "join" if n_centroids >= _CODEBOOK_JOIN_MIN_C else "literal"
+    if mode not in ("literal", "join"):
+        raise ValueError(f"codebook_mode must be auto|literal|join, got {mode!r}")
+    return mode
+
+
+def _codebook_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The codebook as a ONE-ROW DataFrame: `__cb` holds the centroid
+    vectors pre-divided by their norms (exactly the values
+    _centroid_scores folds into its literals — Python float division
+    round-trips identically through createDataFrame and repr), `__cids`
+    the cell ids. crossJoin(broadcast(...)) attaches both columns to
+    every row at the cost of a 1-row broadcast."""
+    scaled = [
+        [float(x) / (_py_norm(cvec) or 1.0) for x in cvec]
+        for _, cvec in centroids
+    ]
+    ids = [int(cid) for cid, _ in centroids]
+    return spark.createDataFrame(
+        [(scaled, ids)], "__cb array<array<double>>, __cids array<int>"
+    )
+
+
+def _centroid_scores_col(vec: Column) -> Column:
+    """Column-codebook twin of _centroid_scores: same scores (dot against
+    pre-normalized centroids), reading the codebook from the `__cb` /
+    `__cids` columns a _codebook_df crossJoin attached instead of from
+    literal expressions."""
+    return F.zip_with(
+        F.transform(F.col("__cb"), lambda cv: dot(vec, cv)),
+        F.col("__cids"),
+        lambda s, cid: F.struct(s.alias("s"), cid.alias("cid")),
+    )
+
+
+def _int_codebook_df(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Integer-codebook one-row DataFrame: raw int8 codes in `__icb`,
+    (cid, norm) metadata in `__imeta` — the same numbers
+    _int_cell_scores embeds as literals."""
+    import math
+
+    codes = [[int(x) for x in c] for _, c in centroids]
+    meta = [
+        {
+            "cid": int(cid),
+            "nrm": math.sqrt(float(sum(x * x for x in c))) or 1.0,
+        }
+        for cid, c in centroids
+    ]
+    return spark.createDataFrame(
+        [(codes, meta)],
+        "__icb array<array<int>>, __imeta array<struct<cid:int, nrm:double>>",
+    )
+
+
+def _int_cell_scores_col(qcol: str) -> Column:
+    """Column-codebook twin of _int_cell_scores: identical integer dot +
+    one correctly-rounded double division per centroid, codebook read
+    from the `__icb` / `__imeta` columns."""
+    return F.zip_with(
+        F.transform(F.col("__icb"), lambda cv: int_dot(F.col(qcol), cv)),
+        F.col("__imeta"),
+        lambda d, mm: F.struct(
+            (d.cast("double") / mm["nrm"]).alias("s"), mm["cid"].alias("cid")
+        ),
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
     """Assign each vector to its nearest centroid (max cosine). Centroids
     are literal arrays (driver-side metadata, like a trained IVF codebook).
@@ -388,9 +469,18 @@ def ivf_topk(
     n_probe: int = 4,
     broadcast_limit: int = 10_000,
     train_iters: int = 0,
+    codebook_mode: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: corpus bucketed by nearest centroid; each query probes
     its n_probe nearest cells and ranks exactly within them.
+
+    ``codebook_mode``: 'literal' embeds the codebook as unrolled literal
+    expressions (fastest for small C — zero joins), 'join' ships it as a
+    one-row broadcast DataFrame so the scoring HOF is a constant-size
+    runtime loop (the large-C path: literal codegen degrades ~6x by
+    C=256, PERFORMANCE.md §36/§43). 'auto' (default) picks 'join' at
+    C >= _CODEBOOK_JOIN_MIN_C (64). Output is identical either way — pinned by
+    tests/test_extensions.py::test_ivf_codebook_join_matches_literal.
 
     The default codebook is deterministic (the first n_centroids corpus
     vectors) — the scale mechanics are the point: the probe join replaces
@@ -423,15 +513,40 @@ def ivf_topk(
         ]
     from .dedup import _fan_out
 
-    c = ivf_assign(_fan_out(corpus, id_col), cents, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell"
-    )
-    # per query: scores against every centroid, keep the n_probe best cells
-    # (same cancelled-norm literal codebook as ivf_assign)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    mode = _resolve_codebook_mode(codebook_mode, len(cents))
+    if mode == "join":
+        codebook = _codebook_df(corpus.sparkSession, cents)
+        c = (
+            _fan_out(corpus, id_col)
+            .crossJoin(F.broadcast(codebook))
+            .withColumn(
+                "__ivf_cell",
+                F.array_max(_centroid_scores_col(F.col(vec_col)))["cid"],
+            )
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                "__ivf_cell",
+            )
+        )
+        q = queries.crossJoin(F.broadcast(codebook)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "__cb",
+            "__cids",
+        )
+        probe_scores = _centroid_scores_col(F.col("qv"))
+    else:
+        c = ivf_assign(_fan_out(corpus, id_col), cents, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "__ivf_cell"
+        )
+        # per query: scores against every centroid, keep the n_probe best
+        # cells (same cancelled-norm literal codebook as ivf_assign)
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        probe_scores = _centroid_scores(F.col("qv"), cents)
     cells = F.slice(
         F.array_sort(
-            _centroid_scores(F.col("qv"), cents),
+            probe_scores,
             lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,
@@ -586,12 +701,14 @@ def ivf_topk_quantized(
     n_probe: int = 4,
     broadcast_limit: int = 10_000,
     train_iters: int = 0,
+    codebook_mode: str = "auto",
 ) -> DataFrame:
     """Quantized IVF — the composition of the two proven pieces (VERDICT r2
     "Next round" #4) and the actual 100 TB serving shape: the corpus is
     int8-quantized ONCE (4x smaller candidate-join traffic and resident
     bytes than float IVF), bucketed by nearest integer centroid via the
-    literal-codebook argmax (zero join, zero shuffle), and each query
+    codebook argmax (literal expressions for small C, a one-row broadcast
+    codebook past C >= 64 — see ivf_topk's codebook_mode), and each query
     probes its n_probe best cells with exact integer-dot cosine rescoring
     inside them. Scales cancel out of cosine, so in-cell ranking is
     bit-reproducible (same property as quantized_cosine_topk).
@@ -616,16 +733,43 @@ def ivf_topk_quantized(
         )
         cents = [(int(r[id_col]), [int(x) for x in r["qvec"]]) for r in init]
     qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
-    cell = F.array_max(_int_cell_scores("qvec", cents))["cid"]
-    c = qz.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"), cell.alias("__ivf_cell")
-    )
-    q = quantize_int8(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
-    )
+    mode = _resolve_codebook_mode(codebook_mode, len(cents))
+    if mode == "join":
+        codebook = _int_codebook_df(corpus.sparkSession, cents)
+        c = (
+            qz.crossJoin(F.broadcast(codebook))
+            .withColumn(
+                "__ivf_cell", F.array_max(_int_cell_scores_col("qvec"))["cid"]
+            )
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("qvec").alias("cv"),
+                "__ivf_cell",
+            )
+        )
+        q = (
+            quantize_int8(queries, id_col, vec_col)
+            .crossJoin(F.broadcast(codebook))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col("qvec").alias("qv"),
+                "__icb",
+                "__imeta",
+            )
+        )
+        probe_scores = _int_cell_scores_col("qv")
+    else:
+        cell = F.array_max(_int_cell_scores("qvec", cents))["cid"]
+        c = qz.select(
+            F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"), cell.alias("__ivf_cell")
+        )
+        q = quantize_int8(queries, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+        )
+        probe_scores = _int_cell_scores("qv", cents)
     cells = F.slice(
         F.array_sort(
-            _int_cell_scores("qv", cents),
+            probe_scores,
             lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,

@@ -3073,3 +3073,46 @@ def test_gif_decode_roundtrip_and_extensions():
     j = trunc.index(b"\x2c") + 11
     with pytest.raises(ValueError):
         M.decode_image(bytes(trunc[: j + 1]) + b"\x00\x3b")
+
+
+def test_ivf_codebook_join_matches_literal(spark, sf_oracle):
+    """The broadcast-codebook path (VERDICT r7 #6 / PERFORMANCE.md §43)
+    must be output-IDENTICAL to the literal-expression path — same
+    pre-normalized doubles, same correctly-rounded divisions — for both
+    the float and the int8 IVF, below and above the auto threshold."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    qs = emb.where("vec_id < 8")
+    for C in (16, 256):
+        lit = S.ivf_topk(
+            emb, qs, k=5, n_centroids=C, n_probe=4, codebook_mode="literal"
+        ).collect()
+        jn = S.ivf_topk(
+            emb, qs, k=5, n_centroids=C, n_probe=4, codebook_mode="join"
+        ).collect()
+        assert sorted(map(tuple, lit)) == sorted(map(tuple, jn)), f"float C={C}"
+        litq = S.ivf_topk_quantized(
+            emb, qs, k=5, n_centroids=C, n_probe=4, codebook_mode="literal"
+        ).collect()
+        jnq = S.ivf_topk_quantized(
+            emb, qs, k=5, n_centroids=C, n_probe=4, codebook_mode="join"
+        ).collect()
+        assert sorted(map(tuple, litq)) == sorted(map(tuple, jnq)), f"int8 C={C}"
+    assert S._resolve_codebook_mode("auto", 16) == "literal"
+    assert S._resolve_codebook_mode("auto", S._CODEBOOK_JOIN_MIN_C) == "join"
+
+
+def test_ivf_codebook_join_plan_is_single_row_broadcast(spark, sf_oracle):
+    """The join path's only addition is a 1-row broadcast (the codebook
+    DataFrame); the candidate join must stay an equi-hash-join — no
+    per-row nested-loop scan of the corpus against queries."""
+    from bambooanalysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    qs = emb.where("vec_id < 8")
+    df = S.ivf_topk(emb, qs, k=5, n_centroids=256, n_probe=4, codebook_mode="join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the two codebook attachments are 1-row BNLJ broadcasts; nothing else
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
