@@ -12,9 +12,14 @@ metadata struct alongside. The Spark-side machinery — schema, Arrow-batched
   ``probe_media`` — header-level format/dimension/duration metadata for
   PNG/JPEG/GIF/BMP/WAV/WebP/MP4 containers (struct parsing of the public
   formats, no codec library).
+- REAL as of round 8: lossless WebP (VP8L) pixel decode
+  (operators/vp8lcodec.py — full transform/color-cache/meta-code
+  feature set, cross-validated both directions against the system
+  libwebp via ctypes).
 - STUBBED (``NotImplementedError``) with a clearly-marked deterministic
-  fake: WebP/video pixel decode and perceptual audio (MP3/AAC) — these
-  need PIL/cv2/ffmpeg, which are not installable in this environment.
+  fake: lossy-WebP (VP8)/video pixel decode and perceptual audio
+  (MP3/AAC) — these need PIL/cv2/ffmpeg, which are not installable in
+  this environment.
 
 At 100 TB: blobs ride in their own column so Parquet column pruning skips
 them unless asked for; decode runs in ``mapInPandas`` with Arrow batches
@@ -67,11 +72,14 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     dispatch — lossy, so JPEG-decoded pixels feed PSNR-bounded tests
     rather than bit-exact oracles. Round 7 also extends PNG to 16-bit
     samples (high-byte downscale) and Adam7 interlacing, and adds GIF
-    (first frame: real LZW, 4-pass interlace, palette). Remaining
-    formats (arithmetic-coded JPEG, sub-byte PNG depths, WebP/video)
-    need a real library (PIL/cv2, unavailable in this environment) and
-    raise NotImplementedError; tests fall back to fake_decode_meta for
-    those, and probe_media still reads their header metadata."""
+    (first frame: real LZW, 4-pass interlace, palette). Round 8 adds
+    lossless WebP (VP8L: prefix codes, LZ77 + 2D distances, color
+    cache, all four transforms — operators/vp8lcodec.py, alpha dropped
+    like PNG). Remaining formats (arithmetic-coded JPEG, sub-byte PNG
+    depths, lossy-WebP VP8, video) need a real library (PIL/cv2,
+    unavailable in this environment) and raise NotImplementedError;
+    tests fall back to fake_decode_meta for those, and probe_media
+    still reads their header metadata."""
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     if blob[:8] == _PNG_MAGIC:
@@ -82,9 +90,19 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         return decode_jpeg(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        # round 8: lossless VP8L decodes fully stdlib-side
+        # (operators/vp8lcodec.py, cross-validated against libwebp);
+        # lossy VP8 still raises inside decode_webp
+        from bambooanalysis_spark.operators.vp8lcodec import decode_webp
+
+        w, h, argb = decode_webp(blob)
+        return w, h, [
+            ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in argb
+        ]
     raise NotImplementedError(
-        "only BMP/PNG/JPEG (baseline + progressive)/GIF decode "
-        "stdlib-side; other formats require a codec library (use "
+        "only BMP/PNG/JPEG (baseline + progressive)/GIF/lossless-WebP "
+        "decode stdlib-side; other formats require a codec library (use "
         "fake_decode_meta for the deterministic test path)"
     )
 
@@ -641,6 +659,15 @@ def probe_media(blob: bytes) -> dict | None:
                 w = 1 + int.from_bytes(blob[24:27], "little")
                 h = 1 + int.from_bytes(blob[27:30], "little")
                 return {"format": "webp", "width": w, "height": h}
+            if blob[12:16] == b"VP8L" and len(blob) >= 25 and blob[20] == 0x2F:
+                # lossless header: 14-bit (w-1), 14-bit (h-1), LSB-first
+                bits = int.from_bytes(blob[21:25], "little")
+                return {
+                    "format": "webp",
+                    "codec": "vp8l",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                }
             return {"format": "webp"}
         if len(blob) >= 12 and blob[4:8] == b"ftyp":  # ISO-BMFF (MP4 family)
             meta = {"format": "mp4",
