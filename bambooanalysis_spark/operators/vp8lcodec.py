@@ -642,10 +642,62 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, list[int]]:
     return w, h, pixels
 
 
+def _system_libwebp():
+    """The system libwebp via ctypes, or None. Not an installed Python
+    package — an OS shared library probed at call time, same class of
+    env-gate as the uproot/PIL fallbacks elsewhere. Used ONLY for the
+    lossy VP8 path (a DCT codec out of pure-Python scope) and by the
+    test suite for cross-validation; lossless VP8L always decodes with
+    the pure-Python implementation above."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def _decode_lossy_libwebp(blob: bytes) -> tuple[int, int, list[int]]:
+    import ctypes
+
+    lib = _system_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "lossy VP8 (DCT) decode needs a codec library (libwebp not "
+            "found); only lossless VP8L decodes stdlib-side"
+        )
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise ValueError("libwebp rejected the VP8 stream")
+    n = w.value * h.value * 4
+    rgba = bytes(p[:n])
+    return (
+        w.value,
+        h.value,
+        [
+            (rgba[i + 3] << 24)
+            | (rgba[i] << 16)
+            | (rgba[i + 1] << 8)
+            | rgba[i + 2]
+            for i in range(0, n, 4)
+        ],
+    )
+
+
 def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
-    """RIFF walk -> first VP8L chunk -> (width, height, ARGB row-major).
-    Handles bare VP8L files and VP8X-extended files whose image data is
-    lossless; lossy VP8 raises (DCT codec — needs a real library)."""
+    """RIFF walk -> image chunk -> (width, height, ARGB row-major).
+    Lossless VP8L decodes with the pure-Python implementation (bare and
+    VP8X-extended files); lossy VP8 decodes through the system libwebp
+    when present and raises NotImplementedError otherwise."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -656,10 +708,7 @@ def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 (DCT) decode needs a codec library; only "
-                "lossless VP8L decodes stdlib-side"
-            )
+            return _decode_lossy_libwebp(blob)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L chunk found")
 

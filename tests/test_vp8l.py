@@ -203,3 +203,33 @@ def test_vp8l_error_paths():
     good = V.encode_vp8l(16, 16, _rgba_to_argb(_noise(16, 16)))
     with pytest.raises(ValueError):
         V.decode_webp(good[:30])
+
+
+def test_lossy_vp8_via_system_libwebp():
+    """Lossy VP8 routes through the system libwebp when present (env-gated
+    like the uproot/PIL paths — no pure-Python DCT codec in scope)."""
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp.so.7 unavailable")
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+    ]
+    w, h, rgba = _CASES["photo"]
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, 80.0, ctypes.byref(out))
+    frame = bytes(out[:n])
+    assert b"VP8 " in frame[:20]
+    ww, hh, argb = V.decode_webp(frame)
+    assert (ww, hh) == (w, h)
+    # lossy: bounded error, not exactness — PSNR over the RGB channels
+    exp = _rgba_to_argb(rgba)
+    se = 0
+    for e, g in zip(exp, argb):
+        for s in (16, 8, 0):
+            d = ((e >> s) & 0xFF) - ((g >> s) & 0xFF)
+            se += d * d
+    mse = se / (len(exp) * 3)
+    psnr = 10 * math.log10(255 * 255 / mse) if mse else 99
+    assert psnr > 30, psnr
