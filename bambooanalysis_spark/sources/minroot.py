@@ -151,11 +151,32 @@ def _compress_frames(payload: bytes, level: int, algo: str = "ZL") -> bytes | No
     return bytes(out)
 
 
+# Memoized pyarrow codec handles for the bulk-ingest fast path. The
+# vendored pure-Python lz4/zstd make every ROOT compression READABLE
+# anywhere (format coverage, PERFORMANCE.md §40: 13-16 MB/s); when
+# pyarrow is importable its bundled C codecs decode the same bytes at
+# hundreds of MB/s, so ingest uses them and falls back transparently.
+# Equivalence is pinned by test_minroot_fast_codec_path_matches_vendored.
+_FAST_CODECS: dict[str, object] = {}
+
+
+def _fast_codec(name: str):
+    if name not in _FAST_CODECS:
+        try:
+            import pyarrow as pa
+
+            _FAST_CODECS[name] = pa.Codec(name)
+        except Exception:
+            _FAST_CODECS[name] = None
+    return _FAST_CODECS[name]
+
+
 def _decompress_frames(payload: bytes, objlen: int) -> bytes:
     """Inverse of ``_compress_frames``: walk the frame sequence until
     ``objlen`` uncompressed bytes are recovered. ``ZL`` (zlib) and ``XZ``
-    (lzma) decode with the stdlib, ``L4`` (lz4) and ``ZS`` (zstd) with
-    the vendored codecs."""
+    (lzma) decode with the stdlib; ``L4`` (lz4) and ``ZS`` (zstd) with
+    pyarrow's C codecs when available, else the vendored pure-Python
+    codecs."""
     import lzma
 
     out = bytearray()
@@ -183,13 +204,27 @@ def _decompress_frames(payload: bytes, objlen: int) -> bytes:
             stored = int.from_bytes(block[:8], "big")
             if xxh64(block[8:]) != stored:
                 raise ValueError("corrupt L4 frame: XXH64 mismatch")
-            data = lz4_block_decompress(block[8:], u)
+            fast = _fast_codec("lz4_raw")
+            if fast is not None:
+                try:
+                    data = fast.decompress(block[8:], u).to_pybytes()
+                except Exception as exc:
+                    raise ValueError(f"corrupt L4 frame: {exc}") from exc
+            else:
+                data = lz4_block_decompress(block[8:], u)
         elif algo == b"ZS":
             # ROOT ZS frame: one zstd frame (ZipZSTD.cxx stores the frame
             # directly; integrity rides zstd's own content checksum)
-            from .zstd import zstd_decompress
+            fast = _fast_codec("zstd")
+            if fast is not None:
+                try:
+                    data = fast.decompress(block, u).to_pybytes()
+                except Exception as exc:
+                    raise ValueError(f"corrupt ZS frame: {exc}") from exc
+            else:
+                from .zstd import zstd_decompress
 
-            data = zstd_decompress(block, u)
+                data = zstd_decompress(block, u)
         else:
             raise NotImplementedError(
                 f"unknown compression frame tag {algo!r}; "

@@ -766,3 +766,25 @@ def test_large_file_key_beyond_2gb_offset(tmp_path):
     s = minroot.sniff_file(dst)
     assert s["large_file"] and s["fend"] > 2**31
     assert minroot.read_flat_tree(dst, "t") == expect
+
+
+def test_minroot_fast_codec_path_matches_vendored(tmp_path, monkeypatch):
+    """Round 8: L4/ZS basket frames decode through pyarrow's C codecs
+    when available (bulk-ingest throughput) and through the vendored
+    pure-Python codecs otherwise — both paths must recover identical
+    branches. Forces the fallback by poisoning the codec cache."""
+    branches = {
+        "pt": ("F", [float(i) * 0.5 for i in range(4000)]),
+        "n": ("I", list(range(4000))),
+    }
+    for algo in ("L4", "ZS"):
+        p = str(tmp_path / f"fast_{algo}.root")
+        minroot.write_flat_tree(p, "t", branches, compress=1, compress_algo=algo)
+        fast = minroot.read_flat_tree(p, "t")
+        monkeypatch.setattr(
+            minroot, "_FAST_CODECS", {"lz4_raw": None, "zstd": None}
+        )
+        slow = minroot.read_flat_tree(p, "t")
+        monkeypatch.setattr(minroot, "_FAST_CODECS", {})
+        assert fast == slow
+        assert slow["n"] == list(range(4000))
