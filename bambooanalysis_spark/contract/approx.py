@@ -1710,3 +1710,102 @@ WHERE c.num_events > 0
 register(
     "hep_weighted_cutflow", q_hep_weighted_cutflow, _oracle_weighted_cutflow()
 )
+
+
+# --- URL pipeline operators (round 8): normalize -> dedup -> domain stats ----
+# C4/RefinedWeb-shape web-crawl curation. The documents fixture carries
+# no URL column, so each query derives a deterministic synthetic URL
+# from doc_id with PLANTED normalization collisions (scheme/case/www/
+# tracking-param/param-order variants of the same logical page) — the
+# operator under test is the Spark-side parse_url + array algebra in
+# operators/urlops.py; the oracle computes the expected canonical form
+# directly from doc_id arithmetic, so the two sides share no code path.
+
+def _synthetic_url() -> "F.Column":
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, "https").otherwise("http")
+    host = (
+        F.when(d % 4 == 0, "WWW.Example.COM")
+        .when(d % 4 == 1, "News.Example.CO.UK")
+        .when(d % 4 == 2, "cdn.static.site.org")
+        .otherwise("AbC.xyz")
+    )
+    path = F.when(d % 11 == 0, "/").otherwise(
+        F.concat(F.lit("/p/"), (d % 7).cast("string"))
+    )
+    q = (
+        F.when(d % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), (d % 5).cast("string")))
+        .when(d % 3 == 1,
+              F.concat(F.lit("?id="), (d % 5).cast("string"),
+                       F.lit("&utm_campaign=x")))
+        .otherwise(F.lit("?utm_ref=o"))
+    )
+    return F.concat(scheme, F.lit("://"), host, path, q)
+
+
+def q_text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup on the canonical form (operators/urlops.py):
+    scheme collapsed, host lowercased/de-www-ed, tracking params
+    stripped, remaining params sorted — q_kind 0 and 1 (different
+    tracking params, different param order) collapse into one canonical
+    URL, q_kind 2 (tracking-only query) normalizes to no query at all."""
+    from ..operators.urlops import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url().alias("url")
+    )
+    return url_dedup(docs).orderBy("canonical_url")
+
+
+ORACLE_TEXT_URL_DEDUP = """
+WITH u AS (
+    SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'example.com'
+            WHEN 1 THEN 'news.example.co.uk'
+            WHEN 2 THEN 'cdn.static.site.org'
+            ELSE 'abc.xyz' END AS hostc,
+        CASE WHEN doc_id % 11 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS pathc,
+        CASE WHEN doc_id % 3 IN (0, 1)
+             THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '' END AS qc
+    FROM documents
+)
+SELECT hostc || pathc || qc AS canonical_url,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_dups
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) aggregation — the crawl-mix curation
+    input: multi-label public suffixes keep three labels
+    (news.example.co.uk -> example.co.uk), everything else two."""
+    from ..operators.urlops import domain_stats
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url().alias("url")
+    )
+    return domain_stats(docs).orderBy("registered_domain")
+
+
+ORACLE_TEXT_URL_DOMAIN_STATS = """
+SELECT CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'example.com'
+           WHEN 1 THEN 'example.co.uk'
+           WHEN 2 THEN 'site.org'
+           ELSE 'abc.xyz' END AS registered_domain,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+register("text_url_dedup", q_text_url_dedup, ORACLE_TEXT_URL_DEDUP)
+register(
+    "text_url_domain_stats", q_text_url_domain_stats,
+    ORACLE_TEXT_URL_DOMAIN_STATS,
+)

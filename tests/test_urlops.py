@@ -1,0 +1,86 @@
+"""URL operators (operators/urlops.py): normalization edge cases the
+synthetic contract fixture doesn't reach, registered-domain suffix
+handling, and plan shape (no Python, no shuffle in the map stage)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.operators import urlops as U
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(U.normalize_url(F.col("url"))).collect()]
+
+
+def test_normalize_url_collapses_variants(spark):
+    variants = [
+        "https://www.Example.com/a/b?utm_source=x&id=3&z=1",
+        "http://EXAMPLE.COM/a/b?z=1&id=3",
+        "https://example.com/a/b?id=3&utm_campaign=spring&z=1",
+        "https://example.com/a/b?fbclid=abc123&z=1&id=3",
+    ]
+    out = set(_norm(spark, variants))
+    assert out == {"example.com/a/b?id=3&z=1"}
+
+
+def test_normalize_url_edge_cases(spark):
+    got = _norm(
+        spark,
+        [
+            "https://example.com/",                # bare path drops
+            "https://example.com/x/",              # trailing slash on a real path KEPT
+            "http://example.com/p?utm_source=o",   # tracking-only query drops
+            "https://example.com/p?",              # empty query drops
+            "https://sub.www-like.example.com/p",  # only a LEADING www. strips
+        ],
+    )
+    assert got == [
+        "example.com",
+        "example.com/x/",
+        "example.com/p",
+        "example.com/p",
+        "sub.www-like.example.com/p",
+    ]
+
+
+def test_registered_domain_suffixes(spark):
+    hosts = [
+        ("example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.c.example.com.au", "example.com.au"),
+        ("deep.cdn.static.site.org", "site.org"),
+        ("localhost", "localhost"),
+        ("abc.xyz", "abc.xyz"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = [r[0] for r in df.select(U.registered_domain(F.col("host"))).collect()]
+    assert got == [want for _, want in hosts]
+
+
+def test_url_dedup_keeps_min_id_and_counts(spark):
+    rows = [
+        (1, "https://www.a.com/p?id=1&utm_source=x"),
+        (2, "http://A.COM/p?id=1"),
+        (3, "https://a.com/p?id=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canonical_url"]: (r["doc_id"], r["n_dups"])
+        for r in U.url_dedup(df).collect()
+    }
+    assert out == {"a.com/p?id=1": (1, 2), "a.com/p?id=2": (3, 1)}
+
+
+def test_urlops_plan_has_no_python_and_map_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "https://x.com/p?a=1")], "doc_id long, url string")
+    mapped = df.select(U.normalize_url(F.col("url")))
+    plan = mapped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    agg_plan = (
+        U.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in agg_plan
