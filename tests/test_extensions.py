@@ -2004,15 +2004,24 @@ def test_bmp_decode_real_bytes_through_arrow_stage(spark):
     rb = M.extract_image_meta(bad).collect()[0]
     assert rb.real_decode is False
 
-    # PNG decodes for real since round 5 and baseline JPEG since round 6,
-    # so magic-prefixed garbage is a ValueError (malformed) for both; the
-    # NotImplementedError boundary is now progressive JPEG / WebP / video
+    # PNG decodes for real since round 5, baseline JPEG since round 6,
+    # and lossless WebP (VP8L) since round 8 — magic-prefixed garbage is
+    # a ValueError (malformed) for all of them, including a TRUNCATED
+    # WebP container. A well-formed lossy VP8 chunk reaches the
+    # library-bound boundary: NotImplementedError without libwebp,
+    # ValueError (rejected garbage payload) with it.
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n garbage")
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # truncated chunk
+    import struct as _struct
+
+    lossy = (b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises((NotImplementedError, ValueError)):
+        M.decode_image(lossy)
 
 
 def test_ivf_pq_index_append_matches_full_build(spark, sf_oracle, tmp_path):
