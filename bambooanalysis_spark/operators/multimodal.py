@@ -398,13 +398,16 @@ _ADAM7 = [
 
 
 def _png_defilter(raw: bytes, pos: int, width_px: int, height: int,
-                  bpp: int) -> tuple[list[bytearray], int]:
+                  bpp: int, stride: int | None = None) -> tuple[list[bytearray], int]:
     """Undo per-scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
     4 Paeth) for one (sub-)image of ``height`` rows of ``width_px``
     pixels at ``bpp`` bytes/pixel; returns the rows and the new offset.
     The Sub/Average/Paeth left-neighbor distance is ``bpp`` BYTES — this
-    is what makes the same code correct for 16-bit samples."""
-    stride = width_px * bpp
+    is what makes the same code correct for 16-bit samples. Sub-byte
+    depths pass ``stride`` explicitly (ceil(w*depth/8) bytes) with
+    bpp=1: the spec filters at the byte level there."""
+    if stride is None:
+        stride = width_px * bpp
     if len(raw) < pos + height * (stride + 1):
         raise ValueError("PNG truncated pixel data")
     rows: list[bytearray] = []
@@ -459,13 +462,40 @@ def _png_row_pixels(line: bytearray, ctype: int, depth: int,
     return out
 
 
+def _png_subbyte_row_pixels(
+    line: bytearray, ctype: int, depth: int, plte: bytes | None, width: int
+) -> list[tuple[int, int, int]]:
+    """Sub-byte scanline (depth 1/2/4, ctype 0 gray or 3 palette) -> RGB:
+    samples pack MSB-first within each byte (PNG spec §7.2); trailing
+    padding bits in the last byte are dropped. Gray values scale to
+    0..255 by v * 255 / (2^depth - 1) — exact for these depths."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    maxval = mask
+    out: list[tuple[int, int, int]] = []
+    for x in range(width):
+        byte = line[x // per]
+        shift = 8 - depth * (x % per + 1)
+        v = (byte >> shift) & mask
+        if ctype == 0:
+            g = v * 255 // maxval
+            out.append((g, g, g))
+        else:
+            if plte is None or 3 * v + 2 >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            out.append((plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]))
+    return out
+
+
 def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Pure-stdlib PNG decode (RFC 2083): depths 8 and 16 (high-byte
-    downscale), color types 0 (gray), 2 (RGB), 3 (palette, 8-bit),
-    4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and 1 (Adam7 —
-    seven independently-filtered sub-images merged onto the pass grid).
+    """Pure-stdlib PNG decode (RFC 2083): depths 1/2/4 (gray + palette,
+    MSB-first packed samples — round 8), 8 and 16 (high-byte downscale),
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); interlace 0 (sequential) and 1 (Adam7 — seven
+    independently-filtered sub-images merged onto the pass grid).
     IDAT chunks concatenate into one zlib stream; each scanline starts
-    with a filter byte undone bytewise at the bytes-per-pixel distance."""
+    with a filter byte undone bytewise at the bytes-per-pixel distance
+    (1 byte for sub-byte depths, per spec)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -484,27 +514,38 @@ def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"PNG invalid color type {ctype}")
+    subbyte = depth in (1, 2, 4)
     if (
-        depth not in (8, 16)
+        (depth not in (8, 16) and not subbyte)
         or (depth == 16 and ctype == 3)
+        or (subbyte and ctype not in (0, 3))
         or interlace not in (0, 1)
         or comp != 0
         or filt != 0
     ):
         raise NotImplementedError(
             f"PNG depth={depth} ctype={ctype} interlace={interlace}: "
-            "stdlib decoder handles 8/16-bit, sequential or Adam7 "
-            "(sub-byte depths need PIL)"
+            "stdlib decoder handles 1/2/4-bit gray+palette and "
+            "8/16-bit all color types, sequential or Adam7"
         )
     if ctype == 3 and plte is None:
         raise ValueError("PNG palette image missing PLTE")
-    bpp = nch * (depth // 8)
+    bpp = max(nch * (depth // 8), 1)
+
+    def _stride(width_px: int) -> int | None:
+        return (width_px * depth + 7) // 8 if subbyte else None
+
+    def _pixels(line: bytearray, width_px: int) -> list[tuple[int, int, int]]:
+        if subbyte:
+            return _png_subbyte_row_pixels(line, ctype, depth, plte, width_px)
+        return _png_row_pixels(line, ctype, depth, plte)
+
     raw = _zlib.decompress(bytes(idat))
     if interlace == 0:
-        rows, _pos = _png_defilter(raw, 0, w, h, bpp)
+        rows, _pos = _png_defilter(raw, 0, w, h, bpp, _stride(w))
         px: list[tuple[int, int, int]] = []
         for line in rows:
-            px.extend(_png_row_pixels(line, ctype, depth, plte))
+            px.extend(_pixels(line, w))
         return w, h, px
     # Adam7: de-filter each pass sub-image, scatter onto the full grid
     grid: list[list[tuple[int, int, int] | None]] = [
@@ -516,10 +557,10 @@ def _decode_png(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        rows, pos = _png_defilter(raw, pos, pw, ph, bpp)
+        rows, pos = _png_defilter(raw, pos, pw, ph, bpp, _stride(pw))
         for j, line in enumerate(rows):
             y = y0 + j * dy
-            for i, p in enumerate(_png_row_pixels(line, ctype, depth, plte)):
+            for i, p in enumerate(_pixels(line, pw)):
                 grid[y][x0 + i * dx] = p
     px = []
     for row in grid:
@@ -711,9 +752,74 @@ def probe_media(blob: bytes) -> dict | None:
                         meta.update(timescale=scale,
                                     duration_ms=dur * 1000 // scale)
             return meta
+        mp3 = _probe_mp3(blob)
+        if mp3 is not None:
+            return mp3
     except (IndexError, _struct.error):
         return None
     return None
+
+
+# MPEG-1/2/2.5 Layer I-III frame header tables (ISO/IEC 11172-3 /
+# 13818-3): bitrate kbps by (version-group, layer, index) and sample
+# rates by version. Free-format (index 0) and bad (15) report None.
+_MP3_BITRATES = {
+    # MPEG-1
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    # MPEG-2 / 2.5 share one table per layer group
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],   # version bits 11 = MPEG-1
+              2: [22050, 24000, 16000],   # 10 = MPEG-2
+              0: [11025, 12000, 8000]}    # 00 = MPEG-2.5
+
+
+def _probe_mp3(blob: bytes) -> dict | None:
+    """MP3 (MPEG audio) header probe: skip an ID3v2 tag (syncsafe size),
+    find the 11-bit frame sync, and report version/layer/bitrate/sample
+    rate/channel mode plus a CBR duration estimate from the audio byte
+    count. Header-only — no entropy decode (perceptual audio decode
+    remains library-bound; see module docstring)."""
+    pos = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        size = (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+        pos = 10 + size
+    # the sync must appear at the post-tag position (arbitrary byte scans
+    # false-positive on random blobs — this is a probe, not a recoverer)
+    if pos + 4 > len(blob) or blob[pos] != 0xFF or (blob[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = blob[pos + 1], blob[pos + 2], blob[pos + 3]
+    ver_bits = (b1 >> 3) & 3
+    layer_bits = (b1 >> 1) & 3
+    if ver_bits == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # bits 11/10/01 -> layers 1/2/3
+    version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+    group = 1 if ver_bits == 3 else 2
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[(group, layer)][bitrate_idx]
+    sample_rate = _MP3_RATES[ver_bits][rate_idx]
+    mode = (b3 >> 6) & 3
+    meta = {
+        "format": "mp3",
+        "mpeg_version": version,
+        "layer": layer,
+        "bitrate_kbps": bitrate,
+        "sample_rate": sample_rate,
+        "channels": 1 if mode == 3 else 2,
+        "duration_ms": (len(blob) - pos) * 8 // bitrate,  # CBR estimate
+    }
+    return meta
 
 
 # --- G.711 companding + IMA ADPCM (round-7: compressed-audio de-stub) -------

@@ -2256,17 +2256,23 @@ def test_png_roundtrip_and_filters(spark):
     gw, gh, gpx = M.decode_image(g_png)
     assert (gw, gh) == (5, 5) and gpx == [(v, v, v) for v in gray]
 
-    # 16-bit decodes since round 7; sub-byte depths still raise loudly
+    # 16-bit decodes since round 7, sub-byte gray/palette since round 8
     deep = (M._PNG_MAGIC
             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
             + chunk(b"IEND", b""))
     assert M.decode_image(deep) == (2, 2, [(0, 0, 0)] * 4)
-    bad = (M._PNG_MAGIC
+    sub = (M._PNG_MAGIC
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 4, 0, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    assert M.decode_image(sub) == (8, 1, [(0, 0, 0)] * 8)
+    # a sub-byte RGBA combination is invalid per spec and raises loudly
+    bad = (M._PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 2, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 3))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth=2"):
         M.decode_image(bad)
 
 
@@ -3125,3 +3131,131 @@ def test_ivf_codebook_join_plan_is_single_row_broadcast(spark, sf_oracle):
     # the two codebook attachments are 1-row BNLJ broadcasts; nothing else
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_png_subbyte_depths_decode():
+    """Round 8: PNG depths 1/2/4 (gray + palette, MSB-first packed
+    samples, byte-level filtering) — hand-built images with
+    hand-computed expected pixels, plus an Adam7-interlaced 2-bit case
+    and padding-bit handling on non-byte-aligned widths."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    def chunk(typ, payload):
+        return (_struct.pack(">I", len(payload)) + typ + payload
+                + _struct.pack(">I", _zlib.crc32(typ + payload)))
+
+    def png(w, h, depth, ctype, scanlines, plte=None, interlace=0):
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        raw = b"".join(bytes([0]) + bytes(line) for line in scanlines)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 1-bit gray, width 10 (6 padding bits/row): rows 0b1100110011, 0b0000011111
+    blob = png(10, 2, 1, 0, [[0b11001100, 0b11000000], [0b00000111, 0b11000000]])
+    w, h, px = M.decode_image(blob)
+    assert (w, h) == (10, 2)
+    B, W = (0, 0, 0), (255, 255, 255)
+    assert px[:10] == [W, W, B, B, W, W, B, B, W, W]
+    assert px[10:] == [B, B, B, B, B, W, W, W, W, W]
+
+    # 2-bit gray, width 3 (one byte/row): values 0,1,2 -> 0, 85, 170
+    blob = png(3, 1, 2, 0, [[0b00011000]])
+    _w, _h, px = M.decode_image(blob)
+    assert px == [(0, 0, 0), (85, 85, 85), (170, 170, 170)]
+
+    # 4-bit palette, width 3: indices 2, 0, 1
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    blob = png(3, 1, 4, 3, [[0x20, 0x10]], plte=plte)
+    _w, _h, px = M.decode_image(blob)
+    assert px == [(70, 80, 90), (10, 20, 30), (40, 50, 60)]
+
+    # Sub filter on a sub-byte row operates at 1-BYTE distance:
+    # row bytes [0x12, 0x34] filtered Sub -> stored [0x12, 0x22]
+    blob = png(4, 1, 4, 3, [[0x12, 0x22]], plte=bytes(range(48)))
+    raw_expect = png(4, 1, 4, 3, [[0x12, 0x34]], plte=bytes(range(48)))
+    # rebuild with filter byte 1 for the first:
+    import re
+
+    def png_filtered(w, h, depth, ctype, line, plte):
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = bytes([1]) + bytes(line)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte)
+                + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    got = M.decode_image(png_filtered(4, 1, 4, 3, [0x12, 0x22], bytes(range(48))))
+    want = M.decode_image(raw_expect)
+    assert got == want
+
+    # Adam7 2-bit gray 4x4: passes built by hand are tedious — assert
+    # instead that interlace=1 sub-byte decode agrees with the same
+    # pixels delivered sequentially, using the pass structure directly
+    seq = png(4, 4, 2, 0, [[0b00011011], [0b11100100], [0b01010101], [0b10101010]])
+    _w, _h, want_px = M.decode_image(seq)
+    # build the interlaced stream: Adam7 pass origins/strides for 4x4
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    grid = [want_px[r * 4 : (r + 1) * 4] for r in range(4)]
+    val = {(0, 0, 0): 0, (85, 85, 85): 1, (170, 170, 170): 2, (255, 255, 255): 3}
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (4 - x0 + dx - 1) // dx
+        ph = (4 - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)  # filter none
+            acc = 0
+            nb = 0
+            line = bytearray()
+            for i in range(pw):
+                v = val[grid[y0 + j * dy][x0 + i * dx]]
+                acc = (acc << 2) | v
+                nb += 2
+                if nb == 8:
+                    line.append(acc)
+                    acc, nb = 0, 0
+            if nb:
+                line.append(acc << (8 - nb))
+            raw += line
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 1)
+    inter = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert M.decode_image(inter) == (4, 4, want_px)
+
+
+def test_probe_media_mp3_headers():
+    """Round 8: MP3 frame-header probe — hand-built headers with known
+    table values (ISO 11172-3), ID3v2 tag skip, and rejection of
+    reserved/free-format/garbage headers."""
+    from bambooanalysis_spark.operators import multimodal as M
+
+    # MPEG-1 Layer III, bitrate index 9 (128 kbps), 44100 Hz, joint stereo
+    hdr = bytes([0xFF, 0xFB, 0x90 | 0x00, 0x40])
+    blob = hdr + b"\x00" * 413  # one 128kbps@44.1k frame is ~417 bytes
+    m = M.probe_media(blob)
+    assert m["format"] == "mp3" and m["mpeg_version"] == "1"
+    assert (m["layer"], m["bitrate_kbps"], m["sample_rate"]) == (3, 128, 44100)
+    assert m["channels"] == 2
+    assert m["duration_ms"] == len(blob) * 8 // 128
+
+    # ID3v2 tag (syncsafe size 0x7F = 127 bytes) before the frame
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x7f" + b"\x00" * 127 + blob
+    m2 = M.probe_media(tagged)
+    assert m2 is not None and m2["bitrate_kbps"] == 128
+
+    # MPEG-2.5 Layer III mono, index 2 (16 kbps), 8000 Hz (rate bits 10)
+    hdr25 = bytes([0xFF, 0xE3, 0x28, 0xC0])
+    m3 = M.probe_media(hdr25 + b"\x00" * 100)
+    assert (m3["mpeg_version"], m3["bitrate_kbps"], m3["sample_rate"]) == ("2.5", 16, 8000)
+    assert m3["channels"] == 1
+
+    # reserved version bits / free format / bad sync -> None
+    assert M.probe_media(bytes([0xFF, 0xEB, 0x90, 0x40]) + b"\x00" * 50) is None
+    assert M.probe_media(bytes([0xFF, 0xFB, 0x00, 0x40]) + b"\x00" * 50) is None
+    assert M.probe_media(b"\x00garbage") is None
