@@ -75,8 +75,9 @@ def decode_image(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     (first frame: real LZW, 4-pass interlace, palette). Round 8 adds
     lossless WebP (VP8L: prefix codes, LZ77 + 2D distances, color
     cache, all four transforms — operators/vp8lcodec.py, alpha dropped
-    like PNG). Remaining formats (arithmetic-coded JPEG, sub-byte PNG
-    depths, lossy-WebP VP8, video) need a real library (PIL/cv2,
+    like PNG) and PNG sub-byte depths (1/2/4-bit gray + palette); lossy
+    VP8 routes through the system libwebp when present. Remaining
+    formats (arithmetic-coded JPEG, video) need a real library (PIL/cv2,
     unavailable in this environment) and raise NotImplementedError;
     tests fall back to fake_decode_meta for those, and probe_media
     still reads their header metadata."""
