@@ -920,6 +920,11 @@ def sniff_file(path: str) -> dict:
         buf = fh.read()
     if buf[:4] != MAGIC:
         raise ValueError("not a ROOT file (bad magic)")
+    if len(buf) < FBEGIN:
+        # every real TFile reserves the first 100 bytes for the header;
+        # anything shorter is truncated garbage — fail loudly, not with
+        # a struct.error from a partial field read
+        raise ValueError("not a ROOT file (shorter than the header block)")
     version = struct.unpack(">i", buf[4:8])[0]
     large = version >= 1000000
     if large:
@@ -931,6 +936,10 @@ def sniff_file(path: str) -> dict:
     else:
         begin = struct.unpack(">i", buf[8:12])[0]
         compress, fend, _ = _check_header(buf)
+    if begin < 4:
+        # garbage fBEGIN would index the buffer negatively below (Python
+        # slices wrap) — a real TFile's key chain starts at 100
+        raise ValueError(f"not a ROOT file (fBEGIN {begin})")
 
     keys: list[tuple[str, str, str, int, int, int]] = []
     trees: dict[str, int | None] = {}

@@ -3259,3 +3259,52 @@ def test_probe_media_mp3_headers():
     assert M.probe_media(bytes([0xFF, 0xEB, 0x90, 0x40]) + b"\x00" * 50) is None
     assert M.probe_media(bytes([0xFF, 0xFB, 0x00, 0x40]) + b"\x00" * 50) is None
     assert M.probe_media(b"\x00garbage") is None
+
+
+def test_probe_media_never_crashes_on_garbage():
+    """Fuzz hardening: probe_media is the 100 TB pre-filter that runs on
+    EVERY blob — on arbitrary bytes it must return a dict or None, never
+    raise (seeded, deterministic)."""
+    import random as _random
+
+    from bambooanalysis_spark.operators import multimodal as M
+
+    rnd = _random.Random(88)
+    magics = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM",
+              b"RIFF", b"RIFFxxxxWAVE", b"RIFFxxxxWEBP", b"ID3", b"\xff\xfb",
+              b"\x00\x00\x00\x18ftypmp42"]
+    for trial in range(300):
+        prefix = rnd.choice(magics)
+        body = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 64)))
+        out = M.probe_media(prefix + body)
+        assert out is None or isinstance(out, dict)
+
+
+def test_sniff_file_never_crashes_on_garbage(tmp_path):
+    """Same hardening for the ROOT pre-flight sniffer: arbitrary bytes
+    (including a valid magic followed by junk) either raise ValueError
+    or return the dict shape — no IndexError/struct.error escapes."""
+    import random as _random
+    import struct as _struct
+
+    from bambooanalysis_spark.sources import minroot
+
+    rnd = _random.Random(99)
+    for trial in range(120):
+        kind = trial % 3
+        if kind == 0:
+            blob = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 400)))
+        elif kind == 1:
+            blob = b"root" + bytes(rnd.randrange(256) for _ in range(rnd.randrange(4, 300)))
+        else:  # plausible header, junk key chain
+            blob = (b"root" + _struct.pack(">i", 63200)
+                    + _struct.pack(">i", 100)
+                    + _struct.pack(">i", 150 + rnd.randrange(200))
+                    + bytes(rnd.randrange(256) for _ in range(300)))
+        p = tmp_path / f"junk{trial}.root"
+        p.write_bytes(blob)
+        try:
+            out = minroot.sniff_file(str(p))
+            assert isinstance(out, dict) and "keys" in out
+        except ValueError:
+            pass

@@ -233,3 +233,45 @@ def test_lossy_vp8_via_system_libwebp():
     mse = se / (len(exp) * 3)
     psnr = 10 * math.log10(255 * 255 / mse) if mse else 99
     assert psnr > 30, psnr
+
+
+def test_vp8l_property_random_images_via_libwebp():
+    """Property sweep: random images across sizes/alpha/palette-ness
+    encoded by REAL libwebp decode byte-exactly here. Catches transform
+    interactions the fixed corpus misses (seeded, deterministic)."""
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp.so.7 unavailable")
+    rnd = random.Random(20260815)
+    for trial in range(25):
+        w = rnd.randint(1, 70)
+        h = rnd.randint(1, 70)
+        kind = rnd.randrange(4)
+        if kind == 0:  # full noise + alpha
+            rgba = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+        elif kind == 1:  # small palette
+            ncol = rnd.randint(1, 12)
+            cols = [bytes(rnd.randrange(256) for _ in range(3)) + b"\xff"
+                    for _ in range(ncol)]
+            rgba = b"".join(cols[rnd.randrange(ncol)] for _ in range(w * h))
+        elif kind == 2:  # smooth ramps (predictor/color transforms)
+            rgba = bytes(
+                v for y in range(h) for x in range(w)
+                for v in ((x * 3 + y) & 255, (x + y * 5) & 255,
+                          (x * 2 ^ y) & 255, 255)
+            )
+        else:  # repetitive tiles (LZ77 + color cache)
+            tile = bytes(rnd.randrange(256) for _ in range(16))
+            rgba = (tile * ((w * h * 4) // 16 + 1))[: w * h * 4]
+        frame = _lw_encode(lib, rgba, w, h)
+        ww, hh, argb = V.decode_webp(frame)
+        assert (ww, hh) == (w, h), (trial, w, h, kind)
+        exp = _rgba_to_argb(rgba)
+        if argb != exp:
+            # libwebp's encoder zeroes RGB under fully-transparent pixels
+            # (documented encoder optimization) — accept only that
+            for e, g in zip(exp, argb):
+                if e != g:
+                    assert (e >> 24) == 0 and (g & 0xFFFFFF) == 0, (
+                        trial, w, h, kind, hex(e), hex(g)
+                    )
