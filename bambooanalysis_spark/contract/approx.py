@@ -1809,3 +1809,101 @@ register(
     "text_url_domain_stats", q_text_url_domain_stats,
     ORACLE_TEXT_URL_DOMAIN_STATS,
 )
+
+
+# --- NB quality classifier (round 8): train/apply, integer-exact -------------
+# fastText-style corpus-curation classifier (operators/classifier.py):
+# label the training slice by a planted content signal (contains
+# 'spark'), train multinomial NB counts, score the HELD slice with
+# fixed-point Laplace-smoothed means + priors (integer div everywhere),
+# predict by deterministic argmax. Both queries are exactly
+# oracle-hashed; planted-signal recovery is unit-tested in
+# tests/test_classifier.py.
+
+def _nb_parts(spark: SparkSession, sf_dir: str):
+    from ..operators.classifier import train_nb
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 10 < 8).withColumn(
+        "label",
+        F.when(F.col("text").contains("spark"), "sparky").otherwise("plain"),
+    )
+    held = docs.where(F.col("doc_id") % 10 >= 8)
+    return train_nb(labeled), held
+
+
+def q_text_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_scores
+
+    model, held = _nb_parts(spark, sf_dir)
+    return nb_scores(model, held).orderBy("doc_id", "label")
+
+
+def q_text_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_predict
+
+    model, held = _nb_parts(spark, sf_dir)
+    return nb_predict(model, held).orderBy("doc_id")
+
+
+_NB_CTES = f"""
+WITH train AS (
+    SELECT doc_id,
+           CASE WHEN text LIKE '%spark%' THEN 'sparky' ELSE 'plain' END AS label,
+           {_D_TOKENS.format(t='text')} AS toks
+    FROM documents WHERE doc_id % 10 < 8
+),
+ttok AS (SELECT doc_id, label, UNNEST(toks) AS tok FROM train),
+tc AS (SELECT label, tok, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+ls AS (SELECT label, COUNT(*) AS tok_total,
+              COUNT(DISTINCT doc_id) AS n_docs FROM ttok GROUP BY 1),
+meta AS (SELECT COUNT(DISTINCT tok) AS v,
+                COUNT(DISTINCT doc_id) AS n_docs_total FROM ttok),
+held AS (
+    SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks
+    FROM documents WHERE doc_id % 10 >= 8
+),
+htok AS (SELECT doc_id, UNNEST(toks) AS tok FROM held),
+pairs AS (
+    SELECT h.doc_id, l.label, l.tok_total, l.n_docs, tc.c,
+           m.v, m.n_docs_total
+    FROM htok h
+    CROSS JOIN ls l
+    LEFT JOIN tc ON tc.label = l.label AND tc.tok = h.tok
+    CROSS JOIN meta m
+),
+scores AS (
+    SELECT doc_id, label,
+           COUNT(*) AS n_toks,
+           CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM((COALESCE(c, 0) + 1) * 1000000 // (tok_total + v))
+                // COUNT(*) AS BIGINT) AS tok_mean_e6,
+           CAST(MIN(n_docs * 1000000 // n_docs_total) AS BIGINT) AS prior_e6,
+           CAST(SUM((COALESCE(c, 0) + 1) * 1000000 // (tok_total + v))
+                // COUNT(*)
+                + MIN(n_docs * 1000000 // n_docs_total) AS BIGINT) AS score_e6
+    FROM pairs GROUP BY 1, 2
+)
+"""
+
+ORACLE_TEXT_NB_SCORES = _NB_CTES + """
+SELECT doc_id, label, n_toks, n_oov, tok_mean_e6, prior_e6, score_e6
+FROM scores ORDER BY doc_id, label
+"""
+
+ORACLE_TEXT_NB_PREDICT = _NB_CTES + """,
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_e6 DESC, label ASC) AS rk
+    FROM scores
+)
+SELECT b.doc_id, b.label AS predicted,
+       b.score_e6 AS best_e6,
+       CAST(b.score_e6 - COALESCE(s.score_e6, 0) AS BIGINT) AS margin_e6
+FROM ranked b
+LEFT JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+WHERE b.rk = 1 ORDER BY b.doc_id
+"""
+
+register("text_nb_scores", q_text_nb_scores, ORACLE_TEXT_NB_SCORES)
+register("text_nb_predict", q_text_nb_predict, ORACLE_TEXT_NB_PREDICT)

@@ -1,0 +1,153 @@
+"""Multinomial Naive-Bayes text classifier — train/apply, the
+fastText-style quality-classifier shape used to curate pretraining
+corpora (label a reference slice, score the crawl, keep what classifies
+as reference; GPT-3/LLaMA-style data curation). The reference engine has
+no classifier surface; this extends the training-data family next to the
+bigram LM (operators/lm.py) and DSIR importance weights.
+
+Exactness contract (the lm.py pattern): every published column is
+integer fixed-point — per-token Laplace-smoothed class probabilities as
+``(c(tok,label)+1) * 1e6 div (T_label + V)``, per-doc mean via integer
+division, class prior as ``n_docs_label * 1e6 div n_docs`` — so the
+DuckDB oracle hash-matches bit-for-bit. (A true NB log-likelihood needs
+ln; transcendental columns would be engine-divergent in the last ulp, so
+the decision rule is defined ON the fixed-point scores. For the
+keep/drop curation decision this is the same monotone information:
+per-token smoothed probabilities, averaged instead of log-summed —
+planted-signal recovery is unit-tested.)
+
+Scale shape: the model is one (label, token) count aggregation plus a
+label-sized stats table and a 1-row meta aggregate — vocabulary-sized,
+never corpus-sized; map-side combine collapses hot tokens. Scoring
+explodes the scored docs' tokens ONCE, crossJoins the label list (a
+bounded handful of rows — broadcast), LEFT-joins the count table
+(broadcast when the vocab fits, shuffled hash otherwise), and reduces
+per (doc, label). The model is three lazy DataFrames — persist or write
+as parquet to amortize across scoring batches; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _maybe_broadcast
+from .text import tokens
+
+
+class NBModel(NamedTuple):
+    """(label, tok, c) counts; (label, tok_total, n_docs) per-class
+    stats; 1-row meta (v = distinct training tokens, n_docs)."""
+
+    token_counts: DataFrame
+    label_stats: DataFrame
+    meta: DataFrame
+
+
+def train_nb(
+    docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> NBModel:
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    token_counts = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    label_stats = toks.groupBy("label").agg(
+        F.count(F.lit(1)).alias("tok_total"),
+        F.count_distinct("__id").alias("n_docs"),
+    )
+    meta = toks.agg(
+        F.count_distinct("tok").alias("v"),
+        F.count_distinct("__id").alias("n_docs_total"),
+    )
+    return NBModel(token_counts, label_stats, meta)
+
+
+def nb_scores(
+    model: NBModel,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per (doc, label): token count, OOV-for-this-class count, the
+    fixed-point mean smoothed token probability ``tok_mean_e6``, the
+    class prior ``prior_e6``, and their sum ``score_e6``."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    labels = model.label_stats.select("label", "tok_total", "n_docs")
+    pairs = toks.crossJoin(F.broadcast(labels)).join(
+        _maybe_broadcast(model.token_counts, broadcast_limit),
+        ["label", "tok"],
+        "left",
+    ).crossJoin(F.broadcast(model.meta))
+    # integer `div` throughout (NOT `/`, which is double division and can
+    # floor differently than integer division in the last ulp — the
+    # lm.py/BM25 exactness convention)
+    tok_e6 = F.expr(
+        "(coalesce(c, 0L) + 1L) * 1000000L div (tok_total + v)"
+    )
+    return (
+        pairs.groupBy("doc_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum((F.col("c").isNull()).cast("long")).alias("n_oov"),
+            F.sum(tok_e6).alias("__sum_e6"),
+            # group-invariant; carried through the agg as firsts
+            F.first(
+                F.expr("n_docs * 1000000L div n_docs_total")
+            ).alias("prior_e6"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "n_toks",
+            "n_oov",
+            F.expr("__sum_e6 div n_toks").alias("tok_mean_e6"),
+            "prior_e6",
+            F.expr("__sum_e6 div n_toks + prior_e6").alias("score_e6"),
+        )
+    )
+
+
+def nb_predict(
+    model: NBModel,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """argmax label per doc (ties broken by label ascending — exact,
+    deterministic) plus the winning and runner-up scores."""
+    scored = nb_scores(model, docs, id_col, text_col, broadcast_limit)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("label").asc()
+    )
+    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    best = ranked.where(F.col("__rk") == 1).select(
+        "doc_id",
+        F.col("label").alias("predicted"),
+        F.col("score_e6").alias("best_e6"),
+    )
+    second = ranked.where(F.col("__rk") == 2).select(
+        "doc_id", F.col("score_e6").alias("second_e6")
+    )
+    return best.join(second, "doc_id", "left").select(
+        "doc_id",
+        "predicted",
+        "best_e6",
+        (F.col("best_e6") - F.coalesce(F.col("second_e6"), F.lit(0)))
+        .cast("long")
+        .alias("margin_e6"),
+    )
