@@ -29,7 +29,9 @@ ALLOWED = {
     "q": "query side, size-gated by _maybe_broadcast's count probe",
     "centroids": "k rows, k is a user parameter independent of SF",
     "codebook": "k x m codebook, parameter-sized",
-    "model": "d+1 rows (PCA/JL projection), dimension-sized",
+    "model": "d+1 rows (PCA/JL projection) or the NB 1-row meta "
+             "aggregate — dimension/constant-sized",
+    "labels": "NB label_stats: one row per class label, domain-bounded",
     "vocab_idx": "bitset64 vocabulary, raise_error-guarded at 64 tokens",
     "b": "bitset64 all-pairs side; strategy is a documented dense/"
          "small-corpus opt-in (jaccard_pairs docstring)",
