@@ -93,8 +93,11 @@ def canonical_host(url: Column) -> Column:
 
 def normalize_url(url: Column) -> Column:
     """The canonical dedup key: https-vs-http collapsed to the scheme-less
-    form, host lowercased and de-www-ed, default ports and fragments
-    dropped (parse_url already excludes fragment from PATH/QUERY), a
+    form, host lowercased and de-www-ed, ports and fragments dropped
+    (parse_url's HOST excludes ANY port and its PATH/QUERY exclude the
+    fragment — note this conflates non-default ports with the default,
+    a deliberate dedup-key coarsening pinned by
+    tests/test_urlops.py::test_normalize_url_drops_all_ports), a
     trailing ``/`` on a bare path removed, tracking params stripped and
     the rest sorted. Two fetches of the same logical page normalize to
     identical strings."""

@@ -84,3 +84,18 @@ def test_urlops_plan_has_no_python_and_map_is_shuffle_free(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in agg_plan
+
+
+def test_normalize_url_drops_all_ports(spark):
+    """parse_url's HOST excludes any port, so canonical keys conflate
+    default AND non-default ports — documented dedup-key coarsening."""
+    got = _norm(
+        spark,
+        [
+            "https://example.com:443/p",
+            "http://example.com:80/p",
+            "https://example.com:8443/p",
+            "https://example.com/p",
+        ],
+    )
+    assert set(got) == {"example.com/p"}
