@@ -792,6 +792,8 @@ def _probe_mp3(blob: bytes) -> dict | None:
             | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
         )
         pos = 10 + size
+        if blob[5] & 0x10:
+            pos += 10  # ID3v2.4 footer flag: a 10-byte '3DI' trailer
     # the sync must appear at the post-tag position (arbitrary byte scans
     # false-positive on random blobs — this is a probe, not a recoverer)
     if pos + 4 > len(blob) or blob[pos] != 0xFF or (blob[pos + 1] & 0xE0) != 0xE0:

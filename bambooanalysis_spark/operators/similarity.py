@@ -341,14 +341,12 @@ def _centroid_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> C
     - Scores are dot(v, c/||c||): the row's own norm ||v|| is a common
       positive factor across every centroid, so it cancels out of any
       per-row ranking of cells; centroid norms are folded into the literal
-      vectors in Python. Zero vectors score 0.0 against every cell (the
-      previous form gave all-NaN) — either way the rank is a pure
-      tie-break, so cell choice stays deterministic.
+      vectors in Python (via _scaled_codebook — shared with the join
+      path so the two stay bit-identical). Zero vectors score 0.0
+      against every cell (the previous form gave all-NaN) — either way
+      the rank is a pure tie-break, so cell choice stays deterministic.
     """
-    scaled = [
-        [float(x) / (_py_norm(cvec) or 1.0) for x in cvec] for _, cvec in centroids
-    ]
-    ids = [int(cid) for cid, _ in centroids]
+    scaled, ids = _scaled_codebook(centroids)
     # one SQL text literal, parsed JVM-side: F.lit(nested_list) converts
     # element-by-element over py4j (~1 s for 16x64 floats, measured); repr()
     # round-trips doubles exactly and 'D' marks a double literal
@@ -382,6 +380,21 @@ def _resolve_codebook_mode(mode: str, n_centroids: int) -> str:
     return mode
 
 
+def _scaled_codebook(
+    centroids: list[tuple[int, list[float]]],
+) -> tuple[list[list[float]], list[int]]:
+    """THE pre-normalized codebook numbers — single source for the
+    literal path (_centroid_scores) and the join path (_codebook_df):
+    the two are bit-identical only while both read these exact doubles
+    (code-review r8 finding #7 — the twin expressions were duplicated)."""
+    scaled = [
+        [float(x) / (_py_norm(cvec) or 1.0) for x in cvec]
+        for _, cvec in centroids
+    ]
+    ids = [int(cid) for cid, _ in centroids]
+    return scaled, ids
+
+
 def _codebook_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """The codebook as a ONE-ROW DataFrame: `__cb` holds the centroid
     vectors pre-divided by their norms (exactly the values
@@ -389,11 +402,7 @@ def _codebook_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     round-trips identically through createDataFrame and repr), `__cids`
     the cell ids. crossJoin(broadcast(...)) attaches both columns to
     every row at the cost of a 1-row broadcast."""
-    scaled = [
-        [float(x) / (_py_norm(cvec) or 1.0) for x in cvec]
-        for _, cvec in centroids
-    ]
-    ids = [int(cid) for cid, _ in centroids]
+    scaled, ids = _scaled_codebook(centroids)
     return spark.createDataFrame(
         [(scaled, ids)], "__cb array<array<double>>, __cids array<int>"
     )
@@ -411,10 +420,12 @@ def _centroid_scores_col(vec: Column) -> Column:
     )
 
 
-def _int_codebook_df(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame:
-    """Integer-codebook one-row DataFrame: raw int8 codes in `__icb`,
-    (cid, norm) metadata in `__imeta` — the same numbers
-    _int_cell_scores embeds as literals."""
+def _int_codebook_meta(
+    centroids: list[tuple[int, list[int]]],
+) -> tuple[list[list[int]], list[dict]]:
+    """Single source for the integer codebook numbers — shared by
+    _int_cell_scores (literals) and _int_codebook_df (join path), same
+    drift-prevention rationale as _scaled_codebook."""
     import math
 
     codes = [[int(x) for x in c] for _, c in centroids]
@@ -425,6 +436,14 @@ def _int_codebook_df(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame
         }
         for cid, c in centroids
     ]
+    return codes, meta
+
+
+def _int_codebook_df(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Integer-codebook one-row DataFrame: raw int8 codes in `__icb`,
+    (cid, norm) metadata in `__imeta` — the same numbers
+    _int_cell_scores embeds as literals."""
+    codes, meta = _int_codebook_meta(centroids)
     return spark.createDataFrame(
         [(codes, meta)],
         "__icb array<array<int>>, __imeta array<struct<cid:int, nrm:double>>",
@@ -829,16 +848,16 @@ def _int_cell_scores(
     guard the norm with 1.0 (score 0).
 
     The WHOLE expression is one parsed SQL string (PERFORMANCE.md §11/§22):
-    literal codebook + metadata + scoring lambdas in a single py4j call."""
-    import math
-
-    cb = "array(%s)" % ",".join(_int_array_lit(c) for _cid, c in centroids)
+    literal codebook + metadata + scoring lambdas in a single py4j call.
+    Numbers come from _int_codebook_meta — shared with the join path so
+    the two stay bit-identical."""
+    codes, metas = _int_codebook_meta(centroids)
+    cb = "array(%s)" % ",".join(_int_array_lit(c) for c in codes)
     meta = "array(%s)" % ",".join(
         "named_struct('cid', {cid}, 'nrm', {nrm!r}D)".format(
-            cid=int(cid),
-            nrm=math.sqrt(float(sum(x * x for x in c))) or 1.0,
+            cid=m["cid"], nrm=m["nrm"]
         )
-        for cid, c in centroids
+        for m in metas
     )
     # divide by the norm (NOT multiply by a reciprocal): x/n and x*(1/n)
     # differ in the last ulp, and the SQL oracles replicate the division

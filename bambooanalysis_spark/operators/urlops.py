@@ -48,17 +48,21 @@ TRACKING_PREFIXES = ["utm_"]
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host (parse_url is case-preserving; hosts are
-    case-insensitive per RFC 3986 §6.2.2.1)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased host (try_parse_url is case-preserving; hosts are
+    case-insensitive per RFC 3986 §6.2.2.1). try_* everywhere: crawl
+    data ALWAYS contains malformed URLs, and under Spark 4 ANSI the
+    non-try parse_url aborts the whole job on the first one — the
+    tolerant form returns NULL instead (code-review r8 finding #1;
+    pinned by test_urlops_tolerates_malformed_and_hostless)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def url_path(url: Column) -> Column:
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def url_query(url: Column) -> Column:
-    return F.parse_url(url, F.lit("QUERY"))
+    return F.try_parse_url(url, F.lit("QUERY"))
 
 
 def _is_tracking(param: Column) -> Column:
@@ -127,7 +131,11 @@ def registered_domain(host: Column) -> Column:
         F.element_at(labels, -1),
     )
     return (
-        F.when(n <= 2, host)
+        # NULL/empty host (malformed or hostless URL) -> NULL, explicitly:
+        # concat_ws swallows NULL labels into '' and size(NULL) is NULL,
+        # so without this guard every bad URL lands in one '' domain
+        F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(n <= 2, host)
         .when(last2.isin(MULTI_SUFFIXES), last3)
         .otherwise(last2)
     )
@@ -138,12 +146,19 @@ def url_dedup(
 ) -> DataFrame:
     """Keep one row per canonical URL (lowest id wins — deterministic):
     the C4-style exact URL dedup, one hash-aggregate on the canonical
-    key. Output: (canonical_url, kept id, n_dups)."""
+    key. Output: (canonical_url, kept id, n_dups).
+
+    Rows whose URL is malformed or hostless normalize to NULL and are
+    EXCLUDED — grouping them would silently collapse every bad-URL
+    document into one NULL bucket and discard all but one (code-review
+    r8 finding #2). Callers wanting those rows route them separately on
+    ``normalize_url(...).isNull()``."""
     return (
         df.select(
             normalize_url(F.col(url_col)).alias("canonical_url"),
             F.col(id_col),
         )
+        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias(id_col),
@@ -156,7 +171,8 @@ def domain_stats(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """Documents per registered domain — the input to crawl-mix curation
-    and the per-domain cap. One map + one hash-aggregate."""
+    and the per-domain cap. One map + one hash-aggregate. Malformed/
+    hostless URLs (NULL host) are excluded, same contract as url_dedup."""
     return (
         df.select(
             registered_domain(canonical_host(F.col(url_col))).alias(
@@ -164,6 +180,7 @@ def domain_stats(
             ),
             F.col(id_col),
         )
+        .where(F.col("registered_domain").isNotNull())
         .groupBy("registered_domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

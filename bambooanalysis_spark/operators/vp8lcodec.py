@@ -170,6 +170,8 @@ def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffTree:
             sym0 = br.read(8)
         else:
             sym0 = br.read(1)
+        if sym0 >= alphabet_size:
+            raise ValueError("vp8l: simple code symbol out of range")
         lengths = [0] * alphabet_size
         if num_symbols == 1:
             lengths[sym0] = 1  # _HuffTree treats single as 0-bit
@@ -662,6 +664,8 @@ def _system_libwebp():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.WebPFree.restype = None
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -679,7 +683,13 @@ def _decode_lossy_libwebp(blob: bytes) -> tuple[int, int, list[int]]:
     if not p:
         raise ValueError("libwebp rejected the VP8 stream")
     n = w.value * h.value * 4
-    rgba = bytes(p[:n])
+    try:
+        rgba = bytes(p[:n])
+    finally:
+        # WebPDecodeRGBA mallocs; the caller must WebPFree — this runs
+        # inside long-lived mapInPandas executors, where an unfreed
+        # w*h*4 per image is a native leak that OOMs the process
+        lib.WebPFree(ctypes.cast(p, ctypes.c_void_p))
     return (
         w.value,
         h.value,
@@ -877,7 +887,6 @@ def encode_vp8l(
     b_hist: dict[int, int] = {}
     a_hist: dict[int, int] = {}
     d_hist: dict[int, int] = {}
-    copies: list[tuple[int, int, int, int, int, int]] = []
     for t in tokens:
         if t[0] == "lit":
             p = t[1]
@@ -886,9 +895,9 @@ def encode_vp8l(
             b_hist[p & 0xFF] = 1
             a_hist[(p >> 24) & 0xFF] = 1
         else:
-            lcode, lex, lbits = _lz77_prefix_encode(t[1])
+            lcode, _lex, _lbits = _lz77_prefix_encode(t[1])
             dval = _distance_to_plane_code(width, t[2])
-            dcode, dex, dbits = _lz77_prefix_encode(dval)
+            dcode, _dex, _dbits = _lz77_prefix_encode(dval)
             g_hist[256 + lcode] = 1
             d_hist[dcode] = 1
     if not d_hist:

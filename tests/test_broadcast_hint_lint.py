@@ -16,38 +16,57 @@ from pathlib import Path
 
 SRC = Path(__file__).resolve().parent.parent / "bambooanalysis_spark"
 
-# variable-name -> why its cardinality is bounded (does not grow with SF)
+# (file, variable-name) -> why its cardinality is bounded (does not
+# grow with SF). Entries are FILE-SCOPED: natural variable names like
+# 'q' or 'b' would otherwise whitelist any future unrelated broadcast
+# in any module — exactly the unreviewed-hint class the ratchet exists
+# to force review of (code-review r8 finding #6). file=None means the
+# name is distinctive enough to allow anywhere.
 ALLOWED = {
-    "nation": "25 rows by TPC-H construction",
-    "region": "5 rows by TPC-H construction",
-    "n1": "nation projection",
-    "n2": "nation projection",
-    "top": "1-row MAX aggregate",
-    "pos": "1-row scalar aggregate",
-    "total": "1-row scalar aggregate",
-    "avg_by_type": "group-by on p_type (fixed 150-value domain)",
-    "q": "query side, size-gated by _maybe_broadcast's count probe",
-    "centroids": "k rows, k is a user parameter independent of SF",
-    "codebook": "k x m codebook, parameter-sized",
-    "model": "d+1 rows (PCA/JL projection) or the NB 1-row meta "
-             "aggregate — dimension/constant-sized",
-    "labels": "NB label_stats: one row per class label, domain-bounded",
-    "vocab_idx": "bitset64 vocabulary, raise_error-guarded at 64 tokens",
-    "b": "bitset64 all-pairs side; strategy is a documented dense/"
-         "small-corpus opt-in (jaccard_pairs docstring)",
-    "dang": "1-row dangling-rank aggregate",
-    "bench_keys": "benchmark band keys; eval sets are fixed-size",
-    "dvals": "count-min depth values, d rows",
-    "sketch": "count-min sketch, d x width parameter-sized",
-    "stats": "1-row corpus aggregate (BM25 avgdl)",
-    "qterms": "distinct query terms; query workload, not corpus-scaled",
-    "thresholds": "one row per stratum, domain-count bounded",
-    "cand": "gated by nq <= broadcast_limit and refine*k product check",
-    "qv": "gated by nq <= broadcast_limit",
-    "ch_keys": "merge change batch; broadcast_changes is an explicit "
-               "caller opt-in documented for bounded batches",
-    "ch": "same broadcast_changes opt-in (scd2_apply)",
+    (None, "nation"): "25 rows by TPC-H construction",
+    (None, "region"): "5 rows by TPC-H construction",
+    ("tpch.py", "n1"): "nation projection",
+    ("tpch.py", "n2"): "nation projection",
+    ("tpch.py", "top"): "1-row MAX aggregate",
+    ("tpch.py", "pos"): "1-row scalar aggregate",
+    ("tpch.py", "total"): "1-row scalar aggregate",
+    ("relational.py", "avg_by_type"):
+        "group-by on p_type (fixed 150-value domain)",
+    ("similarity.py", "q"):
+        "query side, size-gated by _maybe_broadcast's count probe",
+    (None, "centroids"): "k rows, k is a user parameter independent of SF",
+    (None, "codebook"): "k x m codebook, parameter-sized",
+    ("decomp.py", "model"): "d+1 rows (PCA/JL projection), dimension-sized",
+    ("classifier.py", "model"): "NB 1-row meta aggregate",
+    ("classifier.py", "labels"):
+        "NB label_stats: one row per class label, domain-bounded",
+    ("dedup.py", "vocab_idx"):
+        "bitset64 vocabulary, raise_error-guarded at 64 tokens",
+    ("dedup.py", "b"): "bitset64 all-pairs side; strategy is a documented "
+                       "dense/small-corpus opt-in (jaccard_pairs docstring)",
+    ("graph.py", "dang"): "1-row dangling-rank aggregate",
+    ("pretrain.py", "bench_keys"):
+        "benchmark band keys; eval sets are fixed-size",
+    ("retrieval.py", "dvals"): "count-min depth values, d rows",
+    ("retrieval.py", "sketch"): "count-min sketch, d x width parameter-sized",
+    ("retrieval.py", "stats"): "1-row corpus aggregate (BM25 avgdl)",
+    ("retrieval.py", "qterms"):
+        "distinct query terms; query workload, not corpus-scaled",
+    ("sampling.py", "thresholds"): "one row per stratum, domain-count bounded",
+    ("similarity.py", "cand"):
+        "gated by nq <= broadcast_limit and refine*k product check",
+    ("similarity.py", "qv"): "gated by nq <= broadcast_limit",
+    ("merge.py", "ch_keys"): "merge change batch; broadcast_changes is an "
+                             "explicit caller opt-in for bounded batches",
+    ("merge.py", "ch"): "same broadcast_changes opt-in (scd2_apply)",
+    ("dedup.py", "total"): "1-row corpus-count aggregate (df-frac cutoff)",
+    ("graph.py", "total"): "1-row node-count aggregate (PageRank base)",
+    ("lm.py", "model"): "model.vocab: 1-row distinct-token count",
 }
+
+
+def _allowed(fname: str, name: str) -> bool:
+    return (None, name) in ALLOWED or (fname, name) in ALLOWED
 
 
 def _broadcast_args(path: Path):
@@ -76,7 +95,7 @@ def test_broadcast_hints_only_on_bounded_sides():
     offenders = []
     for path in sorted(SRC.rglob("*.py")):
         for fname, lineno, name in _broadcast_args(path):
-            if name not in ALLOWED:
+            if not _allowed(fname, name):
                 offenders.append(f"{fname}:{lineno} F.broadcast({name})")
     assert not offenders, (
         "F.broadcast hint on a side not proven bounded (SF-scaled tables "

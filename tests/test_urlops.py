@@ -99,3 +99,26 @@ def test_normalize_url_drops_all_ports(spark):
         ],
     )
     assert set(got) == {"example.com/p"}
+
+
+def test_urlops_tolerates_malformed_and_hostless(spark):
+    """Code-review r8 findings #1/#2: crawl data always contains
+    malformed URLs — one bad row must not abort the job (try_parse_url),
+    and malformed/hostless rows must not collapse into a shared NULL
+    dedup group that silently discards documents."""
+    rows = [
+        (1, "https://a.com/p?id=1"),
+        (2, "http://a.com/p?id=1&utm_source=x"),
+        (3, ":::garbage:::"),
+        (4, "not a url at all"),
+        (5, "/relative/only"),
+        (6, "https://b.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: (r["doc_id"], r["n_dups"])
+           for r in U.url_dedup(df).collect()}
+    # the three bad rows are excluded, NOT collapsed into one NULL group
+    assert out == {"a.com/p?id=1": (1, 2), "b.com/q": (6, 1)}
+    doms = {r["registered_domain"]: r["n_docs"]
+            for r in U.domain_stats(df).collect()}
+    assert doms == {"a.com": 2, "b.com": 1}
