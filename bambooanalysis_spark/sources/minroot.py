@@ -324,6 +324,11 @@ def _file_header(
 
 
 def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
+    if seek + 18 > len(buf):
+        # ADVICE r8 hardening: a corrupt chain can leave < 18 bytes before
+        # fEND; struct.unpack would raise struct.error — normalize to the
+        # ValueError contract the rest of the walkers use
+        raise ValueError("corrupt TKey: header past EOF")
     (nbytes, ver, objlen, _datime, keylen, cycle) = struct.unpack(
         ">ihiIhh", buf[seek : seek + 18]
     )
@@ -655,6 +660,10 @@ def _gap_skip(buf: bytes, seek: int) -> int | None:
     a deleted/rewritten key) — returns the next seek position if this
     record is a gap, the same seek if the chain ends (fNbytes == 0), or
     None for a live key."""
+    if seek + 4 > len(buf):
+        # truncated/corrupt chain: fEND points past a partial record
+        # (ADVICE r8: raise ValueError like sniff_file, not struct.error)
+        raise ValueError("corrupt TKey chain: record header past EOF")
     nb = struct.unpack(">i", buf[seek : seek + 4])[0]
     if nb < 0:
         return seek + (-nb)

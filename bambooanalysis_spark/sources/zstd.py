@@ -395,6 +395,12 @@ def _decode_literals(block: bytes, prev_huf) -> tuple[bytearray, int, object]:
     if not four:
         lit = _huf_decode_stream(_BackBits(payload), table, max_bits, regen)
         return lit, hdr + comp, huf
+    if regen < 6:
+        # RFC 8878 §3.1.1.3.1.6: 4-stream regenerated size must be >= 6
+        # (streams 1-3 each decode ceil(regen/4) bytes; below 6 the 4th
+        # stream's size regen - 3*ceil(regen/4) goes non-positive and a
+        # malformed frame would decode with a nonsense size) — ADVICE r8
+        raise ValueError("zstd: 4-stream literals with regen < 6")
     if len(payload) < 6:
         raise ValueError("zstd: missing 4-stream jump table")
     j1, j2, j3 = struct.unpack_from("<HHH", payload, 0)

@@ -62,6 +62,8 @@ ALLOWED = {
     ("dedup.py", "total"): "1-row corpus-count aggregate (df-frac cutoff)",
     ("graph.py", "total"): "1-row node-count aggregate (PageRank base)",
     ("lm.py", "model"): "model.vocab: 1-row distinct-token count",
+    ("urlops.py", "m"): "public-suffix list projection: ~9k rows at full "
+                        "Mozilla PSL, fixed metadata independent of SF",
 }
 
 

@@ -3179,8 +3179,6 @@ def test_png_subbyte_depths_decode():
     blob = png(4, 1, 4, 3, [[0x12, 0x22]], plte=bytes(range(48)))
     raw_expect = png(4, 1, 4, 3, [[0x12, 0x34]], plte=bytes(range(48)))
     # rebuild with filter byte 1 for the first:
-    import re
-
     def png_filtered(w, h, depth, ctype, line, plte):
         ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
         raw = bytes([1]) + bytes(line)

@@ -788,3 +788,30 @@ def test_minroot_fast_codec_path_matches_vendored(tmp_path, monkeypatch):
         monkeypatch.setattr(minroot, "_FAST_CODECS", {})
         assert fast == slow
         assert slow["n"] == list(range(4000))
+
+
+def test_key_walkers_reject_truncated_chains(tmp_path):
+    """ADVICE r8: the sniff_file fuzz hardening (ValueError on garbage)
+    must extend to list_keys/read_flat_tree — a corrupt chain that
+    leaves < 4 bytes (gap probe) or < 18 bytes (key header) before fEND
+    raised struct.error instead of the documented ValueError."""
+    p = tmp_path / "t.root"
+    minroot.write_flat_tree(str(p), "t", {"x": ("D", [1.0, 2.0])})
+    buf = bytearray(p.read_bytes())
+    # lie about fEND: point it 2 bytes past the true end so the walker's
+    # final record probe straddles EOF
+    fend = len(buf) + 2
+    buf[12:16] = struct.pack(">i", fend)
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError):
+        minroot.list_keys(str(bad))
+    # truncate mid-key so an 18-byte header read straddles EOF
+    buf2 = bytearray(p.read_bytes())
+    fbegin = 100
+    buf2 = buf2[: fbegin + 10]
+    buf2[12:16] = struct.pack(">i", fbegin + 10)
+    bad2 = tmp_path / "bad2.root"
+    bad2.write_bytes(bytes(buf2))
+    with pytest.raises(ValueError):
+        minroot.list_keys(str(bad2))

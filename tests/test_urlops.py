@@ -122,3 +122,107 @@ def test_urlops_tolerates_malformed_and_hostless(spark):
     doms = {r["registered_domain"]: r["n_docs"]
             for r in U.domain_stats(df).collect()}
     assert doms == {"a.com": 2, "b.com": 1}
+
+
+def test_ref_param_is_content(spark):
+    """ADVICE r8: bare ?ref= often selects content (branch names,
+    pagination) — it must SURVIVE normalization; ref_src (pure
+    attribution) is still stripped."""
+    got = _norm(
+        spark,
+        [
+            "https://example.com/repo?ref=main",
+            "https://example.com/repo?ref=dev",
+            "https://example.com/p?ref_src=twsrc&id=1",
+        ],
+    )
+    assert got == [
+        "example.com/repo?ref=main",
+        "example.com/repo?ref=dev",
+        "example.com/p?id=1",
+    ]
+
+
+def test_pct_normalization_rfc3986(spark):
+    """RFC 3986 §6.2.2 (VERDICT r8 #2): unreserved-character escapes
+    decode, reserved-character escapes keep their (uppercased) encoding,
+    malformed escapes pass through untouched."""
+    got = _norm(
+        spark,
+        [
+            "https://example.com/%7Efoo",     # ~ is unreserved -> decode
+            "https://example.com/~foo",       # ...so these two collide
+            "https://example.com/a%3ab",      # : reserved -> keep, upper hex
+            "https://example.com/a%3Ab",
+            "https://example.com/p?q=%41%2Fb",  # A decodes, / stays %2F
+            "https://example.com/100%25",       # %25 = '%': reserved-ish, kept
+            "https://example.com/bad%g1%",      # malformed escape: URL-level
+        ],                                      # parse failure -> NULL (the
+    )                                           # malformed-URL contract)
+    assert got == [
+        "example.com/~foo",
+        "example.com/~foo",
+        "example.com/a%3Ab",
+        "example.com/a%3Ab",
+        "example.com/p?q=A%2Fb",
+        "example.com/100%25",
+        None,
+    ]
+    # pct_normalize itself (reachable with lenient upstream parsers) must
+    # pass malformed escapes through untouched, never corrupt or NULL them
+    df = spark.createDataFrame([("bad%g1%",), ("a%3ab%7E",)], "s string")
+    got2 = [r[0] for r in df.select(U.pct_normalize(F.col("s"))).collect()]
+    assert got2 == ["bad%g1%", "a%3Ab~"]
+
+
+def test_registered_domain_ip_literal(spark):
+    """VERDICT r8 #3: dotted-quad hosts have no label hierarchy — the
+    whole address is the 'domain', never a nonsense 2-label tail."""
+    hosts = ["192.168.0.1", "10.0.0.7", "example.com", "v4.example.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r[0] for r in df.select(U.registered_domain(F.col("host"))).collect()]
+    assert got == ["192.168.0.1", "10.0.0.7", "example.com", "example.com"]
+
+
+def _psl_df(spark, extra=()):
+    suffixes = (
+        ["com", "org", "xyz", "uk", "co.uk", "org.uk", "jp", "co.jp",
+         "kawasaki.jp", "city.kawasaki.jp"]
+        + [f"ex{i}.zz" for i in range(200)]  # pad to a few hundred entries
+        + list(extra)
+    )
+    return spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+
+
+def test_registered_domain_from_psl_table(spark):
+    """Data-driven PSL variant (VERDICT r8 #6): longest listed suffix +
+    one label; host == suffix -> NULL; unlisted TLD -> implicit * rule;
+    IP literal kept whole."""
+    hosts = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.site.org", "site.org"),
+        ("deep.sub.host.city.kawasaki.jp", "host.city.kawasaki.jp"),
+        ("co.uk", None),                    # pure suffix: no registrable domain
+        ("city.kawasaki.jp", None),
+        ("example.zz", "example.zz"),       # unlisted TLD: implicit * rule
+        ("a.b.example.zz", "example.zz"),
+        ("x.ex7.zz", "x.ex7.zz"),           # listed 2-label suffix ex7.zz
+        ("192.168.0.1", "192.168.0.1"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    out = U.registered_domain_from(df, _psl_df(spark))
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    assert got == dict(hosts)
+
+
+def test_registered_domain_from_is_broadcast_only(spark):
+    """The corpus side must stream map-side only: every psl probe is a
+    BroadcastHashJoin, zero Exchanges on the plan."""
+    df = spark.createDataFrame([("a.b.co.uk",)], "host string")
+    plan = (
+        U.registered_domain_from(df, _psl_df(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+    assert "SortMergeJoin" not in plan

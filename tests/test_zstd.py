@@ -325,3 +325,17 @@ def test_zstd_literal_overrun_fails_loudly():
     blocks = struct.pack("<I", 1 | (2 << 1) | (len(body) << 3))[:3] + body
     with pytest.raises(ValueError, match="literal overrun"):
         zstd_decompress(_frame(blocks, 10))
+
+
+def test_zstd_four_stream_regen_minimum():
+    """ADVICE r8: RFC 8878 §3.1.1.3.1.6 — a 4-stream literals section
+    must regenerate >= 6 bytes (streams 1-3 each decode ceil(regen/4);
+    below 6 the 4th stream size goes non-positive and a malformed frame
+    would decode with a nonsense size). Reject loudly, not garbage."""
+    from bambooanalysis_spark.sources.zstd import _decode_literals
+
+    # treeless (ltype=3), size_format=1 (4 streams, 10-bit): regen=3,
+    # comp=6 -> header 0x37, 0x80, 0x01 then 6 payload bytes
+    block = bytes([0x37, 0x80, 0x01]) + bytes(6)
+    with pytest.raises(ValueError, match="regen < 6"):
+        _decode_literals(block, prev_huf=([(0, 1), (0, 1)], 1))
