@@ -10,12 +10,18 @@ with a written reason. (DuckDB-side only by design: vacuity is a
 property of the query's semantics on the fixture, and the oracle and
 Spark sides are hash-pinned equal by tests/test_contract_oracle.py, so
 one engine suffices and the audit stays seconds-cheap.)
+
+Round 9 (VERDICT r8 #3): the SAME blindspot existed for the rows-only
+registrations (no oracle -> the driver records only a row count, and an
+always-empty result "passes" while verifying nothing). Every registered
+query WITHOUT an oracle now runs through Spark at both scales under the
+same empty-at-both rule — the audit covers all registrations.
 """
 
 import duckdb
 import pytest
 
-from bambooanalysis_spark.contract import ORACLES
+from bambooanalysis_spark.contract import ORACLES, QUERIES
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
@@ -53,4 +59,20 @@ def test_oracle_not_vacuous_at_two_scales(cons, name):
             "hash gate is vacuous (0 == 0 matches anything). Reshape the "
             "query's thresholds to be scale-invariant (PERFORMANCE.md "
             "§37) or allowlist with a reason."
+        )
+
+
+# rows-only query name -> reason an empty result is intentional
+ALLOWED_EMPTY_ROWS_ONLY: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_not_vacuous_at_two_scales(spark, name):
+    counts = [QUERIES[name](spark, sf_dir).count() for sf_dir in SCALES]
+    if all(c == 0 for c in counts):
+        assert name in ALLOWED_EMPTY_ROWS_ONLY, (
+            f"{name}: rows-only query returns 0 rows at sf0.001 AND "
+            "sf0.01 — its weaker rows-only driver check verifies "
+            "nothing. Reshape it to be non-empty at tiny scales or "
+            "allowlist with a reason."
         )
