@@ -95,6 +95,8 @@ def _tstring(s: str) -> bytes:
 
 
 def _read_tstring(buf: bytes, pos: int) -> tuple[str, int]:
+    if pos >= len(buf):
+        raise ValueError("corrupt TString: length byte past EOF")
     n = buf[pos]
     return buf[pos + 1 : pos + 1 + n].decode(), pos + 1 + n
 
@@ -332,6 +334,12 @@ def _unpack_key(buf: bytes, seek: int) -> tuple[_Key, int]:
     (nbytes, ver, objlen, _datime, keylen, cycle) = struct.unpack(
         ">ihiIhh", buf[seek : seek + 18]
     )
+    # r9 fuzz hardening: a corrupt header with fKeyLen below the fixed
+    # fields, fNbytes < fKeyLen, or a record spanning past EOF would
+    # otherwise index nonsense (negative-slice wraparound, IndexError in
+    # the string reads) — normalize to the ValueError contract
+    if keylen < 18 or nbytes < keylen or seek + nbytes > len(buf):
+        raise ValueError("corrupt TKey: bad fKeyLen/fNbytes bounds")
     # big keys (written past the 2 GB mark, or by a large-layout writer)
     # have fVersion += 1000 and 8-byte fSeekKey/fSeekPdir
     pos = seek + 18 + (16 if ver > 1000 else 8)
@@ -369,6 +377,8 @@ def _pack_basket(values: bytes, n_entries: int, lengths: list[int] | None) -> by
 
 
 def _unpack_basket(payload: bytes) -> tuple[bytes, int, bytes]:
+    if len(payload) < 19:
+        raise ValueError("corrupt TBasket: payload shorter than its header")
     (_ver, _bufsize, nevbufsize, nevbuf, last, _flag) = struct.unpack(
         ">hiiiiB", payload[:19]
     )
@@ -685,6 +695,11 @@ def _check_header(buf: bytes) -> tuple[int, int, bool]:
     any size for testability."""
     if buf[:4] != MAGIC:
         raise ValueError("not a ROOT file (bad magic)")
+    if len(buf) < FBEGIN:
+        # the header block reserves the first 100 bytes; anything shorter
+        # is truncated garbage (r9 fuzz: a <45-byte buffer struct.errored
+        # on the compress field read below)
+        raise ValueError("not a ROOT file (shorter than the header block)")
     version = struct.unpack(">i", buf[4:8])[0]
     if version >= 1000000:
         # fBEGIN i32 @8, fEND i64 @12, fSeekFree i64 @20, fNbytesFree i32,
@@ -816,6 +831,8 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     for bname, parts in baskets.items():
         parts.sort(key=lambda p: p[0])
         leaflist = parts[0][2]
+        if "/" not in leaflist:
+            raise ValueError(f"basket {bname}: malformed leaflist {leaflist!r}")
         code = leaflist.rsplit("/", 1)[1]
         fmt = _DTYPES[code]
         width = struct.calcsize(fmt)
@@ -823,9 +840,15 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
         data: list = []
         for _cyc, payload, _ll in parts:
             values, nevbuf, tail = _unpack_basket(payload)
-            flat = list(struct.unpack(f">{len(values) // width}{fmt}", values))
+            n_vals = len(values) // width
+            flat = list(struct.unpack(f">{n_vals}{fmt}", values[: n_vals * width]))
             if jagged:
-                lengths = struct.unpack(f">{nevbuf}i", tail)
+                if nevbuf < 0 or len(tail) < 4 * nevbuf:
+                    raise ValueError(
+                        f"basket {bname}: entry-length table shorter than "
+                        "fNevBuf"
+                    )
+                lengths = struct.unpack(f">{nevbuf}i", tail[: 4 * nevbuf])
                 pos = 0
                 for ln in lengths:
                     data.append(flat[pos : pos + ln])
@@ -871,9 +894,14 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
                     struct.unpack(">hiiiiB", key.extra[:19])
                 )
                 border = last - key.keylen
+                if border < 0:
+                    raise ValueError(
+                        f"basket {bname}: fLast below fKeyLen (corrupt header)"
+                    )
                 values = key.payload[:border]
+                n_vals = len(values) // width
                 flat = list(
-                    struct.unpack(f">{len(values) // width}{fmt}", values)
+                    struct.unpack(f">{n_vals}{fmt}", values[: n_vals * width])
                 )
                 if jagged:
                     if nevbufsize <= 0:
@@ -884,7 +912,16 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
                     # WriteArray framing: i32 count, then count absolute
                     # byte offsets (counted from buffer start incl. fKeyLen)
                     tail = key.payload[border:]
+                    if len(tail) < 4:
+                        raise ValueError(
+                            f"basket {bname}: missing fEntryOffset count"
+                        )
                     (cnt,) = struct.unpack(">i", tail[:4])
+                    if cnt < 0 or len(tail) < 4 + 4 * cnt or nevbuf > cnt:
+                        raise ValueError(
+                            f"basket {bname}: fEntryOffset table shorter "
+                            "than its count / fNevBuf"
+                        )
                     offs = list(
                         struct.unpack(f">{cnt}i", tail[4 : 4 + 4 * cnt])
                     )
@@ -976,7 +1013,9 @@ def sniff_file(path: str) -> dict:
             classname, pos = _read_tstring(buf, pos)
             name, pos = _read_tstring(buf, pos)
             title, pos = _read_tstring(buf, pos)
-        except (IndexError, UnicodeDecodeError):
+        except (IndexError, UnicodeDecodeError, ValueError):
+            # ValueError: _read_tstring's past-EOF guard (r9) — sniff keeps
+            # its best-effort contract and reports the key as unreadable
             classname, name, title = "?", "?", "?"
         keys.append((classname, name, title, cycle, objlen, nbytes))
         if classname == "TTree":
