@@ -1010,6 +1010,74 @@ def _pq_choice(qvec: str, codebook: list[list[list[int]]]) -> Column:
     return F.expr("array(%s)" % ", ".join(chosen))
 
 
+# PQ sub-codebook join-mode (VERDICT r8 #4, extending §43 to the ADC
+# tables): the PQ training standard is ksub=256 per sub-quantizer — at
+# m=8 that is 2048 unrolled codebook array literals in _pq_choice and
+# _pq_lut, the exact plan-compile cliff the coarse stage escaped in §43.
+# The same numbers ship as DATA in a one-row broadcast (m x ksub x dsub
+# codes + m x ksub exact ||c||^2 longs); the scoring loops read them
+# through element_at, all-integer, so literal and join paths are
+# bit-identical by construction.
+# Measured at 64d/sf0.1, warm best-of-3 (PERFORMANCE §48): literal/join =
+# 0.39x at m*ksub=128, 0.55x at 512, 0.70x at 1024, 1.01x at 2048 (m=8,
+# ksub=256 — the PQ training standard), 1.17x at 2048 via m=4/ksub=512.
+# The join path pays ~2 s of flat one-row-broadcast overhead at bench
+# scale; the literal path grows linearly with the table and keeps growing
+# past the standard config, so auto switches at the measured break-even.
+_PQ_JOIN_MIN_TABLE = 2048  # m * ksub
+
+
+def _resolve_pq_mode(mode: str, m: int, ksub: int) -> str:
+    if mode == "auto":
+        return "join" if m * ksub >= _PQ_JOIN_MIN_TABLE else "literal"
+    if mode not in ("literal", "join"):
+        raise ValueError(f"codebook_mode must be auto|literal|join, got {mode!r}")
+    return mode
+
+
+def _pq_codebook_df(spark, codebook: list[list[list[int]]]) -> DataFrame:
+    """The PQ codebook as a ONE-ROW DataFrame: `__pqcb` the raw codes
+    ([s][c] -> dsub ints), `__pqn2` the per-centroid exact squared norms
+    (the same ints _pq_cn2 folds into _pq_choice's literals)."""
+    codes = [[[int(x) for x in cv] for cv in sub] for sub in codebook]
+    n2 = [[int(v) for v in sub] for sub in _pq_cn2(codebook)]
+    return spark.createDataFrame(
+        [(codes, n2)],
+        "__pqcb array<array<array<int>>>, __pqn2 array<array<bigint>>",
+    )
+
+
+def _pq_choice_col(qvec: str, m: int, dsub: int) -> Column:
+    """Column-codebook twin of _pq_choice: identical integer argmin-L2
+    per subspace, codebook read from the `__pqcb`/`__pqn2` columns a
+    _pq_codebook_df crossJoin attached. m and dsub stay plan structure
+    (they are shape, not table size); the ksub-sized tables are data."""
+    chosen = []
+    for s in range(m):
+        sub = f"slice(`{qvec}`, {s * dsub + 1}, {dsub})"
+        cbs = f"element_at(`__pqcb`, {s + 1})"
+        meta = (
+            f"transform(element_at(`__pqn2`, {s + 1}), "
+            f"(n2, c) -> named_struct('cid', c, 'n2', n2))"
+        )
+        chosen.append(
+            f"array_min(zip_with(transform({cbs}, cv -> {_int_dot_sql(sub, 'cv')}), {meta}, "
+            f"(d, mm) -> named_struct('cost', mm.n2 - 2 * d, 'cid', mm.cid, 'n2', mm.n2)))"
+        )
+    return F.expr("array(%s)" % ", ".join(chosen))
+
+
+def _pq_lut_col(qvec: str, m: int, dsub: int) -> Column:
+    """Column-codebook twin of _pq_lut: the ADC table built from the
+    `__pqcb` column instead of unrolled literals."""
+    per_s = []
+    for s in range(m):
+        sub = f"slice(`{qvec}`, {s * dsub + 1}, {dsub})"
+        cbs = f"element_at(`__pqcb`, {s + 1})"
+        per_s.append(f"transform({cbs}, cv -> {_int_dot_sql(sub, 'cv')})")
+    return F.expr("array(%s)" % ", ".join(per_s))
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[list[int]]],
@@ -1134,6 +1202,7 @@ def ivf_pq_topk(
     train_iters: int = 0,
     coarse_train_iters: int = 0,
     refine: int = 4,
+    codebook_mode: str = "auto",
 ) -> DataFrame:
     """IVF-PQ with refinement — the classic billion-scale ANN index (Jégou
     et al., PAMI 2011; Faiss's IVFPQ+Refine) in DataFrame form: coarse IVF
@@ -1144,8 +1213,17 @@ def ivf_pq_topk(
     exact int8 cosine (a candidate-sized id join back to the quantized
     corpus — queries*refine*k rows, broadcast-guarded). The index columns
     (cell, codes, rnorm2) are exactly what a 100 TB deployment would
-    persist, partitioned by cell; both codebooks ride the plan as literals
-    (broadcast metadata, no join).
+    persist, partitioned by cell.
+
+    ``codebook_mode`` (VERDICT r8 #4, the §43 mechanism applied to the
+    sub-quantizers): 'literal' embeds BOTH codebooks as unrolled plan
+    literals — fine at the demo ksub=16, but the PQ training standard is
+    ksub=256, i.e. m*ksub=2048 codebook arrays in _pq_choice/_pq_lut and
+    a plan-compile cliff. 'join' ships them as one-row broadcast DATA
+    (`_pq_codebook_df` / `_int_codebook_df`) read by the same integer
+    scoring loops — bit-identical outputs (all-int arithmetic), flat plan
+    size. 'auto' picks join at m*ksub >= 2048 (PQ tables) / C >= 64
+    (coarse), the measured crossovers (PERFORMANCE §43/§48).
 
     ADC scoring: adc / (sqrt(||q||^2_int) * sqrt(rnorm2)) — the cosine of
     the query against the RECONSTRUCTION, exact-integer numerator and
@@ -1160,11 +1238,11 @@ def ivf_pq_topk(
     exactly these index frames (build once, query many) — see below."""
     c, cv, coarse, cb = _ivf_pq_index_frames(
         corpus, id_col, vec_col, n_centroids, m, ksub,
-        train_iters, coarse_train_iters,
+        train_iters, coarse_train_iters, codebook_mode,
     )
     return _ivf_pq_search(
         c, cv, queries, coarse, cb, id_col, vec_col,
-        k, n_probe, refine, broadcast_limit,
+        k, n_probe, refine, broadcast_limit, codebook_mode,
     )
 
 
@@ -1177,6 +1255,7 @@ def _ivf_pq_index_frames(
     ksub: int,
     train_iters: int,
     coarse_train_iters: int,
+    codebook_mode: str = "auto",
 ):
     """Build the IVF-PQ index state: the per-vector index frame
     (neighbor_id, codes, rnorm2, __ivf_cell), the int8 vectors for exact
@@ -1185,7 +1264,8 @@ def _ivf_pq_index_frames(
         corpus, id_col, vec_col, n_centroids, m, ksub,
         train_iters, coarse_train_iters,
     )
-    combined = _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col)
+    combined = _ivf_pq_encode(corpus, coarse, cb, id_col, vec_col,
+                              codebook_mode)
     c = combined.select("neighbor_id", "codes", "rnorm2", "__ivf_cell")
     cv = combined.select("neighbor_id", F.col("qvec").alias("cv"))
     return c, cv, coarse, cb
@@ -1229,18 +1309,32 @@ def _ivf_pq_encode(
     cb: list[list[list[int]]],
     id_col: str,
     vec_col: str,
+    codebook_mode: str = "auto",
 ) -> DataFrame:
     """Encode vectors against FIXED codebooks: one index row per vector
     (neighbor_id, codes, rnorm2, qvec, __ivf_cell). Shared by the initial
-    build and incremental append — per-row HOF work, zero shuffle."""
+    build and incremental append — per-row HOF work, zero shuffle in
+    literal mode; join mode adds only one-row broadcast crossJoins
+    (codebooks as data, same integer math, bit-identical)."""
     from .dedup import _barrier, _fan_out
 
+    m, dsub = len(cb), len(cb[0][0])
+    pq_mode = _resolve_pq_mode(codebook_mode, m, len(cb[0]))
+    coarse_mode = _resolve_codebook_mode(codebook_mode, len(coarse))
     qz = quantize_int8(_fan_out(corpus, id_col), id_col, vec_col)
+    spark = corpus.sparkSession
+    if pq_mode == "join":
+        qz = qz.crossJoin(F.broadcast(_pq_codebook_df(spark, cb)))
+        choice = _pq_choice_col("qvec", m, dsub)
+    else:
+        choice = _pq_choice("qvec", cb)
+    if coarse_mode == "join":
+        qz = qz.crossJoin(F.broadcast(_int_codebook_df(spark, coarse)))
+        cell = F.array_max(_int_cell_scores_col("qvec"))["cid"]
+    else:
+        cell = F.array_max(_int_cell_scores("qvec", coarse))["cid"]
     staged = _barrier(
-        qz.withColumn("__pq", _pq_choice("qvec", cb)).withColumn(
-            "__ivf_cell",
-            F.array_max(_int_cell_scores("qvec", coarse))["cid"],
-        )
+        qz.withColumn("__pq", choice).withColumn("__ivf_cell", cell)
     )
     return staged.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1265,21 +1359,37 @@ def _ivf_pq_search(
     n_probe: int,
     refine: int,
     broadcast_limit: int,
+    codebook_mode: str = "auto",
 ) -> DataFrame:
     """ADC shortlist + exact int8 rerank against prepared index frames
     (shared by the in-memory ivf_pq_topk and the persisted-index query
     path)."""
     from .dedup import _barrier
 
+    m, dsub = len(cb), len(cb[0][0])
+    pq_mode = _resolve_pq_mode(codebook_mode, m, len(cb[0]))
+    coarse_mode = _resolve_codebook_mode(codebook_mode, len(coarse))
+    spark = queries.sparkSession
+    qbase = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "qvec"
+    )
+    if pq_mode == "join":
+        qbase = qbase.crossJoin(F.broadcast(_pq_codebook_df(spark, cb)))
+        lut = _pq_lut_col("qvec", m, dsub)
+    else:
+        lut = _pq_lut("qvec", cb)
+    if coarse_mode == "join":
+        qbase = qbase.crossJoin(F.broadcast(_int_codebook_df(spark, coarse)))
+        cell_scores = _int_cell_scores_col("qvec")
+    else:
+        cell_scores = _int_cell_scores("qvec", coarse)
     qstaged = _barrier(
-        quantize_int8(queries, id_col, vec_col)
-        .select(F.col(id_col).alias("query_id"), "qvec")
-        .withColumn("__lut", _pq_lut("qvec", cb))
+        qbase.withColumn("__lut", lut)
         .withColumn("__qn2", int_dot(F.col("qvec"), F.col("qvec")))
     )
     cells = F.slice(
         F.array_sort(
-            _int_cell_scores("qvec", coarse),
+            cell_scores,
             lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
         ),
         1,
