@@ -53,6 +53,7 @@ def main() -> None:
         raise SystemExit(f"fixture missing: {sf_dir} (run make_scale_data.py first)")
 
     import bench
+    from bambooanalysis_spark.contract import approx as ca
     from bambooanalysis_spark.contract import extensions as ce
     from bambooanalysis_spark.session import get_spark
 
@@ -60,6 +61,12 @@ def main() -> None:
     for k in EXCLUDED:
         queries.pop(k, None)
     queries["dedup_clusters_capped"] = ce.q_dedup_near_dup_clusters
+    # round-9 (VERDICT r8 #8): the URL pipeline ops claimed 100TB-ready in
+    # r8 get measured 100x evidence like every other family (nb_predict
+    # arrives via bench._headline, which gained it as entry 24)
+    queries["url_dedup"] = ca.q_text_url_dedup
+    queries["url_domain_stats"] = ca.q_text_url_domain_stats
+    queries["url_registered_domain_psl"] = ca.q_text_url_registered_domain_psl
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
