@@ -226,3 +226,32 @@ def test_registered_domain_from_is_broadcast_only(spark):
     )
     assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
     assert "SortMergeJoin" not in plan
+
+
+def test_fold_idn_hosts(spark):
+    """IDN hosts fold to their punycode ACE form so münchen.de and
+    xn--mnchen-3ya.de collide; ASCII hosts pass through JVM-side (NULL
+    fed to the UDF branch); codec-rejected hosts -> NULL."""
+    rows = [
+        (1, "münchen.de"),
+        (2, "xn--mnchen-3ya.de"),      # already-ACE: unchanged
+        (3, "example.com"),            # ASCII passthrough
+        (4, "bücher.example"),
+        (5, None),
+        (6, "ü" + "a" * 63 + ".de"),   # label > 63 octets: codec rejects
+        (7, "a" * 64 + ".de"),         # oversize but ASCII: passthrough
+    ]                                  # (not an IDN; validity is a
+    df = spark.createDataFrame(rows, "doc_id long, host string")  # different concern)
+    out = {r["doc_id"]: r["host"] for r in U.fold_idn_hosts(df).collect()}
+    assert out[1] == "xn--mnchen-3ya.de"
+    assert out[2] == "xn--mnchen-3ya.de"
+    assert out[3] == "example.com"
+    assert out[4] == "xn--bcher-kva.example"
+    assert out[5] is None
+    assert out[6] is None
+    assert out[7] == "a" * 64 + ".de"
+    # composes with the dedup/domain pipeline: folded hosts collide
+    dom = U.registered_domain(F.col("host"))
+    doms = {r[0] for r in U.fold_idn_hosts(df).where("doc_id in (1,2)")
+            .select(dom).collect()}
+    assert doms == {"xn--mnchen-3ya.de"}
