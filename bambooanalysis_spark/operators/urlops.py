@@ -252,25 +252,32 @@ def registered_domain_from(
 ) -> DataFrame:
     """eTLD+1 with the public-suffix list supplied AS DATA (VERDICT r8
     #6): ``psl`` is a one-column DataFrame ``suffix string`` holding
-    ICANN suffixes ("com", "uk", "co.uk", ...). A production user drops
-    in the full ~9k-entry Mozilla PSL without touching the operator; the
-    embedded-subset ``registered_domain`` stays for the zero-dependency
-    path.
+    rules in the list's own grammar — plain suffixes ("com", "co.uk"),
+    WILDCARD rules ("*.ck": every single label under .ck is a suffix)
+    and EXCEPTION rules ("!www.ck": carve-out from a wildcard). A
+    production user drops in the full ~9k-entry Mozilla PSL verbatim;
+    the embedded-subset ``registered_domain`` stays for the
+    zero-dependency path.
 
-    Semantics (the PSL algorithm): the registered domain is the LONGEST
-    listed suffix plus one label; a host that IS a listed suffix (e.g.
-    ``co.uk`` itself) has no registrable domain -> NULL; an unlisted TLD
-    falls back to the implicit ``*`` rule (last label is the suffix, so
-    two labels are kept); IP-literal hosts keep the whole address.
+    Semantics (publicsuffix.org algorithm): an exception rule prevails
+    over every other match and its own labels ARE the registered domain
+    (www.ck -> www.ck); otherwise the LONGEST matching rule is the
+    public suffix and the registered domain is suffix + one label; a
+    host that IS a public suffix (co.uk, or b.ck under *.ck) has no
+    registrable domain -> NULL; an unmatched host falls back to the
+    implicit ``*`` rule (last label is the suffix, two labels kept);
+    IP-literal hosts keep the whole address.
 
-    Scale shape — zero shuffles of the big side: the suffix list is
-    label-depth-bounded (ICANN max is 4-5 labels), so instead of
-    exploding candidate suffixes into rows (explode + re-aggregate = a
-    full shuffle of the corpus), the last-k-label candidates become K
-    COLUMNS and each probes the broadcast suffix table with a
-    BroadcastHashJoin — K bounded small joins, the corpus streams
-    through map-side only. K (and the one driver-side scalar collected
-    here) comes from the psl, which is bounded metadata by nature."""
+    Scale shape — zero shuffles of the big side: rule depth is bounded
+    (the real PSL tops out at 5 labels), so instead of exploding
+    candidate suffixes into rows (explode + re-aggregate = a full
+    shuffle of the corpus), the per-depth probe strings become COLUMNS
+    (exact = last-k labels; wildcard = ``*.`` + last-(k-1); exception =
+    ``!`` + last-k) and each probes the broadcast rule table with a
+    BroadcastHashJoin — O(max_depth) bounded small joins, the corpus
+    streams through map-side only. max_depth (the one driver-side scalar
+    collected here) comes from the psl, which is bounded metadata by
+    nature."""
     import functools
 
     max_k = psl.select(
@@ -282,31 +289,52 @@ def registered_domain_from(
     n = F.size(labels)
     out = df
     orig_cols = df.columns
-    # k = 0 probes the WHOLE host: a host that equals a listed suffix has
-    # no registrable domain (PSL rule), and must not fall through to a
-    # shorter-suffix match ("co.uk" matching "uk" would wrongly yield
-    # "co.uk" as a registered domain)
-    for k in range(0, max_k + 1):
-        cand = (
-            host if k == 0
-            else F.when(n > k, F.concat_ws(".", F.slice(labels, -k, k)))
-        )
-        m = psl.select(F.col("suffix").alias(f"__psl_m{k}"))
-        out = out.withColumn(f"__psl_c{k}", cand).join(
-            F.broadcast(m),
-            F.col(f"__psl_c{k}") == F.col(f"__psl_m{k}"),
+    probe_cols: list[str] = []
+
+    def probe(tag: str, k: int, cand) -> None:
+        nonlocal out
+        c, m = f"__psl_{tag}c{k}", f"__psl_{tag}{k}"
+        out = out.withColumn(c, cand).join(
+            F.broadcast(psl.select(F.col("suffix").alias(m))),
+            F.col(c) == F.col(m),
             "left",
         )
+        probe_cols.extend([c, m])
+
+    for k in range(1, max_k + 1):
+        lastk = F.when(n >= k, F.concat_ws(".", F.slice(labels, -k, k)))
+        probe("x", k, lastk)                       # exact rule, depth k
+        probe("e", k, F.concat(F.lit("!"), lastk))  # exception rule
+        if k >= 2:
+            # wildcard rule: '*' consumes exactly one real label
+            probe("w", k, F.when(
+                n >= k,
+                F.concat(
+                    F.lit("*."),
+                    F.concat_ws(".", F.slice(labels, -(k - 1), k - 1)),
+                ),
+            ))
+
     reg = F.when(
         host.isNull() | (host == ""), F.lit(None).cast("string")
-    ).when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host).when(
-        F.col("__psl_m0").isNotNull(), F.lit(None).cast("string")
-    )
-    for k in range(max_k, 0, -1):  # longest listed suffix wins
+    ).when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host)
+    # exception rules prevail over ANY other match (spec); their own
+    # labels are the registered domain
+    for k in range(max_k, 0, -1):
         reg = reg.when(
-            F.col(f"__psl_m{k}").isNotNull(),
-            F.concat_ws(".", F.slice(labels, -(k + 1), k + 1)),
+            F.col(f"__psl_e{k}").isNotNull(),
+            F.concat_ws(".", F.slice(labels, -k, k)),
         )
+    # then the longest normal rule (exact or wildcard): suffix = k labels,
+    # registered = k+1; a host equal to the suffix has none
+    for k in range(max_k, 0, -1):
+        matched = F.col(f"__psl_x{k}").isNotNull()
+        if k >= 2:
+            matched = matched | F.col(f"__psl_w{k}").isNotNull()
+        reg = reg.when(
+            matched & (n > k),
+            F.concat_ws(".", F.slice(labels, -(k + 1), k + 1)),
+        ).when(matched, F.lit(None).cast("string"))
     # implicit "*" rule: unlisted TLD keeps two labels (or the bare host)
     reg = reg.otherwise(
         F.when(n <= 2, host).otherwise(
@@ -314,9 +342,7 @@ def registered_domain_from(
         )
     )
     return functools.reduce(
-        lambda d, k: d.drop(f"__psl_c{k}").drop(f"__psl_m{k}"),
-        range(0, max_k + 1),
-        out.withColumn(out_col, reg),
+        lambda d, c: d.drop(c), probe_cols, out.withColumn(out_col, reg)
     ).select(*orig_cols, out_col)
 
 

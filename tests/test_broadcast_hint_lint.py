@@ -64,6 +64,8 @@ ALLOWED = {
     ("lm.py", "model"): "model.vocab: 1-row distinct-token count",
     ("urlops.py", "m"): "public-suffix list projection: ~9k rows at full "
                         "Mozilla PSL, fixed metadata independent of SF",
+    ("urlops.py", "psl"): "same public-suffix rule table (probe joins in "
+                          "registered_domain_from), bounded metadata",
 }
 
 

@@ -255,3 +255,27 @@ def test_fold_idn_hosts(spark):
     doms = {r[0] for r in U.fold_idn_hosts(df).where("doc_id in (1,2)")
             .select(dom).collect()}
     assert doms == {"xn--mnchen-3ya.de"}
+
+
+def test_registered_domain_from_wildcard_and_exception_rules(spark):
+    """The real PSL's grammar (publicsuffix.org algorithm): wildcard
+    rules make every single label under the base a suffix; exception
+    rules prevail over everything and are themselves the registered
+    domain. The canonical .ck example plus precedence edges."""
+    psl = _psl_df(spark, extra=["*.ck", "!www.ck", "ck", "*.kobe.jp",
+                                "!city.kobe.jp"])
+    hosts = [
+        ("www.ck", "www.ck"),             # exception: its labels ARE the domain
+        ("shop.www.ck", "www.ck"),        # exception prevails at depth 2
+        ("a.b.ck", "a.b.ck"),             # *.ck -> suffix b.ck, +1 label
+        ("b.ck", None),                   # host IS a wildcard-made suffix
+        ("ck", None),                     # host IS the listed 'ck' suffix
+        ("x.y.kobe.jp", "x.y.kobe.jp"),   # *.kobe.jp
+        ("city.kobe.jp", "city.kobe.jp"), # !city.kobe.jp carve-out
+        ("sub.city.kobe.jp", "city.kobe.jp"),
+        ("news.bbc.co.uk", "bbc.co.uk"),  # plain rules still fine
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["registered_domain"]
+           for r in U.registered_domain_from(df, psl).collect()}
+    assert got == dict(hosts)
