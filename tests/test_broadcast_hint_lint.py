@@ -66,6 +66,12 @@ ALLOWED = {
                         "Mozilla PSL, fixed metadata independent of SF",
     ("urlops.py", "psl"): "same public-suffix rule table (probe joins in "
                           "registered_domain_from), bounded metadata",
+    ("similarity.py", "_pq_codebook_df"):
+        "ONE-ROW PQ codebook DataFrame (m x ksub x dsub ints), "
+        "parameter-sized — the §48 join-mode mechanism itself",
+    ("similarity.py", "_int_codebook_df"):
+        "ONE-ROW coarse codebook DataFrame (C x dim ints), "
+        "parameter-sized — the §43 join-mode mechanism itself",
 }
 
 
