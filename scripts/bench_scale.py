@@ -71,6 +71,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     rows: dict[str, int] = {}
+    load: dict[str, dict] = {}
     for name, fn in queries.items():
         # One FRESH session per entry (PERFORMANCE.md §33): in a shared
         # session, caches and checkpoints built by EARLIER entries (the
@@ -82,15 +83,28 @@ def main() -> None:
         # this entry's own fixture/index builds, warm = steady state.
         spark = get_spark("bamboo-bench-scale")
         spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm-up
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # round-9: the same per-entry load evidence bench.py carries
+        # (ext_cores = external busy CPU, the signal that separates
+        # neighbor load from our own Spark work) so rehearsal outliers
+        # are attributable from the artifact itself
+        from bench import _ExtLoad
+
+        ts, load1 = time.time(), os.getloadavg()[0]
+        with _ExtLoad() as wc:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 3)
+        with _ExtLoad() as ww:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warm[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
+        load[name] = {"ts": round(ts, 1), "load1": round(load1, 2),
+                      "cold_ext_cores": round(wc.cores, 2),
+                      "warm_ext_cores": round(ww.cores, 2)}
         print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm[name]:.3f}s "
-              f"({n} rows)", file=sys.stderr)
+              f"({n} rows, load1={load1:.1f}, ext={ww.cores:.2f})",
+              file=sys.stderr)
         spark.stop()
 
     print(json.dumps({
@@ -100,6 +114,7 @@ def main() -> None:
         "queries": warm,
         "cold": cold,
         "rows": rows,
+        "load": load,
         "excluded": EXCLUDED,
         "dir": sf_dir,
     }))
