@@ -54,6 +54,11 @@ TRACKING_EXACT = [
 ]
 TRACKING_PREFIXES = ["utm_"]
 
+# Dotted-quad IP-literal hosts have no label hierarchy — shared by the
+# embedded and PSL-driven registered-domain paths so the guard cannot
+# drift between them (self-review r9).
+IPV4_LITERAL_RE = r"^\d+\.\d+\.\d+\.\d+$"
+
 
 def url_host(url: Column) -> Column:
     """Lowercased host (try_parse_url is case-preserving; hosts are
@@ -184,7 +189,7 @@ def registered_domain(host: Column) -> Column:
         # concat_ws swallows NULL labels into '' and size(NULL) is NULL,
         # so without this guard every bad URL lands in one '' domain
         F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
-        .when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host)
+        .when(host.rlike(IPV4_LITERAL_RE), host)
         .when(n <= 2, host)
         .when(last2.isin(MULTI_SUFFIXES), last3)
         .otherwise(last2)
@@ -278,18 +283,26 @@ def registered_domain_from(
     streams through map-side only. max_depth (the one driver-side scalar
     collected here) comes from the psl, which is bounded metadata by
     nature."""
-    import functools
-
-    max_k = psl.select(
-        F.max(F.size(F.split("suffix", r"\."))).alias("k")
-    ).first()["k"] or 1
+    # One driver-side pass over the rule table (bounded metadata by
+    # contract — ~9k strings at the full Mozilla PSL, same class as the
+    # codebook collects): dedupe it (self-review r9 — the probes are LEFT
+    # joins, so a duplicated rule row from a caller concatenating sources
+    # would silently multiply every matching corpus row), derive max
+    # depth, and rebuild as a LOCAL relation so the probe broadcasts
+    # need no distributed jobs or shuffles at all.
+    rules = sorted({r["suffix"] for r in psl.select("suffix").collect()})
+    if not rules:
+        rules = [""]  # degenerate: everything falls to the implicit * rule
+    max_k = max(len(s.split(".")) for s in rules)
+    psl = psl.sparkSession.createDataFrame(
+        [(s,) for s in rules], "suffix string"
+    )
 
     host = F.col(host_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     out = df
     orig_cols = df.columns
-    probe_cols: list[str] = []
 
     def probe(tag: str, k: int, cand) -> None:
         nonlocal out
@@ -299,7 +312,6 @@ def registered_domain_from(
             F.col(c) == F.col(m),
             "left",
         )
-        probe_cols.extend([c, m])
 
     for k in range(1, max_k + 1):
         lastk = F.when(n >= k, F.concat_ws(".", F.slice(labels, -k, k)))
@@ -317,7 +329,7 @@ def registered_domain_from(
 
     reg = F.when(
         host.isNull() | (host == ""), F.lit(None).cast("string")
-    ).when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host)
+    ).when(host.rlike(IPV4_LITERAL_RE), host)
     # exception rules prevail over ANY other match (spec); their own
     # labels are the registered domain
     for k in range(max_k, 0, -1):
@@ -341,9 +353,8 @@ def registered_domain_from(
             F.concat_ws(".", F.slice(labels, -2, 2))
         )
     )
-    return functools.reduce(
-        lambda d, c: d.drop(c), probe_cols, out.withColumn(out_col, reg)
-    ).select(*orig_cols, out_col)
+    # the select alone projects away every probe column
+    return out.withColumn(out_col, reg).select(*orig_cols, out_col)
 
 
 def url_dedup(

@@ -382,6 +382,10 @@ def _unpack_basket(payload: bytes) -> tuple[bytes, int, bytes]:
     (_ver, _bufsize, nevbufsize, nevbuf, last, _flag) = struct.unpack(
         ">hiiiiB", payload[:19]
     )
+    if last < 19 or last > len(payload):
+        # self-review r9: a corrupt fLast below the header (or past the
+        # payload) would silently slice header bytes into the tail
+        raise ValueError("corrupt TBasket: fLast outside the payload")
     values = payload[19:last]
     tail = payload[last:]
     if nevbufsize == 0:
@@ -840,8 +844,14 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
         data: list = []
         for _cyc, payload, _ll in parts:
             values, nevbuf, tail = _unpack_basket(payload)
-            n_vals = len(values) // width
-            flat = list(struct.unpack(f">{n_vals}{fmt}", values[: n_vals * width]))
+            if len(values) % width:
+                # self-review r9: a value region truncated mid-value must
+                # fail loudly, not silently drop the partial tail value
+                raise ValueError(
+                    f"basket {bname}: value region not a multiple of the "
+                    f"{width}-byte element width"
+                )
+            flat = list(struct.unpack(f">{len(values) // width}{fmt}", values))
             if jagged:
                 if nevbuf < 0 or len(tail) < 4 * nevbuf:
                     raise ValueError(
@@ -894,14 +904,19 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
                     struct.unpack(">hiiiiB", key.extra[:19])
                 )
                 border = last - key.keylen
-                if border < 0:
+                if border < 0 or border > len(key.payload):
                     raise ValueError(
-                        f"basket {bname}: fLast below fKeyLen (corrupt header)"
+                        f"basket {bname}: fLast outside the payload "
+                        "(corrupt header)"
                     )
                 values = key.payload[:border]
-                n_vals = len(values) // width
+                if len(values) % width:
+                    raise ValueError(
+                        f"basket {bname}: value region not a multiple of "
+                        f"the {width}-byte element width"
+                    )
                 flat = list(
-                    struct.unpack(f">{n_vals}{fmt}", values[: n_vals * width])
+                    struct.unpack(f">{len(values) // width}{fmt}", values)
                 )
                 if jagged:
                     if nevbufsize <= 0:

@@ -396,10 +396,11 @@ def _decode_literals(block: bytes, prev_huf) -> tuple[bytearray, int, object]:
         lit = _huf_decode_stream(_BackBits(payload), table, max_bits, regen)
         return lit, hdr + comp, huf
     if regen < 6:
-        # RFC 8878 §3.1.1.3.1.6: 4-stream regenerated size must be >= 6
-        # (streams 1-3 each decode ceil(regen/4) bytes; below 6 the 4th
-        # stream's size regen - 3*ceil(regen/4) goes non-positive and a
-        # malformed frame would decode with a nonsense size) — ADVICE r8
+        # libzstd's MIN_LITERALS_FOR_4_STREAMS = 6 (ADVICE r8). The exact
+        # rule: stream-4 size = regen - 3*ceil(regen/4) must be >= 0,
+        # which first goes NEGATIVE below regen=6 (regen=5 -> -1);
+        # regen=6 itself yields a legal zero-length 4th stream and is
+        # accepted — do not tighten this to < 7
         raise ValueError("zstd: 4-stream literals with regen < 6")
     if len(payload) < 6:
         raise ValueError("zstd: missing 4-stream jump table")

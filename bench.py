@@ -108,23 +108,33 @@ def _proc_busy_jiffies() -> int:
     with open("/proc/stat") as fh:
         parts = fh.readline().split()[1:]
     vals = [int(x) for x in parts]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    # user..steal only (self-review r9): the trailing guest/guest_nice
+    # fields are ALREADY folded into user/nice by the kernel — summing
+    # them double-counts VM time and spuriously flags entries
+    return sum(vals[:8]) - vals[3] - vals[4]  # minus idle + iowait
 
 
 def _tree_pids() -> list[str]:
-    """This python plus its direct children (the py4j-launched JVM)."""
-    me = str(os.getpid())
-    pids = ["self"]
+    """This python plus ALL its descendants (the py4j-launched JVM and —
+    self-review r9 — any pyspark python workers it forks: grandchildren's
+    jiffies reach the JVM's cutime only at reap, usually after the
+    window, so counting only direct children would misattribute our own
+    ArrowEval work to 'external' load)."""
+    children: dict[str, list[str]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as fh:
                 rest = fh.read().rsplit(")", 1)[1].split()
-            if rest[1] == me:
-                pids.append(pid)
+            children.setdefault(rest[1], []).append(pid)
         except OSError:
             continue
+    pids, queue = ["self"], [str(os.getpid())]
+    while queue:
+        for kid in children.get(queue.pop(), []):
+            pids.append(kid)
+            queue.append(kid)
     return pids
 
 

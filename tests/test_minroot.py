@@ -815,3 +815,37 @@ def test_key_walkers_reject_truncated_chains(tmp_path):
     bad2.write_bytes(bytes(buf2))
     with pytest.raises(ValueError):
         minroot.list_keys(str(bad2))
+
+
+def test_corrupt_baskets_fail_loudly_not_silently(tmp_path):
+    """Self-review r9: corrupt baskets must raise, never silently return
+    fewer values — (a) a value region truncated mid-value, (b) an fLast
+    below the basket header or past the payload."""
+    # (a) minroot layout: chop 3 bytes off the f64 value region
+    p = tmp_path / "t.root"
+    minroot.write_flat_tree(str(p), "t", {"x": ("D", [1.0, 2.0, 3.0])})
+    buf = bytearray(p.read_bytes())
+    vals = struct.pack(">3d", 1.0, 2.0, 3.0)
+    i = bytes(buf).index(vals)
+    bad = tmp_path / "trunc.root"
+    # overwrite fLast in the basket sub-header (10 bytes before values
+    # end of header: ver h, bufsize i, nevbufsize i, nevbuf i, last i, B)
+    hdr_start = i - 19
+    ver, bufsize, nevbufsize, nevbuf, last, flag = struct.unpack(
+        ">hiiiiB", bytes(buf[hdr_start:hdr_start + 19])
+    )
+    buf[hdr_start:hdr_start + 19] = struct.pack(
+        ">hiiiiB", ver, bufsize, nevbufsize, nevbuf, last - 3, flag
+    )
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="multiple of the 8-byte"):
+        minroot.read_flat_tree(str(bad), "t")
+    # (b) fLast below the 19-byte header
+    buf2 = bytearray(p.read_bytes())
+    buf2[hdr_start:hdr_start + 19] = struct.pack(
+        ">hiiiiB", ver, bufsize, nevbufsize, nevbuf, 7, flag
+    )
+    bad2 = tmp_path / "flast.root"
+    bad2.write_bytes(bytes(buf2))
+    with pytest.raises(ValueError, match="fLast"):
+        minroot.read_flat_tree(str(bad2), "t")

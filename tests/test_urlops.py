@@ -279,3 +279,17 @@ def test_registered_domain_from_wildcard_and_exception_rules(spark):
     got = {r["host"]: r["registered_domain"]
            for r in U.registered_domain_from(df, psl).collect()}
     assert got == dict(hosts)
+
+
+def test_registered_domain_from_deduplicates_rule_table(spark):
+    """Self-review r9: duplicate rule rows (a caller concatenating PSL
+    sources) must not multiply corpus rows through the left probe joins."""
+    psl = spark.createDataFrame(
+        [("com",), ("com",), ("co.uk",), ("co.uk",)], "suffix string"
+    )
+    df = spark.createDataFrame(
+        [("a.example.com",), ("b.bbc.co.uk",)], "host string"
+    )
+    out = U.registered_domain_from(df, psl).collect()
+    assert len(out) == 2  # one row per input row, not 2x per dup rule
+    assert {r["registered_domain"] for r in out} == {"example.com", "bbc.co.uk"}
