@@ -54,10 +54,17 @@ TRACKING_EXACT = [
 ]
 TRACKING_PREFIXES = ["utm_"]
 
-# Dotted-quad IP-literal hosts have no label hierarchy — shared by the
-# embedded and PSL-driven registered-domain paths so the guard cannot
-# drift between them (self-review r9).
+# IP-literal hosts have no label hierarchy — shared by the embedded and
+# PSL-driven registered-domain paths so the guards cannot drift between
+# them (self-review r9). IPv6 literals arrive BRACKETED from parse_url
+# ("[2001:db8::1]", RFC 3986 §3.2.2) — matched on the bracket so
+# IPv4-mapped forms ("[::ffff:1.2.3.4]") don't split on their dots.
 IPV4_LITERAL_RE = r"^\d+\.\d+\.\d+\.\d+$"
+IPV6_LITERAL_RE = r"^\[.*\]$"
+
+
+def _is_ip_literal(host: Column) -> Column:
+    return host.rlike(IPV4_LITERAL_RE) | host.rlike(IPV6_LITERAL_RE)
 
 
 def url_host(url: Column) -> Column:
@@ -141,8 +148,14 @@ def canonical_query(url: Column) -> Column:
 
 
 def canonical_host(url: Column) -> Column:
-    """Lowercased host with a leading ``www.`` stripped."""
-    return F.regexp_replace(url_host(url), r"^www\.", "")
+    """Lowercased host with a leading ``www.`` stripped — but ONLY when a
+    dotted remainder survives (r9): for ``www.com`` or the PSL-exception
+    ``www.ck`` the ``www`` label IS the registrable name, and blind
+    stripping collapsed them onto their bare public suffix (wrong dedup
+    bucket, wrong domain stats)."""
+    host = url_host(url)
+    stripped = F.regexp_replace(host, r"^www\.", "")
+    return F.when(stripped.contains("."), stripped).otherwise(host)
 
 
 def normalize_url(url: Column) -> Column:
@@ -189,7 +202,7 @@ def registered_domain(host: Column) -> Column:
         # concat_ws swallows NULL labels into '' and size(NULL) is NULL,
         # so without this guard every bad URL lands in one '' domain
         F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
-        .when(host.rlike(IPV4_LITERAL_RE), host)
+        .when(_is_ip_literal(host), host)
         .when(n <= 2, host)
         .when(last2.isin(MULTI_SUFFIXES), last3)
         .otherwise(last2)
@@ -329,7 +342,7 @@ def registered_domain_from(
 
     reg = F.when(
         host.isNull() | (host == ""), F.lit(None).cast("string")
-    ).when(host.rlike(IPV4_LITERAL_RE), host)
+    ).when(_is_ip_literal(host), host)
     # exception rules prevail over ANY other match (spec); their own
     # labels are the registered domain
     for k in range(max_k, 0, -1):
@@ -384,19 +397,34 @@ def url_dedup(
 
 
 def domain_stats(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Documents per registered domain — the input to crawl-mix curation
-    and the per-domain cap. One map + one hash-aggregate. Malformed/
+    and the per-domain cap. One map + one hash-aggregate (plus the
+    bounded broadcast probes when ``psl`` is given: pass a rule table to
+    resolve domains through the full publicsuffix.org grammar via
+    registered_domain_from instead of the embedded subset). Malformed/
     hostless URLs (NULL host) are excluded, same contract as url_dedup."""
-    return (
-        df.select(
+    if psl is not None:
+        domains = registered_domain_from(
+            df.select(
+                canonical_host(F.col(url_col)).alias("__host"), F.col(id_col)
+            ),
+            psl,
+            host_col="__host",
+        ).select("registered_domain", id_col)
+    else:
+        domains = df.select(
             registered_domain(canonical_host(F.col(url_col))).alias(
                 "registered_domain"
             ),
             F.col(id_col),
         )
-        .where(F.col("registered_domain").isNotNull())
+    return (
+        domains.where(F.col("registered_domain").isNotNull())
         .groupBy("registered_domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

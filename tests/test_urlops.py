@@ -293,3 +293,45 @@ def test_registered_domain_from_deduplicates_rule_table(spark):
     out = U.registered_domain_from(df, psl).collect()
     assert len(out) == 2  # one row per input row, not 2x per dup rule
     assert {r["registered_domain"] for r in out} == {"example.com", "bbc.co.uk"}
+
+
+def test_registered_domain_ipv6_literal(spark):
+    """IPv6 literals arrive bracketed from parse_url; IPv4-mapped forms
+    contain dots and must not split into nonsense labels — both paths."""
+    hosts = ["[2001:db8::1]", "[::ffff:192.0.2.1]", "example.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r[0] for r in df.select(U.registered_domain(F.col("host"))).collect()]
+    assert got == ["[2001:db8::1]", "[::ffff:192.0.2.1]", "example.com"]
+    got2 = {r["host"]: r["registered_domain"]
+            for r in U.registered_domain_from(df, _psl_df(spark)).collect()}
+    assert got2["[::ffff:192.0.2.1]"] == "[::ffff:192.0.2.1]"
+
+
+def test_domain_stats_with_psl_table(spark):
+    """domain_stats(psl=...) routes through the full PSL grammar."""
+    rows = [
+        (1, "https://a.b.ck/p"),
+        (2, "https://c.b.ck/q"),
+        (3, "https://www.ck/r"),
+        (4, "https://x.example.com/s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    psl = spark.createDataFrame(
+        [("com",), ("*.ck",), ("!www.ck",)], "suffix string"
+    )
+    got = {r["registered_domain"]: r["n_docs"]
+           for r in U.domain_stats(df, psl=psl).collect()}
+    assert got == {"a.b.ck": 1, "c.b.ck": 1, "www.ck": 1, "example.com": 1}
+
+
+def test_www_strip_preserves_suffix_level_hosts(spark):
+    """www. strips only when a dotted remainder survives: www.example.com
+    dedups with example.com, but www.com / www.ck (where www IS the
+    registrable label) keep their name."""
+    df = spark.createDataFrame(
+        [("https://www.example.com/p",), ("https://www.com/p",),
+         ("https://WWW.CK/p",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(U.canonical_host(F.col("url"))).collect()]
+    assert got == ["example.com", "www.com", "www.ck"]
