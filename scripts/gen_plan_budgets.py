@@ -40,17 +40,17 @@ COUNTERS = [
 
 
 def targets() -> dict:
-    """Everything budgeted: the bench headline entries plus every
-    registered relational/TPC-H-shape query (VERDICT r7 #7) — the
-    generic counter gate catches what bespoke plan asserts forget,
-    e.g. a refactor that re-adds a forced broadcast or a Python stage."""
+    """Everything budgeted: the bench headline entries plus EVERY
+    registered contract query (r7 added the rel_* family; r9 widens to
+    all 120 registrations) — the generic counter gate catches what
+    bespoke plan asserts forget, e.g. a refactor that re-adds a forced
+    broadcast or a Python stage in any operator family."""
     import bench
     from bambooanalysis_spark.contract import QUERIES
 
     out = dict(bench._headline())
     for name, fn in QUERIES.items():
-        if name.startswith("rel_"):
-            out.setdefault(name, fn)
+        out.setdefault(name, fn)
     return out
 
 
