@@ -52,6 +52,7 @@ Data payload (what this reader consumes):
 
 import random
 import struct
+import zlib
 
 import pytest
 
@@ -65,6 +66,28 @@ def _tstr(s: str) -> bytes:
     return bytes([len(s)]) + s.encode()
 
 
+def _zl_frames(data: bytes, split: int | None = None) -> bytes:
+    """ROOT compression frame sequence, assembled per the PUBLIC RZip
+    layout (ROOT's io docs / RZip.cxx header comment): each frame is a
+    9-byte header — 2-byte algorithm tag ("ZL" = zlib), 1 method byte
+    (deflate = 8), 3-byte LITTLE-endian compressed size, 3-byte
+    little-endian uncompressed size — followed by the compressed block.
+    Independent of minroot's _compress_frames: zlib is the stdlib's.
+    ``split`` cuts the data into two frames to exercise the multi-frame
+    walk (ROOT splits every 16 MB in real files)."""
+    chunks = [data] if split is None else [data[:split], data[split:]]
+    out = b""
+    for chunk in chunks:
+        comp = zlib.compress(chunk, 6)
+        out += (
+            b"ZL" + bytes([8])
+            + len(comp).to_bytes(3, "little")
+            + len(chunk).to_bytes(3, "little")
+            + comp
+        )
+    return out
+
+
 def _spec_key(
     seek: int,
     classname: str,
@@ -74,17 +97,24 @@ def _spec_key(
     cycle: int = 1,
     basket_header: bytes = b"",
     big: bool = False,
+    compress: bool = False,
 ) -> bytes:
-    """One record, laid out per the TKey table above."""
+    """One record, laid out per the TKey table above. ``compress`` stores
+    the data as a ZL frame sequence: ObjLen keeps the UNCOMPRESSED
+    length while Nbytes covers the stored (compressed) bytes — exactly
+    how a reader detects compression (stored size != ObjLen)."""
     strings = _tstr(classname) + _tstr(name) + _tstr(title)
     seek_w = 16 if big else 8
     keylen = 18 + seek_w + len(strings) + len(basket_header)
-    nbytes = keylen + len(data)
+    stored = (
+        _zl_frames(data, split=max(1, len(data) // 2)) if compress else data
+    )
+    nbytes = keylen + len(stored)
     hdr = struct.pack(
         ">ihiIhh",
-        nbytes,              # 1->4   Nbytes
+        nbytes,              # 1->4   Nbytes (key header + STORED data)
         1004 if big else 4,  # 5->6   Version (>1000 = 64-bit seeks)
-        len(data),           # 7->10  ObjLen (uncompressed == stored here)
+        len(data),           # 7->10  ObjLen (always the uncompressed size)
         1389683462,          # 11->14 Datime (arbitrary valid packing)
         keylen,              # 15->16 KeyLen
         cycle,               # 17->18 Cycle
@@ -93,7 +123,7 @@ def _spec_key(
         struct.pack(">qq", seek, 100) if big  # 19->26/34 SeekKey, SeekPdir
         else struct.pack(">ii", seek, 100)
     )
-    return hdr + seeks + strings + basket_header + data
+    return hdr + seeks + strings + basket_header + stored
 
 
 def _basket_header(n_values_bytes: int, nevbuf: int, keylen: int,
@@ -110,9 +140,11 @@ def _basket_header(n_values_bytes: int, nevbuf: int, keylen: int,
     )
 
 
-def _spec_file(big: bool) -> bytes:
+def _spec_file(big: bool, compress: bool = False) -> bytes:
     """A complete flat-ntuple file: tree 't' with scalar branch x (/D)
-    and jagged branch v (v[n]/I), three entries, uncompressed."""
+    and jagged branch v (v[n]/I), three entries; ``compress`` stores the
+    TTree blob and both basket payloads as spec-authored ZL frame
+    sequences (two frames each)."""
     X = [1.5, -2.25, 3.0]
     V = [[7, -8], [9], []]
 
@@ -120,10 +152,12 @@ def _spec_file(big: bool) -> bytes:
     offsets = {}
     pos = 100  # fBEGIN: the header block reserves bytes 0..99
 
-    def add(classname, name, title, data, basket_header=b"", cycle=1):
+    def add(classname, name, title, data, basket_header=b"", cycle=1,
+            comp=False):
         nonlocal pos
         rec = _spec_key(pos, classname, name, title, data,
-                        cycle=cycle, basket_header=basket_header, big=big)
+                        cycle=cycle, basket_header=basket_header, big=big,
+                        compress=comp)
         offsets[name] = pos
         records.append(rec)
         pos += len(rec)
@@ -144,14 +178,14 @@ def _spec_file(big: bool) -> bytes:
         + _tstr("v") + _tstr("v[n]/I")   # TLeafI with counter
         + bytes(12)
     )
-    add("TTree", "t", "hand-authored tree", ttree_blob)
+    add("TTree", "t", "hand-authored tree", ttree_blob, comp=compress)
 
     # 3) basket for x: three f64 values; real layout puts the branch name
     #    in the key NAME and the tree name in the TITLE
     xvals = struct.pack(">3d", *X)
     strings_x = _tstr("TBasket") + _tstr("x") + _tstr("t")
     keylen_x = 18 + (16 if big else 8) + len(strings_x) + 19
-    add("TBasket", "x", "t", xvals,
+    add("TBasket", "x", "t", xvals, comp=compress,
         basket_header=_basket_header(len(xvals), 3, keylen_x, False))
 
     # 4) basket for v: flat i32 values then TArray framing — count=3,
@@ -164,7 +198,7 @@ def _spec_file(big: bool) -> bytes:
     keylen_v = 18 + (16 if big else 8) + len(strings_v) + 19
     ventry_offsets = [keylen_v, keylen_v + 8, keylen_v + 12]
     vdata = vvals + struct.pack(">i3i", 3, *ventry_offsets)
-    add("TBasket", "v", "t", vdata,
+    add("TBasket", "v", "t", vdata, comp=compress,
         basket_header=_basket_header(len(vvals), 3, keylen_v, True))
 
     # 5) StreamerInfo list (opaque payload; header's fSeekInfo points here)
@@ -185,7 +219,7 @@ def _spec_file(big: bool) -> bytes:
             + struct.pack(">i", 1)                   # 33->36 nfree
             + struct.pack(">i", 54)                  # 37->40 fNbytesName
             + struct.pack(">B", 8)                   # 41     fUnits = 8
-            + struct.pack(">i", 0)                   # 42->45 fCompress (none)
+            + struct.pack(">i", 101 if compress else 0)  # 42->45 fCompress
             + struct.pack(">q", seek_info)           # 46->53 fSeekInfo (i64)
             + struct.pack(">i", 24)                  # 54->57 fNbytesInfo
             + bytes(18)                              # 58->75 fUUID
@@ -201,7 +235,7 @@ def _spec_file(big: bool) -> bytes:
             + struct.pack(">i", 1)                   # 25->28 nfree
             + struct.pack(">i", 54)                  # 29->32 fNbytesName
             + struct.pack(">B", 4)                   # 33     fUnits = 4
-            + struct.pack(">i", 0)                   # 34->37 fCompress (none)
+            + struct.pack(">i", 101 if compress else 0)  # 34->37 fCompress
             + struct.pack(">i", seek_info)           # 38->41 fSeekInfo
             + struct.pack(">i", 24)                  # 42->45 fNbytesInfo
             + bytes(18)                              # 46->63 fUUID
@@ -288,3 +322,19 @@ def test_large64_header_and_chain_fuzz(tmp_path):
             minroot.read_flat_tree(str(p), "t")
         except allowed:
             pass
+
+
+@pytest.mark.parametrize("big", [False, True], ids=["small", "large64"])
+def test_spec_authored_compressed_file_decodes(tmp_path, big):
+    """Compressed variant: the TTree blob and both basket payloads are
+    ZL frame sequences assembled by THIS test from the public RZip
+    layout (stdlib zlib, two frames per key) — the frame layout is no
+    longer validated only by writer/reader self-roundtrips."""
+    p = tmp_path / "spec_zl.root"
+    p.write_bytes(_spec_file(big, compress=True))
+    assert minroot.read_flat_tree(str(p), "t") == {
+        "x": EXPECT_X, "v": EXPECT_V,
+    }
+    info = minroot.sniff_file(str(p))
+    assert info["compression"] == 101
+    assert info["trees"] == {"t": 3}
