@@ -150,3 +150,29 @@ def streaming_lsh_band_votes(banded: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_url_first_claim(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming exact-URL dedup (round 9) — the online form of
+    ``urlops.url_dedup``: canonicalize each URL with the SAME
+    normalize_url Column algebra (pure map, stream-safe) and claim each
+    canonical URL with the band-vote state machinery above, keyed by the
+    canonical string instead of an LSH bucket. Output rows are
+    (doc_id, band_key = canonical_url, is_first): is_first = 1 exactly
+    for the claimer, so the keep-list needs no assembly step (one bucket
+    per doc). Matches batch url_dedup's min-id keeper whenever ids
+    arrive monotonically — the crawl-frontier reality. Malformed /
+    hostless URLs (NULL canonical form) are excluded, the batch
+    contract. State: one long per DISTINCT canonical URL; bound it with
+    a dedup window + timeout in a production frontier."""
+    from pyspark.sql import functions as F
+
+    from ..operators.urlops import normalize_url
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        normalize_url(F.col(url_col)).alias("band_key"),
+    ).where(F.col("band_key").isNotNull())
+    return streaming_lsh_band_votes(keyed)

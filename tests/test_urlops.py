@@ -335,3 +335,51 @@ def test_www_strip_preserves_suffix_level_hosts(spark):
     )
     got = [r[0] for r in df.select(U.canonical_host(F.col("url"))).collect()]
     assert got == ["example.com", "www.com", "www.ck"]
+
+
+def test_streaming_url_first_claim_matches_batch(spark, tmp_path):
+    """Streaming exact-URL dedup must reproduce batch url_dedup's
+    keep-list when ids arrive in order, with normalization collisions
+    split ACROSS micro-batches (the second arrival of a canonical URL
+    lands in a later batch and must vote 0)."""
+    from bambooanalysis_spark.operators.urlops import url_dedup
+    from bambooanalysis_spark.streaming.stateful import (
+        streaming_url_first_claim,
+    )
+
+    rows = [
+        (1, "https://www.a.com/p?id=1&utm_source=x"),
+        (2, "http://b.com/q"),
+        (3, ":::garbage:::"),
+        (4, "http://A.COM/p?id=1"),          # dup of 1, later batch
+        (5, "https://b.com/q?utm_ref=z"),    # dup of 2, later batch
+        (6, "https://c.com/r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    batch_keep = {r["doc_id"] for r in url_dedup(df).collect()}
+    assert batch_keep == {1, 2, 6}
+
+    src = str(tmp_path / "url_stream")
+    df.where("doc_id <= 3").coalesce(1).write.parquet(src)
+    df.where("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_url_first_claim(stream)
+        .writeStream.format("memory")
+        .queryName("url_claims")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["is_first"]
+        for r in spark.sql("SELECT doc_id, is_first FROM url_claims").collect()
+    }
+    assert {d for d, f in got.items() if f == 1} == batch_keep
+    assert got[4] == 0 and got[5] == 0
+    assert 3 not in got  # malformed URL excluded, not claimed
