@@ -1873,6 +1873,48 @@ register(
 )
 
 
+def q_text_url_idn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN -> punycode host folding (operators/urlops.fold_idn_hosts):
+    planted Unicode hosts fold to their RFC 3490 ACE forms — classes 0
+    and 3 (münchen.de and its already-ACE twin) MERGE into one group,
+    which is the dedup-recall point of folding; the ASCII class passes
+    through the JVM-side branch untouched. The oracle states the
+    expected ACE strings directly from doc_id arithmetic (the punycode
+    algebra is not re-derived in SQL — both engines would need the
+    codec; the CLAIM under test is which class maps to which ACE form
+    and that the folded classes collide)."""
+    from ..operators.urlops import fold_idn_hosts
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, "münchen.de")
+        .when(d % 4 == 1, "bücher.example")
+        .when(d % 4 == 2, "plain.example.com")
+        .otherwise("xn--mnchen-3ya.de")
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host")
+    )
+    return (
+        fold_idn_hosts(docs)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("host")
+    )
+
+
+ORACLE_TEXT_URL_IDN_FOLD = """
+SELECT CASE WHEN doc_id % 4 IN (0, 3) THEN 'xn--mnchen-3ya.de'
+            WHEN doc_id % 4 = 1 THEN 'xn--bcher-kva.example'
+            ELSE 'plain.example.com' END AS host,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+register("text_url_idn_fold", q_text_url_idn_fold, ORACLE_TEXT_URL_IDN_FOLD)
+
+
 # --- NB quality classifier (round 8): train/apply, integer-exact -------------
 # fastText-style corpus-curation classifier (operators/classifier.py):
 # label the training slice by a planted content signal (contains
