@@ -1915,6 +1915,78 @@ FROM documents GROUP BY 1 ORDER BY 1
 register("text_url_idn_fold", q_text_url_idn_fold, ORACLE_TEXT_URL_IDN_FOLD)
 
 
+# --- distributed Bloom filter (round 9): cross-batch membership ---------------
+# operators/membership.py — build over the even-doc fingerprints, probe
+# every document. md5-derived positions + 63-bit BIGINT words make both
+# the filter AND every probe decision engine-portable, so the oracle
+# reproduces the exact false-positive set (false negatives are
+# structurally impossible and separately pinned by unit test). m is
+# sized so tiny scales stay non-vacuous AND produce deterministic FPs
+# at sf0.01 (n*k/m ~ 0.6).
+
+_BF_M, _BF_K = 1 << 14, 4
+
+
+def q_dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.membership import bloom_build, bloom_might_contain
+    from ..operators.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    filt = bloom_build(members, "fp", m_bits=_BF_M, k=_BF_K)
+    probed = bloom_might_contain(docs, filt, "fp", m_bits=_BF_M, k=_BF_K)
+    return (
+        probed.select(
+            (F.col("doc_id") % 2 == 0).alias("is_member"),
+            "might_contain",
+            "doc_id",
+        )
+        .groupBy("is_member", "might_contain")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("is_member", "might_contain")
+    )
+
+
+ORACLE_DEDUP_BLOOM_MEMBERSHIP = f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+    FROM documents
+),
+pos AS (
+    SELECT f.doc_id, f.fp,
+           (CAST(('0x' || substr(md5(f.fp || '#b' || CAST(i.i AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % {_BF_M}) AS p
+    FROM fp f, (SELECT unnest([0, 1, 2, 3]) AS i) i
+),
+words AS (
+    SELECT CAST(p // 63 AS INT) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+    FROM pos WHERE doc_id % 2 = 0 GROUP BY 1
+),
+probe AS (
+    SELECT q.doc_id,
+           bool_and(
+               (COALESCE(w.word, 0)
+                & (CAST(1 AS BIGINT) << CAST(q.p % 63 AS INT))) <> 0
+           ) AS might_contain
+    FROM pos q
+    LEFT JOIN words w ON w.word_idx = CAST(q.p // 63 AS INT)
+    GROUP BY 1
+)
+SELECT (doc_id % 2 = 0) AS is_member, might_contain,
+       COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+FROM probe GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register(
+    "dedup_bloom_membership", q_dedup_bloom_membership,
+    ORACLE_DEDUP_BLOOM_MEMBERSHIP,
+)
+
+
 # --- NB quality classifier (round 8): train/apply, integer-exact -------------
 # fastText-style corpus-curation classifier (operators/classifier.py):
 # label the training slice by a planted content signal (contains

@@ -72,6 +72,9 @@ ALLOWED = {
     ("similarity.py", "_int_codebook_df"):
         "ONE-ROW coarse codebook DataFrame (C x dim ints), "
         "parameter-sized — the §43 join-mode mechanism itself",
+    ("membership.py", "w"):
+        "Bloom filter word-table projection: at most m_bits/63 rows, "
+        "m is a filter-size parameter independent of SF",
 }
 
 
