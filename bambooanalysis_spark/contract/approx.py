@@ -1921,10 +1921,13 @@ register("text_url_idn_fold", q_text_url_idn_fold, ORACLE_TEXT_URL_IDN_FOLD)
 # the filter AND every probe decision engine-portable, so the oracle
 # reproduces the exact false-positive set (false negatives are
 # structurally impossible and separately pinned by unit test). m is
-# sized so tiny scales stay non-vacuous AND produce deterministic FPs
-# at sf0.01 (n*k/m ~ 0.6).
+# sized so the sf0.01 fixture (500 docs, 250 members -> 1000 set bits)
+# actually PRODUCES false positives (fill ~0.39, FP ~2% -> a handful of
+# deterministic FP rows) — at a production m the FP group would be
+# empty at driver scale and the oracle would never exercise the
+# positive-but-not-member decision path.
 
-_BF_M, _BF_K = 1 << 14, 4
+_BF_M, _BF_K = 1 << 11, 4
 
 
 def q_dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
