@@ -9,13 +9,40 @@ Spark-first shape:
 - **build** is one explode to (word_idx, mask) pairs and ONE bit_or
   hash-aggregate — map-side combine collapses the per-partition masks,
   so the shuffle carries at most m/63 rows (the FILTER size, a
-  parameter, never the corpus size). The result is a sparse
-  (word_idx, word) DataFrame: parameter-sized, persistable as parquet,
-  unionable across batches (re-aggregate with bit_or to merge filters).
-- **probe** attaches the filter via k BROADCAST joins on word_idx (the
-  urlops PSL-probe pattern): k is small and bounded (4 by default), so
-  the probed corpus streams through map-side only — no shuffle, no
-  per-row groupBy re-assembly.
+  parameter, never the corpus size). The result is a sparse word table
+  (word_idx, word, m_bits, k): parameter-sized, persistable as parquet.
+  The (m_bits, k) columns ride along on every row (VERDICT r9 #2a) so
+  filters built with DIFFERENT parameters can never merge silently —
+  ``bloom_merge`` raises on mismatch, and the probe derives/validates
+  its parameters from the table instead of trusting the caller.
+- **probe** has two modes (VERDICT r9 "missing" #3):
+  ``'broadcast'`` attaches the filter via k BROADCAST joins on word_idx
+  (the urlops PSL-probe pattern): k is small and bounded (4 by
+  default), so the probed corpus streams through map-side only — no
+  shuffle. Correct while the word table broadcasts comfortably.
+  ``'shuffle'`` is the production-m path — at the m a 100 TB dedup
+  needs (tens of billions of bits => a multi-GB word table) a broadcast
+  fails outright, so the probe explodes each row's k positions to
+  (row_id, word_idx, mask), joins the filter PARTITIONED on word_idx
+  (shuffle-hash), re-assembles per row_id with bool_and, and joins the
+  verdict back. Three corpus-sized shuffles of narrow rows — the honest
+  cost of a filter bigger than executor memory.
+  ``'auto'`` (default) picks broadcast iff m_bits <= broadcast_max_bits
+  (default 2^26: a ~1M-row / ~12 MB word table, comfortably under
+  typical executor broadcast budgets even times k joins).
+
+NULL keys (VERDICT r9 #2b): ``bloom_build`` ignores NULL keys (they are
+not members); ``bloom_might_contain`` probes them to **false**, not
+NULL — the conjunction over k bits is NULL-propagating, so without the
+explicit coalesce every NULL key in real crawl data would poison the
+output column.
+
+Duplicate word_idx rows (ADVICE r9): a filter table that was unioned
+without the bit_or re-aggregate would multiply probe rows and could
+emit a false-negative duplicate. The probe re-aggregates the
+parameter-sized table by word_idx before joining, so malformed inputs
+are healed rather than silently wrong (same guard class as
+registered_domain_from's rule dedup).
 
 Exactness: positions are md5-derived (operators/text.hash64 — portable
 across engines), words are two's-complement BIGINT bit algebra, so a
@@ -45,6 +72,11 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 # two's-complement wrap)
 BITS_PER_WORD = 63
 
+# auto-mode crossover: above this m the word table (~m/63 rows x ~12 B)
+# outgrows a comfortable broadcast (2^26 bits -> ~1M rows / ~12 MB,
+# shipped k times) and the probe switches to the shuffle plan
+BROADCAST_MAX_BITS = 1 << 26
+
 
 def _word_idx(i: int) -> Column:
     return F.expr(f"CAST(__bf_p{i} DIV {BITS_PER_WORD} AS INT)")
@@ -66,10 +98,11 @@ def bloom_build(
     k: int = 4,
 ) -> DataFrame:
     """Build the filter over ``df[key_col]``: returns the sparse word
-    table (word_idx int, word long) with at most m_bits/63 rows (63 usable bits per word — see BITS_PER_WORD). Merge
-    filters from several batches by unioning the tables and re-running
-    the same groupBy/bit_or."""
-    staged = df.select(
+    table (word_idx int, word long, m_bits long, k int) with at most
+    m_bits/63 rows (63 usable bits per word — see BITS_PER_WORD). NULL
+    keys are ignored (not members). Merge filters from several batches
+    with ``bloom_merge`` (raises if their parameters differ)."""
+    staged = df.where(F.col(key_col).isNotNull()).select(
         *[
             p.alias(f"__bf_p{i}")
             for i, p in enumerate(_positions(F.col(key_col), m_bits, k))
@@ -88,24 +121,127 @@ def bloom_build(
             )
         ).alias("pm")
     ).select("pm.word_idx", "pm.mask")
-    return pairs.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    return (
+        pairs.groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .withColumn("m_bits", F.lit(m_bits).cast("long"))
+        .withColumn("k", F.lit(k).cast("int"))
+    )
+
+
+def _table_params(filt: DataFrame) -> tuple[int, int] | None:
+    """(m_bits, k) from the metadata columns, or None for a legacy /
+    hand-built table without them. The collect is bounded: the distinct
+    over two constant columns of a parameter-sized table is one row for
+    any well-formed filter (and the raise below catches the rest)."""
+    if "m_bits" not in filt.columns or "k" not in filt.columns:
+        return None
+    rows = filt.select("m_bits", "k").distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(
+            "Bloom word table carries conflicting (m_bits, k) metadata "
+            f"{sorted((r['m_bits'], r['k']) for r in rows)} — it is a "
+            "union of filters built with different parameters; such "
+            "filters cannot be merged or probed (rebuild at one size)"
+        )
+    return int(rows[0]["m_bits"]), int(rows[0]["k"])
+
+
+def bloom_merge(*filts: DataFrame) -> DataFrame:
+    """Union filters from several batches into one: validates that every
+    input was built with the SAME (m_bits, k) — raising on mismatch
+    instead of merging silently and wrongly — then re-aggregates with
+    bit_or. Parameter-sized work end to end."""
+    if not filts:
+        raise ValueError("bloom_merge needs at least one filter")
+    seen: set[tuple[int, int]] = set()
+    for f in filts:
+        p = _table_params(f)
+        if p is None:
+            raise ValueError(
+                "bloom_merge requires the (m_bits, k) metadata columns "
+                "bloom_build writes; for a hand-built table, attach them "
+                "or merge manually with groupBy(word_idx).bit_or"
+            )
+        seen.add(p)
+    if len(seen) != 1:
+        raise ValueError(
+            "cannot merge Bloom filters with different parameters: "
+            f"{sorted(seen)} — a bit set at position p under one m is a "
+            "DIFFERENT bit under another, so the union answers neither "
+            "filter's membership question"
+        )
+    ((m_bits, k),) = seen
+    merged = filts[0].select("word_idx", "word")
+    for f in filts[1:]:
+        merged = merged.unionByName(f.select("word_idx", "word"))
+    return (
+        merged.groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .withColumn("m_bits", F.lit(m_bits).cast("long"))
+        .withColumn("k", F.lit(k).cast("int"))
+    )
 
 
 def bloom_might_contain(
     df: DataFrame,
     filt: DataFrame,
     key_col: str = "fingerprint",
-    m_bits: int = 1 << 20,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
     out_col: str = "might_contain",
+    probe_mode: str = "auto",
+    broadcast_max_bits: int = BROADCAST_MAX_BITS,
 ) -> DataFrame:
     """Probe: ``out_col`` is true iff ALL k bits are set — zero false
-    negatives, deterministic md5-derived false positives. k broadcast
-    joins on word_idx; the probed side never shuffles."""
+    negatives, deterministic md5-derived false positives; NULL keys
+    probe to false. (m_bits, k) are read from the filter's metadata
+    columns when present (passing them too merely cross-checks and
+    raises on disagreement); a legacy table without metadata requires
+    them explicitly. ``probe_mode``: 'broadcast' (k broadcast joins,
+    corpus never shuffles), 'shuffle' (explode + partitioned join +
+    bool_and re-assembly — the path for a filter too big to broadcast),
+    or 'auto' (broadcast iff m_bits <= broadcast_max_bits)."""
+    table = _table_params(filt)
+    if table is not None:
+        tm, tk = table
+        if m_bits is not None and m_bits != tm:
+            raise ValueError(
+                f"probe m_bits={m_bits} disagrees with the filter's own "
+                f"metadata m_bits={tm}"
+            )
+        if k is not None and k != tk:
+            raise ValueError(
+                f"probe k={k} disagrees with the filter's own metadata "
+                f"k={tk}"
+            )
+        m_bits, k = tm, tk
+    elif m_bits is None or k is None:
+        raise ValueError(
+            "filter table has no (m_bits, k) metadata columns — pass "
+            "m_bits and k explicitly for a hand-built table"
+        )
+
+    # duplicate-row guard (ADVICE r9): a table unioned without the
+    # bit_or re-aggregate would multiply probe rows; re-aggregating the
+    # parameter-sized table is cheap and heals it
+    words = filt.select("word_idx", "word").groupBy("word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+
+    if probe_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    if probe_mode == "auto":
+        probe_mode = (
+            "broadcast" if m_bits <= broadcast_max_bits else "shuffle"
+        )
+    if probe_mode == "shuffle":
+        return _probe_shuffle(df, words, key_col, m_bits, k, out_col)
+
     orig_cols = df.columns
     out = df
     for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
-        w = filt.select(
+        w = words.select(
             F.col("word_idx").alias(f"__bf_i{i}"),
             F.col("word").alias(f"__bf_w{i}"),
         )
@@ -118,4 +254,60 @@ def bloom_might_contain(
             F.coalesce(F.col(f"__bf_w{i}"), F.lit(0)).bitwiseAND(_mask(i))
             != 0
         )
-    return out.withColumn(out_col, cond).select(*orig_cols, out_col)
+    # NULL key -> NULL positions -> NULL cond without this guard
+    verdict = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+        F.coalesce(cond, F.lit(False))
+    )
+    return out.withColumn(out_col, verdict).select(*orig_cols, out_col)
+
+
+def _probe_shuffle(
+    df: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """Production-m probe: the word table is joined PARTITIONED on
+    word_idx instead of broadcast. Explode each row's k positions to
+    (row_id, word_idx, mask) — narrow rows, k per input row — join the
+    filter shuffle-hash on word_idx, bool_and per row_id, join the
+    verdict back on row_id. Identical output to the broadcast mode
+    (pinned by test_bloom_probe_modes_identical)."""
+    rid = "__bf_rid"
+    orig_cols = df.columns
+    base = df.withColumn(rid, F.monotonically_increasing_id())
+    staged = base.select(
+        rid,
+        *[
+            p.alias(f"__bf_p{i}")
+            for i, p in enumerate(_positions(F.col(key_col), m_bits, k))
+        ],
+    )
+    pairs = staged.select(
+        F.col(rid),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _word_idx(i).alias("word_idx"),
+                        _mask(i).alias("mask"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pm"),
+    ).select(rid, "pm.word_idx", "pm.mask")
+    hits = pairs.join(words.hint("shuffle_hash"), "word_idx", "left")
+    ok = hits.groupBy(rid).agg(
+        F.bool_and(
+            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+            != 0
+        ).alias("__bf_ok")
+    )
+    out = base.join(ok, rid, "left")
+    verdict = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+        F.coalesce(F.col("__bf_ok"), F.lit(False))
+    )
+    return out.withColumn(out_col, verdict).select(*orig_cols, out_col)
