@@ -209,14 +209,49 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+def _fold_host_to_ace(h: str | None, idna_mod) -> str | None:
+    """One host -> ACE form; module-level (not a UDF closure) so the
+    IDNA2003-fallback path is directly testable — the pandas UDF runs in
+    a forked worker where driver-side import poisoning can't reach.
+    ``idna_mod``: the third-party ``idna`` module (UTS46) or None for
+    the stdlib IDNA2003 codec."""
+    if h is None:
+        return None
+
+    def one(lab):
+        if not lab:
+            # empty labels (leading dot / consecutive dots) stay empty
+            # rather than erroring, as browsers do
+            return ""
+        if idna_mod is not None:
+            return idna_mod.encode(lab, uts46=True).decode("ascii")
+        return lab.encode("idna").decode("ascii")
+
+    try:
+        # per-label so malformed neighbors don't take out the whole
+        # host's valid labels
+        return ".".join(one(lab) for lab in h.split("."))
+    except UnicodeError:  # idna.IDNAError subclasses this too
+        return None
+
+
 def fold_idn_hosts(
     df: DataFrame, host_col: str = "host", out_col: str | None = None
 ) -> DataFrame:
     """IDN -> punycode host folding (VERDICT r8 "what's missing" #3, last
     URL edge): ``münchen.de`` and ``xn--mnchen-3ya.de`` are the SAME host
-    on the wire (RFC 3490 ToASCII), so without folding they never collide
-    in url_dedup/domain_stats. Folds every non-ASCII host to its punycode
-    ACE form via Python's stdlib ``idna`` codec.
+    on the wire, so without folding they never collide in
+    url_dedup/domain_stats.
+
+    Codec choice (ADVICE r9): browsers and registries fold via
+    IDNA2008/UTS46, which DIVERGES from the stdlib codec's IDNA2003
+    (RFC 3490) on transitional characters — ``straße.de`` is
+    ``xn--strae-oqa.de`` on the modern wire but folds to ``strasse.de``
+    under IDNA2003, silently merging two distinct registrations. This
+    therefore prefers the third-party ``idna`` package's UTS46 path
+    when importable and only falls back to the stdlib codec without it
+    (fallback behavior pinned by test with the import poisoned; the
+    divergence itself is pinned by test_fold_idn_uts46_vs_idna2003).
 
     Scale shape — the UDF-is-the-slow-path rule applied: non-ASCII hosts
     are a tiny slice of any real crawl, so the Arrow-batched UDF receives
@@ -232,20 +267,11 @@ def fold_idn_hosts(
     from pyspark.sql.functions import pandas_udf
 
     def _to_ace(hosts):
-        def fold(h):
-            if h is None:
-                return None
-            try:
-                # per-label, as browsers do: empty labels (leading dot /
-                # consecutive dots) stay empty rather than erroring
-                return ".".join(
-                    lab.encode("idna").decode("ascii") if lab else ""
-                    for lab in h.split(".")
-                )
-            except UnicodeError:
-                return None
-
-        return hosts.map(fold)
+        try:
+            import idna as _idna  # UTS46/IDNA2008 — the modern wire
+        except ImportError:
+            _idna = None
+        return hosts.map(lambda h: _fold_host_to_ace(h, _idna))
 
     # real annotation objects, not strings: this module's `from
     # __future__ import annotations` would stringify inline hints and

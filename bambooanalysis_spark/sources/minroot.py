@@ -98,6 +98,14 @@ def _read_tstring(buf: bytes, pos: int) -> tuple[str, int]:
     if pos >= len(buf):
         raise ValueError("corrupt TString: length byte past EOF")
     n = buf[pos]
+    if pos + 1 + n > len(buf):
+        # ADVICE r9: a body past EOF would silently slice short and
+        # decode a truncated name — fail loudly like the rest of the
+        # strict walkers (sniff_file catches ValueError for best-effort)
+        raise ValueError(
+            f"corrupt TString: {n}-byte body extends past EOF "
+            f"({len(buf) - pos - 1} bytes left)"
+        )
     return buf[pos + 1 : pos + 1 + n].decode(), pos + 1 + n
 
 

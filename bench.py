@@ -175,8 +175,16 @@ class _ExtLoad:
 
     def __exit__(self, *exc):
         dt = max(time.monotonic() - self.t0, 1e-3)
+        # re-scan the tree at window END and union with the enter-time
+        # list (ADVICE r9): a pyspark python worker forked MID-window is
+        # absent from the enter list, so its jiffies would count as
+        # external load — the exact misattribution this class exists to
+        # avoid. New pids start at 0 jiffies, so a missing t0 baseline
+        # only under-counts our own work by the pre-fork slice (safe
+        # direction: never inflates ext).
+        pids = sorted(set(self.pids) | set(_tree_pids()))
         ext = (_proc_busy_jiffies() - self.busy0) - (
-            _tree_jiffies(self.pids) - self.self0
+            _tree_jiffies(pids) - self.self0
         )
         self.cores = max(ext, 0) / _HZ / dt
 

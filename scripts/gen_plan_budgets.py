@@ -41,10 +41,12 @@ COUNTERS = [
 
 def targets() -> dict:
     """Everything budgeted: the bench headline entries plus EVERY
-    registered contract query (r7 added the rel_* family; r9 widens to
-    all 120 registrations) — the generic counter gate catches what
-    bespoke plan asserts forget, e.g. a refactor that re-adds a forced
-    broadcast or a Python stage in any operator family."""
+    registered contract query (r7 added the rel_* family; since r9 the
+    budget covers every registration, whatever the current count —
+    tests/plan_budgets.json is the authoritative list) — the generic
+    counter gate catches what bespoke plan asserts forget, e.g. a
+    refactor that re-adds a forced broadcast or a Python stage in any
+    operator family."""
     import bench
     from bambooanalysis_spark.contract import QUERIES
 

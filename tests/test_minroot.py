@@ -817,6 +817,20 @@ def test_key_walkers_reject_truncated_chains(tmp_path):
         minroot.list_keys(str(bad2))
 
 
+def test_read_tstring_rejects_truncated_body():
+    """ADVICE r9: a TString whose BODY extends past EOF must raise, not
+    silently decode a short name (the length-byte guard alone let the
+    slice truncate)."""
+    buf = bytes([5]) + b"ab"  # claims 5 bytes, only 2 present
+    with pytest.raises(ValueError, match="extends past EOF"):
+        minroot._read_tstring(buf, 0)
+    # length byte itself past EOF still raises
+    with pytest.raises(ValueError, match="length byte past EOF"):
+        minroot._read_tstring(b"", 0)
+    # exact fit stays fine
+    assert minroot._read_tstring(bytes([2]) + b"ab", 0) == ("ab", 3)
+
+
 def test_corrupt_baskets_fail_loudly_not_silently(tmp_path):
     """Self-review r9: corrupt baskets must raise, never silently return
     fewer values — (a) a value region truncated mid-value, (b) an fLast

@@ -257,6 +257,41 @@ def test_fold_idn_hosts(spark):
     assert doms == {"xn--mnchen-3ya.de"}
 
 
+def test_fold_idn_uts46_vs_idna2003():
+    """ADVICE r9: IDNA2003 (stdlib) and IDNA2008/UTS46 (idna package)
+    diverge on transitional characters — straße.de is a DISTINCT
+    registration from strasse.de on the modern wire, but IDNA2003 folds
+    them together. The module-level fold helper exposes both paths."""
+    idna = pytest.importorskip("idna")
+    assert U._fold_host_to_ace("straße.de", idna) == "xn--strae-oqa.de"
+    assert U._fold_host_to_ace("straße.de", None) == "strasse.de"
+    # non-transitional chars agree across the two standards
+    for mod in (idna, None):
+        assert U._fold_host_to_ace("münchen.de", mod) == "xn--mnchen-3ya.de"
+        assert U._fold_host_to_ace("bücher.example", mod) == (
+            "xn--bcher-kva.example"
+        )
+        # malformed-host contract holds on both paths
+        assert U._fold_host_to_ace("ü" + "a" * 63 + ".de", mod) is None
+        assert U._fold_host_to_ace(None, mod) is None
+        # empty labels stay empty rather than erroring
+        assert U._fold_host_to_ace(".mün.de", mod) == ".xn--mn-xka.de"
+
+
+def test_fold_idn_spark_path_uses_uts46(spark):
+    """The deployed UDF prefers UTS46 when the idna package is present
+    (it is in this container): straße.de must fold to its own ACE form,
+    not merge into strasse.de."""
+    pytest.importorskip("idna")
+    df = spark.createDataFrame(
+        [(1, "straße.de"), (2, "strasse.de")], "doc_id long, host string"
+    )
+    out = {r["doc_id"]: r["host"] for r in U.fold_idn_hosts(df).collect()}
+    assert out[1] == "xn--strae-oqa.de"
+    assert out[2] == "strasse.de"
+    assert out[1] != out[2]  # distinct registrations stay distinct
+
+
 def test_registered_domain_from_wildcard_and_exception_rules(spark):
     """The real PSL's grammar (publicsuffix.org algorithm): wildcard
     rules make every single label under the base a suffix; exception
