@@ -257,6 +257,69 @@ def test_fold_idn_hosts(spark):
     assert doms == {"xn--mnchen-3ya.de"}
 
 
+def test_registered_domain_from_vs_python_reference(spark):
+    """VERDICT r9 #4 groundwork: the Spark PSL path vs an independent
+    straight-Python transcription of the publicsuffix.org algorithm
+    (scripts/psl_synth.ref_registered_domain — zero shared code), on a
+    600-rule synthetic list with the real list's grammar mix and 1500
+    random hosts covering every rule class. Disagreement = real bug,
+    not a mirrored one."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import psl_synth
+
+    rules = psl_synth.make_psl(n_rules=600)
+    # keep the classes present after sampling
+    assert any(r.startswith("*.") for r in rules)
+    rules += ["*.probe.taa", "!keep.probe.taa"]
+    hosts = psl_synth.make_hosts(rules, 1500)
+    expect = {
+        (i, h): psl_synth.ref_registered_domain(h, rules)
+        for i, h in enumerate(hosts)
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    psl = spark.createDataFrame([(r,) for r in rules], "suffix string")
+    got = {
+        (r["doc_id"], hosts[r["doc_id"]]): r["registered_domain"]
+        for r in U.registered_domain_from(df, psl).collect()
+    }
+    diff = {k: (got[k], expect[k]) for k in expect if got[k] != expect[k]}
+    assert not diff, f"{len(diff)} disagreements, e.g. {list(diff.items())[:5]}"
+    # the fixture really exercised all verdict classes
+    vals = set(expect.values())
+    assert None in vals and len(vals) > 50
+
+
+def test_registered_domain_full_psl_plan_budget(spark):
+    """VERDICT r9 #4: the full-scale PSL plan (synthetic ~9k rules,
+    depth 5 — the real Mozilla list's shape) stays exactly 14 probe
+    joins (5 exact + 5 exception + 4 wildcard), all broadcast, with
+    zero corpus shuffles and zero Python stages. Measured cost
+    (scripts/bench_psl_full.py, PERFORMANCE §51): 0.96 s at sf0.1 /
+    2.22 s at sf1 — corpus-bound, so depth-grouped probe consolidation
+    is documented as not worth it."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import psl_synth
+
+    rules = psl_synth.make_psl()
+    assert len(rules) > 8000
+    psl = spark.createDataFrame([(r,) for r in rules], "suffix string")
+    df = spark.createDataFrame([("a.b.co.sab",)], "host string")
+    plan = (
+        U.registered_domain_from(df, psl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 14
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+
+
 def test_fold_idn_uts46_vs_idna2003():
     """ADVICE r9: IDNA2003 (stdlib) and IDNA2008/UTS46 (idna package)
     diverge on transitional characters — straße.de is a DISTINCT
