@@ -2086,3 +2086,70 @@ WHERE b.rk = 1 ORDER BY b.doc_id
 
 register("text_nb_scores", q_text_nb_scores, ORACLE_TEXT_NB_SCORES)
 register("text_nb_predict", q_text_nb_predict, ORACLE_TEXT_NB_PREDICT)
+
+
+# --- true-NB log-space mode (round 10, VERDICT r9 #5) --------------------------
+# mode='log' ranks by the actual multinomial-NB log-likelihood. Every ln
+# argument is an integer, so ln is shared fixed-point DATA + integer
+# CASE algebra (classifier.log_lut / mantissa_shift_sql): the oracle
+# carries the SAME 1023-row LUT as a VALUES CTE and the SAME generated
+# CASE chains (DuckDB '//' spelling), so the hash match is exact — no
+# libm in either engine's plan.
+
+def q_text_nb_predict_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_predict
+
+    model, held = _nb_parts(spark, sf_dir)
+    return nb_predict(model, held, mode="log").orderBy("doc_id")
+
+
+def _oracle_nb_log() -> str:
+    from ..operators.classifier import (
+        LN2_E6,
+        log_lut_values_sql,
+        mantissa_shift_sql,
+    )
+
+    def ilog(x: str) -> str:
+        m_sql, s_sql = mantissa_shift_sql(x, div="//")
+        return (
+            f"((SELECT ln_e6 FROM lut WHERE m = ({m_sql}))"
+            f" + ({s_sql}) * {LN2_E6})"
+        )
+
+    return (
+        f"WITH lut(m, ln_e6) AS (VALUES {log_lut_values_sql()}),"
+        + _NB_CTES.split("WITH", 1)[1]
+        + f""",
+lstats AS (
+    SELECT l.label,
+           {ilog('l.tok_total + m.v')} AS ln_tv,
+           {ilog('l.n_docs')} - {ilog('m.n_docs_total')} AS prior_log_e6
+    FROM ls l CROSS JOIN meta m
+),
+logscores AS (
+    SELECT p.doc_id, p.label,
+           COUNT(*) AS n_toks,
+           CAST(SUM({ilog('COALESCE(p.c, 0) + 1')})
+                - COUNT(*) * MIN(s.ln_tv)
+                + MIN(s.prior_log_e6) AS BIGINT) AS score_log_e6
+    FROM pairs p JOIN lstats s ON s.label = p.label
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_log_e6 DESC, label ASC) AS rk
+    FROM logscores
+)
+SELECT b.doc_id, b.label AS predicted,
+       b.score_log_e6 AS best_e6,
+       CAST(b.score_log_e6 - COALESCE(s.score_log_e6, 0) AS BIGINT)
+           AS margin_e6
+FROM ranked b
+LEFT JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+WHERE b.rk = 1 ORDER BY b.doc_id
+"""
+    )
+
+
+register("text_nb_predict_log", q_text_nb_predict_log, _oracle_nb_log())

@@ -16,9 +16,13 @@ r8 #2: the arithmetic mean of per-token probabilities is a CORRELATED
 BUT DIFFERENT decision rule from the NB log-likelihood (a geometric
 mean): a document with one very-rare token can rank differently under
 the two rules, because one near-zero factor collapses a product but
-barely moves a mean. This is deliberate — the operator is exact,
-deterministic, and planted-signal-tested as a curation score; it does
-NOT claim NB-posterior ranking.)
+barely moves a mean. The mean mode is exact, deterministic, and
+planted-signal-tested as a curation score; for the TRUE NB-posterior
+ranking pass ``mode='log'`` — it scores by the log-likelihood using a
+shared integer log-LUT (see the fixed-point log block below), staying
+bit-exact across engines, and the rank divergence between the two
+modes on a rare-token document is pinned by
+tests/test_classifier.py::test_log_mode_rank_divergence.)
 
 Scale shape: the model is one (label, token) count aggregation plus a
 label-sized stats table and a 1-row meta aggregate — vocabulary-sized,
@@ -33,6 +37,7 @@ driver.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, Window
@@ -40,6 +45,84 @@ from pyspark.sql import functions as F
 
 from .similarity import _maybe_broadcast
 from .text import tokens
+
+# --- shared fixed-point logarithm (mode='log', VERDICT r9 #5) -----------------
+# True NB ranking needs ln, but transcendental COLUMNS would be
+# engine-divergent in the last ulp. Every ln argument in the NB score is
+# an INTEGER (c+1, tok_total+v, n_docs, n_docs_total), so ln becomes
+# exact integer algebra over a shared table: write x = m * 2^s with
+# s = max(0, bitlen(x) - LOG_LUT_BITS) via plain integer comparisons
+# (no log2 doubles), look floor(1e6*ln m) up in a 1023-row LUT generated
+# ONCE in Python, and add s * floor(1e6*ln 2). Exact for x < 1024; above
+# that it quantizes the mantissa to 10 bits (error < ln(1+2^-9) ~ 1953
+# e6-units per factor — invisible next to inter-class ln gaps, and
+# IDENTICAL in both engines because the LUT rows and CASE algebra are
+# generated from the same Python source).
+
+LOG_LUT_BITS = 10
+LOG_LUT_SIZE = 1 << LOG_LUT_BITS  # mantissa domain 1..1023
+LN2_E6 = 693147                   # floor(1e6 * ln 2)
+_MAX_SHIFT = 52                   # bound 1024 << 52 = 2^62 stays in BIGINT
+
+
+def log_lut() -> list[tuple[int, int]]:
+    """(m, floor(1e6 * ln m)) for m in 1..1023 — one Python source of
+    truth consumed as DATA by both Spark and the DuckDB oracle, so libm
+    ulp differences cannot diverge the engines."""
+    return [
+        (m, math.floor(1e6 * math.log(m))) for m in range(1, LOG_LUT_SIZE)
+    ]
+
+
+def mantissa_shift_sql(x: str, div: str = "DIV") -> tuple[str, str]:
+    """Integer CASE chains computing (m, s) of ``x``: constant bounds
+    and constant power-of-two divisors only, so Spark SQL (div='DIV')
+    and DuckDB (div='//') produce identical integers."""
+    m_b, s_b = [], []
+    for s in range(_MAX_SHIFT):
+        bound = LOG_LUT_SIZE << s
+        m_b.append(f"WHEN ({x}) < {bound} THEN ({x}) {div} {1 << s}")
+        s_b.append(f"WHEN ({x}) < {bound} THEN {s}")
+    m_sql = (
+        "CASE " + " ".join(m_b)
+        + f" ELSE ({x}) {div} {1 << _MAX_SHIFT} END"
+    )
+    s_sql = "CASE " + " ".join(s_b) + f" ELSE {_MAX_SHIFT} END"
+    return m_sql, s_sql
+
+
+def ilog_e6_oracle_sql(x: str, lut: str = "lut") -> str:
+    """DuckDB fragment: the fixed-point ilog of integer expression ``x``
+    via a scalar lookup in the ``lut(m, ln_e6)`` CTE."""
+    m_sql, s_sql = mantissa_shift_sql(x, div="//")
+    return (
+        f"((SELECT ln_e6 FROM {lut} WHERE m = ({m_sql}))"
+        f" + ({s_sql}) * {LN2_E6})"
+    )
+
+
+def log_lut_values_sql() -> str:
+    """The LUT as a DuckDB VALUES list for the oracle CTE."""
+    return ", ".join(f"({m}, {v})" for m, v in log_lut())
+
+
+def _attach_ilog(
+    df: DataFrame, x_sql: str, out_col: str, lut_df: DataFrame, tag: str
+) -> DataFrame:
+    """ilog_e6(x) as a column: compute (m, s) JVM-side, broadcast-join
+    the 1023-row LUT on m, add s * LN2_E6."""
+    m_sql, s_sql = mantissa_shift_sql(x_sql, div="DIV")
+    lut = lut_df.select(
+        F.col("m").alias(f"__m{tag}"), F.col("ln_e6").alias(f"__l{tag}")
+    )
+    return (
+        df.withColumn(f"__m{tag}", F.expr(m_sql).cast("int"))
+        .join(F.broadcast(lut), f"__m{tag}", "left")
+        .withColumn(
+            out_col, F.expr(f"__l{tag} + ({s_sql}) * {LN2_E6}L")
+        )
+        .drop(f"__m{tag}", f"__l{tag}")
+    )
 
 
 class NBModel(NamedTuple):
@@ -82,10 +165,24 @@ def nb_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_limit: int = 2_000_000,
+    mode: str = "mean",
 ) -> DataFrame:
-    """Per (doc, label): token count, OOV-for-this-class count, the
-    fixed-point mean smoothed token probability ``tok_mean_e6``, the
-    class prior ``prior_e6``, and their sum ``score_e6``."""
+    """Per (doc, label): token count, OOV-for-this-class count, and the
+    class score. ``mode='mean'`` (default): the fixed-point mean smoothed
+    token probability ``tok_mean_e6``, the class prior ``prior_e6``, and
+    their sum ``score_e6`` — exact, but a CORRELATED-NOT-IDENTICAL
+    decision rule vs NB (see module docstring). ``mode='log'`` (VERDICT
+    r9 #5): the TRUE multinomial-NB log-likelihood ranking in shared
+    fixed-point — ``loglik_e6 = sum ilog(c+1) - n_toks*ilog(tok_total+v)``
+    (= sum of smoothed log token probabilities), ``prior_log_e6 =
+    ilog(n_docs) - ilog(n_docs_total)``, ``score_log_e6`` their sum —
+    still bit-exact across engines because ilog is LUT data + integer
+    CASE algebra, not libm."""
+    if mode not in ("mean", "log"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "log":
+        return _nb_scores_log(model, docs, id_col, text_col,
+                              broadcast_limit)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -125,27 +222,94 @@ def nb_scores(
     )
 
 
+def _nb_scores_log(
+    model: NBModel,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_limit: int,
+) -> DataFrame:
+    """mode='log' body: every ln argument is an integer, so the score is
+    pure LUT + integer algebra (see the fixed-point log block above).
+    Plan shape mirrors mode='mean' — the only additions are 1023-row
+    broadcast LUT joins (one on the exploded pairs, three on the
+    label-count-sized stats table)."""
+    lut_df = docs.sparkSession.createDataFrame(
+        log_lut(), "m int, ln_e6 long"
+    )
+    labels = model.label_stats.crossJoin(F.broadcast(model.meta))
+    labels = _attach_ilog(labels, "tok_total + v", "__ln_tv", lut_df, "tv")
+    labels = _attach_ilog(labels, "n_docs", "__ln_nd", lut_df, "nd")
+    labels = _attach_ilog(
+        labels, "n_docs_total", "__ln_ndt", lut_df, "ndt"
+    )
+    labels = labels.select(
+        "label",
+        "__ln_tv",
+        F.expr("__ln_nd - __ln_ndt").alias("prior_log_e6"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    pairs = toks.crossJoin(F.broadcast(labels)).join(
+        _maybe_broadcast(model.token_counts, broadcast_limit),
+        ["label", "tok"],
+        "left",
+    )
+    pairs = _attach_ilog(
+        pairs, "coalesce(c, 0L) + 1L", "__ln_c1", lut_df, "c1"
+    )
+    return (
+        pairs.groupBy("doc_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum((F.col("c").isNull()).cast("long")).alias("n_oov"),
+            F.sum("__ln_c1").alias("__sum_ln"),
+            F.first("__ln_tv").alias("__ln_tv"),
+            F.first("prior_log_e6").alias("prior_log_e6"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "n_toks",
+            "n_oov",
+            F.expr("__sum_ln - n_toks * __ln_tv").alias("loglik_e6"),
+            "prior_log_e6",
+            F.expr(
+                "__sum_ln - n_toks * __ln_tv + prior_log_e6"
+            ).alias("score_log_e6"),
+        )
+    )
+
+
 def nb_predict(
     model: NBModel,
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_limit: int = 2_000_000,
+    mode: str = "mean",
 ) -> DataFrame:
     """argmax label per doc (ties broken by label ascending — exact,
-    deterministic) plus the winning and runner-up scores."""
-    scored = nb_scores(model, docs, id_col, text_col, broadcast_limit)
+    deterministic) plus the winning and runner-up scores. ``mode='log'``
+    ranks by the true NB log-likelihood (score_log_e6) instead of the
+    mean-probability score; output schema is identical, with best/margin
+    on the chosen score."""
+    scored = nb_scores(model, docs, id_col, text_col, broadcast_limit,
+                       mode=mode)
+    score_col = "score_log_e6" if mode == "log" else "score_e6"
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_e6").desc(), F.col("label").asc()
+        F.col(score_col).desc(), F.col("label").asc()
     )
     ranked = scored.withColumn("__rk", F.row_number().over(w))
     best = ranked.where(F.col("__rk") == 1).select(
         "doc_id",
         F.col("label").alias("predicted"),
-        F.col("score_e6").alias("best_e6"),
+        F.col(score_col).alias("best_e6"),
     )
     second = ranked.where(F.col("__rk") == 2).select(
-        "doc_id", F.col("score_e6").alias("second_e6")
+        "doc_id", F.col(score_col).alias("second_e6")
     )
     return best.join(second, "doc_id", "left").select(
         "doc_id",

@@ -75,6 +75,8 @@ ALLOWED = {
     ("membership.py", "w"):
         "Bloom filter word-table projection: at most m_bits/63 rows, "
         "m is a filter-size parameter independent of SF",
+    ("classifier.py", "lut"):
+        "fixed-point log table: 1023 rows by construction (LOG_LUT_SIZE)",
 }
 
 

@@ -66,3 +66,122 @@ def test_nb_plan_no_python_udfs(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- mode='log': true NB ranking in shared fixed-point (VERDICT r9 #5) --------
+
+
+def test_ilog_fixed_point_accuracy():
+    """ilog_e6 = LUT[m] + s*LN2_E6 must track 1e6*ln(x): exact (to the
+    floor) below 1024, within the documented 10-bit-mantissa bound
+    above — checked in pure Python against math.log, across magnitudes
+    up to 2^55."""
+    import math
+
+    from bambooanalysis_spark.operators import classifier as C
+
+    lut = dict(C.log_lut())
+
+    def ilog(x):
+        s = max(0, x.bit_length() - C.LOG_LUT_BITS)
+        return lut[x >> s] + s * C.LN2_E6
+
+    for x in range(1, 1024):
+        assert ilog(x) == math.floor(1e6 * math.log(x))
+    bound = math.log(1 + 2 ** -(C.LOG_LUT_BITS - 1)) * 1e6 + 60  # +floor slack
+    for x in [1024, 1025, 4097, 65535, 10**6 + 7, 2**31 - 1, 2**55 + 11]:
+        assert abs(ilog(x) - 1e6 * math.log(x)) < bound, x
+
+
+def test_log_mode_matches_python_reference(spark):
+    """score_log_e6 re-derived in plain Python from the same LUT but
+    independent algebra (collections.Counter, no Spark) — pins the
+    whole Spark plan (CASE chains, LUT joins, aggregation)."""
+    from collections import Counter
+
+    from bambooanalysis_spark.operators import classifier as C
+
+    df = _corpus(spark)
+    train = df.where("doc_id < 30")
+    held = df.where("doc_id >= 30").select("doc_id", "text")
+    model = train_nb(train)
+    got = {
+        (r["doc_id"], r["label"]): (r["loglik_e6"], r["prior_log_e6"],
+                                    r["score_log_e6"])
+        for r in nb_scores(model, held, mode="log").collect()
+    }
+
+    lut = dict(C.log_lut())
+
+    def ilog(x):
+        s = max(0, x.bit_length() - C.LOG_LUT_BITS)
+        return lut[x >> s] + s * C.LN2_E6
+
+    def toks(text):
+        import re
+        return re.findall(r"[a-z0-9]+", text.lower())
+
+    rows = train.collect()
+    counts = Counter()
+    label_toks = Counter()
+    label_docs = Counter()
+    vocab = set()
+    for r in rows:
+        for t in toks(r["text"]):
+            counts[(r["label"], t)] += 1
+            label_toks[r["label"]] += 1
+            vocab.add(t)
+        label_docs[r["label"]] += 1
+    v, n_total = len(vocab), len(rows)
+    expect = {}
+    for h in held.collect():
+        ts = toks(h["text"])
+        for lab in label_docs:
+            s = sum(ilog(counts.get((lab, t), 0) + 1) for t in ts)
+            loglik = s - len(ts) * ilog(label_toks[lab] + v)
+            prior = ilog(label_docs[lab]) - ilog(n_total)
+            expect[(h["doc_id"], lab)] = (loglik, prior, loglik + prior)
+    assert got == expect
+
+
+def test_log_mode_rank_divergence(spark):
+    """The documented mean-vs-NB divergence, demonstrated: a held doc
+    whose tokens are common in class A but contain ONE token that class
+    A has never seen (and class B has) — the near-zero factor collapses
+    the NB product (log mode flips to B) while the arithmetic mean
+    barely moves (mean mode stays A)."""
+    rows = []
+    # class A: 30 docs of common tokens, has NEVER seen 'rare'
+    # (p(rare|A) = 1/125 smoothed -> ln ~ -4.8 per occurrence)
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "A"))
+    # class B: tiny corpus (prior 10x smaller) sharing the common
+    # tokens, where 'rare' is frequent (p = 7/23 -> ln ~ -1.2)
+    for i in range(3):
+        rows.append((100 + i, "alpha beta gamma delta rare rare", "B"))
+    train = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    model = train_nb(train)
+    # two 'rare' occurrences: ~7.3 nats against A in log space, while
+    # the e6-scale mean moves by a few 1e4 against A's ~8.2e5 prior edge
+    held = spark.createDataFrame(
+        [(500, "alpha beta gamma delta rare rare")],
+        "doc_id long, text string",
+    )
+    mean_pred = nb_predict(model, held).collect()[0]["predicted"]
+    log_pred = nb_predict(model, held, mode="log").collect()[0]["predicted"]
+    assert mean_pred != log_pred, (mean_pred, log_pred)
+    assert mean_pred == "A"   # mean barely moves on one rare token
+    assert log_pred == "B"    # the unseen-token factor collapses A
+
+
+def test_log_mode_plan_no_python_udfs(spark):
+    df = _corpus(spark)
+    model = train_nb(df)
+    plan = (
+        nb_scores(model, df.select("doc_id", "text"), mode="log")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
