@@ -4,6 +4,7 @@ from bambooanalysis_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")
@@ -28,3 +29,8 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def sf_bench():
+    return SF_BENCH
