@@ -72,9 +72,13 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 # two's-complement wrap)
 BITS_PER_WORD = 63
 
-# auto-mode crossover: above this m the word table (~m/63 rows x ~12 B)
-# outgrows a comfortable broadcast (2^26 bits -> ~1M rows / ~12 MB,
-# shipped k times) and the probe switches to the shuffle plan
+# auto-mode crossover, MEASURED not guessed (PERFORMANCE §52,
+# scripts/bench_bloom_probe.py — 1M-member filter, 2M-key probe,
+# local[32]): broadcast wins 1.0-1.5 s vs shuffle's flat ~2.1 s through
+# 2^26 (12 MB word table), ties at 2^27 (22 MB), loses at 2^28 (31 MB,
+# 2.8 vs 2.1 s). Local mode understates real-cluster broadcast cost
+# (no network fan-out to executors), so auto stays ONE notch below the
+# local break-even.
 BROADCAST_MAX_BITS = 1 << 26
 
 
