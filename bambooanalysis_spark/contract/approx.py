@@ -2105,17 +2105,9 @@ def q_text_nb_predict_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_nb_log() -> str:
     from ..operators.classifier import (
-        LN2_E6,
+        ilog_e6_oracle_sql as ilog,
         log_lut_values_sql,
-        mantissa_shift_sql,
     )
-
-    def ilog(x: str) -> str:
-        m_sql, s_sql = mantissa_shift_sql(x, div="//")
-        return (
-            f"((SELECT ln_e6 FROM lut WHERE m = ({m_sql}))"
-            f" + ({s_sql}) * {LN2_E6})"
-        )
 
     return (
         f"WITH lut(m, ln_e6) AS (VALUES {log_lut_values_sql()}),"

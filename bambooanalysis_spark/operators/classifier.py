@@ -62,7 +62,14 @@ from .text import tokens
 LOG_LUT_BITS = 10
 LOG_LUT_SIZE = 1 << LOG_LUT_BITS  # mantissa domain 1..1023
 LN2_E6 = 693147                   # floor(1e6 * ln 2)
-_MAX_SHIFT = 52                   # bound 1024 << 52 = 2^62 stays in BIGINT
+# CASE branches cover s = 0..52 (largest bound literal 1024 << 52 =
+# 2^62, still a valid BIGINT); the ELSE catches x in [2^62, 2^63) with
+# s = 53, whose mantissa x DIV 2^53 lands in [512, 1024) — INSIDE the
+# LUT (self-review r10: an ELSE of s=52 put the mantissa at
+# [1024, 2047], off the LUT, and the left join would have silently
+# dropped the term from the score instead of raising)
+_MAX_SHIFT = 52
+_ELSE_SHIFT = 53
 
 
 def log_lut() -> list[tuple[int, int]]:
@@ -79,15 +86,15 @@ def mantissa_shift_sql(x: str, div: str = "DIV") -> tuple[str, str]:
     and constant power-of-two divisors only, so Spark SQL (div='DIV')
     and DuckDB (div='//') produce identical integers."""
     m_b, s_b = [], []
-    for s in range(_MAX_SHIFT):
+    for s in range(_MAX_SHIFT + 1):
         bound = LOG_LUT_SIZE << s
         m_b.append(f"WHEN ({x}) < {bound} THEN ({x}) {div} {1 << s}")
         s_b.append(f"WHEN ({x}) < {bound} THEN {s}")
     m_sql = (
         "CASE " + " ".join(m_b)
-        + f" ELSE ({x}) {div} {1 << _MAX_SHIFT} END"
+        + f" ELSE ({x}) {div} {1 << _ELSE_SHIFT} END"
     )
-    s_sql = "CASE " + " ".join(s_b) + f" ELSE {_MAX_SHIFT} END"
+    s_sql = "CASE " + " ".join(s_b) + f" ELSE {_ELSE_SHIFT} END"
     return m_sql, s_sql
 
 

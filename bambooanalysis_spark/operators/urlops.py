@@ -214,7 +214,18 @@ def _fold_host_to_ace(h: str | None, idna_mod) -> str | None:
     IDNA2003-fallback path is directly testable — the pandas UDF runs in
     a forked worker where driver-side import poisoning can't reach.
     ``idna_mod``: the third-party ``idna`` module (UTS46) or None for
-    the stdlib IDNA2003 codec."""
+    the stdlib IDNA2003 codec.
+
+    Already-ASCII labels pass through VERBATIM — same contract as the
+    JVM-side guard that passes fully-ASCII hosts around the UDF
+    (self-review r10: routing them through the UTS46 codec rejected
+    common non-LDH ASCII labels like ``_dmarc``/``_domainkey``, nulling
+    whole real-crawl hosts, and made the verdict depend on which codec
+    was importable). Only non-ASCII labels pay the codec; a label BOTH
+    of those reject (oversized post-encoding, bare disallowed
+    codepoints) folds the host to NULL — the malformed-host contract —
+    because a partially-folded host would be a key that matches
+    nothing real."""
     if h is None:
         return None
 
@@ -223,13 +234,13 @@ def _fold_host_to_ace(h: str | None, idna_mod) -> str | None:
             # empty labels (leading dot / consecutive dots) stay empty
             # rather than erroring, as browsers do
             return ""
+        if lab.isascii():
+            return lab
         if idna_mod is not None:
             return idna_mod.encode(lab, uts46=True).decode("ascii")
         return lab.encode("idna").decode("ascii")
 
     try:
-        # per-label so malformed neighbors don't take out the whole
-        # host's valid labels
         return ".".join(one(lab) for lab in h.split("."))
     except UnicodeError:  # idna.IDNAError subclasses this too
         return None

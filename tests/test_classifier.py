@@ -185,3 +185,27 @@ def test_log_mode_plan_no_python_udfs(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ilog_sql_matches_python_at_extreme_magnitudes(spark):
+    """Self-review r10: the CASE chain's ELSE branch must keep the
+    mantissa INSIDE the LUT for x in [2^62, 2^63) — an off-by-one shift
+    put it at [1024, 2047], where the LUT left-join went NULL and the
+    term silently vanished from the score. Pin SQL == Python across the
+    branch boundaries including the ELSE range."""
+    from bambooanalysis_spark.operators import classifier as C
+
+    lut = dict(C.log_lut())
+
+    def pyilog(x):
+        s = max(0, x.bit_length() - C.LOG_LUT_BITS)
+        return lut[x >> s] + s * C.LN2_E6
+
+    xs = [1, 2, 1023, 1024, 2047, 2048, (1 << 61) - 1, 1 << 61,
+          (1 << 62) - 1, 1 << 62, (1 << 62) + 99, (1 << 63) - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    lut_df = spark.createDataFrame(C.log_lut(), "m int, ln_e6 long")
+    out = C._attach_ilog(df, "x", "ilog", lut_df, "t")
+    got = {r["x"]: r["ilog"] for r in out.collect()}
+    for x in xs:
+        assert got[x] == pyilog(x), x

@@ -62,27 +62,42 @@ def test_bloom_merge_mismatched_params_raises(spark):
         M.bloom_merge(f_a, f_b)
     with pytest.raises(ValueError, match="different parameters"):
         M.bloom_merge(f_a, f_c)
-    # a raw cross-parameter union probed directly fails loudly too
+    # a raw cross-parameter union probed without explicit params fails
+    # at construction (the derive path reads the table)
     with pytest.raises(ValueError, match="conflicting"):
         M.bloom_might_contain(docs, f_a.unionByName(f_b), "fp")
+    # ...and probed WITH explicit params it fails at execution via the
+    # in-plan raise_error guard (lazy path, self-review r10)
+    probed = M.bloom_might_contain(
+        docs, f_a.unionByName(f_b), "fp", m_bits=1 << 12, k=3
+    )
+    with pytest.raises(Exception, match="filter table carries"):
+        probed.collect()
 
 
 def test_bloom_probe_param_crosscheck(spark):
-    """The probe derives (m_bits, k) from the filter's metadata; an
-    explicit argument that disagrees raises instead of probing the
-    wrong positions (a silent all-false-negatives failure)."""
+    """Explicit probe params that disagree with the filter's metadata
+    fail loudly (in-plan, at execution) instead of probing the wrong
+    positions — a silent all-false-negatives failure otherwise."""
     docs = _docs(spark, 100)
     filt = M.bloom_build(docs, "fp", m_bits=1 << 12, k=3)
-    with pytest.raises(ValueError, match="m_bits"):
-        M.bloom_might_contain(docs, filt, "fp", m_bits=1 << 13, k=3)
-    with pytest.raises(ValueError, match="k="):
-        M.bloom_might_contain(docs, filt, "fp", m_bits=1 << 12, k=4)
+    with pytest.raises(Exception, match="m_bits"):
+        M.bloom_might_contain(
+            docs, filt, "fp", m_bits=1 << 13, k=3
+        ).collect()
+    with pytest.raises(Exception, match="k="):
+        M.bloom_might_contain(
+            docs, filt, "fp", m_bits=1 << 12, k=4
+        ).collect()
+    # matching explicit params stay fully lazy AND green
+    ok = M.bloom_might_contain(docs, filt, "fp", m_bits=1 << 12, k=3)
+    assert ok.where("NOT might_contain").count() == 0
     # legacy table without metadata: explicit params required
     legacy = filt.select("word_idx", "word")
     with pytest.raises(ValueError, match="no \\(m_bits, k\\)"):
         M.bloom_might_contain(docs, legacy, "fp")
-    ok = M.bloom_might_contain(docs, legacy, "fp", m_bits=1 << 12, k=3)
-    assert ok.where("NOT might_contain").count() == 0
+    ok2 = M.bloom_might_contain(docs, legacy, "fp", m_bits=1 << 12, k=3)
+    assert ok2.where("NOT might_contain").count() == 0
 
 
 @pytest.mark.parametrize("mode", ["broadcast", "shuffle"])

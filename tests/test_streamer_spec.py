@@ -15,9 +15,14 @@ notes (both describe the identical on-disk object framing):
 - polymorphic members (TObjArray elements, pointers) are written via
   "object-any" framing: fByteCount, then a u32 class tag — either
   kNewClassTag = 0xFFFFFFFF followed by the NULL-TERMINATED class name
-  (a C string, not a TString), or a back-reference
+  (a C string, not a TString), or a CLASS back-reference
   (buffer_position_of_first_tag + kMapOffset) | kClassMask where
-  kClassMask = 0x80000000, kMapOffset = 2;
+  kClassMask = 0x80000000, kMapOffset = 2. A pointer to an
+  ALREADY-WRITTEN OBJECT (e.g. a leaf's fLeafCount aiming at the
+  counter leaf) is different: the bare u32
+  (object_start_position + kMapOffset) WITHOUT kClassMask and without
+  a byte-count prefix — the reader distinguishes the three cases by
+  the kByteCountMask / kNewClassTag / kClassMask bits;
 - TObject base: fVersion u16 = 1, fUniqueID u32, fBits u32;
 - TNamed v1: TObject, then fName and fTitle as TStrings (1 length
   byte + bytes);
@@ -141,9 +146,10 @@ class _Buf:
 def _leaf(buf: _Buf, cls: str, name: str, descriptor: str, lentype: int,
           counter_ref: int | None, lo, hi, minmax_fmt: str) -> int:
     """One typed leaf via object-any framing; returns the buffer
-    position of its class tag (for fLeafCount back-references)."""
+    position where the OBJECT starts (its byte-count word) — the
+    position an fLeafCount object back-reference points at."""
+    obj_pos = len(buf.b)
     pos = buf.begin_count()
-    tag_pos = len(buf.b)
     buf.class_tag(cls)
     inner = buf.begin_count()
     buf.pack(">h", 1)  # TLeafF/D/I version
@@ -161,13 +167,17 @@ def _leaf(buf: _Buf, cls: str, name: str, descriptor: str, lentype: int,
     if counter_ref is None:
         buf.pack(">I", 0)  # fLeafCount: null pointer
     else:
-        # object back-reference to the counter TLeafI's class tag
-        buf.pack(">I", (counter_ref + KMAPOFFSET) | KCLASSMASK)
+        # OBJECT back-reference to the counter TLeafI: the bare
+        # position of the referenced object's start + kMapOffset —
+        # no kClassMask, no byte-count prefix (a kClassMask tag would
+        # mean "new object of a previously-seen class" instead;
+        # self-review r10)
+        buf.pack(">I", counter_ref + KMAPOFFSET)
     buf.end_count(base)
     buf.pack(minmax_fmt, lo, hi)  # typed fMinimum / fMaximum
     buf.end_count(inner)
     buf.end_count(pos)
-    return tag_pos
+    return obj_pos
 
 
 def _tobjarray_open(buf: _Buf, n: int) -> int:

@@ -339,6 +339,13 @@ def test_fold_idn_uts46_vs_idna2003():
         assert U._fold_host_to_ace(None, mod) is None
         # empty labels stay empty rather than erroring
         assert U._fold_host_to_ace(".mün.de", mod) == ".xn--mn-xka.de"
+        # self-review r10: non-LDH ASCII labels (_dmarc/_domainkey are
+        # everywhere in real crawls) pass through VERBATIM on both
+        # paths — UTS46 would reject them and null the whole host,
+        # making the verdict depend on which codec is importable
+        assert U._fold_host_to_ace("_dmarc.münchen.de", mod) == (
+            "_dmarc.xn--mnchen-3ya.de"
+        )
 
 
 def test_fold_idn_spark_path_uses_uts46(spark):
