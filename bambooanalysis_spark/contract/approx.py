@@ -2145,3 +2145,99 @@ WHERE b.rk = 1 ORDER BY b.doc_id
 
 
 register("text_nb_predict_log", q_text_nb_predict_log, _oracle_nb_log())
+
+
+# --- winnowing document fingerprints (round 10) --------------------------------
+# operators/fingerprint.py — the MOSS local-fingerprinting algorithm
+# (k-gram polynomial hashes + rightmost-min windows), the brief's
+# "document fingerprinting (rolling hash)" row. Integer algebra end to
+# end; the oracle is generated from the SAME dialect-templated
+# fragments as the Spark plan (squash/hash/winnow), so the two engines
+# share one definition of the selection.
+
+_WIN_K, _WIN_W = 7, 4
+
+
+def _winnow_ctes() -> str:
+    from ..operators.fingerprint import (
+        hashes_sql,
+        squash_sql,
+        winnow_positions_sql,
+    )
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, {squash_sql('text', 'duck')} AS sq
+    FROM documents WHERE text IS NOT NULL
+),
+h AS (SELECT doc_id, {hashes_sql('sq', _WIN_K, 'duck')} AS hs FROM s),
+sel AS (SELECT doc_id, hs,
+        {winnow_positions_sql('hs', 'len(hs)', _WIN_W, 'duck')} AS sel
+        FROM h),
+fp AS (SELECT doc_id, CAST(unnest(sel) AS BIGINT) AS pos, hs FROM sel),
+fps AS (SELECT doc_id, pos, hs[CAST(pos AS BIGINT)] AS fp_hash FROM fp)
+"""
+
+
+def q_text_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.fingerprint import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count_distinct("fp_hash").alias("n_distinct"),
+            F.min("fp_hash").alias("min_fp"),
+            F.max("fp_hash").alias("max_fp"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_WINNOW_FINGERPRINTS = _winnow_ctes() + """
+SELECT doc_id, COUNT(*) AS n_fps, COUNT(DISTINCT fp_hash) AS n_distinct,
+       MIN(fp_hash) AS min_fp, MAX(fp_hash) AS max_fp,
+       MIN(pos) AS first_pos, MAX(pos) AS last_pos
+FROM fps GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap candidates: >= 3 shared rare fingerprints (df <= 5).
+    Any common squashed substring of length >= k+w-1 = 10 guarantees a
+    shared fingerprint, so overlapping docs cannot be missed; the df
+    cap drops boilerplate grams before the self-join (hot-key guard)."""
+    from ..operators.fingerprint import winnow_overlap_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        winnow_overlap_pairs(
+            docs, k=_WIN_K, w=_WIN_W, min_shared=3, max_df=5
+        )
+        .orderBy("i", "j")
+    )
+
+
+ORACLE_DEDUP_WINNOW_PAIRS = _winnow_ctes() + """,
+d AS (SELECT DISTINCT doc_id AS i, fp_hash FROM fps),
+rare AS (SELECT fp_hash FROM d GROUP BY 1 HAVING COUNT(*) <= 5),
+keyed AS (SELECT i, d.fp_hash FROM d JOIN rare USING (fp_hash))
+SELECT a.i AS i, b.i AS j, COUNT(*) AS n_shared
+FROM keyed a JOIN keyed b ON a.fp_hash = b.fp_hash AND a.i < b.i
+GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY 1, 2
+"""
+
+
+register(
+    "text_winnow_fingerprints", q_text_winnow_fingerprints,
+    ORACLE_TEXT_WINNOW_FINGERPRINTS,
+)
+register(
+    "dedup_winnow_pairs", q_dedup_winnow_pairs, ORACLE_DEDUP_WINNOW_PAIRS,
+)

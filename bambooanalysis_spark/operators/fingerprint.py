@@ -1,0 +1,189 @@
+"""Winnowing document fingerprints — the MOSS local fingerprinting
+algorithm (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003): hash every k-gram of the
+squashed text, slide a window of w consecutive k-gram hashes, select
+the MINIMUM of each window (rightmost on ties), and keep the distinct
+selected (position, hash) pairs. Guarantees: any shared substring of
+length >= k + w - 1 between two documents yields at least one shared
+fingerprint, and ~2/(w+1) of grams are selected — a position-robust
+dedup/overlap signal that whole-document hashing (text.fingerprint)
+and random shingle sampling both miss.
+
+Reference surface: the round brief's text-analysis list names
+"document fingerprinting (rolling hash)" directly; this is the
+canonical algorithm for it.
+
+Spark-first shape: everything through fingerprint selection is PURE
+ARRAY ALGEBRA on the JVM — transform/sequence builds the k-gram hash
+array, a second transform computes each window's rightmost argmin,
+array_distinct collapses repeats; zero shuffles, zero Python until the
+caller aggregates. The k-gram hash is the polynomial
+sum(ascii(c_j) * B^(k-1-j)) mod M with B=257, M=2^31-1 — written as a
+flat integer expression (max intermediate 122*257^6*7 ~ 2.5e17, well
+inside BIGINT), so a rolling evaluation is unnecessary and BOTH
+engines compute the identical integer. Every fragment below is
+generated from ONE template with dialect substitutions (the
+classifier-LUT convention), so the DuckDB oracle cannot drift from the
+Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+B = 257
+M = (1 << 31) - 1  # 2147483647
+
+# dialect substitutions: template text is written in Spark SQL; the
+# DuckDB rendering swaps the array-function spellings (semantics are
+# identical: 1-based positions, inclusive slices of length L,
+# first-match position, NULL-less mins on non-empty lists)
+_DUCK = {
+    "array_distinct(": "list_distinct(",
+    "array_position(": "list_position(",
+    "array_min(": "list_min(",
+    "transform(": "list_transform(",
+    "reverse(": "list_reverse(",
+    # sequence(a, b) is inclusive; range(a, b) is exclusive stop
+    "sequence(0, ": "range(0, 1 + ",
+    "sequence(1, ": "range(1, 1 + ",
+}
+
+
+def _render(template: str, dialect: str) -> str:
+    if dialect == "spark":
+        return template
+    if dialect != "duck":
+        raise ValueError(f"unknown dialect {dialect!r}")
+    out = template
+    for a, b in _DUCK.items():
+        out = out.replace(a, b)
+    return out
+
+
+def squash_sql(text: str, dialect: str = "spark") -> str:
+    """Lowercase and strip every non-alphanumeric char (MOSS squashing:
+    whitespace/punctuation must not break gram continuity)."""
+    flags = ", 'g'" if dialect == "duck" else ""
+    return f"regexp_replace(lower({text}), '[^a-z0-9]', ''{flags})"
+
+
+def gram_hash_sql(s: str, i: str, k: int) -> str:
+    """Polynomial hash of the k-gram of ``s`` starting at 1-based ``i``
+    — a flat sum with precomputed B-powers, identical text in both
+    dialects (substr/ascii agree)."""
+    terms = [
+        f"ascii(substr({s}, {i} + {j}, 1)) * {B ** (k - 1 - j)}"
+        for j in range(k)
+    ]
+    return f"(({' + '.join(terms)}) % {M})"
+
+
+def hashes_sql(s: str, k: int, dialect: str = "spark") -> str:
+    """Array of all k-gram hashes of ``s`` (empty when shorter than k)."""
+    t = (
+        f"CASE WHEN length({s}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, length({s}) - {k} + 1),"
+        f" i -> CAST({gram_hash_sql(s, 'i', k)} AS BIGINT)) END"
+    )
+    if dialect == "duck":
+        t = t.replace("THEN array()", "THEN CAST([] AS BIGINT[])")
+    return _render(t, dialect)
+
+
+def winnow_positions_sql(hs: str, m: str, w: int, dialect: str = "spark") -> str:
+    """Distinct selected positions (1-based into the hash array):
+    window t covers hashes[t+1 .. t+L], L = least(w, m - t); selected =
+    rightmost argmin = t + L + 1 - position of the min in the REVERSED
+    slice (first match in the reversal is the rightmost original —
+    the paper's tie rule). Windows slide t = 0 .. greatest(m - w, 0),
+    which degrades gracefully to one whole-array window when m < w."""
+    L = f"least({w}, {m} - t)"
+    sl = f"slice({hs}, t + 1, {L})"
+    if dialect == "duck":
+        sl = f"{hs}[t + 1 : t + {L}]"
+    t = (
+        f"CASE WHEN {m} < 1 THEN array()"
+        f" ELSE array_distinct(transform(sequence(0, greatest({m} - {w}, 0)),"
+        f" t -> t + {L} + 1 - array_position(reverse({sl}), array_min({sl}))))"
+        f" END"
+    )
+    if dialect == "duck":
+        t = t.replace("THEN array()", "THEN CAST([] AS BIGINT[])")
+    return _render(t, dialect)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, fp_hash) — one row per selected fingerprint; ``pos`` is
+    the 1-based gram position in the squashed text. Documents squashing
+    to fewer than k chars contribute no rows (nothing to fingerprint)."""
+    # ONE expression with let-bindings via the aggregate() HOF (zero is
+    # evaluated once per row; the finish lambda BINDS it as a variable).
+    # Without this, Catalyst's project collapsing inlines the squash
+    # regex into every gram term and the hash-array transform into
+    # every window slice — measured 16 s/doc on 300-char docs (the
+    # whole squash re-ran ~2000x per row); bound, the full corpus pass
+    # is sub-second. The winnow/hash/squash FRAGMENTS stay shared with
+    # the DuckDB oracle (which references plain CTE columns — DuckDB
+    # materializes per-row column values, so it needs no binding trick).
+    empty = "CAST(array() AS ARRAY<STRUCT<pos: BIGINT, fp_hash: BIGINT>>)"
+    fp_expr = (
+        f"aggregate(array(1), {squash_sql(text_col)}, (acc, x) -> acc,"
+        f" sq -> aggregate(array(1), {hashes_sql('sq', k)},"
+        f" (a, x) -> a, hs -> CASE WHEN size(hs) < 1 THEN {empty}"
+        f" ELSE transform({winnow_positions_sql('hs', 'size(hs)', w)},"
+        f" p -> struct(CAST(p AS BIGINT) AS pos,"
+        f" hs[CAST(p AS INT) - 1] AS fp_hash)) END))"
+    )
+    return (
+        # NULL text drops here: downstream, Spark's NULL-SKIPPING
+        # greatest/least would otherwise turn the NULL hash array into
+        # a single (NULL, NULL) fingerprint row instead of zero rows
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.expr(fp_expr)).alias("__fp"))
+        .select(id_col, "__fp.pos", "__fp.fp_hash")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup/overlap pairs: documents sharing >=
+    ``min_shared`` DISTINCT fingerprint hashes. Any common substring of
+    length >= k + w - 1 guarantees a shared fingerprint, so real
+    overlaps cannot be missed by sampling. ``max_df`` drops hashes
+    present in more than that many documents before the self-join —
+    the standard hot-key guard (boilerplate grams otherwise turn the
+    join quadratic; same production contract as the common-substring
+    cap in dedup.py)."""
+    fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
+        F.col(id_col).alias("i"), "fp_hash"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp_hash")
+    )
+    keyed = fps.join(rare, "fp_hash")
+    other = keyed.select(F.col("i").alias("j"), "fp_hash")
+    return (
+        keyed.join(other, "fp_hash")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,143 @@
+"""Winnowing fingerprints (operators/fingerprint.py): hand-computed
+tiny cases, an independent pure-Python reference sweep, the shared
+guarantee (common substring >= k+w-1 -> shared fingerprint), edge
+cases, and plan shape."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.operators import fingerprint as W
+
+
+# --- independent reference (no shared code with the SQL template) -----------
+
+
+def _ref_hashes(s: str, k: int) -> list[int]:
+    out = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for c in s[i:i + k]:
+            h = h * W.B + ord(c)
+        out.append(h % W.M)
+    return out
+
+
+def _ref_winnow(s: str, k: int, w: int) -> set[tuple[int, int]]:
+    """(1-based position, hash) pairs selected by rightmost-min
+    winnowing — straight from the paper's definition: every window of w
+    consecutive gram hashes selects its rightmost minimum."""
+    hs = _ref_hashes(s, k)
+    m = len(hs)
+    if m == 0:
+        return set()
+    sel = set()
+    for t in range(0, max(m - w, 0) + 1):
+        win = hs[t:t + w]
+        mn = min(win)
+        # rightmost occurrence of the min
+        p = t + max(i for i, v in enumerate(win) if v == mn)
+        sel.add((p + 1, hs[p]))
+    return sel
+
+
+def _squash(text: str) -> str:
+    return "".join(c for c in text.lower() if c.isalnum())
+
+
+def _spark_winnow(spark, texts, k=7, w=4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = W.winnow_fingerprints(df, k=k, w=w)
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in out.collect():
+        got[r["doc_id"]].add((r["pos"], r["fp_hash"]))
+    return got
+
+
+def test_winnow_matches_hand_computed_tiny():
+    """k=2, w=2 over 'abcab' squashed: grams ab bc ca ab; windows pick
+    rightmost minima — verified by the reference and by hand: hashes
+    h(ab)=(97*257+98)%M, repeats at positions 1 and 4."""
+    s = "abcab"
+    hs = _ref_hashes(s, 2)
+    assert hs[0] == hs[3] == (97 * 257 + 98) % W.M
+    sel = _ref_winnow(s, 2, 2)
+    # window[ab,bc]->ab@1; [bc,ca]->min(h(bc),h(ca)); [ca,ab]->ab@4
+    assert (1, hs[0]) in sel and (4, hs[0]) in sel
+
+
+def test_winnow_spark_equals_reference_random(spark):
+    rnd = random.Random(20260815)
+    alpha = "abcdef 01!"
+    texts = [
+        "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 120)))
+        for _ in range(60)
+    ]
+    got = _spark_winnow(spark, texts, k=7, w=4)
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow(_squash(t), 7, 4), (i, t)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The paper's guarantee: a common substring of length >= k+w-1
+    (here 10) always yields at least one shared fingerprint hash."""
+    rnd = random.Random(7)
+    common = "thequickbrownfox"  # 16 >= 10
+    texts = []
+    for i in range(20):
+        pre = "".join(rnd.choice("xyz") for _ in range(rnd.randrange(0, 30)))
+        post = "".join(rnd.choice("uvw") for _ in range(rnd.randrange(0, 30)))
+        texts.append(pre + common + post)
+    got = _spark_winnow(spark, texts, k=7, w=4)
+    sets = [set(h for _, h in got[i]) for i in range(20)]
+    base = sets[0]
+    for s in sets[1:]:
+        assert base & s, "guaranteed shared fingerprint missing"
+
+
+def test_winnow_edge_cases(spark):
+    texts = ["", "ab", "exactly", "ALL CAPS &&& 123", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = W.winnow_fingerprints(df, k=7, w=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc  # shorter than k
+    assert len(by_doc[2]) == 1  # exactly one gram -> one fingerprint
+    assert 3 in by_doc  # squashes to 'allcaps123' (10 chars, 4 grams)
+    assert 4 not in by_doc  # NULL text -> no rows
+
+
+def test_winnow_overlap_pairs_planted(spark):
+    rnd = random.Random(99)
+    shared = "winnowingfindsthissharedrun"
+    texts = []
+    for i in range(30):
+        noise = "".join(rnd.choice("pqrs") for _ in range(40))
+        texts.append(noise + (shared if i in (3, 11, 27) else "") +
+                     "".join(rnd.choice("lmno") for _ in range(40)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["i"], r["j"])
+        for r in W.winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert {(3, 11), (3, 27), (11, 27)} <= pairs
+    # noise-only docs don't pair up at min_shared=2
+    assert all(i in (3, 11, 27) and j in (3, 11, 27) for i, j in pairs)
+
+
+def test_winnow_plan_no_python_no_shuffle_before_agg(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    plan = (
+        W.winnow_fingerprints(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
