@@ -2210,9 +2210,11 @@ FROM fps GROUP BY 1 ORDER BY 1
 
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap candidates: >= 3 shared rare fingerprints (df <= 5).
-    Any common squashed substring of length >= k+w-1 = 10 guarantees a
-    shared fingerprint, so overlapping docs cannot be missed; the df
-    cap drops boilerplate grams before the self-join (hot-key guard)."""
+    The fingerprint layer guarantees >= 1 shared fingerprint per
+    common squashed substring of length >= k+w-1 = 10; these pair
+    thresholds then deliberately trade recall for join safety (pairs
+    sharing only one short run, or only boilerplate df>5 grams, are
+    not emitted — see winnow_overlap_pairs' docstring)."""
     from ..operators.fingerprint import winnow_overlap_pairs
 
     docs = read_table(spark, sf_dir, "documents")

@@ -162,13 +162,18 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate near-dup/overlap pairs: documents sharing >=
-    ``min_shared`` DISTINCT fingerprint hashes. Any common substring of
-    length >= k + w - 1 guarantees a shared fingerprint, so real
-    overlaps cannot be missed by sampling. ``max_df`` drops hashes
-    present in more than that many documents before the self-join —
-    the standard hot-key guard (boilerplate grams otherwise turn the
-    join quadratic; same production contract as the common-substring
-    cap in dedup.py)."""
+    ``min_shared`` DISTINCT fingerprint hashes. The no-miss guarantee
+    lives at the FINGERPRINT layer: a common squashed substring of
+    length >= k + w - 1 always yields >= 1 shared fingerprint (unlike
+    random shingle sampling). This PAIR query then trades recall for
+    join safety on top of it, explicitly: ``min_shared`` > 1 means a
+    pair sharing only one short run is NOT emitted, and ``max_df``
+    drops hashes present in more than that many documents before the
+    self-join (boilerplate grams otherwise turn it quadratic; same
+    production contract as the common-substring cap in dedup.py), so
+    overlaps carried ONLY by boilerplate fingerprints are skipped too.
+    Set min_shared=1, max_df=corpus size to recover the raw guarantee
+    at the join's quadratic risk."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
         F.col(id_col).alias("i"), "fp_hash"
     ).distinct()

@@ -227,18 +227,35 @@ def bloom_might_contain(
         # filter this re-runs the whole build lineage, so either persist
         # the filter first (the documented cross-batch lifecycle: write
         # it as parquet) or pass m_bits/k explicitly to stay fully lazy.
-        m_bits, k = _table_params(filt)
+        tm, tk = _table_params(filt)
+        # a HALF-specified caller still gets cross-checked — silently
+        # overwriting the one explicit value would hide the caller's
+        # wrong mental model of the filter (review r10 pass 2)
+        if m_bits is not None and m_bits != tm:
+            raise ValueError(
+                f"probe m_bits={m_bits} disagrees with the filter's "
+                f"own metadata m_bits={tm}"
+            )
+        if k is not None and k != tk:
+            raise ValueError(
+                f"probe k={k} disagrees with the filter's own "
+                f"metadata k={tk}"
+            )
+        m_bits, k = tm, tk
         src = filt.select("word_idx", "word")
     else:
         # explicit params: validate LAZILY, in-plan — any filter row
         # whose metadata disagrees fails the job loudly at execution,
         # with zero extra driver-side jobs (the repo's raise_error
         # guard pattern). Catches cross-parameter unions too.
-        src = filt
         if has_meta:
-            bad = (F.col("m_bits") != F.lit(m_bits)) | (
-                F.col("k") != F.lit(k)
-            )
+            # eqNullSafe, NOT !=: a NULL-metadata row (e.g. a legacy
+            # table unioned in with allowMissingColumns) must TRIP the
+            # guard, not NULL-propagate past it into a silent
+            # wrong-geometry probe (review r10 pass 2)
+            bad = ~F.col("m_bits").eqNullSafe(F.lit(m_bits)) | ~F.col(
+                "k"
+            ).eqNullSafe(F.lit(k))
             guarded = F.when(
                 bad,
                 F.raise_error(
@@ -248,9 +265,13 @@ def bloom_might_contain(
                             f"k={k} but the filter table carries "
                             "m_bits="
                         ),
-                        F.col("m_bits").cast("string"),
+                        F.coalesce(
+                            F.col("m_bits").cast("string"), F.lit("NULL")
+                        ),
                         F.lit(", k="),
-                        F.col("k").cast("string"),
+                        F.coalesce(
+                            F.col("k").cast("string"), F.lit("NULL")
+                        ),
                     )
                 ).cast("long"),
             ).otherwise(F.col("word"))

@@ -100,6 +100,37 @@ def test_bloom_probe_param_crosscheck(spark):
     assert ok2.where("NOT might_contain").count() == 0
 
 
+def test_bloom_probe_half_specified_params_still_crosschecked(spark):
+    """Review r10 pass 2: passing only ONE of m_bits/k must not
+    silently discard the caller's wrong value — the derive path
+    cross-checks whatever was provided."""
+    docs = _docs(spark, 100)
+    filt = M.bloom_build(docs, "fp", m_bits=1 << 12, k=3)
+    with pytest.raises(ValueError, match="disagrees"):
+        M.bloom_might_contain(docs, filt, "fp", m_bits=1 << 13)  # k omitted
+    with pytest.raises(ValueError, match="disagrees"):
+        M.bloom_might_contain(docs, filt, "fp", k=4)  # m_bits omitted
+    # half-specified but CORRECT params derive the rest and work
+    ok = M.bloom_might_contain(docs, filt, "fp", m_bits=1 << 12)
+    assert ok.where("NOT might_contain").count() == 0
+
+
+def test_bloom_probe_null_metadata_rows_trip_guard(spark):
+    """Review r10 pass 2: a filter mixing metadata rows with
+    NULL-metadata rows (legacy table unioned with
+    allowMissingColumns=True) must fail the in-plan guard, not
+    NULL-propagate past it into a silent wrong-geometry probe."""
+    docs = _docs(spark, 100)
+    filt = M.bloom_build(docs, "fp", m_bits=1 << 12, k=3)
+    legacy = M.bloom_build(
+        _docs(spark, 50, "b"), "fp", m_bits=1 << 13, k=3
+    ).select("word_idx", "word")
+    mixed = filt.unionByName(legacy, allowMissingColumns=True)
+    probed = M.bloom_might_contain(docs, mixed, "fp", m_bits=1 << 12, k=3)
+    with pytest.raises(Exception, match="m_bits=NULL"):
+        probed.collect()
+
+
 @pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
 def test_bloom_null_keys_probe_false(spark, mode):
     """NULL keys are not members: build ignores them, probe returns
