@@ -152,6 +152,76 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_exploded(
+    df: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alternative physical plan for ``winnow_fingerprints`` — identical
+    output (pinned by test_winnow_exploded_identity), different cost
+    model: explode grams to rows and do the sliding rightmost-min with
+    a codegen'd WINDOW function instead of interpreted array HOFs.
+    min(struct(hash, -pos)) over [CURRENT, w-1 FOLLOWING] gives each
+    window's (min hash, rightmost position) deterministically —
+    struct ordering breaks hash ties toward the LARGEST pos, the
+    paper's tie rule. Pays one corpus-sized shuffle (partitionBy doc)
+    that the HOF path avoids; wins when per-row interpretation
+    dominates (long docs), loses when the shuffle does (measured in
+    PERFORMANCE §56 — the HOF path stays the default)."""
+    from pyspark.sql import Window
+
+    sq = squash_sql(text_col)
+    # bind sq once (the §53 lesson), emit (pos, hash) rows
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(sq).alias("__sq"))
+        .where(F.length("__sq") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"aggregate(array(1), __sq, (acc, x) -> acc, sq ->"
+                    f" transform(sequence(1, length(sq) - {k} + 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                    f" CAST({gram_hash_sql('sq', 'i', k)} AS BIGINT)"
+                    f" AS h)))"
+                )
+            ).alias("__g"),
+        )
+        .select(id_col, "__g.pos", "__g.h")
+    )
+    n_w = Window.partitionBy(id_col)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # windows START only at t <= m - w (or the single t=1 window when
+    # m < w) — rows past that carry suffix windows the algorithm
+    # doesn't slide
+    sel = (
+        grams.withColumn("__m", F.count(F.lit(1)).over(n_w))
+        .withColumn(
+            "__win",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+                frame
+            ),
+        )
+        .where(
+            (F.col("pos") <= F.col("__m") - w + 1) | (F.col("pos") == 1)
+        )
+        .select(
+            id_col,
+            (-F.col("__win.np")).alias("pos"),
+            F.col("__win.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     k: int = 7,

@@ -141,3 +141,25 @@ def test_winnow_plan_no_python_no_shuffle_before_agg(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_exploded_identity(spark):
+    """The window-function formulation must select EXACTLY the same
+    (doc, pos, hash) set as the HOF path — including rightmost
+    tie-breaks, short docs (m < w), and repeated selections collapsing
+    to one row."""
+    rnd = random.Random(31337)
+    alpha = "abcd x9"
+    texts = ["", "ab", "exactly"] + [
+        "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 150)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints(df, k=5, w=3).collect()}
+    b = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints_exploded(df, k=5, w=3).collect()}
+    assert a == b
+    assert len(a) > 500  # the sweep actually exercised real content
