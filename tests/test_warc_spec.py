@@ -1,0 +1,219 @@
+"""WARC/WET source vs spec-authored fixtures (ISO 28500 / WARC 1.0).
+
+Discipline of test_root_layout_spec.py applied to the web-archive
+source: the fixture bytes below are hand-assembled FROM THE PUBLIC SPEC
+(ISO 28500 record grammar; CommonCrawl's member-per-record gzip layout
+per annex D) — no code in bambooanalysis_spark.sources.warc ever
+produced them, so a parser bug cannot be mirrored by a writer bug.
+
+Record grammar under test (ISO 28500 §4):
+
+    warc-file   = 1*warc-record
+    warc-record = header CRLF block CRLF CRLF
+    header      = version CRLF *named-field CRLF
+    version     = "WARC/1.0"
+    named-field = field-name ":" [SP field-value]
+
+Content-Length counts the block octets only (§5.11); the two CRLFs
+after the block are record framing, not content.  Gzip members are
+authored with the stdlib gzip module (an independent reference
+implementation — the reader walks members with raw zlib+unused_data).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from bambooanalysis_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    wet_records,
+)
+
+# --- fixture records, bytes authored from the spec ----------------------
+
+# Block payloads (content the Content-Length headers below count):
+WARCINFO_BLOCK = b"software: spec-fixture/1.0\r\nformat: WARC File Format 1.0\r\n"
+HTTP_BLOCK = (
+    b"HTTP/1.1 200 OK\r\n"
+    b"Content-Type: text/html\r\n"
+    b"\r\n"
+    b"<html><body>hello crawl</body></html>"
+)
+WET_TEXT = "hello crawl — extracted text\n".encode("utf-8")
+
+# Record 1: warcinfo (ISO 28500 §6.2) — Content-Length = 59 = len above.
+REC_WARCINFO = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"WARC-Date: 2026-08-16T00:00:00Z\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n"
+    b"Content-Type: application/warc-fields\r\n"
+    b"Content-Length: " + str(len(WARCINFO_BLOCK)).encode() + b"\r\n"
+    b"\r\n" + WARCINFO_BLOCK + b"\r\n\r\n"
+)
+
+# Record 2: response with an HTTP payload (§6.4); exercises a header
+# CONTINUATION line (folded field-value, RFC 5322 folding referenced by
+# §4) on WARC-Target-URI.
+REC_RESPONSE = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Target-URI: http://example.com/a\r\n"
+    b"WARC-Date: 2026-08-16T00:00:01Z\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000002>\r\n"
+    b"Content-Type: application/http;\r\n"
+    b" msgtype=response\r\n"
+    b"Content-Length: " + str(len(HTTP_BLOCK)).encode() + b"\r\n"
+    b"\r\n" + HTTP_BLOCK + b"\r\n\r\n"
+)
+
+# Record 3: conversion (§6.8) — the WET extracted-text record CommonCrawl
+# ships in .wet.gz; UTF-8 content.
+REC_CONVERSION = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: conversion\r\n"
+    b"WARC-Target-URI: http://example.com/a\r\n"
+    b"WARC-Date: 2026-08-16T00:00:02Z\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000003>\r\n"
+    b"Content-Type: text/plain\r\n"
+    b"Content-Length: " + str(len(WET_TEXT)).encode() + b"\r\n"
+    b"\r\n" + WET_TEXT + b"\r\n\r\n"
+)
+
+PLAIN_FILE = REC_WARCINFO + REC_RESPONSE + REC_CONVERSION
+
+
+def member_gz(rec: bytes) -> bytes:
+    # mtime pinned so fixture bytes are deterministic run-to-run
+    return gzip.compress(rec, mtime=0)
+
+
+GZ_FILE = member_gz(REC_WARCINFO) + member_gz(REC_RESPONSE) + member_gz(
+    REC_CONVERSION
+)
+
+
+# --- plain-file parse ----------------------------------------------------
+
+def test_plain_parse_fields_and_offsets():
+    recs = parse_warc_bytes(PLAIN_FILE, "fix.warc")
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "conversion",
+    ]
+    # offsets are the byte positions of each version line
+    assert recs[0]["record_offset"] == 0
+    assert recs[1]["record_offset"] == len(REC_WARCINFO)
+    assert recs[2]["record_offset"] == len(REC_WARCINFO) + len(REC_RESPONSE)
+    r = recs[1]
+    assert r["target_uri"] == "http://example.com/a"
+    assert r["warc_date"] == "2026-08-16T00:00:01Z"
+    assert r["record_id"].endswith("0002>")
+    # continuation line folded into the field value
+    assert r["content_type"] == "application/http; msgtype=response"
+    assert r["content_length"] == len(HTTP_BLOCK)
+    assert r["content"] == HTTP_BLOCK
+    assert recs[2]["content"] == WET_TEXT
+
+
+def test_gzip_member_parse_offsets_are_member_offsets():
+    recs = parse_warc_bytes(GZ_FILE, "fix.warc.gz")
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "conversion",
+    ]
+    m1 = len(member_gz(REC_WARCINFO))
+    m2 = m1 + len(member_gz(REC_RESPONSE))
+    # the offsets a CDX index would address
+    assert [r["record_offset"] for r in recs] == [0, m1, m2]
+    assert recs[2]["content"] == WET_TEXT
+
+
+def test_multi_record_single_member_allowed():
+    # spec allows one member holding many records; all report the
+    # member's file offset (the only byte address that exists for them)
+    one_member = member_gz(REC_WARCINFO + REC_CONVERSION)
+    recs = parse_warc_bytes(one_member, "multi.warc.gz")
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "conversion"]
+    assert [r["record_offset"] for r in recs] == [0, 0]
+
+
+# --- corrupt-input contract: loud ValueError, never short data -----------
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b[: len(REC_WARCINFO) + 40], "truncated"),
+        (lambda b: b"HTTP/1.0\r\n" + b[10:], "version line"),
+        (lambda b: b[:-4], "CRLFCRLF"),
+    ],
+)
+def test_plain_corruption_raises(mutate, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_warc_bytes(mutate(PLAIN_FILE), "bad.warc")
+
+
+def test_missing_content_length_raises():
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"\r\n"
+        b"x\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(rec, "nolen.warc")
+
+
+def test_block_longer_than_file_raises():
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: 9999\r\n"
+        b"\r\n"
+        b"short"
+    )
+    with pytest.raises(ValueError, match="declares 9999"):
+        parse_warc_bytes(rec, "short.warc")
+
+
+def test_truncated_gzip_member_raises():
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_warc_bytes(GZ_FILE[:-10], "trunc.warc.gz")
+
+
+def test_garbage_after_member_raises():
+    with pytest.raises(ValueError, match="magic"):
+        parse_warc_bytes(member_gz(REC_WARCINFO) + b"JUNK", "junk.warc.gz")
+
+
+# --- distributed scan ----------------------------------------------------
+
+def test_read_warc_distributed_and_wet_view(spark, tmp_path):
+    # two .warc.gz files -> two binaryFile tasks; plus one plain .warc
+    (tmp_path / "seg-00000.warc.gz").write_bytes(GZ_FILE)
+    (tmp_path / "seg-00001.warc.gz").write_bytes(GZ_FILE)
+    (tmp_path / "seg-00002.warc").write_bytes(PLAIN_FILE)
+
+    df = read_warc(spark, str(tmp_path) + "/*.warc*")
+    rows = df.orderBy("source_file", "record_offset").collect()
+    assert len(rows) == 9
+    assert {r["warc_type"] for r in rows} == {
+        "warcinfo", "response", "conversion",
+    }
+
+    wet = wet_records(df)
+    texts = wet.select("url", "text").distinct().collect()
+    assert len(texts) == 1
+    assert texts[0]["url"] == "http://example.com/a"
+    assert texts[0]["text"] == WET_TEXT.decode("utf-8")
+
+
+def test_read_warc_batching_bounds_rows(spark, tmp_path):
+    # 10 conversion records, batch_rows=3 -> parser yields 4 Arrow
+    # batches; result identical regardless of batching
+    many = b"".join(member_gz(REC_CONVERSION) for _ in range(10))
+    (tmp_path / "many.wet.gz").write_bytes(many)
+    df = read_warc(spark, str(tmp_path / "many.wet.gz"), batch_rows=3)
+    assert df.count() == 10
+    assert wet_records(df).count() == 10
