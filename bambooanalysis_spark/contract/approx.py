@@ -1915,6 +1915,61 @@ FROM documents GROUP BY 1 ORDER BY 1
 register("text_url_idn_fold", q_text_url_idn_fold, ORACLE_TEXT_URL_IDN_FOLD)
 
 
+def q_text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style host blocklist filtering with the list AS DATA
+    (operators/urlops.flag_blocked_hosts): hosts equal to or under a
+    listed domain are flagged via depth-bounded broadcast probes — the
+    corpus never shuffles. The planted classes pin the two semantic
+    traps: 'safetracker.net' shares a string suffix with listed
+    'tracker.net' but NOT a label boundary (must stay clean), and
+    'bad.co.uk.evil.org' contains a listed domain mid-host (must stay
+    clean — only suffix matches block)."""
+    from ..operators.urlops import flag_blocked_hosts
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, "tracker.net")
+        .when(d % 6 == 1, "ads.tracker.net")
+        .when(d % 6 == 2, "safetracker.net")
+        .when(d % 6 == 3, "news.example.co.uk")
+        .when(d % 6 == 4, "spam.example")
+        .otherwise("bad.co.uk.evil.org")
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host")
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net",), ("spam.example",), ("bad.co.uk",)],
+        "domain string",
+    )
+    return (
+        flag_blocked_hosts(docs, bl)
+        .groupBy("host", "blocked")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("host")
+    )
+
+
+ORACLE_TEXT_URL_BLOCKLIST = """
+SELECT CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'tracker.net'
+           WHEN 1 THEN 'ads.tracker.net'
+           WHEN 2 THEN 'safetracker.net'
+           WHEN 3 THEN 'news.example.co.uk'
+           WHEN 4 THEN 'spam.example'
+           ELSE 'bad.co.uk.evil.org' END AS host,
+       CAST(doc_id % 6 AS INT) IN (0, 1, 4) AS blocked,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM documents GROUP BY 1, 2 ORDER BY 1
+"""
+
+register(
+    "text_url_blocklist_filter", q_text_url_blocklist,
+    ORACLE_TEXT_URL_BLOCKLIST,
+)
+
+
 # --- distributed Bloom filter (round 9): cross-batch membership ---------------
 # operators/membership.py — build over the even-doc fingerprints, probe
 # every document. md5-derived positions + 63-bit BIGINT words make both

@@ -468,3 +468,79 @@ def domain_stats(
             F.min(id_col).alias("first_id"),
         )
     )
+
+
+def flag_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Category-blocklist host filtering with the list AS DATA — the
+    UT1/adult-blocklist step every crawl-curation recipe runs before
+    quality scoring (C4 and RefinedWeb both filter on the public UT1
+    "domains" lists). ``blocklist`` is a one-column DataFrame
+    ``domain string``; a host is blocked when it EQUALS a listed domain
+    or is a SUBDOMAIN of one (UT1 "domains" semantics). Matching is on
+    label boundaries — ``safetracker.net`` does NOT match a listed
+    ``tracker.net`` — which is exactly what a naive
+    ``endswith('tracker.net')`` gets wrong.
+
+    Scale shape — same zero-corpus-shuffle trick as
+    registered_domain_from: listed-domain depth is bounded (UT1 tops
+    out around 5 labels), so for each depth k the host's last-k labels
+    become a probe COLUMN that left-joins the broadcast list — O(depth)
+    bounded broadcast joins, the corpus streams map-side and never
+    shuffles. The one driver-side collect is the list itself (bounded
+    metadata by contract: UT1 adult is ~4M rows ≈ 100 MB upper bound;
+    callers with a list past the broadcast threshold should pre-slim it
+    to registered domains — the subdomain semantics make deeper entries
+    redundant when their eTLD+1 is listed).
+
+    NULL/empty hosts flag ``false``: the blocklist asserts KNOWN-BAD
+    membership, and a malformed host is not a member of anything —
+    callers routing malformed rows separately key on the host column
+    itself (same contract as url_dedup's NULL exclusion).
+    """
+    rules = sorted(
+        {r["domain"] for r in blocklist.select("domain").collect()}
+    )
+    if not rules:
+        return df.withColumn(out_col, F.lit(False))
+    max_k = max(len(s.split(".")) for s in rules)
+    bl = blocklist.sparkSession.createDataFrame(
+        [(s,) for s in rules], "domain string"
+    )
+
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    out = df
+    orig_cols = df.columns
+    hits = []
+    for k in range(1, max_k + 1):
+        c, m = f"__bl_c{k}", f"__bl_{k}"
+        out = out.withColumn(
+            c, F.when(n >= k, F.concat_ws(".", F.slice(labels, -k, k)))
+        ).join(
+            F.broadcast(bl.select(F.col("domain").alias(m))),
+            F.col(c) == F.col(m),
+            "left",
+        )
+        hits.append(F.col(m).isNotNull())
+    blocked = hits[0]
+    for h in hits[1:]:
+        blocked = blocked | h
+    blocked = F.when(host.isNull() | (host == ""), F.lit(False)).otherwise(
+        F.coalesce(blocked, F.lit(False))
+    )
+    return out.withColumn(out_col, blocked).select(*orig_cols, out_col)
+
+
+def filter_blocked_hosts(
+    df: DataFrame, blocklist: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Rows whose host is NOT on the blocklist (the keep side of
+    flag_blocked_hosts) — the composable curation step."""
+    flagged = flag_blocked_hosts(df, blocklist, host_col, "__blocked")
+    return flagged.where(~F.col("__blocked")).drop("__blocked")

@@ -93,6 +93,10 @@ def _headline():
         # lifecycle (build explode+bit_or aggregate, then the k-broadcast
         # probe over the full corpus), entry 25
         "bloom_probe": ca.q_dedup_bloom_membership,
+        # round-10 addition: UT1-style host blocklist filtering — the
+        # newest zero-corpus-shuffle probe op (3 bounded broadcast joins
+        # + one hash-aggregate over the corpus), entry 26
+        "url_blocklist": ca.q_text_url_blocklist,
     }
 
 

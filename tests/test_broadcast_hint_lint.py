@@ -77,6 +77,9 @@ ALLOWED = {
         "m is a filter-size parameter independent of SF",
     ("classifier.py", "lut"):
         "fixed-point log table: 1023 rows by construction (LOG_LUT_SIZE)",
+    ("urlops.py", "bl"):
+        "host blocklist rule table (flag_blocked_hosts probe joins): "
+        "bounded metadata by contract, ~100 MB at the full UT1 adult list",
 }
 
 

@@ -561,3 +561,102 @@ def test_streaming_url_first_claim_matches_batch_sf01(
         f"WHERE is_first = 0 AND doc_id >= {cut}"
     ).collect()[0]["n"]
     assert claimed_late > 1000
+
+
+# --- host blocklist (flag_blocked_hosts / filter_blocked_hosts) ----------
+
+def _blocklist(spark):
+    return spark.createDataFrame(
+        [("tracker.net",), ("spam.example",), ("bad.co.uk",)],
+        "domain string",
+    )
+
+
+def test_blocklist_label_boundary_and_subdomains(spark):
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame(
+        [
+            (0, "tracker.net"),          # exact
+            (1, "ads.tracker.net"),      # subdomain
+            (2, "a.b.ads.tracker.net"),  # deep subdomain
+            (3, "safetracker.net"),      # string-suffix trap: NOT blocked
+            (4, "news.example.co.uk"),   # unlisted
+            (5, "spam.example"),         # exact
+            (6, "x.bad.co.uk"),          # subdomain of 3-label entry
+            (7, "bad.co.uk.evil.org"),   # listed domain in the MIDDLE: not
+        ],                               # a suffix -> NOT blocked
+        "doc_id long, host string",
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in flag_blocked_hosts(df, _blocklist(spark)).collect()
+    }
+    assert got == {
+        0: True, 1: True, 2: True, 3: False,
+        4: False, 5: True, 6: True, 7: False,
+    }
+
+
+def test_blocklist_null_and_empty_hosts_flag_false(spark):
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "tracker.net")], "doc_id long, host string"
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in flag_blocked_hosts(df, _blocklist(spark)).collect()
+    }
+    assert got == {0: False, 1: False, 2: True}
+
+
+def test_blocklist_empty_list_blocks_nothing(spark):
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame([(0, "a.b")], "doc_id long, host string")
+    empty = spark.createDataFrame([], "domain string")
+    assert flag_blocked_hosts(df, empty).collect()[0]["blocked"] is False
+
+
+def test_blocklist_duplicate_rules_do_not_multiply_rows(spark):
+    # probes are LEFT joins: the same dedup guard as
+    # registered_domain_from must hold here (ADVICE r9 class)
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(0, "ads.tracker.net"), (1, "ok.org")], "doc_id long, host string"
+    )
+    dup = spark.createDataFrame(
+        [("tracker.net",), ("tracker.net",)], "domain string"
+    )
+    rows = flag_blocked_hosts(df, dup).collect()
+    assert len(rows) == 2
+
+
+def test_filter_blocked_hosts_keeps_clean_side_and_schema(spark):
+    from bambooanalysis_spark.operators.urlops import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(0, "tracker.net", "x"), (1, "ok.org", "y")],
+        "doc_id long, host string, payload string",
+    )
+    out = filter_blocked_hosts(df, _blocklist(spark))
+    assert out.columns == ["doc_id", "host", "payload"]
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_blocklist_probe_plan_is_broadcast_only(spark):
+    # the corpus must never shuffle: every join the probe adds is a
+    # BroadcastHashJoin (same gate shape as the bloom probe's)
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.range(100).withColumn(
+        "host", F.concat(F.lit("h"), F.col("id").cast("string"),
+                         F.lit(".example.com"))
+    )
+    plan = flag_blocked_hosts(df, _blocklist(spark))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
