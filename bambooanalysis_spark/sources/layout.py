@@ -176,3 +176,98 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    shards: int,
+    fmt: str = "parquet",
+    seed: int = 0,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Size-balanced, deterministically shuffled training shards — the
+    serving end of the pipeline: a trainer streams shard files round-robin
+    across data-loader workers, so shard-size SKEW is straggler time and
+    a nondeterministic order breaks run-to-run reproducibility.
+
+    Mechanics (one shuffle total), deterministic BY CONSTRUCTION — no
+    range sampling anywhere (repartitionByRange's boundary sampling is
+    documented as run-to-run inconsistent, measured so in the tests):
+
+    * Shard membership: ``pmod(xxhash64(key, seed), shards)`` — a pure
+      function of the row, so reruns, resumes and retried tasks assign
+      identically; uniform because the hash is uniform over 2^64.
+    * Shard placement: ``write.partitionBy('shard')`` gives every shard
+      id its own DIRECTORY regardless of which task held it, so the
+      hash-repartition collisions that would skew shard-per-FILE
+      layouts (two ids landing in one task) only co-locate work, never
+      merge shards. One repartition on the id = all rows of a shard in
+      one task = one file per shard directory.
+    * In-shard order: rows sort by the row hash inside each task — the
+      seeded global permutation a trainer replays (same contract as
+      sampling.training_order).
+    * ``max_records_per_file`` (native writer option) is the
+      belt-and-braces cap: a shard that still exceeds it splits into
+      sequence-numbered files rather than OOMing a loader.
+
+    Returns a manifest dict {files: [{file, records}...], total_records,
+    shards, seed, fmt} and writes it as ``_manifest.json`` next to the
+    shards. Record counts come from parquet FOOTERS (O(files) metadata
+    reads, no data scan); for fmt='json' (jsonl) counts come from a
+    driver-side line count, acceptable for local filesystems — at object
+    -store scale prefer parquet, which every loader now reads.
+    """
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be parquet|json, got {fmt!r}")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    out = (
+        df.withColumn("__shard_key", h)
+        .withColumn("shard", F.pmod(F.col("__shard_key"), F.lit(shards)))
+        .repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__shard_key")
+        .drop("__shard_key")
+    )
+    writer = out.write.mode(mode).partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)
+
+    ext = ".parquet" if fmt == "parquet" else ".json"
+    files = []
+    total = 0
+    for fp in sorted(glob.glob(os.path.join(path, "shard=*", "*" + ext))):
+        rel = os.path.join(*fp.split(os.sep)[-2:])
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            nrec = pq.ParquetFile(fp).metadata.num_rows
+        else:
+            with open(fp, "rb") as fh:
+                nrec = sum(1 for _ in fh)
+        files.append({"file": rel, "records": nrec})
+        total += nrec
+    manifest = {
+        "files": files,
+        "total_records": total,
+        "shards": shards,
+        "seed": seed,
+        "fmt": fmt,
+        "key_col": key_col,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
