@@ -217,3 +217,59 @@ def test_read_warc_batching_bounds_rows(spark, tmp_path):
     df = read_warc(spark, str(tmp_path / "many.wet.gz"), batch_rows=3)
     assert df.count() == 10
     assert wet_records(df).count() == 10
+
+
+def test_wet_to_curation_pipeline_composes(spark, tmp_path):
+    """End-to-end crawl-curation shape: WET conversion records ->
+    canonical-URL dedup (urlops) -> host blocklist -> quality score
+    (text ops). The WARC source's output schema must feed the existing
+    operators without adapters."""
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.operators.text import quality_score_e4
+    from bambooanalysis_spark.operators.urlops import (
+        filter_blocked_hosts,
+        url_dedup,
+        url_host,
+    )
+
+    def wet_rec(url: str, text: str) -> bytes:
+        body = text.encode("utf-8")
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: 2026-08-16T00:00:02Z\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n"
+        )
+
+    recs = [
+        # same page twice under tracking-param variants -> dedup to one
+        wet_rec("https://example.com/a?utm_source=x", "good text " * 40),
+        wet_rec("http://EXAMPLE.com/a", "good text " * 40),
+        # blocked host -> filtered
+        wet_rec("https://ads.tracker.net/p", "spam " * 40),
+        # clean second page
+        wet_rec("https://ok.org/b", "fine words here " * 30),
+    ]
+    (tmp_path / "crawl.wet.gz").write_bytes(
+        b"".join(member_gz(r) for r in recs)
+    )
+
+    wet = wet_records(read_warc(spark, str(tmp_path / "crawl.wet.gz")))
+    docs = wet.select(
+        F.monotonically_increasing_id().alias("doc_id"), "url", "text"
+    )
+    bl = spark.createDataFrame([("tracker.net",)], "domain string")
+    kept = url_dedup(docs.select("doc_id", "url"))
+    # dedup collapsed the two example.com variants
+    assert kept.count() == 3
+    clean = filter_blocked_hosts(
+        docs.withColumn("host", url_host(F.col("url"))), bl, "host"
+    )
+    assert clean.count() == 3  # ads.tracker.net row dropped
+    scored = clean.withColumn("q", quality_score_e4(F.col("text")))
+    assert scored.where(F.col("q") > 0).count() == 3
