@@ -155,13 +155,25 @@ def _parse_records(
         }
 
 
+_GZ_FEED_CHUNK = 1 << 20  # 1 MiB per decompressor feed
+
+
 def _iter_gzip_members(data: bytes, source: str) -> Iterator[tuple[int, bytes]]:
     """(member_offset, decompressed_bytes) per independent gzip member.
 
     CommonCrawl layout: one member per record.  zlib with wbits=31 stops
     at the member's end and reports the remainder via ``unused_data`` —
     the standard sequential member walk.
+
+    The decompressor is fed bounded chunks through a zero-copy
+    memoryview: handing it ``data[pos:]`` wholesale would slice a copy
+    of the remaining file AND get the tail copied back via
+    ``unused_data`` on every member — O(members x filesize) memcpy,
+    which at a real crawl file (1 GiB, ~150k members) is terabytes of
+    copying.  Chunked feeding keeps the walk linear (measured 40x on a
+    16 MB / 16k-member file, PERFORMANCE §57).
     """
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     while pos < n:
@@ -170,19 +182,25 @@ def _iter_gzip_members(data: bytes, source: str) -> Iterator[tuple[int, bytes]]:
                 f"{source}: expected gzip member magic at offset {pos}"
             )
         d = zlib.decompressobj(wbits=31)
-        try:
-            out = d.decompress(data[pos:])
-        except zlib.error as exc:
-            raise ValueError(
-                f"{source}: corrupt gzip member at offset {pos}: {exc}"
-            ) from exc
-        if not d.eof:
-            raise ValueError(
-                f"{source}: truncated gzip member at offset {pos}"
-            )
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, out
-        pos += consumed
+        out = []
+        p = pos
+        while not d.eof:
+            if p >= n:
+                raise ValueError(
+                    f"{source}: truncated gzip member at offset {pos}"
+                )
+            chunk = mv[p : p + _GZ_FEED_CHUNK]
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as exc:
+                raise ValueError(
+                    f"{source}: corrupt gzip member at offset {pos}: {exc}"
+                ) from exc
+            p += len(chunk)
+        yield pos, b"".join(out)
+        # member ends where the unconsumed tail of the LAST fed chunk
+        # begins; unused_data is at most one chunk, never the whole file
+        pos = p - len(d.unused_data)
 
 
 def parse_warc_bytes(data: bytes, source: str = "<bytes>") -> list[dict]:
@@ -206,6 +224,32 @@ def parse_warc_bytes(data: bytes, source: str = "<bytes>") -> list[dict]:
     return list(_parse_records(data, source))
 
 
+def _partition_parser(batch_rows: int):
+    """The mapInPandas worker shared by the batch and streaming scans:
+    (path, content) file rows in, bounded record batches out."""
+    import pandas as pd
+
+    cols = [
+        "source_file", "record_offset", "warc_type", "record_id",
+        "target_uri", "warc_date", "content_type", "content_length",
+        "content",
+    ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows: list[dict] = []
+                for rec in parse_warc_bytes(row["content"], row["path"]):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -219,30 +263,35 @@ def read_warc(
     whose files are sized ~1 GiB precisely so that file == work unit.
     Parallelism is the file count; no shuffle is introduced.
     """
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile").load(path).select("path", "content")
     )
+    return files.mapInPandas(_partition_parser(batch_rows), WARC_SCHEMA)
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [
-            "source_file", "record_offset", "warc_type", "record_id",
-            "target_uri", "warc_date", "content_type", "content_length",
-            "content",
-        ]
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows: list[dict] = []
-                for rec in parse_warc_bytes(row["content"], row["path"]):
-                    rows.append(rec)
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(run, WARC_SCHEMA)
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 256,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingest: crawl segments appearing under ``path``
+    parse incrementally as they land — the live-crawl shape (fetchers
+    drop finished .warc.gz segments into a bucket; this source picks
+    each up exactly once via the file-stream source's checkpointed file
+    log). Same parser, same output schema as read_warc, so the
+    downstream pipeline (wet_records -> urlops -> the streaming URL
+    first-claim dedup in streaming/stateful.py) is batch/stream
+    symmetric.  File-per-trigger-batch granularity mirrors the batch
+    scan's file-per-task unit."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_partition_parser(batch_rows), WARC_SCHEMA)
 
 
 def wet_records(warc: DataFrame) -> DataFrame:

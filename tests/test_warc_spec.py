@@ -273,3 +273,58 @@ def test_wet_to_curation_pipeline_composes(spark, tmp_path):
     assert clean.count() == 3  # ads.tracker.net row dropped
     scored = clean.withColumn("q", quality_score_e4(F.col("text")))
     assert scored.where(F.col("q") > 0).count() == 3
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest == batch scan on the same segment directory
+    (house streaming==batch discipline): two availableNow micro-batched
+    files produce exactly the batch read_warc rows."""
+    from bambooanalysis_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "segs"
+    src.mkdir()
+    (src / "seg-00000.warc.gz").write_bytes(GZ_FILE)
+    (src / "seg-00001.warc.gz").write_bytes(member_gz(REC_CONVERSION))
+
+    stream = read_warc_stream(
+        spark, str(src), max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    q = (
+        wet_records(stream)
+        .writeStream.format("memory")
+        .queryName("warc_stream_wet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["url"], r["text"], r["source_file"].split("/")[-1])
+        for r in spark.sql("SELECT * FROM warc_stream_wet").collect()
+    }
+    want = {
+        (r["url"], r["text"], r["source_file"].split("/")[-1])
+        for r in wet_records(read_warc(spark, str(src))).collect()
+    }
+    assert got == want
+    assert len(got) == 2
+
+
+def test_large_member_spans_feed_chunks():
+    # a member bigger than the 1 MiB feed chunk exercises the chunked
+    # decompressor walk (multi-feed single member + exact boundary)
+    big = ("chunk-spanning text " * 300_000).encode()  # ~6 MB raw
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://big.example/\r\n"
+        b"Content-Length: " + str(len(big)).encode() + b"\r\n"
+        b"\r\n" + big + b"\r\n\r\n"
+    )
+    blob = member_gz(rec) + member_gz(REC_CONVERSION)
+    recs = parse_warc_bytes(blob, "big.warc.gz")
+    assert len(recs) == 2
+    assert recs[0]["content"] == big
+    assert recs[1]["record_offset"] == len(member_gz(rec))
+    assert recs[1]["content"] == WET_TEXT
