@@ -340,7 +340,11 @@ def registered_domain_from(
     # would silently multiply every matching corpus row), derive max
     # depth, and rebuild as a LOCAL relation so the probe broadcasts
     # need no distributed jobs or shuffles at all.
-    rules = sorted({r["suffix"] for r in psl.select("suffix").collect()})
+    # drop NULL/empty rules: a file-loaded list nulls blank lines, and
+    # None poisons both sorted() and the depth split below
+    rules = sorted(
+        {r["suffix"] for r in psl.select("suffix").collect() if r["suffix"]}
+    )
     if not rules:
         rules = [""]  # degenerate: everything falls to the implicit * rule
     max_k = max(len(s.split(".")) for s in rules)
@@ -491,28 +495,35 @@ def flag_blocked_hosts(
     out around 5 labels), so for each depth k the host's last-k labels
     become a probe COLUMN that left-joins the broadcast list — O(depth)
     bounded broadcast joins, the corpus streams map-side and never
-    shuffles. The one driver-side collect is the list itself (bounded
-    metadata by contract: UT1 adult is ~4M rows ≈ 100 MB upper bound;
-    callers with a list past the broadcast threshold should pre-slim it
-    to registered domains — the subdomain semantics make deeper entries
-    redundant when their eTLD+1 is listed).
+    shuffles. Unlike the ~9k-row PSL (collected driver-side as bounded
+    metadata), a category blocklist can be millions of rows (UT1 adult
+    ~4M ≈ 100 MB — at the broadcast ceiling), so the list NEVER
+    round-trips through driver Python: dedup/case-fold/NULL-filter stay
+    distributed and the only driver scalar is max label depth (one
+    tiny aggregate job). Matching is case-insensitive (DNS hostnames
+    are; a mixed-case host column must not leak listed hosts through);
+    NULL/empty/duplicate rules are dropped (a CSV-loaded list nulls
+    blank lines; duplicates would multiply probe rows via the LEFT
+    joins).
 
     NULL/empty hosts flag ``false``: the blocklist asserts KNOWN-BAD
     membership, and a malformed host is not a member of anything —
     callers routing malformed rows separately key on the host column
     itself (same contract as url_dedup's NULL exclusion).
     """
-    rules = sorted(
-        {r["domain"] for r in blocklist.select("domain").collect()}
+    rules = (
+        blocklist.select(F.lower(F.trim(F.col("domain"))).alias("domain"))
+        .where(F.col("domain").isNotNull() & (F.col("domain") != ""))
+        .distinct()
     )
-    if not rules:
+    max_k = rules.agg(
+        F.max(F.size(F.split("domain", r"\."))).alias("k")
+    ).collect()[0]["k"]
+    if max_k is None:
         return df.withColumn(out_col, F.lit(False))
-    max_k = max(len(s.split(".")) for s in rules)
-    bl = blocklist.sparkSession.createDataFrame(
-        [(s,) for s in rules], "domain string"
-    )
+    bl = rules
 
-    host = F.col(host_col)
+    host = F.lower(F.col(host_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
     out = df

@@ -206,21 +206,25 @@ def export_training_shards(
       layouts (two ids landing in one task) only co-locate work, never
       merge shards. One repartition on the id = all rows of a shard in
       one task = one file per shard directory.
-    * In-shard order: rows sort by the row hash inside each task — the
-      seeded global permutation a trainer replays (same contract as
-      sampling.training_order).
+    * In-shard order: rows sort by (row hash, key) inside each task —
+      the seeded global permutation a trainer replays (same contract as
+      sampling.training_order). The key tiebreak makes the order total
+      when distinct keys collide on the 64-bit hash; rows DUPLICATED on
+      ``key_col`` itself are interchangeable under any seed, so exact
+      byte-reproducibility of mixed payloads needs a (near-)unique key
+      — which a doc id, the usual key, is.
     * ``max_records_per_file`` (native writer option) is the
       belt-and-braces cap: a shard that still exceeds it splits into
       sequence-numbered files rather than OOMing a loader.
 
     Returns a manifest dict {files: [{file, records}...], total_records,
     shards, seed, fmt} and writes it as ``_manifest.json`` next to the
-    shards. Record counts come from parquet FOOTERS (O(files) metadata
-    reads, no data scan); for fmt='json' (jsonl) counts come from a
-    driver-side line count, acceptable for local filesystems — at object
-    -store scale prefer parquet, which every loader now reads.
+    shards. Counts and the manifest write go through Spark / the Hadoop
+    FileSystem API, so the export works against any scheme the cluster
+    can write (s3a://, hdfs://, file://) — not just the driver's local
+    disk. The count-back pass is one zero-column scan of the shards
+    (footer-served for parquet).
     """
-    import glob
     import json
     import os
 
@@ -230,12 +234,18 @@ def export_training_shards(
         raise ValueError(f"fmt must be parquet|json, got {fmt!r}")
     if shards < 1:
         raise ValueError("shards must be >= 1")
+    for reserved in ("shard", "__shard_key"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column — rename it; "
+                "'shard' is the export's partition column"
+            )
     h = F.xxhash64(F.col(key_col), F.lit(seed))
     out = (
         df.withColumn("__shard_key", h)
         .withColumn("shard", F.pmod(F.col("__shard_key"), F.lit(shards)))
         .repartition(shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__shard_key")
+        .sortWithinPartitions("shard", "__shard_key", key_col)
         .drop("__shard_key")
     )
     writer = out.write.mode(mode).partitionBy("shard")
@@ -246,20 +256,29 @@ def export_training_shards(
     else:
         writer.json(path)
 
-    ext = ".parquet" if fmt == "parquet" else ".json"
-    files = []
-    total = 0
-    for fp in sorted(glob.glob(os.path.join(path, "shard=*", "*" + ext))):
-        rel = os.path.join(*fp.split(os.sep)[-2:])
-        if fmt == "parquet":
-            import pyarrow.parquet as pq
-
-            nrec = pq.ParquetFile(fp).metadata.num_rows
-        else:
-            with open(fp, "rb") as fh:
-                nrec = sum(1 for _ in fh)
-        files.append({"file": rel, "records": nrec})
-        total += nrec
+    # count-back through Spark (any filesystem the cluster reaches)
+    spark = df.sparkSession
+    back = (
+        spark.read.parquet(path)
+        if fmt == "parquet"
+        else spark.read.text(os.path.join(path, "shard=*", "*.json"))
+    )
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    files = sorted(
+        (
+            {
+                "file": "/".join(r["f"].split("/")[-2:]),
+                "records": r["count"],
+            }
+            for r in per_file
+        ),
+        key=lambda x: x["file"],
+    )
+    total = sum(f["records"] for f in files)
     manifest = {
         "files": files,
         "total_records": total,
@@ -268,6 +287,16 @@ def export_training_shards(
         "fmt": fmt,
         "key_col": key_col,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    # write via the Hadoop FS API so remote schemes work too
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(
+            json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8")
+        )
+    finally:
+        stream.close()
     return manifest

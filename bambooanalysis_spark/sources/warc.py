@@ -128,7 +128,16 @@ def _parse_records(
                 f"{source}: WARC record at offset "
                 f"{offset_base + rec_off} has no Content-Length"
             )
-        clen = int(headers["content-length"])
+        clen_s = headers["content-length"]
+        # strict non-negative integer: a negative length would move the
+        # cursor BACKWARD (pos += clen) and re-parse the same record
+        # forever — a crafted/corrupt file must not spin an executor
+        if not clen_s.isdigit():
+            raise ValueError(
+                f"{source}: WARC record at offset {offset_base + rec_off} "
+                f"has invalid Content-Length {clen_s!r}"
+            )
+        clen = int(clen_s)
         if pos + clen > n:
             raise ValueError(
                 f"{source}: WARC block at offset {offset_base + rec_off} "
@@ -203,25 +212,26 @@ def _iter_gzip_members(data: bytes, source: str) -> Iterator[tuple[int, bytes]]:
         pos = p - len(d.unused_data)
 
 
-def parse_warc_bytes(data: bytes, source: str = "<bytes>") -> list[dict]:
-    """Parse a whole WARC file image (plain or member-gzipped) to record
-    dicts.  Compression is sniffed from the gzip magic; offsets are
-    member offsets for ``.gz`` input (CDX-compatible) and record offsets
-    for plain input."""
+def parse_warc_bytes(data: bytes, source: str = "<bytes>") -> Iterator[dict]:
+    """Parse a WARC file image (plain or member-gzipped), YIELDING record
+    dicts one at a time — a generator, so a 1 GiB crawl file never
+    materializes all its records at once and the mapInPandas batcher's
+    memory stays O(compressed file + one record + one batch).
+    Compression is sniffed from the gzip magic; offsets are member
+    offsets for ``.gz`` input (CDX-compatible) and record offsets for
+    plain input."""
     if data[:2] == _GZIP_MAGIC:
-        out: list[dict] = []
         for off, member in _iter_gzip_members(data, source):
-            recs = list(_parse_records(member, source, offset_base=off))
             # One member per record is the CC layout, but the spec also
             # allows a single member holding many records — offsets
             # within a multi-record member stay member-relative-to-file
             # only for the first; keep them honest by reporting the
             # member offset for all (what the CDX index addresses).
-            for r in recs:
+            for r in _parse_records(member, source, offset_base=off):
                 r["record_offset"] = off
-            out.extend(recs)
-        return out
-    return list(_parse_records(data, source))
+                yield r
+    else:
+        yield from _parse_records(data, source)
 
 
 def _partition_parser(batch_rows: int):

@@ -124,3 +124,33 @@ def test_bad_args_raise(spark, tmp_path):
         export_training_shards(
             _docs(spark, 10), str(tmp_path / "y"), "doc_id", shards=0
         )
+
+
+def test_reserved_column_collision_raises(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    bad = _docs(spark, 10).withColumn("shard", F.lit(9))
+    with pytest.raises(ValueError, match="shard"):
+        export_training_shards(bad, str(tmp_path / "z"), "doc_id", shards=2)
+
+
+def test_duplicate_keys_do_not_break_determinism_of_distinct_keys(
+    spark, tmp_path
+):
+    # duplicated key values are interchangeable (documented); distinct
+    # keys keep a total, rerun-identical order via the key tiebreak
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, 500).union(_docs(spark, 500))  # every key twice
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    export_training_shards(df, a, "doc_id", shards=3, seed=5)
+    export_training_shards(df, b, "doc_id", shards=3, seed=5)
+    ka = (
+        spark.read.parquet(a).groupBy("shard", "doc_id").count().collect()
+    )
+    kb = (
+        spark.read.parquet(b).groupBy("shard", "doc_id").count().collect()
+    )
+    assert sorted(map(tuple, ka)) == sorted(map(tuple, kb))
+    assert all(r["count"] == 2 for r in ka)

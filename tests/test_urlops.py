@@ -660,3 +660,71 @@ def test_blocklist_probe_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_blocklist_case_insensitive(spark):
+    # DNS hostnames are case-insensitive: a mixed-case host column must
+    # not leak listed hosts through (review finding)
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(0, "ADS.Tracker.NET"), (1, "OK.org")], "doc_id long, host string"
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net",), ("SPAM.example",)], "domain string"
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in flag_blocked_hosts(df, bl).collect()
+    }
+    assert got == {0: True, 1: False}
+
+
+def test_blocklist_null_and_blank_rules_ignored(spark):
+    # CSV-loaded lists null blank lines; they must not crash or match
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(0, "tracker.net"), (1, "ok.org")], "doc_id long, host string"
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net",), (None,), ("",), ("  ",)], "domain string"
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in flag_blocked_hosts(df, bl).collect()
+    }
+    assert got == {0: True, 1: False}
+
+    only_null = spark.createDataFrame([(None,)], "domain string")
+    got2 = flag_blocked_hosts(df, only_null).collect()
+    assert all(r["blocked"] is False for r in got2)
+
+
+def test_psl_null_rules_ignored(spark):
+    from bambooanalysis_spark.operators.urlops import registered_domain_from
+
+    df = spark.createDataFrame(
+        [(0, "a.example.com")], "doc_id long, host string"
+    )
+    psl = spark.createDataFrame([("com",), (None,)], "suffix string")
+    out = registered_domain_from(df, psl).collect()
+    assert out[0]["registered_domain"] == "example.com"
+
+
+def test_blocklist_never_collects_corpus_or_list_rows(spark):
+    # scale contract: the list stays distributed (only the max-depth
+    # scalar is collected) — pin by plan: corpus side map-only, list
+    # side aggregated+broadcast, no SortMergeJoin anywhere
+    from bambooanalysis_spark.operators.urlops import flag_blocked_hosts
+
+    df = spark.range(50).withColumn(
+        "host", F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+    )
+    bl = spark.range(1000).select(
+        F.concat(F.lit("bad"), F.col("id"), F.lit(".net")).alias("domain")
+    )
+    plan = flag_blocked_hosts(df, bl)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -99,7 +99,7 @@ GZ_FILE = member_gz(REC_WARCINFO) + member_gz(REC_RESPONSE) + member_gz(
 # --- plain-file parse ----------------------------------------------------
 
 def test_plain_parse_fields_and_offsets():
-    recs = parse_warc_bytes(PLAIN_FILE, "fix.warc")
+    recs = list(parse_warc_bytes(PLAIN_FILE, "fix.warc"))
     assert [r["warc_type"] for r in recs] == [
         "warcinfo", "response", "conversion",
     ]
@@ -119,7 +119,7 @@ def test_plain_parse_fields_and_offsets():
 
 
 def test_gzip_member_parse_offsets_are_member_offsets():
-    recs = parse_warc_bytes(GZ_FILE, "fix.warc.gz")
+    recs = list(parse_warc_bytes(GZ_FILE, "fix.warc.gz"))
     assert [r["warc_type"] for r in recs] == [
         "warcinfo", "response", "conversion",
     ]
@@ -134,7 +134,7 @@ def test_multi_record_single_member_allowed():
     # spec allows one member holding many records; all report the
     # member's file offset (the only byte address that exists for them)
     one_member = member_gz(REC_WARCINFO + REC_CONVERSION)
-    recs = parse_warc_bytes(one_member, "multi.warc.gz")
+    recs = list(parse_warc_bytes(one_member, "multi.warc.gz"))
     assert [r["warc_type"] for r in recs] == ["warcinfo", "conversion"]
     assert [r["record_offset"] for r in recs] == [0, 0]
 
@@ -151,7 +151,7 @@ def test_multi_record_single_member_allowed():
 )
 def test_plain_corruption_raises(mutate, msg):
     with pytest.raises(ValueError, match=msg):
-        parse_warc_bytes(mutate(PLAIN_FILE), "bad.warc")
+        list(parse_warc_bytes(mutate(PLAIN_FILE), "bad.warc"))
 
 
 def test_missing_content_length_raises():
@@ -162,7 +162,7 @@ def test_missing_content_length_raises():
         b"x\r\n\r\n"
     )
     with pytest.raises(ValueError, match="Content-Length"):
-        parse_warc_bytes(rec, "nolen.warc")
+        list(parse_warc_bytes(rec, "nolen.warc"))
 
 
 def test_block_longer_than_file_raises():
@@ -174,17 +174,17 @@ def test_block_longer_than_file_raises():
         b"short"
     )
     with pytest.raises(ValueError, match="declares 9999"):
-        parse_warc_bytes(rec, "short.warc")
+        list(parse_warc_bytes(rec, "short.warc"))
 
 
 def test_truncated_gzip_member_raises():
     with pytest.raises(ValueError, match="gzip member"):
-        parse_warc_bytes(GZ_FILE[:-10], "trunc.warc.gz")
+        list(parse_warc_bytes(GZ_FILE[:-10], "trunc.warc.gz"))
 
 
 def test_garbage_after_member_raises():
     with pytest.raises(ValueError, match="magic"):
-        parse_warc_bytes(member_gz(REC_WARCINFO) + b"JUNK", "junk.warc.gz")
+        list(parse_warc_bytes(member_gz(REC_WARCINFO) + b"JUNK", "junk.warc.gz"))
 
 
 # --- distributed scan ----------------------------------------------------
@@ -323,8 +323,33 @@ def test_large_member_spans_feed_chunks():
         b"\r\n" + big + b"\r\n\r\n"
     )
     blob = member_gz(rec) + member_gz(REC_CONVERSION)
-    recs = parse_warc_bytes(blob, "big.warc.gz")
+    recs = list(parse_warc_bytes(blob, "big.warc.gz"))
     assert len(recs) == 2
     assert recs[0]["content"] == big
     assert recs[1]["record_offset"] == len(member_gz(rec))
     assert recs[1]["content"] == WET_TEXT
+
+
+def test_negative_content_length_raises_not_spins():
+    # a negative length would move the parse cursor BACKWARD and loop
+    # forever (review finding): must be a loud ValueError instead
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: -37\r\n"
+        b"\r\n"
+        b"x\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="invalid Content-Length"):
+        list(parse_warc_bytes(REC_WARCINFO + rec, "neg.warc"))
+
+
+def test_parse_warc_bytes_is_lazy():
+    # generator contract: a corrupt SECOND record must not prevent
+    # consuming the first (bounded memory depends on laziness)
+    blob = REC_WARCINFO + b"GARBAGE"
+    it = parse_warc_bytes(blob, "lazy.warc")
+    first = next(it)
+    assert first["warc_type"] == "warcinfo"
+    with pytest.raises(ValueError):
+        next(it)
