@@ -353,3 +353,109 @@ def test_parse_warc_bytes_is_lazy():
     assert first["warc_type"] == "warcinfo"
     with pytest.raises(ValueError):
         next(it)
+
+
+# --- http_responses: raw-HTML path over response records -----------------
+
+def test_http_responses_splits_status_mime_body(spark, tmp_path):
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    (tmp_path / "f.warc").write_bytes(PLAIN_FILE)
+    out = http_responses(read_warc(spark, str(tmp_path / "f.warc"))).collect()
+    assert len(out) == 1  # warcinfo + conversion filtered out
+    r = out[0]
+    assert r["url"] == "http://example.com/a"
+    assert r["status"] == 200
+    assert r["mime"] == "text/html"
+    assert r["charset"] is None  # none declared
+    assert r["body"] == b"<html><body>hello crawl</body></html>"
+    assert r["body_text"] == "<html><body>hello crawl</body></html>"
+
+
+def _resp_record(headers: bytes, body: bytes) -> bytes:
+    http = headers + b"\r\n\r\n" + body
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/\r\n"
+        b"WARC-Date: 2026-08-16T00:00:03Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+
+
+def test_http_responses_non_utf8_body_kept_byte_exact(spark, tmp_path):
+    # latin-1 payload with bytes invalid in UTF-8: body must round-trip
+    # EXACTLY; body_text must be NULL (declared charset is not utf-8)
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    body = "caf\xe9 \xff\xfe binary-ish".encode("latin-1")
+    rec = _resp_record(
+        b"HTTP/1.1 404 Not Found\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1",
+        body,
+    )
+    (tmp_path / "f.warc").write_bytes(rec)
+    r = http_responses(read_warc(spark, str(tmp_path / "f.warc"))).collect()[0]
+    assert r["status"] == 404
+    assert r["mime"] == "text/html"
+    assert r["charset"] == "iso-8859-1"
+    assert r["body"] == body
+    assert r["body_text"] is None
+
+
+def test_http_responses_utf8_body_decodes(spark, tmp_path):
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    text = "déjà vu — utf8 body"
+    rec = _resp_record(
+        b"HTTP/1.1 200 OK\r\n"
+        b'Content-Type: text/html; charset="UTF-8"',
+        text.encode("utf-8"),
+    )
+    (tmp_path / "f.warc").write_bytes(rec)
+    r = http_responses(read_warc(spark, str(tmp_path / "f.warc"))).collect()[0]
+    assert r["charset"] == "utf-8"
+    assert r["body_text"] == text
+
+
+def test_http_responses_headerless_payload_yields_nulls(spark, tmp_path):
+    # no CRLFCRLF split point: status/mime/body all NULL, row kept
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    http = b"HTTP/1.1 200 OK"  # truncated message, no header terminator
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    (tmp_path / "f.warc").write_bytes(rec)
+    r = http_responses(read_warc(spark, str(tmp_path / "f.warc"))).collect()[0]
+    assert r["body"] is None and r["body_text"] is None
+    # no header terminator -> no trustworthy head either: all NULL
+    assert r["status"] is None and r["mime"] is None
+
+
+def test_http_responses_compose_with_strip_html(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.operators.text import strip_html
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    rec = _resp_record(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html",
+        b"<html><p>real   text</p><script>x()</script></html>",
+    )
+    (tmp_path / "f.warc").write_bytes(rec)
+    out = (
+        http_responses(read_warc(spark, str(tmp_path / "f.warc")))
+        .where(F.col("mime") == "text/html")
+        .select(strip_html(F.col("body_text")).alias("t"))
+        .collect()
+    )
+    assert "real text" in out[0]["t"]
+    assert "script" not in out[0]["t"]
