@@ -1970,6 +1970,57 @@ register(
 )
 
 
+def q_text_url_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT URL keys (operators/urlops.surt_key — the CDX crawl-index
+    sort convention): host labels reversed+comma-joined then ')' + the
+    normalize_url path/query canonicalization, so a sorted layout
+    clusters every registered domain into one contiguous key range. The
+    synthetic classes reuse _synthetic_url, so the same planted traps
+    ride along: pct-escape collisions must collide IN SURT FORM too,
+    tracking params must be gone, and the IP-literal class must keep its
+    octet order (reversing a dotted quad would scatter subnets)."""
+    from ..operators.urlops import surt_key
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url().alias("url")
+    )
+    return (
+        docs.select("doc_id", surt_key(F.col("url")).alias("urlkey"))
+        .groupBy("urlkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("urlkey")
+    )
+
+
+ORACLE_TEXT_URL_SURT = """
+WITH u AS (
+    SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'com,example'
+            WHEN 1 THEN 'uk,co,example,news'
+            WHEN 2 THEN 'org,site,static,cdn'
+            WHEN 3 THEN 'xyz,abc'
+            ELSE '192.168.0.1' END AS revhost,
+        CASE WHEN doc_id % 11 = 0 THEN ''
+             WHEN doc_id % 13 IN (0, 1)
+                  THEN '/p~/' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 13 = 2
+                  THEN '/a%3Ab/' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS pathc,
+        CASE WHEN doc_id % 3 IN (0, 1)
+             THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '' END AS qc
+    FROM documents
+)
+SELECT revhost || ')' || pathc || qc AS urlkey,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+register("text_url_surt_keys", q_text_url_surt, ORACLE_TEXT_URL_SURT)
+
+
 # --- distributed Bloom filter (round 9): cross-batch membership ---------------
 # operators/membership.py — build over the even-doc fingerprints, probe
 # every document. md5-derived positions + 63-bit BIGINT words make both

@@ -555,3 +555,37 @@ def filter_blocked_hosts(
     flag_blocked_hosts) — the composable curation step."""
     flagged = flag_blocked_hosts(df, blocklist, host_col, "__blocked")
     return flagged.where(~F.col("__blocked")).drop("__blocked")
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-form URL key (Sort-friendly URI Reordering Transform — the
+    public convention CDX crawl indexes sort by, e.g.
+    ``com,example)/path?id=1``): host labels REVERSED and comma-joined
+    so that a sorted index clusters every host under its registered
+    domain, then ``)`` and the canonical path + query.
+
+    Canonicalization matches normalize_url exactly (same host fold, same
+    RFC 3986 percent-normalization, same tracking-param strip + sort),
+    so ``surt_key`` is normalize_url re-keyed for range scans: a prefix
+    scan on ``com,example)`` is every page of example.com — the layout
+    lever sources/layout.write_sorted turns into row-group pruning.
+    Pure Column algebra, no UDFs; malformed/hostless URLs key to NULL
+    (url_dedup's exclusion contract). IP-literal hosts keep their
+    natural label order (reversing octets would scatter a subnet)."""
+    host = canonical_host(url)
+    rev = F.when(
+        _is_ip_literal(host), host
+    ).otherwise(F.concat_ws(",", F.reverse(F.split(host, r"\."))))
+    path = F.coalesce(pct_normalize(url_path(url)), F.lit(""))
+    path = F.when(path == "/", "").otherwise(path)
+    q = canonical_query(url)
+    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            rev,
+            F.lit(")"),
+            path,
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(
+                F.lit("")
+            ),
+        )
+    )

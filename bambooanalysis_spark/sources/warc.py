@@ -377,3 +377,33 @@ def http_responses(warc: DataFrame) -> DataFrame:
             "record_offset",
         )
     )
+
+
+def cdx_index(warc: DataFrame) -> DataFrame:
+    """CDX(J)-style capture index over a parsed WARC scan — the lookup
+    artifact every crawl pipeline writes next to its segments: one row
+    per response capture, keyed by SURT, carrying exactly what a reader
+    needs for random access (file + member offset; the member-gzip
+    layout makes ``(source_file, record_offset)`` a seekable address).
+
+    Columns follow the public CDXJ convention: (urlkey, timestamp, url,
+    mime, status, offset, filename).  Pure column algebra over
+    http_responses + urlops.surt_key — no shuffle; sort/cluster it with
+    sources/layout.write_sorted(urlkey) to get the prefix-scannable
+    on-disk index."""
+    from pyspark.sql import functions as F
+
+    from ..operators.urlops import surt_key
+
+    resp = http_responses(warc)
+    return resp.select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.regexp_replace(
+            F.col("fetch_time"), r"[^0-9]", ""
+        ).alias("timestamp"),
+        "url",
+        "mime",
+        "status",
+        F.col("record_offset").alias("offset"),
+        F.col("source_file").alias("filename"),
+    )

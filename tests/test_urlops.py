@@ -728,3 +728,55 @@ def test_blocklist_never_collects_corpus_or_list_rows(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- SURT keys (CDX index convention) -------------------------------------
+
+def test_surt_key_reverses_labels_and_canonicalizes(spark):
+    from bambooanalysis_spark.operators.urlops import surt_key
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://WWW.Example.COM/a/b?utm_source=x&id=1"),
+            (1, "http://news.example.co.uk/"),
+            (2, "http://192.168.0.1/x"),
+            (3, "not a url"),
+            (4, "https://example.com/p%7e/q"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select("doc_id", surt_key(F.col("url")).alias("k")).collect()
+    }
+    assert got[0] == "com,example)/a/b?id=1"
+    assert got[1] == "uk,co,example,news)"
+    assert got[2] == "192.168.0.1)/x"  # IP literal keeps octet order
+    assert got[3] is None
+    assert got[4] == "com,example)/p~/q"  # same pct-normalization
+
+
+def test_surt_prefix_scan_clusters_domain(spark):
+    # the point of SURT: lexicographic order groups a registered domain's
+    # hosts together, so a sorted layout prefix-prunes per domain
+    from bambooanalysis_spark.operators.urlops import surt_key
+
+    urls = [
+        "http://a.example.com/1", "http://b.example.com/2",
+        "http://example.com/3", "http://aardvark.org/x",
+        "http://zebra.net/y",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    keys = [
+        r["k"]
+        for r in df.select(surt_key(F.col("url")).alias("k"))
+        .orderBy("k")
+        .collect()
+    ]
+    com_example = [k for k in keys if k.startswith("com,example")]
+    # contiguous block in the sorted order
+    first = keys.index(com_example[0])
+    assert keys[first : first + len(com_example)] == com_example
+    assert len(com_example) == 3

@@ -459,3 +459,18 @@ def test_http_responses_compose_with_strip_html(spark, tmp_path):
     )
     assert "real text" in out[0]["t"]
     assert "script" not in out[0]["t"]
+
+
+def test_cdx_index_rows(spark, tmp_path):
+    from bambooanalysis_spark.sources.warc import cdx_index
+
+    (tmp_path / "seg.warc.gz").write_bytes(GZ_FILE)
+    rows = cdx_index(read_warc(spark, str(tmp_path / "seg.warc.gz"))).collect()
+    assert len(rows) == 1  # only the response capture
+    r = rows[0]
+    assert r["urlkey"] == "com,example)/a"
+    assert r["timestamp"] == "20260816000001"
+    assert r["status"] == 200
+    assert r["mime"] == "text/html"  # the PAYLOAD's type (CDX convention)
+    assert r["offset"] == len(member_gz(REC_WARCINFO))  # member offset
+    assert r["filename"].endswith("seg.warc.gz")
