@@ -515,6 +515,16 @@ def flag_blocked_hosts(
         blocklist.select(F.lower(F.trim(F.col("domain"))).alias("domain"))
         .where(F.col("domain").isNotNull() & (F.col("domain") != ""))
         .distinct()
+        # materialize ONCE: without this, each of the k probe joins (and
+        # the depth aggregate) re-runs the scan + distinct shuffle over
+        # the list — k+1 passes where one suffices (review finding;
+        # verified ReusedExchange=0 on the uncheckpointed plan).
+        # localCheckpoint trades lineage for storage: blocks live in
+        # executor memory/disk for the plan's lifetime and a lost
+        # executor cannot recompute them — acceptable for bounded list
+        # metadata, where a rare retry-from-scratch beats k re-shuffles
+        # on every call.
+        .localCheckpoint(eager=True)
     )
     max_k = rules.agg(
         F.max(F.size(F.split("domain", r"\."))).alias("k")

@@ -218,12 +218,19 @@ def export_training_shards(
       sequence-numbered files rather than OOMing a loader.
 
     Returns a manifest dict {files: [{file, records}...], total_records,
-    shards, seed, fmt} and writes it as ``_manifest.json`` next to the
-    shards. Counts and the manifest write go through Spark / the Hadoop
-    FileSystem API, so the export works against any scheme the cluster
-    can write (s3a://, hdfs://, file://) — not just the driver's local
-    disk. The count-back pass is one zero-column scan of the shards
-    (footer-served for parquet).
+    shards, seed, fmt, empty_shards} and writes it as ``_manifest.json``
+    next to the shards. Counts and the manifest write go through Spark /
+    the Hadoop FileSystem API, so the export works against any scheme
+    the cluster can write (s3a://, hdfs://, file://) — not just the
+    driver's local disk. The count-back pass is one zero-column scan of
+    the shards (footer-served for parquet).
+
+    ``files`` is AUTHORITATIVE for what exists on disk: a shard id with
+    zero rows writes no directory at all (partitionBy semantics), so a
+    loader must round-robin over ``files``, not ``range(shards)`` —
+    missing ids are listed in ``empty_shards``. An entirely empty input
+    is a legitimate outcome (a fully-filtered split) and produces an
+    empty ``files`` list, not a crash.
     """
     import json
     import os
@@ -256,18 +263,25 @@ def export_training_shards(
     else:
         writer.json(path)
 
-    # count-back through Spark (any filesystem the cluster reaches)
+    # count-back through Spark (any filesystem the cluster reaches); an
+    # all-empty export leaves no part files and the read cannot infer a
+    # schema — that is the legitimate empty-split case, not an error
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
-    back = (
-        spark.read.parquet(path)
-        if fmt == "parquet"
-        else spark.read.text(os.path.join(path, "shard=*", "*.json"))
-    )
-    per_file = (
-        back.groupBy(F.input_file_name().alias("f"))
-        .count()
-        .collect()
-    )
+    try:
+        back = (
+            spark.read.parquet(path)
+            if fmt == "parquet"
+            else spark.read.text(os.path.join(path, "shard=*", "*.json"))
+        )
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .count()
+            .collect()
+        )
+    except AnalysisException:
+        per_file = []
     files = sorted(
         (
             {
@@ -279,10 +293,14 @@ def export_training_shards(
         key=lambda x: x["file"],
     )
     total = sum(f["records"] for f in files)
+    present = {
+        int(f["file"].split("=")[1].split("/")[0]) for f in files
+    }
     manifest = {
         "files": files,
         "total_records": total,
         "shards": shards,
+        "empty_shards": sorted(set(range(shards)) - present),
         "seed": seed,
         "fmt": fmt,
         "key_col": key_col,

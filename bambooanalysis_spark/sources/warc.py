@@ -132,7 +132,10 @@ def _parse_records(
         # strict non-negative integer: a negative length would move the
         # cursor BACKWARD (pos += clen) and re-parse the same record
         # forever — a crafted/corrupt file must not spin an executor
-        if not clen_s.isdigit():
+        # isascii() too: str.isdigit alone accepts Unicode digit classes
+        # (Arabic-Indic etc.) — spec headers are ASCII, and some of those
+        # pass isdigit but then crash int() without file/offset context
+        if not (clen_s.isascii() and clen_s.isdigit()):
             raise ValueError(
                 f"{source}: WARC record at offset {offset_base + rec_off} "
                 f"has invalid Content-Length {clen_s!r}"
@@ -334,9 +337,13 @@ def http_responses(warc: DataFrame) -> DataFrame:
     Content-Type parse with regexps, and the body re-encodes to binary
     untouched.  ``body_text`` is non-NULL only when the declared charset
     is UTF-8 (or none — HTML5's effective default on the wire once
-    meta-sniffing is out of scope); other charsets keep the exact bytes
-    in ``body`` for a downstream transcoder, rather than silently
-    mangling them.
+    meta-sniffing is out of scope) AND the bytes actually validate as
+    UTF-8 — real crawls are full of charset-less non-UTF-8 payloads, and
+    Spark 4's decode THROWS on malformed input rather than substituting
+    U+FFFD, so one mislabeled capture would otherwise abort the whole
+    scan (review finding; ``is_valid_utf8`` gates the decode). Other
+    charsets keep the exact bytes in ``body`` for a downstream
+    transcoder, rather than silently mangling them.
 
     Output: (url, fetch_time, status, mime, charset, body, body_text,
     source_file, record_offset).  One map over the scan, no shuffle.
@@ -346,10 +353,7 @@ def http_responses(warc: DataFrame) -> DataFrame:
     msg = F.decode(F.col("content"), "ISO-8859-1")
     sep = F.instr(msg, "\r\n\r\n")
     head = F.when(sep > 0, F.substring(msg, F.lit(1), sep - 1))
-    body_chars = F.when(sep > 0, F.expr(
-        "substring(decode(content, 'ISO-8859-1'), instr(decode(content,"
-        " 'ISO-8859-1'), '\\r\\n\\r\\n') + 4)"
-    ))
+    body_chars = F.when(sep > 0, msg.substr(sep + 4, F.length(msg)))
     status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1)
     ctype = F.regexp_extract(
         head, r"(?mi)^content-type:\s*([^\r\n]+)", 1
@@ -372,7 +376,9 @@ def http_responses(warc: DataFrame) -> DataFrame:
             F.when(mime != "", mime).alias("mime"),
             F.when(charset != "", charset).alias("charset"),
             body.alias("body"),
-            F.when(is_utf8, F.decode(body, "UTF-8")).alias("body_text"),
+            F.when(
+                is_utf8 & F.is_valid_utf8(body), F.decode(body, "UTF-8")
+            ).alias("body_text"),
             "source_file",
             "record_offset",
         )
@@ -398,8 +404,12 @@ def cdx_index(warc: DataFrame) -> DataFrame:
     resp = http_responses(warc)
     return resp.select(
         surt_key(F.col("url")).alias("urlkey"),
-        F.regexp_replace(
-            F.col("fetch_time"), r"[^0-9]", ""
+        # 14-digit yyyyMMddHHmmss per the CDX convention: WARC 1.1
+        # fractional seconds must truncate, or mixed-precision rows
+        # missort against standard indexes (review finding)
+        F.substring(
+            F.regexp_replace(F.col("fetch_time"), r"[^0-9]", ""),
+            1, 14,
         ).alias("timestamp"),
         "url",
         "mime",

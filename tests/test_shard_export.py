@@ -154,3 +154,28 @@ def test_duplicate_keys_do_not_break_determinism_of_distinct_keys(
     )
     assert sorted(map(tuple, ka)) == sorted(map(tuple, kb))
     assert all(r["count"] == 2 for r in ka)
+
+
+def test_empty_input_yields_empty_manifest_not_crash(spark, tmp_path):
+    # a fully-filtered split is legitimate: no part files exist, the
+    # count-back cannot infer a schema, and that must not crash
+    # (review finding — verified UNABLE_TO_INFER_SCHEMA before the fix)
+    path = str(tmp_path / "empty")
+    m = export_training_shards(_docs(spark, 0), path, "doc_id", shards=4)
+    assert m["files"] == []
+    assert m["total_records"] == 0
+    assert m["empty_shards"] == [0, 1, 2, 3]
+    on_disk = json.loads((tmp_path / "empty" / "_manifest.json").read_text())
+    assert on_disk["files"] == []
+
+
+def test_sparse_input_reports_empty_shards(spark, tmp_path):
+    # more shards than rows: missing shard dirs are NOT silently absent
+    # from the contract — files is authoritative, empty_shards names the
+    # holes a round-robin-over-range loader would hit (review finding)
+    path = str(tmp_path / "sparse")
+    m = export_training_shards(_docs(spark, 5), path, "doc_id", shards=16)
+    assert 0 < len(m["files"]) <= 5
+    present = {int(f["file"].split("=")[1].split("/")[0]) for f in m["files"]}
+    assert sorted(set(range(16)) - present) == m["empty_shards"]
+    assert m["total_records"] == 5

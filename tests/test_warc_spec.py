@@ -474,3 +474,54 @@ def test_cdx_index_rows(spark, tmp_path):
     assert r["mime"] == "text/html"  # the PAYLOAD's type (CDX convention)
     assert r["offset"] == len(member_gz(REC_WARCINFO))  # member offset
     assert r["filename"].endswith("seg.warc.gz")
+
+
+def test_http_responses_invalid_utf8_unlabeled_body_yields_null_text(
+    spark, tmp_path
+):
+    # charset-less response whose bytes are NOT valid UTF-8 (mislabeled
+    # latin-1, binary payloads): Spark 4 decode THROWS on malformed
+    # input, so without the is_valid_utf8 gate one such capture aborts
+    # the whole scan (review finding — verified crash)
+    from bambooanalysis_spark.sources.warc import http_responses
+
+    body = b"h\xff\xfei"  # invalid UTF-8, no charset declared
+    rec = _resp_record(b"HTTP/1.1 200 OK\r\nContent-Type: text/html", body)
+    (tmp_path / "f.warc").write_bytes(rec)
+    r = http_responses(read_warc(spark, str(tmp_path / "f.warc"))).collect()[0]
+    assert r["body"] == body  # bytes kept exact
+    assert r["body_text"] is None  # not mangled, not crashed
+
+
+def test_cdx_timestamp_truncates_fractional_seconds(spark, tmp_path):
+    # WARC 1.1 allows fractional-second dates; CDX keys are exactly 14
+    # digits (yyyyMMddHHmmss) — longer keys missort against standard
+    # indexes (review finding)
+    from bambooanalysis_spark.sources.warc import cdx_index
+
+    http = b"HTTP/1.1 200 OK\r\n\r\nx"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/\r\n"
+        b"WARC-Date: 2026-08-16T00:00:01.123456Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    (tmp_path / "f.warc").write_bytes(rec)
+    r = cdx_index(read_warc(spark, str(tmp_path / "f.warc"))).collect()[0]
+    assert r["timestamp"] == "20260816000001"
+
+
+def test_unicode_digit_content_length_rejected():
+    # str.isdigit alone accepts Arabic-Indic digits etc. — spec headers
+    # are ASCII (review finding)
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: \xd9\xa5\xd9\xa0\r\n"  # U+0665 U+0660 = "50"
+        b"\r\n" + b"x" * 50 + b"\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="invalid Content-Length"):
+        list(parse_warc_bytes(rec, "uni.warc"))
