@@ -97,6 +97,11 @@ def _headline():
         # newest zero-corpus-shuffle probe op (3 bounded broadcast joins
         # + one hash-aggregate over the corpus), entry 26
         "url_blocklist": ca.q_text_url_blocklist,
+        # round-10 addition: benchmark decontamination (5-gram hash
+        # explode + broadcast bench keys + anti-join keep decision) —
+        # a core pretrain family previously untracked round-over-round,
+        # entry 27
+        "decontaminate": ce.q_pretrain_decontamination,
     }
 
 
