@@ -318,3 +318,73 @@ def export_training_shards(
     finally:
         stream.close()
     return manifest
+
+
+def validate_shards(spark, path: str) -> dict:
+    """Loader-side integrity check of an export_training_shards output:
+    recount the shards (same any-filesystem Spark count-back the
+    exporter used) and compare against the committed ``_manifest.json``.
+    Returns the manifest on success; raises ValueError naming every
+    divergence (missing/extra/miscounted file) — the pre-flight a
+    training job runs before burning accelerator hours on a corpus that
+    lost files to a partial copy or retention policy.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark.errors import AnalysisException
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise ValueError(f"{path}: no _manifest.json — not a shard export")
+    # read through the Hadoop FS stream (same any-filesystem reach as
+    # the write path). NOT spark.read.text: underscore-prefixed files
+    # are hidden to Spark's file index (by design — that is why the
+    # manifest name starts with '_', so data reads skip it). commons-io
+    # ships in Spark's jars/ (Hadoop dependency); toByteArray RETURNS
+    # the bytes — py4j passes primitive arrays by value, so a
+    # readFully-into-buffer never surfaces the JVM-side mutation.
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    manifest = json.loads(raw.decode("utf-8"))
+
+    fmt = manifest["fmt"]
+
+    try:
+        back = (
+            spark.read.parquet(path)
+            if fmt == "parquet"
+            else spark.read.text(os.path.join(path, "shard=*", "*.json"))
+        )
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f")).count().collect()
+        )
+    except AnalysisException:
+        per_file = []
+    got = {
+        "/".join(r["f"].split("/")[-2:]): r["count"] for r in per_file
+    }
+    want = {f["file"]: f["records"] for f in manifest["files"]}
+    problems = []
+    for f in sorted(set(want) - set(got)):
+        problems.append(f"missing {f} ({want[f]} records expected)")
+    for f in sorted(set(got) - set(want)):
+        problems.append(f"unmanifested file {f} ({got[f]} records)")
+    for f in sorted(set(got) & set(want)):
+        if got[f] != want[f]:
+            problems.append(
+                f"{f}: {got[f]} records on disk, manifest says {want[f]}"
+            )
+    if problems:
+        raise ValueError(
+            f"{path}: shard export fails validation: " + "; ".join(problems)
+        )
+    return manifest

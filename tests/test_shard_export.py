@@ -179,3 +179,35 @@ def test_sparse_input_reports_empty_shards(spark, tmp_path):
     present = {int(f["file"].split("=")[1].split("/")[0]) for f in m["files"]}
     assert sorted(set(range(16)) - present) == m["empty_shards"]
     assert m["total_records"] == 5
+
+
+def test_validate_shards_passes_and_catches_damage(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest
+
+    from bambooanalysis_spark.sources.layout import validate_shards
+
+    path = str(tmp_path / "v")
+    m = export_training_shards(_docs(spark, 400), path, "doc_id", shards=4)
+    # clean export validates and returns the committed manifest
+    got = validate_shards(spark, path)
+    assert got["total_records"] == m["total_records"] == 400
+
+    # delete one shard file -> named missing-file error
+    victim = sorted(glob.glob(path + "/shard=*/*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="missing shard="):
+        validate_shards(spark, path)
+
+
+def test_validate_shards_requires_manifest(spark, tmp_path):
+    import pytest
+
+    from bambooanalysis_spark.sources.layout import validate_shards
+
+    d = tmp_path / "notexport"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no _manifest.json"):
+        validate_shards(spark, str(d))
