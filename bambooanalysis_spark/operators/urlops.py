@@ -518,13 +518,15 @@ def flag_blocked_hosts(
         # materialize ONCE: without this, each of the k probe joins (and
         # the depth aggregate) re-runs the scan + distinct shuffle over
         # the list — k+1 passes where one suffices (review finding;
-        # verified ReusedExchange=0 on the uncheckpointed plan).
-        # localCheckpoint trades lineage for storage: blocks live in
-        # executor memory/disk for the plan's lifetime and a lost
-        # executor cannot recompute them — acceptable for bounded list
-        # metadata, where a rare retry-from-scratch beats k re-shuffles
-        # on every call.
-        .localCheckpoint(eager=True)
+        # verified ReusedExchange=0 on the unmaterialized plan). persist,
+        # NOT localCheckpoint: checkpoint blocks truncate lineage, so an
+        # executor lost AFTER this returns (spot/preemption — routine on
+        # real clusters) makes every later job over the flagged corpus
+        # fail unrecoverably; persist gives the same single
+        # materialization (the max_k collect below forces it) and
+        # recomputes transparently on block loss. The cache entry lives
+        # until evicted or spark.catalog.clearCache() — list-sized.
+        .persist()
     )
     max_k = rules.agg(
         F.max(F.size(F.split("domain", r"\."))).alias("k")

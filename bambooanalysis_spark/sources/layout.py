@@ -263,33 +263,10 @@ def export_training_shards(
     else:
         writer.json(path)
 
-    # count-back through Spark (any filesystem the cluster reaches); an
-    # all-empty export leaves no part files and the read cannot infer a
-    # schema — that is the legitimate empty-split case, not an error
-    from pyspark.errors import AnalysisException
-
     spark = df.sparkSession
-    try:
-        back = (
-            spark.read.parquet(path)
-            if fmt == "parquet"
-            else spark.read.text(os.path.join(path, "shard=*", "*.json"))
-        )
-        per_file = (
-            back.groupBy(F.input_file_name().alias("f"))
-            .count()
-            .collect()
-        )
-    except AnalysisException:
-        per_file = []
+    counts = _count_shard_files(spark, path, fmt)
     files = sorted(
-        (
-            {
-                "file": "/".join(r["f"].split("/")[-2:]),
-                "records": r["count"],
-            }
-            for r in per_file
-        ),
+        ({"file": k, "records": v} for k, v in counts.items()),
         key=lambda x: x["file"],
     )
     total = sum(f["records"] for f in files)
@@ -306,10 +283,7 @@ def export_training_shards(
         "key_col": key_col,
     }
     # write via the Hadoop FS API so remote schemes work too
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    hpath, fs = _manifest_path(spark, path)
     stream = fs.create(hpath, True)
     try:
         stream.write(
@@ -318,6 +292,47 @@ def export_training_shards(
     finally:
         stream.close()
     return manifest
+
+
+def _manifest_path(spark, path: str):
+    """(_manifest.json Hadoop Path, its FileSystem) — shared by the
+    export write and the validator read so the two can never address
+    different files."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    return hpath, hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+
+
+def _count_shard_files(spark, path: str, fmt: str) -> dict:
+    """{shard=K/file: row count} over a shard-export directory — the ONE
+    counting implementation the exporter's manifest and validate_shards
+    both use (divergent copies would let the validator miss or invent
+    corruption). Emptiness is decided by a Hadoop FS glob, NOT by
+    catching the read's AnalysisException: a blanket catch would also
+    swallow real read failures (e.g. glob metacharacters in the path
+    matching nothing on read-back) and commit an empty manifest for a
+    populated corpus. A genuinely empty export returns {}; any listing
+    surprise after the glob saw files still raises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ext = "*.parquet" if fmt == "parquet" else "*.json"
+    sc = spark.sparkContext
+    gpath = sc._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, "shard=*", ext)
+    )
+    fs = gpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(gpath)
+    if statuses is None or len(statuses) == 0:
+        return {}
+    back = (
+        spark.read.parquet(path)
+        if fmt == "parquet"
+        else spark.read.text(os.path.join(path, "shard=*", ext))
+    )
+    per_file = back.groupBy(F.input_file_name().alias("f")).count().collect()
+    return {"/".join(r["f"].split("/")[-2:]): r["count"] for r in per_file}
 
 
 def validate_shards(spark, path: str) -> dict:
@@ -330,16 +345,9 @@ def validate_shards(spark, path: str) -> dict:
     lost files to a partial copy or retention policy.
     """
     import json
-    import os
 
-    from pyspark.sql import functions as F
-
-    from pyspark.errors import AnalysisException
-
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    jvm = spark.sparkContext._jvm
+    hpath, fs = _manifest_path(spark, path)
     if not fs.exists(hpath):
         raise ValueError(f"{path}: no _manifest.json — not a shard export")
     # read through the Hadoop FS stream (same any-filesystem reach as
@@ -356,22 +364,7 @@ def validate_shards(spark, path: str) -> dict:
         stream.close()
     manifest = json.loads(raw.decode("utf-8"))
 
-    fmt = manifest["fmt"]
-
-    try:
-        back = (
-            spark.read.parquet(path)
-            if fmt == "parquet"
-            else spark.read.text(os.path.join(path, "shard=*", "*.json"))
-        )
-        per_file = (
-            back.groupBy(F.input_file_name().alias("f")).count().collect()
-        )
-    except AnalysisException:
-        per_file = []
-    got = {
-        "/".join(r["f"].split("/")[-2:]): r["count"] for r in per_file
-    }
+    got = _count_shard_files(spark, path, manifest["fmt"])
     want = {f["file"]: f["records"] for f in manifest["files"]}
     problems = []
     for f in sorted(set(want) - set(got)):
