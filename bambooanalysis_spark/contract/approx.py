@@ -2021,6 +2021,142 @@ FROM u GROUP BY 1 ORDER BY 1
 register("text_url_surt_keys", q_text_url_surt, ORACLE_TEXT_URL_SURT)
 
 
+_ROBOTS_A = (
+    "User-agent: curatorbot\n"
+    "Disallow: /private/\n"
+    "Allow: /private/open\n"
+    "Disallow: /*.pdf$\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+_ROBOTS_B = (
+    "User-agent: otherbot\n"
+    "Allow: /\n"
+    "User-agent: *\n"
+    "Disallow: /blog\n"
+    "Allow: /blog/public\n"
+)
+
+
+def q_text_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt exclusion with the robots bodies AS DATA
+    (operators/robots.robots_allowed): per-host rule groups parsed by a
+    single JVM-side aggregate fold, compiled to a broadcast rules map,
+    corpus streams map-side. The planted classes pin the normative
+    traps: longest-match precedence (allow /private/open under disallow
+    /private/), the trailing-$ anchor (/doc.pdf blocked, /doc.pdfx
+    clean), named-group selection (host A's star group says disallow-/
+    but curatorbot's own group must win), star fallback (host B's
+    otherbot group must be IGNORED for curatorbot), and absent robots
+    (host C) = allow-all."""
+    from ..operators.robots import robots_allowed
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 3 == 0, "a.example")
+        .when(d % 3 == 1, "b.example")
+        .otherwise("norobots.example")
+    )
+    path = (
+        F.when(d % 5 == 0, "/private/sub/x")
+        .when(d % 5 == 1, "/private/open/1")
+        .when(d % 5 == 2, "/doc.pdf")
+        .when(d % 5 == 3, "/blog/x")
+        .otherwise("/blog/public/p")
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host"), path.alias("path")
+    )
+    robots = spark.createDataFrame(
+        [("a.example", _ROBOTS_A), ("b.example", _ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    return (
+        robots_allowed(docs, robots, "CuratorBot")
+        .groupBy("host", "path", "allowed")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("host", "path")
+    )
+
+
+ORACLE_TEXT_URL_ROBOTS = """
+WITH u AS (
+    SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'a.example'
+            WHEN 1 THEN 'b.example'
+            ELSE 'norobots.example' END AS host,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '/private/sub/x'
+            WHEN 1 THEN '/private/open/1'
+            WHEN 2 THEN '/doc.pdf'
+            WHEN 3 THEN '/blog/x'
+            ELSE '/blog/public/p' END AS path
+    FROM documents
+)
+SELECT host, path,
+       CASE WHEN host = 'norobots.example' THEN TRUE
+            WHEN host = 'a.example'
+                THEN CAST(doc_id % 5 AS INT) IN (1, 3)
+                  OR CAST(doc_id % 5 AS INT) = 4
+            ELSE CAST(doc_id % 5 AS INT) <> 3 END AS allowed,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+
+register("text_url_robots_filter", q_text_url_robots, ORACLE_TEXT_URL_ROBOTS)
+
+
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/text.extract_main_text —
+    boilerpipe/jusText shallow features: block length + link density,
+    pure Column algebra). The planted page has one block per failure
+    mode: a nav bar that is LONG enough but all-anchor (density must
+    drop it), a footer likewise, a too-short prose block (length must
+    drop it), a script (invisible), and headline + content blocks that
+    must survive — the content with its inline anchor text kept and its
+    &amp; entity decoded. Expected output is the literal headline +
+    newline + sentence, so segmentation, the keep rule AND the join are
+    all hash-pinned."""
+    from ..operators.text import extract_main_text
+
+    n = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit("<div><a href=/>Home page link</a> <a href=/a>About the team</a></div>"),
+        F.lit("<h1>Headline for document class "), n,
+        F.lit(" with enough length</h1>"),
+        F.lit("<p>Content sentence number "), n,
+        F.lit(" about <a href=/x>analytics engines</a> at scale &amp; speed.</p>"),
+        F.lit("<p>ok</p><script>var x = 'invisible text';</script>"),
+        F.lit("<div>(c) <a href=/t>Terms of use</a> <a href=/p>Privacy policy</a></div>"),
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    return (
+        docs.select(
+            "doc_id", extract_main_text(F.col("html")).alias("main_text")
+        )
+        .groupBy("main_text")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id"))
+        .orderBy("main_text")
+    )
+
+
+ORACLE_TEXT_HTML_EXTRACT = """
+SELECT 'Headline for document class ' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR)
+       || ' with enough length' || chr(10) ||
+       'Content sentence number ' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR)
+       || ' about analytics engines at scale & speed.' AS main_text,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+register("text_html_extract_main", q_text_html_extract, ORACLE_TEXT_HTML_EXTRACT)
+
+
 # --- distributed Bloom filter (round 9): cross-batch membership ---------------
 # operators/membership.py — build over the even-doc fingerprints, probe
 # every document. md5-derived positions + 63-bit BIGINT words make both

@@ -366,3 +366,111 @@ def strip_html(text: Column) -> Column:
     ):
         t = F.regexp_replace(t, ent, rep)
     return F.trim(F.regexp_replace(t, r"[ \t\n\r\f]+", " "))
+
+
+# --- HTML main-content extraction (boilerplate removal) ---------------------
+# Tag-stripping (strip_html above) keeps navigation chrome, footers and
+# cookie banners in the text — the dominant noise source when curating
+# crawl HTML. The public-literature fix is shallow block features: split
+# the page at block-level tags and keep blocks by text length and LINK
+# DENSITY (anchor-text chars / text chars) — the two features that carry
+# almost all of the signal in Kohlschuetter et al., "Boilerplate
+# Detection Using Shallow Text Features" (WSDM 2010, boilerpipe) and in
+# jusText (Pomikalek 2011). Navigation and footer blocks are short and
+# nearly-all-anchor; body prose is long and mostly un-linked.
+#
+# Everything below is pure Column algebra over one split + HOF chain —
+# no shuffle, no UDF — and every regexp avoids backreferences and Java-
+# only classes so the RE2-based DuckDB oracle reads them identically.
+# Anchors that themselves span a block tag are split with the block
+# (block tags terminate anchor runs here, as in jusText's paragraph
+# segmentation).
+
+_BLOCK_TAG_RX = (
+    r"(?i)</?(?:p|div|section|article|main|aside|header|footer|nav|"
+    r"h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|"
+    # the attribute tail must START with space or '/' and the closing
+    # '>' is required: with a bare [ />] class, '<li>' would satisfy the
+    # class with its own '>' and then [^>]* swallows the NEXT tag
+    r"pre|br|hr|form|figure|figcaption|center)(?:[ \t\n\r\f/][^>]*)?>"
+)
+
+
+def _drop_invisible(html: Column) -> Column:
+    """Comments and script/style/noscript payloads contribute no
+    rendered text; removed before block segmentation so their contents
+    can't leak into a block's length."""
+    t = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    t = F.regexp_replace(t, r"(?is)<noscript[^>]*>.*?</noscript[^>]*>", " ")
+    return t
+
+
+def _inline_text(fragment: Column) -> Column:
+    """Visible text of an HTML fragment: strip remaining (inline) tags,
+    decode the common entities, collapse whitespace."""
+    t = F.regexp_replace(fragment, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"[ \t\n\r\f]+", " "))
+
+
+def html_blocks(html: Column) -> Column:
+    """array<struct<text, text_chars, anchor_chars, link_density_e4>> —
+    the page split at block-level tags, one shallow-feature row per
+    block. link_density_e4 is anchor-text chars / text chars in the
+    repo's e4 fixed point (integer, oracle-exact); empty blocks carry
+    density 0."""
+    blocks = F.split(_drop_invisible(html), _BLOCK_TAG_RX)
+
+    def _feat(b: Column) -> Column:
+        text = _inline_text(b)
+        anchor = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(
+                    b,
+                    # lit: a bare str here is read as a column NAME
+                    F.lit(r"(?is)<a(?:[ \t\n\r\f][^>]*)?>(.*?)</a[^>]*>"),
+                    F.lit(1),
+                ),
+                lambda a: F.length(_inline_text(a)),
+            ),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        )
+        tc = F.length(text)
+        return F.struct(
+            text.alias("text"),
+            tc.alias("text_chars"),
+            anchor.alias("anchor_chars"),
+            F.when(tc > 0, (anchor * 10000) / tc)
+            .otherwise(0)
+            .cast("int")
+            .alias("link_density_e4"),
+        )
+
+    return F.transform(blocks, _feat)
+
+
+def extract_main_text(
+    html: Column,
+    min_chars: int = 25,
+    max_link_density_e4: int = 3333,
+) -> Column:
+    """Main-content text of an HTML page: keep blocks at least
+    ``min_chars`` long whose link density is at most
+    ``max_link_density_e4`` (defaults: jusText's length-low boundary
+    and boilerpipe's 1/3 link-density cap), joined by newline. Boilerplate — nav bars,
+    footers, cookie banners, tag clouds — is short or nearly-all-anchor
+    and drops out; anchor TEXT inside kept prose survives inline.
+    Returns the empty string for pages with no qualifying block."""
+    kept = F.filter(
+        html_blocks(html),
+        lambda b: (b.text_chars >= min_chars)
+        & (b.link_density_e4 <= max_link_density_e4),
+    )
+    return F.array_join(F.transform(kept, lambda b: b.text), "\n")

@@ -77,6 +77,10 @@ ALLOWED = {
         "m is a filter-size parameter independent of SF",
     ("classifier.py", "lut"):
         "fixed-point log table: 1023 rows by construction (LOG_LUT_SIZE)",
+    ("robots.py", "rmap"): "per-host robots rule arrays; the hint is "
+        "applied only under join_mode='broadcast', and 'auto' gates on "
+        "a robots-table row count <= broadcast_max_hosts (2M default) "
+        "with a documented shuffle mode past it",
     ("urlops.py", "bl"):
         "host blocklist rule table (flag_blocked_hosts probe joins): "
         "bounded metadata by contract, ~100 MB at the full UT1 adult list",
