@@ -2485,3 +2485,247 @@ register(
 register(
     "dedup_winnow_pairs", q_dedup_winnow_pairs, ORACLE_DEDUP_WINNOW_PAIRS,
 )
+
+
+# --- sampling: token-budget mixture solver (water-filling) --------------------
+
+_TBM_BUDGET = 120_000
+_TBM_SCALE = 10_000
+
+
+def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture design (operators/sampling.py:token_budget_mix):
+    water-fill a 120k-token training budget across sources with mixture
+    weights 1 + (i % 4), availability-capped — low-availability/high-weight
+    sources saturate (contribute everything they have), the rest split the
+    remaining budget proportionally to weight with largest-remainder
+    rounding, so the grand total is exactly min(budget, total available).
+    Every step is BIGINT (quantized-ratio sort key, cross-multiplied
+    saturation test, floor-division shares), so the DuckDB oracle replicates
+    the full fixpoint bit-for-bit — including WHICH strata saturate and
+    where the remainder tokens land."""
+    from ..operators.sampling import token_budget_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 1 + (i % 4) for i in range(64)}
+    out = token_budget_mix(
+        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=weights,
+        ratio_scale=_TBM_SCALE,
+    )
+    return out.orderBy("strata")
+
+
+ORACLE_SAMPLING_TOKEN_BUDGET_MIX = f"""
+WITH counts AS (
+    SELECT source AS strata,
+           SUM(n_chars) AS avail_tokens,
+           1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS weight
+    FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+keyed AS (
+    SELECT *, (avail_tokens // weight) * {_TBM_SCALE}
+            + ((avail_tokens % weight) * {_TBM_SCALE}) // weight AS rkey
+    FROM counts
+),
+flagged AS (
+    SELECT *,
+        COALESCE(SUM(avail_tokens) OVER (ORDER BY rkey, strata
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_prev,
+        SUM(weight) OVER () -
+        COALESCE(SUM(weight) OVER (ORDER BY rkey, strata
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_rem
+    FROM keyed
+),
+sat AS (
+    SELECT *,
+        MIN(CASE WHEN avail_tokens * w_rem <= ({_TBM_BUDGET} - a_prev) * weight
+                 THEN 1 ELSE 0 END)
+            OVER (ORDER BY rkey, strata
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            AS saturated
+    FROM flagged
+),
+solved AS (
+    SELECT *,
+        {_TBM_BUDGET} - SUM(CASE WHEN saturated THEN avail_tokens ELSE 0 END)
+            OVER () AS r_budget,
+        SUM(CASE WHEN saturated THEN 0 ELSE weight END) OVER () AS w_unsat
+    FROM sat
+),
+based AS (
+    SELECT *,
+        CASE WHEN saturated THEN avail_tokens
+             ELSE (r_budget * weight) // w_unsat END AS base,
+        CASE WHEN saturated THEN 0
+             ELSE (r_budget * weight) % w_unsat END AS rem
+    FROM solved
+),
+ranked AS (
+    SELECT *,
+        r_budget - SUM(CASE WHEN saturated THEN 0 ELSE base END) OVER ()
+            AS leftover,
+        ROW_NUMBER() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END,
+                           rem DESC, strata) AS rem_rank
+    FROM based
+),
+alloc AS (
+    SELECT strata, avail_tokens, weight, saturated,
+           CASE WHEN saturated THEN avail_tokens
+                ELSE base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+           END AS alloc_tokens
+    FROM ranked
+)
+SELECT strata,
+       CAST(avail_tokens AS BIGINT) AS avail_tokens,
+       CAST(weight AS BIGINT) AS weight,
+       saturated,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN avail_tokens > 0
+                 THEN (alloc_tokens * 1000000) // avail_tokens
+                 ELSE 0 END AS BIGINT) AS rate_e6
+FROM alloc ORDER BY strata
+"""
+
+
+register(
+    "sampling_token_budget_mix", q_sampling_token_budget_mix,
+    ORACLE_SAMPLING_TOKEN_BUDGET_MIX,
+)
+
+
+# --- dedup: quality-aware canonical selection ----------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-quality near-dup dedup (operators/dedup.py:
+    keep_best_per_cluster): the same banded-LSH -> connected-components
+    cluster table as dedup_near_dup_clusters, but the keep policy is
+    CCNet/RefinedWeb-style — per cluster, flag the member with the most
+    characters (ties by lowest doc_id) instead of the min-id or
+    first-claim member. Cluster membership AND the quality ranking are
+    exact integer decisions, so the oracle reproduces the kept set
+    bit-for-bit via the same recursive-CTE components plus a window."""
+    from ..operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        k=16, bands=8, shingle_k=2,
+    )
+    withq = clusters.select("doc_id", "cluster_id").join(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    return (
+        D.keep_best_per_cluster(withq, "cluster_id", "n_chars", "doc_id")
+        .select("doc_id", "cluster_id", "n_chars", "kept_best_i")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_keep_best() -> str:
+    from .extensions import _lsh_pairs_sql
+
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql('documents')}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (
+    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
+),
+q AS (
+    SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_chars,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+            ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept_best_i
+FROM q ORDER BY doc_id
+"""
+
+
+register("dedup_keep_best", q_dedup_keep_best, _oracle_keep_best())
+
+
+# --- classifier: threshold sweep (cutoff selection) ---------------------------
+
+def q_text_nb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cutoff selection (operators/classifier.py:
+    threshold_sweep): score the held slice with the NB 'sparky' class
+    score, take the planted content signal (text contains 'spark') as
+    truth, and emit the full precision/recall/F1 table over every
+    occurring score threshold — the table one reads to pick the
+    keep-documents-above-X cutoff. Counts and fixed-point ratios are all
+    BIGINT, so the sweep is exactly oracle-hashed on top of the same NB
+    CTEs as text_nb_scores."""
+    from ..operators.classifier import nb_scores, threshold_sweep
+
+    model, held = _nb_parts(spark, sf_dir)
+    scored = (
+        nb_scores(model, held)
+        .where(F.col("label") == "sparky")
+        .select("doc_id", "score_e6")
+    )
+    truth = held.select(
+        "doc_id",
+        F.col("text").contains("spark").cast("long").alias("is_sparky"),
+    )
+    joined = scored.join(truth, "doc_id")
+    return threshold_sweep(joined, "score_e6", "is_sparky").orderBy(
+        "threshold"
+    )
+
+
+ORACLE_TEXT_NB_THRESHOLD_SWEEP = _NB_CTES + """,
+truth AS (
+    SELECT doc_id,
+           CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS is_sparky
+    FROM documents WHERE doc_id % 10 >= 8
+),
+pts AS (
+    SELECT s.score_e6 AS threshold, t.is_sparky
+    FROM scores s JOIN truth t USING (doc_id)
+    WHERE s.label = 'sparky'
+),
+perth AS (
+    SELECT threshold,
+           SUM(is_sparky) AS n_pos,
+           SUM(1 - is_sparky) AS n_neg
+    FROM pts GROUP BY 1
+),
+cum AS (
+    SELECT threshold,
+           SUM(n_pos) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           SUM(n_neg) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+           SUM(n_pos) OVER () AS tot_pos,
+           SUM(n_neg) OVER () AS tot_neg
+    FROM perth
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(tot_pos - tp AS BIGINT) AS fn,
+       CAST(tot_neg - fp AS BIGINT) AS tn,
+       CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN tot_pos > 0 THEN (tp * 1000000) // tot_pos
+                 ELSE 0 END AS BIGINT) AS recall_e6,
+       CAST((2 * tp * 1000000) // (2 * tp + fp + (tot_pos - tp))
+            AS BIGINT) AS f1_e6
+FROM cum ORDER BY threshold
+"""
+
+
+register(
+    "text_nb_threshold_sweep", q_text_nb_threshold_sweep,
+    ORACLE_TEXT_NB_THRESHOLD_SWEEP,
+)

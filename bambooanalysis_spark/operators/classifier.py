@@ -326,3 +326,84 @@ def nb_predict(
         .cast("long")
         .alias("margin_e6"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Classifier-cutoff selection: for EVERY distinct score value t,
+    the confusion matrix and fixed-point precision/recall/F1 of the rule
+    "predict positive iff score >= t" — the table a curation pipeline
+    reads to pick its quality-filter threshold (the fastText/CCNet "keep
+    documents the classifier scores above X" step needs an X, and this
+    is how X is chosen).
+
+    ``label_col`` must be 0/1 integers; ``score_col`` an integer score
+    (the fixed-point *_e6 scores of nb_scores / quality_score_e4 are the
+    intended inputs — float scores would make the cumulative sums
+    engine-ordering-dependent). All outputs are BIGINT: precision_e6 =
+    tp*1e6 DIV (tp+fp) (the predicted-positive set is non-empty at every
+    listed threshold, since the threshold itself is an occurring score),
+    recall_e6 guards the no-positives corpus to 0, f1_e6 = 2*tp*1e6 DIV
+    (2*tp + fp + fn).
+
+    Scale shape: ONE map-side-combined hash aggregate over the corpus
+    (per-score positive/negative counts), then windows over the distinct-
+    score table. That table is bounded by the score RESOLUTION, not the
+    corpus — a *_e6 score has at most ~2M distinct values no matter how
+    many documents — so the single-partition cumulative window is
+    bounded metadata, the same class as temperature_mix's totals.
+    """
+    raw = F.col(label_col).cast("long")
+    # in-plan contract guard: anything outside {0,1} would silently skew
+    # every cumulative count, so it fails the job loudly instead
+    lbl = F.when(
+        raw.isin(0, 1),
+        raw,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("threshold_sweep: label_col must be 0/1, got "),
+                raw.cast("string"),
+            )
+        ).cast("long")
+    )
+    agg = (
+        df.where(F.col(score_col).isNotNull() & raw.isNotNull())
+        .groupBy(F.col(score_col).cast("long").alias("threshold"))
+        .agg(
+            F.sum(lbl).alias("__n_pos"),
+            F.sum(F.lit(1) - lbl).alias("__n_neg"),
+        )
+    )
+    desc = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    everything = Window.partitionBy()
+    out = (
+        agg.withColumn("tp", F.sum("__n_pos").over(desc))
+        .withColumn("fp", F.sum("__n_neg").over(desc))
+        .withColumn("__tot_pos", F.sum("__n_pos").over(everything))
+        .withColumn("__tot_neg", F.sum("__n_neg").over(everything))
+        .withColumn("fn", F.col("__tot_pos") - F.col("tp"))
+        .withColumn("tn", F.col("__tot_neg") - F.col("fp"))
+        .withColumn(
+            "precision_e6", F.expr("(tp * 1000000) DIV (tp + fp)")
+        )
+        .withColumn(
+            "recall_e6",
+            F.when(
+                F.col("__tot_pos") > 0,
+                F.expr("(tp * 1000000) DIV __tot_pos"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "f1_e6", F.expr("(2 * tp * 1000000) DIV (2 * tp + fp + fn)")
+        )
+    )
+    return out.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        "precision_e6", "recall_e6", "f1_e6",
+    )

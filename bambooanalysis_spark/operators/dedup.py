@@ -1031,3 +1031,40 @@ def exact_dedup_incremental(
     keep = keep.localCheckpoint(eager=True)
     keep.write.mode("append").parquet(store)
     return keep
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    out_col: str = "kept_best_i",
+) -> DataFrame:
+    """Quality-aware canonical selection: flag, per near-dup cluster, the
+    single member with the HIGHEST ``quality_col`` (ties broken by lowest
+    ``id_col``; NULL quality ranks last). This is the keep policy most
+    curation pipelines actually want — ``near_dup_clusters``'s
+    ``is_representative`` keeps the min-id member and
+    ``lsh_first_claim_keeps`` keeps the earliest claimant, but
+    CCNet/RefinedWeb-style dedup keeps the longest / cleanest copy of each
+    family, which is a function of document quality, not arrival order.
+
+    Compose: ``near_dup_clusters`` (or any (id, cluster) table) -> join a
+    quality column -> this -> ``WHERE kept_best_i = 1`` is the
+    deduplicated corpus.
+
+    Scale shape: one window shuffle partitioned BY CLUSTER with a
+    row_number over (quality desc, id asc) — clusters from the star-capped
+    path are bounded, so no skew cliff; nothing else touches the corpus.
+    The flag is a pure function of (cluster, quality, id), bit-identical
+    across engines (integer quality) and reruns.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return df.withColumn(
+        out_col,
+        (F.row_number().over(w) == 1).cast("long"),
+    )

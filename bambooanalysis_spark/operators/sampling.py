@@ -238,3 +238,210 @@ def per_group_cap(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .where(F.col("rank_in_group") <= cap)
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    strata: str,
+    tokens_col: str,
+    budget: int,
+    weights: dict[str, int] | None = None,
+    ratio_scale: int = 10_000,
+) -> DataFrame:
+    """Token-budget mixture solver (water-filling): given per-row token
+    counts and a target training budget, decide how many tokens to TAKE
+    from each stratum so that (a) no stratum gives more than it has,
+    (b) unsaturated strata contribute proportionally to their mixture
+    weight, and (c) the total is exactly ``min(budget, total available)``.
+    This is the mixture-design step of a multi-source pretraining corpus
+    (the Pile/DoReMi-style "how much of each domain do we actually train
+    on" decision): temperature_mix picks WHICH rows once rates are known;
+    this operator computes the rates themselves under availability caps.
+
+    Algorithm (classic water-filling, but specified deterministically so
+    a SQL oracle reproduces it bit-for-bit):
+
+    1. aggregate ``tokens_col`` per stratum (rows with a NULL stratum are
+       excluded — they have no mixture identity);
+    2. order strata by the QUANTIZED availability/weight ratio
+       ``rkey = (avail DIV w) * ratio_scale + ((avail % w) * ratio_scale)
+       DIV w`` (ties by stratum name). The quantization keeps the sort
+       key in exact BIGINT arithmetic — two ratios closer than
+       1/ratio_scale relative may order by name, which both engines do
+       identically;
+    3. walk in that order and saturate (alloc = avail) while the EXACT
+       cross-multiplied water-level test holds:
+       ``avail_i * W_rem_i <= (budget - A_prev_i) * w_i`` with
+       ``A_prev`` = tokens already granted to earlier (saturated) strata
+       and ``W_rem`` = total weight from i onward. The test is monotone
+       along the sorted order (once it fails, every later larger-ratio
+       stratum fails too), so it is ONE cumulative-AND window, not a
+       loop;
+    4. split the remaining budget over unsaturated strata proportionally
+       to weight with floor division, handing out the remainder by the
+       largest-remainder method (ties by stratum name) so the total is
+       exact.
+
+    All arithmetic is BIGINT (both engines floor positive division the
+    same way); in-plan ``raise_error`` guards reject inputs that could
+    overflow the cross-products (per-stratum avail above ~9.2e18 /
+    max(total weight, ratio_scale)) — at larger corpus sizes pre-scale
+    the token counts (report in thousands).
+
+    Returns one row per stratum: (strata, avail_tokens, weight,
+    saturated, alloc_tokens, rate_e6) where rate_e6 is the per-stratum
+    downstream sampling rate in parts-per-million (pair with
+    hash_sample / hash_bucket to materialize the mix).
+
+    Scale shape: the corpus is touched by exactly ONE map-side-combined
+    hash aggregate; everything after runs on the strata table (one row
+    per source — metadata-sized), where the single-partition windows are
+    the same bounded pattern as temperature_mix's total.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    wmap = weights or {}
+    for s, wv in wmap.items():
+        if int(wv) < 1:
+            raise ValueError(
+                f"mixture weight for stratum {s!r} is {wv}; weights must "
+                "be positive integers (a zero-weight stratum is expressed "
+                "by filtering it out before the mix)"
+            )
+    counts = (
+        df.where(F.col(strata).isNotNull())
+        .groupBy(F.col(strata).cast("string").alias("strata"))
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens"))
+        .where(F.col("avail_tokens") >= 0)
+    )
+    if wmap:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(str(s), int(v)) for s, v in sorted(wmap.items())],
+            "strata string, weight long",
+        )
+        counts = counts.join(F.broadcast(wdf), "strata", "left").withColumn(
+            "weight", F.coalesce(F.col("weight"), F.lit(1).cast("long"))
+        )
+    else:
+        counts = counts.withColumn("weight", F.lit(1).cast("long"))
+
+    avail, w = F.col("avail_tokens"), F.col("weight")
+    # overflow guards, in-plan: every later product is bounded by
+    # avail * max(total_weight, ratio_scale); LIMIT/denominator keeps the
+    # test itself division-only (no product can overflow before the test)
+    limit = (1 << 62) - 1
+    wtot = F.sum("weight").over(Window.partitionBy())
+    guard_den = F.greatest(wtot, F.lit(int(ratio_scale)).cast("long"))
+    staged = counts.withColumn(
+        "avail_tokens",
+        F.when(
+            avail > F.lit(limit) / guard_den,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "token_budget_mix: stratum availability too large "
+                        "for exact BIGINT water-filling (avail="
+                    ),
+                    avail.cast("string"),
+                    F.lit(
+                        ") — pre-scale the token counts (e.g. report in "
+                        "thousands)"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(avail),
+    )
+    if budget > limit // ratio_scale:
+        raise ValueError(
+            "token_budget_mix: budget too large for exact BIGINT "
+            "water-filling — pre-scale the token counts and budget"
+        )
+
+    staged = staged.withColumn(
+        "rkey",
+        F.expr(
+            f"(avail_tokens DIV weight) * {int(ratio_scale)}"
+            f" + ((avail_tokens % weight) * {int(ratio_scale)}) DIV weight"
+        ),
+    )
+
+    order = Window.orderBy("rkey", "strata")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.partitionBy()
+    a_prev = F.coalesce(F.sum("avail_tokens").over(prev), F.lit(0).cast("long"))
+    w_prev = F.coalesce(F.sum("weight").over(prev), F.lit(0).cast("long"))
+    w_rem = F.sum("weight").over(everything) - w_prev
+    sat_here = (avail * w_rem) <= (F.lit(int(budget)) - a_prev) * w
+    flagged = staged.withColumn("__sat_here", sat_here.cast("int"))
+    cum = Window.orderBy("rkey", "strata").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = flagged.withColumn(
+        "saturated", F.min("__sat_here").over(cum) == 1
+    )
+
+    sat = F.col("saturated")
+    granted = F.sum(F.when(sat, avail).otherwise(F.lit(0))).over(everything)
+    w_unsat = F.sum(F.when(sat, F.lit(0).cast("long")).otherwise(w)).over(
+        everything
+    )
+    r_budget = F.lit(int(budget)) - granted
+    solved = (
+        flagged.withColumn("__r_budget", r_budget)
+        .withColumn("__w_unsat", w_unsat)
+        .withColumn(
+            "__base",
+            F.when(sat, avail).otherwise(
+                F.expr("(__r_budget * weight) DIV __w_unsat")
+            ),
+        )
+        .withColumn(
+            "__rem",
+            F.when(sat, F.lit(0).cast("long")).otherwise(
+                F.expr("(__r_budget * weight) % __w_unsat")
+            ),
+        )
+    )
+    # largest-remainder hand-out: leftover = r_budget - sum(base) over the
+    # unsaturated rows; top-`leftover` remainders (ties by name) get +1
+    leftover = F.col("__r_budget") - F.sum(
+        F.when(sat, F.lit(0).cast("long")).otherwise(F.col("__base"))
+    ).over(everything)
+    rem_rank = F.row_number().over(
+        Window.orderBy(
+            sat.cast("int"), F.col("__rem").desc(), F.col("strata")
+        )
+    )
+    solved = (
+        solved.withColumn("__leftover", leftover)
+        .withColumn("__rem_rank", rem_rank)
+        .withColumn(
+            "alloc_tokens",
+            F.when(sat, avail).otherwise(
+                F.col("__base")
+                + F.when(
+                    F.col("__rem_rank") <= F.col("__leftover"), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+            ),
+        )
+        .withColumn(
+            "rate_e6",
+            F.when(
+                avail > 0,
+                F.expr("(alloc_tokens * 1000000) DIV avail_tokens"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return solved.select(
+        "strata",
+        "avail_tokens",
+        "weight",
+        "saturated",
+        "alloc_tokens",
+        "rate_e6",
+    )

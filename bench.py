@@ -102,6 +102,11 @@ def _headline():
         # a core pretrain family previously untracked round-over-round,
         # entry 27
         "decontaminate": ce.q_pretrain_decontamination,
+        # round-10 addition: the token-budget mixture solver — one
+        # map-side-combined corpus aggregate, then BIGINT water-filling
+        # over the strata table (the mixture-design step every
+        # multi-source pretraining corpus runs before sampling), entry 28
+        "token_mix": ca.q_sampling_token_budget_mix,
     }
 
 

@@ -84,6 +84,9 @@ ALLOWED = {
     ("urlops.py", "bl"):
         "host blocklist rule table (flag_blocked_hosts probe joins): "
         "bounded metadata by contract, ~100 MB at the full UT1 adult list",
+    ("sampling.py", "wdf"):
+        "token_budget_mix mixture-weight table: one row per caller-"
+        "supplied dict entry, parameter-sized by construction",
 }
 
 

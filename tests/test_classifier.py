@@ -209,3 +209,62 @@ def test_ilog_sql_matches_python_at_extreme_magnitudes(spark):
     got = {r["x"]: r["ilog"] for r in out.collect()}
     for x in xs:
         assert got[x] == pyilog(x), x
+
+
+def test_threshold_sweep_hand_computed(spark):
+    """4 scored docs, every (tp, fp) transition hand-checked."""
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 90, 1), (2, 80, 0), (3, 80, 1), (4, 10, 0)],
+        "doc_id long, score long, label long",
+    )
+    rows = {r["threshold"]: r for r in
+            threshold_sweep(df, "score", "label").collect()}
+    assert set(rows) == {90, 80, 10}
+    r = rows[90]   # predict >= 90: doc 1 only
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 1, 2)
+    assert r["precision_e6"] == 1_000_000 and r["recall_e6"] == 500_000
+    r = rows[80]   # docs 1,2,3
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 0, 1)
+    assert r["precision_e6"] == 666_666  # floor(2e6/3)
+    assert r["f1_e6"] == 800_000
+    r = rows[10]   # everything predicted positive
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 2, 0, 0)
+    assert r["recall_e6"] == 1_000_000
+
+
+def test_threshold_sweep_no_positives_recall_zero(spark):
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 5, 0), (2, 7, 0)], "doc_id long, score long, label long"
+    )
+    for r in threshold_sweep(df, "score", "label").collect():
+        assert r["tp"] == 0 and r["recall_e6"] == 0 and r["f1_e6"] == 0
+
+
+def test_threshold_sweep_rejects_non_binary_labels(spark):
+    import pytest
+
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 5, 2)], "doc_id long, score long, label long"
+    )
+    with pytest.raises(Exception, match="must be 0/1"):
+        threshold_sweep(df, "score", "label").collect()
+
+
+def test_threshold_sweep_plan_shape(spark):
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(i, i % 17, i % 2) for i in range(100)],
+        "doc_id long, score long, label long",
+    )
+    out = threshold_sweep(df, "score", "label")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    # exactly one aggregation pass over the input rows (partial+final)
+    assert plan.count("HashAggregate") <= 2

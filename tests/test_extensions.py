@@ -3356,3 +3356,63 @@ def test_ivf_pq_served_index_auto_joins_at_large_ksub(spark, sf_oracle, tmp_path
         emb, qs, k=5, n_centroids=16, n_probe=4, m=8, ksub=256
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, mem))
+
+
+def test_keep_best_per_cluster_picks_max_quality_min_id(spark):
+    from bambooanalysis_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [
+            # cluster 0: quality winner is doc 3 (NOT the min id)
+            (1, 0, 10), (2, 0, 50), (3, 0, 90),
+            # cluster 1: quality tie -> min id 4 wins
+            (4, 1, 70), (5, 1, 70),
+            # cluster 2: singleton
+            (6, 2, 5),
+            # cluster 3: NULL quality ranks last
+            (7, 3, None), (8, 3, 1),
+        ],
+        "doc_id long, cluster_id long, quality long",
+    )
+    rows = {r["doc_id"]: r["kept_best_i"] for r in
+            keep_best_per_cluster(df, "cluster_id", "quality", "doc_id").collect()}
+    assert rows == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1, 7: 0, 8: 1}
+
+
+def test_keep_best_per_cluster_exactly_one_per_cluster(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    clusters = D.near_dup_clusters(
+        docs.select("doc_id", "text"), "doc_id", "text", k=16, bands=8,
+        shingle_k=2,
+    ).select("doc_id", "cluster_id").join(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    out = D.keep_best_per_cluster(clusters, "cluster_id", "n_chars", "doc_id")
+    per = out.groupBy("cluster_id").agg(
+        F.sum("kept_best_i").alias("n_kept"),
+        F.max(F.when(F.col("kept_best_i") == 1, F.col("n_chars"))).alias("kept_q"),
+        F.max("n_chars").alias("max_q"),
+    ).collect()
+    assert all(r["n_kept"] == 1 for r in per)
+    # the kept member really is the cluster's quality max
+    assert all(r["kept_q"] == r["max_q"] for r in per)
+
+
+def test_keep_best_differs_from_min_id_representative(spark):
+    """The policy distinction this operator exists for: when the best-quality
+    member is not the min-id member, is_representative and kept_best_i
+    disagree."""
+    from bambooanalysis_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [(10, 10, 1), (11, 10, 99)],  # min-id rep is 10; best quality is 11
+        "doc_id long, cluster_id long, quality long",
+    )
+    rows = {r["doc_id"]: r["kept_best_i"] for r in
+            keep_best_per_cluster(df, "cluster_id", "quality", "doc_id").collect()}
+    assert rows == {10: 0, 11: 1}

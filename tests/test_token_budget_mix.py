@@ -1,0 +1,163 @@
+"""token_budget_mix (operators/sampling.py): water-filling mixture solver.
+
+The correctness bar is an INDEPENDENT straight-Python transcription of the
+spec (sorted quantized ratios, exact cross-multiplied saturation test,
+floor shares + largest-remainder) that shares no code with the operator —
+the same gate style as test_registered_domain_from_vs_python_reference.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.operators.sampling import token_budget_mix
+
+
+def _py_waterfill(avail_w, budget, scale=10_000):
+    """Independent reference: dicts + sorts, no Spark, no shared helpers."""
+    rows = []
+    for s, (a, w) in sorted(avail_w.items()):
+        rkey = (a // w) * scale + ((a % w) * scale) // w
+        rows.append((s, a, w, rkey))
+    rows.sort(key=lambda r: (r[3], r[0]))
+    wtot = sum(r[2] for r in rows)
+    a_prev = w_prev = 0
+    sat = {}
+    broke = False
+    for s, a, w, _ in rows:
+        ok = (not broke) and a * (wtot - w_prev) <= (budget - a_prev) * w
+        if not ok:
+            broke = True
+        sat[s] = ok
+        a_prev += a
+        w_prev += w
+    granted = sum(a for s, a, w, _ in rows if sat[s])
+    r = budget - granted
+    w_unsat = sum(w for s, a, w, _ in rows if not sat[s])
+    out, rem = {}, {}
+    for s, a, w, _ in rows:
+        if sat[s]:
+            out[s] = a
+        else:
+            out[s] = (r * w) // w_unsat
+            rem[s] = (r * w) % w_unsat
+    leftover = r - sum(out[s] for s in rem)
+    for i, (s, _) in enumerate(sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))):
+        if i < leftover:
+            out[s] += 1
+    return {s: (out[s], sat[s]) for s, a, w, _ in rows}
+
+
+def _mk_docs(spark, avail_w, seed=0):
+    """Split each stratum's availability over several doc rows."""
+    rng = random.Random(seed)
+    data, did = [], 0
+    for s, (a, _w) in sorted(avail_w.items()):
+        left = a
+        while left > 0:
+            take = min(left, rng.randint(1, max(1, a // 3 + 1)))
+            data.append((did, s, take))
+            did += 1
+            left -= take
+        if a == 0:
+            data.append((did, s, 0))
+            did += 1
+    return spark.createDataFrame(data, "doc_id long, src string, toks long")
+
+
+def test_token_budget_mix_matches_python_reference(spark):
+    rng = random.Random(11)
+    for trial in range(12):
+        n = rng.randint(1, 10)
+        avail_w = {
+            f"s{i:02d}": (rng.randint(0, 5000), rng.randint(1, 9))
+            for i in range(n)
+        }
+        budget = rng.randint(0, 9000)
+        df = _mk_docs(spark, avail_w, seed=trial)
+        res = token_budget_mix(
+            df, "src", "toks", budget,
+            weights={s: w for s, (a, w) in avail_w.items()},
+        )
+        got = {
+            r["strata"]: (r["alloc_tokens"], r["saturated"])
+            for r in res.collect()
+        }
+        want = _py_waterfill(avail_w, budget)
+        assert got == want, (trial, avail_w, budget)
+
+
+def test_token_budget_mix_total_is_exact(spark):
+    avail_w = {"a": (100, 1), "b": (300, 2), "c": (50, 5)}
+    df = _mk_docs(spark, avail_w)
+    w = {s: wv for s, (a, wv) in avail_w.items()}
+    # oversubscribed: total == budget
+    rows = token_budget_mix(df, "src", "toks", 200, weights=w).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 200
+    # undersubscribed: total == total available, everyone saturated
+    rows = token_budget_mix(df, "src", "toks", 10_000, weights=w).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 450
+    assert all(r["saturated"] for r in rows)
+    assert all(r["alloc_tokens"] == r["avail_tokens"] for r in rows)
+
+
+def test_token_budget_mix_equal_weights_split_within_one(spark):
+    # 4 equal strata, none saturated: shares differ by at most 1 and the
+    # largest-remainder +1s land deterministically (by stratum name)
+    avail_w = {f"x{i}": (1000, 1) for i in range(4)}
+    df = _mk_docs(spark, avail_w)
+    rows = token_budget_mix(df, "src", "toks", 1002).collect()
+    allocs = sorted((r["strata"], r["alloc_tokens"]) for r in rows)
+    assert [a for _, a in allocs] == [251, 251, 250, 250]
+    assert sum(a for _, a in allocs) == 1002
+
+
+def test_token_budget_mix_rate_e6(spark):
+    avail_w = {"a": (1000, 1), "b": (1000, 1)}
+    df = _mk_docs(spark, avail_w)
+    rows = token_budget_mix(df, "src", "toks", 500).collect()
+    for r in rows:
+        assert r["rate_e6"] == (r["alloc_tokens"] * 1_000_000) // r["avail_tokens"]
+
+
+def test_token_budget_mix_null_strata_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 100), (1, None, 100), (2, "a", 50)],
+        "doc_id long, src string, toks long",
+    )
+    rows = token_budget_mix(df, "src", "toks", 1000).collect()
+    assert len(rows) == 1 and rows[0]["avail_tokens"] == 150
+
+
+def test_token_budget_mix_input_validation(spark):
+    df = spark.createDataFrame([(0, "a", 10)], "doc_id long, src string, toks long")
+    with pytest.raises(ValueError, match="non-negative"):
+        token_budget_mix(df, "src", "toks", -1)
+    with pytest.raises(ValueError, match="positive integers"):
+        token_budget_mix(df, "src", "toks", 10, weights={"a": 0})
+    with pytest.raises(ValueError, match="budget too large"):
+        token_budget_mix(df, "src", "toks", (1 << 62) // 10_000 + 1)
+
+
+def test_token_budget_mix_overflow_guard_raises_in_plan(spark):
+    # one stratum holding more tokens than the exact-BIGINT bound allows
+    df = spark.createDataFrame(
+        [(0, "a", (1 << 62) // 10_000 + 7)], "doc_id long, src string, toks long"
+    )
+    with pytest.raises(Exception, match="pre-scale the token counts"):
+        token_budget_mix(df, "src", "toks", 100).collect()
+
+
+def test_token_budget_mix_plan_shape(spark):
+    # the corpus is touched by exactly one hash aggregate; no Python UDFs
+    avail_w = {f"s{i}": (500 + i, 1 + i % 3) for i in range(6)}
+    df = _mk_docs(spark, avail_w)
+    out = token_budget_mix(
+        df, "src", "toks", 900, weights={s: w for s, (a, w) in avail_w.items()}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    assert "PythonUDF" not in plan
