@@ -2515,7 +2515,10 @@ def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("strata")
 
 
-ORACLE_SAMPLING_TOKEN_BUDGET_MIX = f"""
+# shared CTE chain: per-source counts -> water-filling fixpoint -> `alloc`
+# (strata, avail_tokens, weight, saturated, alloc_tokens); the materializer
+# oracle composes on top of it
+_TBM_CTES = f"""
 WITH counts AS (
     SELECT source AS strata,
            SUM(n_chars) AS avail_tokens,
@@ -2575,6 +2578,9 @@ alloc AS (
            END AS alloc_tokens
     FROM ranked
 )
+"""
+
+ORACLE_SAMPLING_TOKEN_BUDGET_MIX = _TBM_CTES + """
 SELECT strata,
        CAST(avail_tokens AS BIGINT) AS avail_tokens,
        CAST(weight AS BIGINT) AS weight,
@@ -2728,4 +2734,73 @@ FROM cum ORDER BY threshold
 register(
     "text_nb_threshold_sweep", q_text_nb_threshold_sweep,
     ORACLE_TEXT_NB_THRESHOLD_SWEEP,
+)
+
+
+# --- sampling: token-mix materialization (greedy hash-prefix) -----------------
+
+def q_sampling_materialize_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the water-filled allocation end-to-end
+    (operators/sampling.py:materialize_token_mix): the solver's
+    per-source token budgets are materialized as a deterministic
+    md5-ordered document prefix per source — full corpus flagged, greedy
+    (never exceeds the allocation, undershoots by less than one
+    document). The two-grain cumulative sum (bucket totals, then
+    per-document only inside the cutoff bucket) is all integer, so the
+    oracle reproduces the kept flag for every document."""
+    from ..operators.sampling import materialize_token_mix, token_budget_mix
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    weights = {f"src{i}": 1 + (i % 4) for i in range(64)}
+    alloc = token_budget_mix(
+        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=weights,
+        ratio_scale=_TBM_SCALE,
+    )
+    flagged = materialize_token_mix(
+        docs, alloc, "source", "n_chars", "doc_id", salt="mix"
+    )
+    return flagged.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "kept_i",
+    ).orderBy("doc_id")
+
+
+ORACLE_SAMPLING_MATERIALIZE_MIX = _TBM_CTES + f""",
+docs AS (
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS t,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE source IS NOT NULL
+),
+staged AS (SELECT *, CAST(h % 10000 AS INT) AS b FROM docs),
+pb AS (SELECT source, b, SUM(t) AS bt FROM staged GROUP BY 1, 2),
+cumb AS (
+    SELECT *, COALESCE(SUM(bt) OVER (PARTITION BY source ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM pb
+),
+bstat AS (
+    SELECT c.source, c.b,
+           (c.cum_before + c.bt <= COALESCE(a.alloc_tokens, 0)) AS full_b,
+           GREATEST(COALESCE(a.alloc_tokens, 0) - c.cum_before, 0) AS remaining
+    FROM cumb c LEFT JOIN alloc a ON a.strata = c.source
+)
+SELECT s.doc_id, s.source, s.t AS n_chars,
+       CAST(CASE WHEN bs.full_b THEN 1
+                 WHEN SUM(s.t) OVER (PARTITION BY s.source, s.b
+                         ORDER BY s.h, s.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      <= bs.remaining THEN 1 ELSE 0 END AS BIGINT) AS kept_i
+FROM staged s JOIN bstat bs ON bs.source = s.source AND bs.b = s.b
+ORDER BY s.doc_id
+"""
+
+
+register(
+    "sampling_materialize_mix", q_sampling_materialize_mix,
+    ORACLE_SAMPLING_MATERIALIZE_MIX,
 )

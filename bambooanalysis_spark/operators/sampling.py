@@ -445,3 +445,133 @@ def token_budget_mix(
         "alloc_tokens",
         "rate_e6",
     )
+
+
+def materialize_token_mix(
+    df: DataFrame,
+    alloc: DataFrame,
+    strata: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    out_col: str = "kept_i",
+) -> DataFrame:
+    """Execute a token-budget allocation: flag, per stratum, a
+    deterministic hash-ordered PREFIX of documents whose token counts sum
+    to at most that stratum's ``alloc_tokens`` (the companion to
+    ``token_budget_mix``, which decides the allocations; this picks the
+    actual documents). The kept set is a pure function of
+    (id, salt, tokens, allocation) — stable under repartitioning, reruns
+    and engine swaps, like everything else in this module — and greedy:
+    documents are taken in md5 order until the NEXT one would overshoot,
+    so a stratum undershoots its allocation by less than one document's
+    tokens and never exceeds it.
+
+    ``alloc`` is a (strata, alloc_tokens) table — normally the output of
+    ``token_budget_mix``; duplicate strata rows are healed conservatively
+    (MIN allocation wins). Strata missing from it — and documents with a
+    NULL stratum — keep nothing (kept_i=0); NULL token counts count as 0;
+    negative token counts fail the job in-plan (a negative count would
+    let the cumulative sum re-enter the budget after overshooting —
+    always a data bug).
+
+    Scale shape (the reason this is NOT one window over each stratum):
+    ``Window.partitionBy(strata)`` would sort every document of the
+    hottest source in a single task — exactly the skew this operator's
+    callers have (a head domain can be a double-digit share of a crawl).
+    Instead the cumulative sum runs at two grains:
+
+    1. per (stratum, hash-bucket) token sums — N_BUCKETS buckets per
+       stratum, one map-side-combined aggregate; the running total over
+       BUCKETS (a metadata-sized window) classifies each bucket as fully
+       kept, fully dropped, or THE cutoff bucket (at most one per
+       stratum);
+    2. only the cutoff bucket's documents — ~1/N_BUCKETS of the stratum —
+       are ordered per document (md5, then id) against the bucket's
+       remaining budget.
+
+    The corpus is shuffled ONCE, on (stratum, bucket) — a key the hash
+    spreads N_BUCKETS-ways regardless of how hot the stratum is — and the
+    per-document window rides that same partitioning.
+    """
+    h = hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    toks_raw = F.col(tokens_col).cast("long")
+    toks = F.when(
+        toks_raw < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("materialize_token_mix: negative token count "),
+                toks_raw.cast("string"),
+                F.lit(" (id="),
+                F.col(id_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce(toks_raw, F.lit(0).cast("long")))
+
+    staged = (
+        df.withColumn("__tm_h", h)
+        .withColumn("__tm_b", (F.col("__tm_h") % N_BUCKETS).cast("int"))
+        .withColumn("__tm_t", toks)
+        .withColumn("__tm_s", F.col(strata).cast("string"))
+    )
+
+    per_bucket = staged.groupBy("__tm_s", "__tm_b").agg(
+        F.sum("__tm_t").alias("__bt")
+    )
+    from pyspark.sql import Window
+
+    before = (
+        Window.partitionBy("__tm_s")
+        .orderBy("__tm_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_bucket.withColumn(
+        "__cum_before",
+        F.coalesce(F.sum("__bt").over(before), F.lit(0).cast("long")),
+    )
+    # duplicate-row guard (the bloom_might_contain hazard class): an alloc
+    # table accidentally unioned twice would multiply bucket rows through
+    # the join and duplicate corpus rows downstream. Re-aggregating the
+    # strata-sized table is cheap; MIN is the conservative heal (conflicting
+    # duplicates can only under-spend, never blow the budget).
+    al = (
+        alloc.select(
+            F.col("strata").cast("string").alias("__tm_s"),
+            F.col("alloc_tokens").cast("long").alias("__alloc"),
+        )
+        .groupBy("__tm_s")
+        .agg(F.min("__alloc").alias("__alloc"))
+    )
+    buckets = (
+        cum.join(F.broadcast(al), "__tm_s", "left")
+        .withColumn("__alloc", F.coalesce(F.col("__alloc"), F.lit(0).cast("long")))
+        .select(
+            "__tm_s",
+            "__tm_b",
+            (F.col("__cum_before") + F.col("__bt") <= F.col("__alloc")).alias(
+                "__full"
+            ),
+            # remaining budget entering this bucket; meaningful only for
+            # the (at most one) cutoff bucket, clamped at 0 for dropped ones
+            F.greatest(
+                F.col("__alloc") - F.col("__cum_before"),
+                F.lit(0).cast("long"),
+            ).alias("__remaining"),
+        )
+    )
+
+    joined = staged.join(buckets, ["__tm_s", "__tm_b"], "left")
+    wdoc = (
+        Window.partitionBy("__tm_s", "__tm_b")
+        .orderBy("__tm_h", F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    doc_cum = F.sum("__tm_t").over(wdoc)
+    kept = F.when(F.col("__full"), F.lit(1)).otherwise(
+        F.when(doc_cum <= F.col("__remaining"), F.lit(1)).otherwise(F.lit(0))
+    )
+    out_cols = df.columns
+    return joined.withColumn(out_col, kept.cast("long")).select(
+        *out_cols, out_col
+    )

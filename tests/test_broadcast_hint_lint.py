@@ -87,6 +87,10 @@ ALLOWED = {
     ("sampling.py", "wdf"):
         "token_budget_mix mixture-weight table: one row per caller-"
         "supplied dict entry, parameter-sized by construction",
+    ("sampling.py", "al"):
+        "materialize_token_mix allocation table joined onto BUCKET rows: "
+        "one row per stratum (token_budget_mix output), domain-count "
+        "bounded like the temperature_mix thresholds",
 }
 
 

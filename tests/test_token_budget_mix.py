@@ -161,3 +161,155 @@ def test_token_budget_mix_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEval" not in plan and "BatchEval" not in plan
     assert "PythonUDF" not in plan
+
+
+# --- materialize_token_mix ----------------------------------------------------
+
+def _py_materialize(rows, alloc, n_buckets=10_000, salt="mix"):
+    """Independent reference for the two-grain greedy prefix: rows are
+    (doc_id, stratum, tokens); returns {doc_id: kept}."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    staged = [
+        (s, h64(f"{i}{salt}") % n_buckets, h64(f"{i}{salt}"), i, t)
+        for i, s, t in rows
+    ]
+    kept = {}
+    strata = sorted({s for s, *_ in staged})
+    for s in strata:
+        a = alloc.get(s, 0)
+        mine = sorted(
+            [r for r in staged if r[0] == s], key=lambda r: (r[1], r[2], r[3])
+        )
+        # bucket sums in bucket order
+        from itertools import groupby
+
+        cum_before = 0
+        for b, grp in groupby(mine, key=lambda r: r[1]):
+            grp = list(grp)
+            bt = sum(r[4] for r in grp)
+            if cum_before + bt <= a:
+                for r in grp:
+                    kept[r[3]] = 1
+            else:
+                remaining = max(a - cum_before, 0)
+                c = 0
+                for r in grp:
+                    c += r[4]
+                    kept[r[3]] = 1 if c <= remaining else 0
+            cum_before += bt
+    return kept
+
+
+def test_materialize_matches_python_reference(spark):
+    import random
+
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    rng = random.Random(3)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        rows = [
+            (i, f"s{rng.randint(0, 3)}", rng.randint(0, 50)) for i in range(n)
+        ]
+        alloc = {f"s{j}": rng.randint(0, 400) for j in range(4)}
+        df = spark.createDataFrame(rows, "doc_id long, src string, toks long")
+        adf = spark.createDataFrame(
+            sorted(alloc.items()), "strata string, alloc_tokens long"
+        )
+        got = {
+            r["doc_id"]: r["kept_i"]
+            for r in materialize_token_mix(df, adf, "src", "toks").collect()
+        }
+        want = _py_materialize(rows, alloc)
+        assert got == want, (trial, rows, alloc)
+        # never exceeds the allocation
+        by_s = {}
+        for i, s, t in rows:
+            if got[i]:
+                by_s[s] = by_s.get(s, 0) + t
+        assert all(v <= alloc[s] for s, v in by_s.items())
+
+
+def test_materialize_stable_under_repartition(spark):
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    rows = [(i, f"s{i % 3}", (i * 7) % 40) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks long")
+    adf = spark.createDataFrame(
+        [("s0", 300), ("s1", 100), ("s2", 700)], "strata string, alloc_tokens long"
+    )
+    a = {r["doc_id"]: r["kept_i"]
+         for r in materialize_token_mix(df, adf, "src", "toks").collect()}
+    b = {r["doc_id"]: r["kept_i"]
+         for r in materialize_token_mix(
+             df.repartition(13), adf, "src", "toks").collect()}
+    assert a == b
+
+
+def test_materialize_unknown_stratum_keeps_nothing(spark):
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    df = spark.createDataFrame(
+        [(1, "known", 5), (2, "ghost", 5)], "doc_id long, src string, toks long"
+    )
+    adf = spark.createDataFrame([("known", 100)], "strata string, alloc_tokens long")
+    got = {r["doc_id"]: r["kept_i"]
+           for r in materialize_token_mix(df, adf, "src", "toks").collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_materialize_negative_tokens_raise(spark):
+    import pytest
+
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", -5)], "doc_id long, src string, toks long"
+    )
+    adf = spark.createDataFrame([("a", 100)], "strata string, alloc_tokens long")
+    with pytest.raises(Exception, match="negative token count"):
+        materialize_token_mix(df, adf, "src", "toks").collect()
+
+
+def test_materialize_plan_no_python_no_strata_window(spark):
+    """The corpus-side window must be partitioned by (stratum, bucket),
+    never by the stratum alone — the skew guarantee the docstring claims."""
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", i % 9) for i in range(100)],
+        "doc_id long, src string, toks long",
+    )
+    adf = spark.createDataFrame(
+        [("s0", 50), ("s1", 50)], "strata string, alloc_tokens long"
+    )
+    out = materialize_token_mix(df, adf, "src", "toks")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[sum\([^]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "__tm_t" in m.group(0):  # the per-document cumulative sum
+            assert "__tm_b" in spec  # bucket is part of the partition key
+
+
+def test_materialize_duplicate_alloc_rows_healed(spark):
+    """An alloc table unioned twice must not duplicate corpus rows or
+    inflate the budget; conflicting duplicates heal to the MIN."""
+    from bambooanalysis_spark.operators.sampling import materialize_token_mix
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(10)], "doc_id long, src string, toks long"
+    )
+    adf = spark.createDataFrame(
+        [("a", 50), ("a", 50), ("a", 30)], "strata string, alloc_tokens long"
+    )
+    out = materialize_token_mix(df, adf, "src", "toks").collect()
+    assert len(out) == 10  # no row multiplication
+    kept_tokens = sum(10 for r in out if r["kept_i"] == 1)
+    assert kept_tokens <= 30  # MIN allocation wins
