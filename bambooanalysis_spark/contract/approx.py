@@ -2520,9 +2520,15 @@ def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle composes on top of it
 _TBM_CTES = f"""
 WITH counts AS (
+    -- weight mirrors the Spark query's dict EXACTLY: srcN for N in 0..63
+    -- gets 1 + (N % 4); anything else (renamed/extra sources in a future
+    -- fixture) falls back to the operator's default weight 1 instead of
+    -- diverging or crashing the CAST (review r10)
     SELECT source AS strata,
            SUM(n_chars) AS avail_tokens,
-           1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS weight
+           CASE WHEN regexp_matches(source, '^src([0-9]|[1-5][0-9]|6[0-3])$')
+                THEN 1 + (CAST(substr(source, 4) AS BIGINT) % 4)
+                ELSE 1 END AS weight
     FROM documents WHERE source IS NOT NULL GROUP BY source
 ),
 keyed AS (
@@ -2574,7 +2580,9 @@ ranked AS (
 alloc AS (
     SELECT strata, avail_tokens, weight, saturated,
            CASE WHEN saturated THEN avail_tokens
-                ELSE base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                ELSE LEAST(
+                    base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END,
+                    avail_tokens)
            END AS alloc_tokens
     FROM ranked
 )

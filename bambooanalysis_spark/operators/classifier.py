@@ -356,9 +356,13 @@ def threshold_sweep(
     many documents — so the single-partition cumulative window is
     bounded metadata, the same class as temperature_mix's totals.
     """
-    raw = F.col(label_col).cast("long")
+    raw = F.col(label_col).try_cast("long")
     # in-plan contract guard: anything outside {0,1} would silently skew
-    # every cumulative count, so it fails the job loudly instead
+    # every cumulative count, so it fails the job loudly instead. The
+    # when-branch is isin(0,1) (NOT a negated test): a non-numeric label
+    # try_casts to NULL, falls through to the otherwise, and raises with
+    # the ORIGINAL value — review r10 caught the cast-then-filter version
+    # silently dropping string labels before the guard could fire.
     lbl = F.when(
         raw.isin(0, 1),
         raw,
@@ -366,12 +370,14 @@ def threshold_sweep(
         F.raise_error(
             F.concat(
                 F.lit("threshold_sweep: label_col must be 0/1, got "),
-                raw.cast("string"),
+                F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
             )
         ).cast("long")
     )
     agg = (
-        df.where(F.col(score_col).isNotNull() & raw.isNotNull())
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
         .groupBy(F.col(score_col).cast("long").alias("threshold"))
         .agg(
             F.sum(lbl).alias("__n_pos"),

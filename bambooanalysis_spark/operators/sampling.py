@@ -267,8 +267,14 @@ def token_budget_mix(
        ``rkey = (avail DIV w) * ratio_scale + ((avail % w) * ratio_scale)
        DIV w`` (ties by stratum name). The quantization keeps the sort
        key in exact BIGINT arithmetic — two ratios closer than
-       1/ratio_scale relative may order by name, which both engines do
-       identically;
+       1/ratio_scale ABSOLUTE may order by name, which both engines do
+       identically. Weights are therefore capped at ``ratio_scale``
+       (ValueError above it): with w <= ratio_scale a quantization
+       mis-order can distort a stratum's share by at most w/ratio_scale
+       < 1 token before the clamp in step 4, so invariant (a) holds
+       unconditionally (review r10: uncapped weights let a mis-ordered
+       stratum be handed a proportional share far above its
+       availability);
     3. walk in that order and saturate (alloc = avail) while the EXACT
        cross-multiplied water-level test holds:
        ``avail_i * W_rem_i <= (budget - A_prev_i) * w_i`` with
@@ -279,14 +285,21 @@ def token_budget_mix(
        loop;
     4. split the remaining budget over unsaturated strata proportionally
        to weight with floor division, handing out the remainder by the
-       largest-remainder method (ties by stratum name) so the total is
-       exact.
+       largest-remainder method (ties by stratum name), then clamp each
+       share at the stratum's availability. The total equals
+       ``min(budget, total available)`` exactly unless the clamp binds —
+       which requires two ratios within 1/ratio_scale of the water level
+       (a measure-zero tie class) and then costs at most ~1 token per
+       tied stratum; the clamp guarantees invariant (a) in exactly those
+       cases.
 
     All arithmetic is BIGINT (both engines floor positive division the
-    same way); in-plan ``raise_error`` guards reject inputs that could
-    overflow the cross-products (per-stratum avail above ~9.2e18 /
-    max(total weight, ratio_scale)) — at larger corpus sizes pre-scale
-    the token counts (report in thousands).
+    same way). In-plan ``raise_error`` guards reject inputs whose
+    cross-products could overflow: negative per-stratum token sums
+    (always a data bug, same contract as materialize_token_mix) and a
+    TOTAL availability above 2^62 / max(total weight, ratio_scale,
+    1e6) — at larger corpus sizes pre-scale the token counts (report in
+    thousands).
 
     Returns one row per stratum: (strata, avail_tokens, weight,
     saturated, alloc_tokens, rate_e6) where rate_e6 is the per-stratum
@@ -310,11 +323,17 @@ def token_budget_mix(
                 "be positive integers (a zero-weight stratum is expressed "
                 "by filtering it out before the mix)"
             )
+        if int(wv) > ratio_scale:
+            raise ValueError(
+                f"mixture weight for stratum {s!r} is {wv}, above "
+                f"ratio_scale={ratio_scale}: the quantized-ratio sort is "
+                "only tie-safe for weights <= ratio_scale (scale the whole "
+                "weight vector down, or raise ratio_scale)"
+            )
     counts = (
         df.where(F.col(strata).isNotNull())
         .groupBy(F.col(strata).cast("string").alias("strata"))
         .agg(F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens"))
-        .where(F.col("avail_tokens") >= 0)
     )
     if wmap:
         spark = df.sparkSession
@@ -329,32 +348,54 @@ def token_budget_mix(
         counts = counts.withColumn("weight", F.lit(1).cast("long"))
 
     avail, w = F.col("avail_tokens"), F.col("weight")
-    # overflow guards, in-plan: every later product is bounded by
-    # avail * max(total_weight, ratio_scale); LIMIT/denominator keeps the
-    # test itself division-only (no product can overflow before the test)
+    # overflow guards, in-plan: every later cross-product is bounded by
+    # max(budget, TOTAL avail) * max(total weight, ratio_scale, 1e6) —
+    # the 1e6 covers rate_e6, ratio_scale covers rkey and the per-stratum
+    # weight cap, wtot covers the saturation test. Division keeps the
+    # guard itself overflow-free. Negative per-stratum sums fail loudly
+    # (a negative avail would both mis-sort and re-inflate the pool —
+    # the materialize_token_mix contract, review r10).
     limit = (1 << 62) - 1
-    wtot = F.sum("weight").over(Window.partitionBy())
-    guard_den = F.greatest(wtot, F.lit(int(ratio_scale)).cast("long"))
+    guard_mul = max(int(ratio_scale), 1_000_000)
+    everything = Window.partitionBy()
+    wtot = F.sum("weight").over(everything)
+    ta = F.sum("avail_tokens").over(everything)
+    guard_den = F.greatest(wtot, F.lit(guard_mul).cast("long"))
     staged = counts.withColumn(
         "avail_tokens",
         F.when(
-            avail > F.lit(limit) / guard_den,
+            avail < 0,
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "token_budget_mix: stratum availability too large "
-                        "for exact BIGINT water-filling (avail="
+                        "token_budget_mix: negative token sum for stratum "
                     ),
+                    F.col("strata"),
+                    F.lit(" ("),
                     avail.cast("string"),
+                    F.lit(") — token counts must be non-negative"),
+                )
+            ).cast("long"),
+        )
+        .when(
+            ta > F.lit(limit) / guard_den,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "token_budget_mix: total availability too large "
+                        "for exact BIGINT water-filling (total="
+                    ),
+                    ta.cast("string"),
                     F.lit(
                         ") — pre-scale the token counts (e.g. report in "
                         "thousands)"
                     ),
                 )
             ).cast("long"),
-        ).otherwise(avail),
+        )
+        .otherwise(avail),
     )
-    if budget > limit // ratio_scale:
+    if budget > limit // guard_mul:
         raise ValueError(
             "token_budget_mix: budget too large for exact BIGINT "
             "water-filling — pre-scale the token counts and budget"
@@ -420,13 +461,20 @@ def token_budget_mix(
         .withColumn("__rem_rank", rem_rank)
         .withColumn(
             "alloc_tokens",
+            # the least() clamp binds only when a sub-1/ratio_scale ratio
+            # tie mis-orders the walk (docstring step 4); it makes
+            # alloc <= avail unconditional at the cost of <= ~1 token of
+            # budget per tied stratum
             F.when(sat, avail).otherwise(
-                F.col("__base")
-                + F.when(
-                    F.col("__rem_rank") <= F.col("__leftover"), F.lit(1)
+                F.least(
+                    F.col("__base")
+                    + F.when(
+                        F.col("__rem_rank") <= F.col("__leftover"), F.lit(1)
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                    avail,
                 )
-                .otherwise(F.lit(0))
-                .cast("long")
             ),
         )
         .withColumn(

@@ -268,3 +268,17 @@ def test_threshold_sweep_plan_shape(spark):
     assert "ArrowEval" not in plan and "BatchEval" not in plan
     # exactly one aggregation pass over the input rows (partial+final)
     assert plan.count("HashAggregate") <= 2
+
+
+def test_threshold_sweep_rejects_string_labels(spark):
+    """Review r10: non-numeric labels must hit the loud guard, not vanish
+    through a silent cast-to-NULL filter."""
+    import pytest
+
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 5, "yes"), (2, 7, "no")], "doc_id long, score long, label string"
+    )
+    with pytest.raises(Exception, match="must be 0/1"):
+        threshold_sweep(df, "score", "label").collect()

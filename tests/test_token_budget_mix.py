@@ -48,6 +48,11 @@ def _py_waterfill(avail_w, budget, scale=10_000):
     for i, (s, _) in enumerate(sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))):
         if i < leftover:
             out[s] += 1
+    # spec step 4: clamp unsaturated shares at availability (binds only in
+    # sub-1/ratio_scale ratio-tie mis-orders)
+    for s, a, w, _ in rows:
+        if not sat[s]:
+            out[s] = min(out[s], a)
     return {s: (out[s], sat[s]) for s, a, w, _ in rows}
 
 
@@ -139,7 +144,58 @@ def test_token_budget_mix_input_validation(spark):
     with pytest.raises(ValueError, match="positive integers"):
         token_budget_mix(df, "src", "toks", 10, weights={"a": 0})
     with pytest.raises(ValueError, match="budget too large"):
-        token_budget_mix(df, "src", "toks", (1 << 62) // 10_000 + 1)
+        token_budget_mix(df, "src", "toks", (1 << 62) // 1_000_000 + 1)
+
+
+def test_token_budget_mix_weight_above_ratio_scale_rejected(spark):
+    """Review r10 repro: weights above ratio_scale defeat the quantized
+    sort's tie-safety — a mis-ordered stratum could be handed a share far
+    above its availability (observed alloc 201 for avail 45). Such weight
+    vectors are rejected at call time."""
+    df = spark.createDataFrame(
+        [(0, "s0", 271), (1, "s1", 45), (2, "s2", 250), (3, "s3", 215)],
+        "doc_id long, src string, toks long",
+    )
+    with pytest.raises(ValueError, match="ratio_scale"):
+        token_budget_mix(
+            df, "src", "toks", 602,
+            weights={"s0": 10**7, "s1": 10**7, "s2": 2, "s3": 10**7},
+        )
+
+
+def test_token_budget_mix_negative_token_sum_raises(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", -20)], "doc_id long, src string, toks long"
+    )
+    with pytest.raises(Exception, match="negative token sum"):
+        token_budget_mix(df, "src", "toks", 5).collect()
+
+
+def test_token_budget_mix_alloc_never_exceeds_avail_randomized(spark):
+    """Invariant (a) directly, across random draws including weight ==
+    ratio_scale at a coarse scale where quantization ties are common."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(6):
+        scale = rng.choice([1, 2, 10_000])
+        n = rng.randint(2, 8)
+        avail_w = {
+            f"s{i:02d}": (rng.randint(0, 500), rng.randint(1, scale))
+            for i in range(n)
+        }
+        budget = rng.randint(0, 1500)
+        df = _mk_docs(spark, avail_w, seed=100 + trial)
+        rows = token_budget_mix(
+            df, "src", "toks", budget,
+            weights={s: w for s, (a, w) in avail_w.items()},
+            ratio_scale=scale,
+        ).collect()
+        for r in rows:
+            assert r["alloc_tokens"] <= r["avail_tokens"], (trial, scale, r)
+        assert sum(r["alloc_tokens"] for r in rows) <= min(
+            budget, sum(a for a, _ in avail_w.values())
+        )
 
 
 def test_token_budget_mix_overflow_guard_raises_in_plan(spark):
@@ -292,10 +348,18 @@ def test_materialize_plan_no_python_no_strata_window(spark):
     assert "ArrowEval" not in plan and "BatchEval" not in plan
     import re
 
-    for m in re.finditer(r"Window \[sum\([^]]*windowspecdefinition\(([^)]*)\)", plan):
-        spec = m.group(1)
-        if "__tm_t" in m.group(0):  # the per-document cumulative sum
-            assert "__tm_b" in spec  # bucket is part of the partition key
+    # review r10: assert the regex actually matched, or a plan-format
+    # drift would turn this skew pin vacuous
+    per_doc = [
+        m
+        for m in re.finditer(
+            r"Window \[sum\([^]]*windowspecdefinition\(([^)]*)\)", plan
+        )
+        if "__tm_t" in m.group(0)  # the per-document cumulative sum
+    ]
+    assert per_doc, "per-document window not found in plan — format drift?"
+    for m in per_doc:
+        assert "__tm_b" in m.group(1)  # bucket is part of the partition key
 
 
 def test_materialize_duplicate_alloc_rows_healed(spark):
