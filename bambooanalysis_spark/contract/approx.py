@@ -2812,3 +2812,64 @@ register(
     "sampling_materialize_mix", q_sampling_materialize_mix,
     ORACLE_SAMPLING_MATERIALIZE_MIX,
 )
+
+
+# --- corpus: snapshot drift (fixed-point KL decomposition) ---------------------
+
+def q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring (operators/corpus.py:corpus_kl_drift):
+    split the documents table into two snapshots (doc_id % 3) and emit
+    the per-token KL(P_a || P_b) decomposition over Laplace-smoothed
+    unigrams. Every logarithm is the classifier module's 1023-row
+    fixed-point LUT consumed as data, so the full drift table —
+    including the signed per-token contributions — is exactly
+    oracle-hashed."""
+    from ..operators.corpus import corpus_kl_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    return corpus_kl_drift(a, b, "text").orderBy("token")
+
+
+def _oracle_kl_drift() -> str:
+    from ..operators.classifier import (
+        ilog_e6_oracle_sql as ilog,
+        log_lut_values_sql,
+    )
+
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH lut(m, ln_e6) AS (VALUES {log_lut_values_sql()}),
+ta AS (SELECT UNNEST({toks}) AS token FROM documents WHERE doc_id % 3 <> 0),
+tb AS (SELECT UNNEST({toks}) AS token FROM documents WHERE doc_id % 3 = 0),
+ca AS (SELECT token, COUNT(*) AS count_a FROM ta GROUP BY 1),
+cb AS (SELECT token, COUNT(*) AS count_b FROM tb GROUP BY 1),
+j AS (
+    SELECT COALESCE(ca.token, cb.token) AS token,
+           COALESCE(count_a, 0) AS count_a,
+           COALESCE(count_b, 0) AS count_b
+    FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+),
+tot AS (
+    SELECT COUNT(*) AS v, SUM(count_a) AS na, SUM(count_b) AS nb FROM j
+),
+d AS (
+    SELECT j.token, j.count_a, j.count_b,
+           CAST({ilog('j.count_a + 1')} - {ilog('j.count_b + 1')}
+                + {ilog('t.nb + t.v')} - {ilog('t.na + t.v')}
+                AS BIGINT) AS delta_log_e6,
+           CAST(t.na + t.v AS BIGINT) AS norm_a
+    FROM j CROSS JOIN tot t
+)
+SELECT token,
+       CAST(count_a AS BIGINT) AS count_a,
+       CAST(count_b AS BIGINT) AS count_b,
+       delta_log_e6,
+       CAST((count_a + 1) * delta_log_e6 AS BIGINT) AS contrib_num,
+       norm_a
+FROM d ORDER BY token
+"""
+
+
+register("corpus_kl_drift", q_corpus_kl_drift, _oracle_kl_drift())

@@ -200,3 +200,121 @@ def corpus_datacard(
     for c in groups:
         agg = agg.withColumn(c, F.coalesce(F.col(c), F.lit("ALL")))
     return agg.orderBy(*groups) if groups else agg
+
+
+def corpus_kl_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots: the per-token
+    decomposition of KL(P_a || P_b) over Laplace-smoothed unigram
+    distributions — the monitoring primitive for "did this crawl/filter
+    change what the model will see" (new-snapshot vs old, train vs val,
+    pre- vs post-dedup). Positive ``delta_log_e6`` marks tokens
+    over-represented in A relative to B; ``contrib_num`` is the token's
+    (unnormalized) share of the total divergence.
+
+    With V = |union vocabulary|, N_x = total tokens in corpus x and
+    smoothed p_x(t) = (c_x(t)+1)/(N_x+V):
+
+        KL = sum_t p_a(t) * [ln(c_a+1) - ln(c_b+1) + ln(N_b+V) - ln(N_a+V)]
+
+    Every ln argument is an integer, so ln is the classifier module's
+    shared fixed-point LUT (operators/classifier.py:log_lut — the same
+    1023-row table + shift algebra both engines consume as DATA), making
+    the whole drift table engine-exact: delta_log_e6 is the bracketed
+    term in 1e-6 nats, contrib_num = (c_a+1) * delta_log_e6. Divide
+    sum(contrib_num) by (N_a+V) for the total — ``corpus_kl_e9`` does
+    this with remainder refinement so no product ever exceeds BIGINT.
+
+    In-plan guards raise (rather than overflow) when a token's
+    (c_a+1) * |delta| product would exceed 2^62 — at ~1e11 occurrences
+    of one token, pre-aggregate or sample first.
+
+    Scale shape: one map-side-combined token-count aggregate per corpus,
+    a vocabulary-sized full-outer join on token, four LUT attaches (1023-
+    row broadcasts), and the two total counts attached as ONE-ROW
+    broadcast aggregates — no window ever runs over the vocabulary in a
+    single partition, so a billion-token union vocabulary stays
+    partitioned throughout.
+    """
+    from .classifier import LN2_E6, _attach_ilog, log_lut
+    from .text import tokens as _tokens
+
+    spark = df_a.sparkSession
+    lut_df = spark.createDataFrame(log_lut(), "m int, ln_e6 long")
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(_tokens(F.col(text_col))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"count_{side}"))
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    j = (
+        ca.join(cb, "token", "full_outer")
+        .withColumn("count_a", F.coalesce(F.col("count_a"), F.lit(0)))
+        .withColumn("count_b", F.coalesce(F.col("count_b"), F.lit(0)))
+    )
+    # union-vocab size and totals as a ONE-ROW broadcast aggregate (the
+    # lm.py/retrieval.py stats pattern) — never a single-partition window
+    # over the vocabulary
+    totals = j.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("count_a").alias("__na"),
+        F.sum("count_b").alias("__nb"),
+    )
+    j = j.crossJoin(F.broadcast(totals))
+
+    j = _attach_ilog(j, "count_a + 1", "__la", lut_df, "kla")
+    j = _attach_ilog(j, "count_b + 1", "__lb", lut_df, "klb")
+    j = _attach_ilog(j, "__na + __v", "__lna", lut_df, "klna")
+    j = _attach_ilog(j, "__nb + __v", "__lnb", lut_df, "klnb")
+    delta = (
+        F.col("__la") - F.col("__lb") + F.col("__lnb") - F.col("__lna")
+    ).cast("long")
+    limit = (1 << 62) - 1
+    guarded = F.when(
+        (F.col("count_a") + 1)
+        > F.lit(limit) / (F.abs(delta) + F.lit(1)),
+        F.raise_error(
+            F.concat(
+                F.lit("corpus_kl_drift: contribution overflow for token "),
+                F.col("token"),
+                F.lit(" — pre-aggregate or sample the corpus first"),
+            )
+        ).cast("long"),
+    ).otherwise((F.col("count_a") + F.lit(1)) * delta)
+    return j.select(
+        "token",
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        delta.alias("delta_log_e6"),
+        guarded.cast("long").alias("contrib_num"),
+        (F.col("__na") + F.col("__v")).cast("long").alias("norm_a"),
+    )
+
+
+def corpus_kl_e9(drift: DataFrame) -> DataFrame:
+    """Total KL(P_a || P_b) in 1e-9 nats from a ``corpus_kl_drift``
+    table: sum the per-token numerators, divide by the (constant) norm
+    with integer remainder refinement — quotient*1000 + carry — so the
+    e9 precision costs no product beyond what the drift table already
+    guarded."""
+    s = drift.agg(
+        # KL >= 0 exactly; a (tiny) negative quantized sum is LUT noise,
+        # and clamping keeps the integer division positive-only, where
+        # Spark DIV (truncate) and DuckDB // (floor) agree
+        F.greatest(F.sum("contrib_num"), F.lit(0).cast("long")).alias("__s"),
+        F.max("norm_a").alias("__n"),
+    )
+    return s.select(
+        (
+            F.expr("(__s DIV __n) * 1000")
+            + F.expr("((__s % __n) * 1000) DIV __n")
+        ).alias("kl_e9")
+    )

@@ -1,0 +1,98 @@
+"""corpus_kl_drift / corpus_kl_e9: fixed-point snapshot-drift KL.
+
+Gate: an independent math.log Python reference (no LUT, no shared code)
+within the documented LUT quantization bound, plus planted-drift
+direction and guard behavior.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bambooanalysis_spark.operators.corpus import corpus_kl_drift, corpus_kl_e9
+
+
+def _py_kl(texts_a, texts_b):
+    """Smoothed unigram KL(P_a || P_b) in nats, straight floats."""
+    ca, cb = {}, {}
+    for t in texts_a:
+        for tok in t.split():
+            if tok:
+                ca[tok] = ca.get(tok, 0) + 1
+    for t in texts_b:
+        for tok in t.split():
+            if tok:
+                cb[tok] = cb.get(tok, 0) + 1
+    vocab = set(ca) | set(cb)
+    v = len(vocab)
+    na, nb = sum(ca.values()), sum(cb.values())
+    kl = 0.0
+    for tok in vocab:
+        p = (ca.get(tok, 0) + 1) / (na + v)
+        q = (cb.get(tok, 0) + 1) / (nb + v)
+        kl += p * math.log(p / q)
+    return kl
+
+
+def test_corpus_kl_matches_float_reference(spark):
+    texts_a = ["spark table scan join", "table scan filter", "join join agg",
+               "spark spark spark window"]
+    texts_b = ["table scan filter agg", "window sort merge", "filter filter"]
+    a = spark.createDataFrame([(i, t) for i, t in enumerate(texts_a)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(i, t) for i, t in enumerate(texts_b)],
+                              "doc_id long, text string")
+    drift = corpus_kl_drift(a, b, "text")
+    kl_e9 = corpus_kl_e9(drift).collect()[0]["kl_e9"]
+    want = _py_kl(texts_a, texts_b)
+    # small counts -> every LUT entry exact to 1e-6; the only slack is
+    # floor accumulation across terms
+    assert abs(kl_e9 / 1e9 - want) < 1e-4, (kl_e9 / 1e9, want)
+    assert kl_e9 >= 0
+
+
+def test_corpus_kl_zero_for_identical_corpora(spark):
+    texts = ["alpha beta gamma", "beta beta delta"]
+    a = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              "doc_id long, text string")
+    drift = corpus_kl_drift(a, a, "text")
+    rows = drift.collect()
+    assert all(r["delta_log_e6"] == 0 and r["contrib_num"] == 0 for r in rows)
+    assert corpus_kl_e9(drift).collect()[0]["kl_e9"] == 0
+
+
+def test_corpus_kl_planted_drift_direction(spark):
+    """A token over-represented in snapshot A gets a positive delta and
+    dominates the positive contributions."""
+    base = ["common words here"] * 3
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base + ["novel novel novel novel"])],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    rows = {r["token"]: r for r in corpus_kl_drift(a, b, "text").collect()}
+    assert rows["novel"]["delta_log_e6"] > 0
+    assert rows["novel"]["contrib_num"] == max(
+        r["contrib_num"] for r in rows.values()
+    )
+    # a token only in B drifts negative
+    b2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base + ["ghost ghost"])],
+        "doc_id long, text string",
+    )
+    rows2 = {r["token"]: r for r in corpus_kl_drift(a, b2, "text").collect()}
+    assert rows2["ghost"]["delta_log_e6"] < 0 and rows2["ghost"]["count_a"] == 0
+
+
+def test_corpus_kl_plan_no_python_and_bounded_broadcasts(spark):
+    a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "x y w")], "doc_id long, text string")
+    out = corpus_kl_drift(a, b, "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    # the vocabulary is never windowed in a single partition
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
