@@ -362,9 +362,15 @@ def threshold_sweep(
     # when-branch is isin(0,1) (NOT a negated test): a non-numeric label
     # try_casts to NULL, falls through to the otherwise, and raises with
     # the ORIGINAL value — review r10 caught the cast-then-filter version
-    # silently dropping string labels before the guard could fire.
+    # silently dropping string labels before the guard could fire. The
+    # round-trip equality catches fractional numerics too: a probability
+    # column (0.7) long-truncates to 0 and would pass isin, but
+    # 0.7 <> 0.0 trips the guard (review r10 pass 2, confirmed repro).
+    roundtrip_ok = (
+        F.col(label_col).try_cast("double").eqNullSafe(raw.cast("double"))
+    )
     lbl = F.when(
-        raw.isin(0, 1),
+        raw.isin(0, 1) & roundtrip_ok,
         raw,
     ).otherwise(
         F.raise_error(

@@ -226,7 +226,9 @@ def corpus_kl_drift(
     the whole drift table engine-exact: delta_log_e6 is the bracketed
     term in 1e-6 nats, contrib_num = (c_a+1) * delta_log_e6. Divide
     sum(contrib_num) by (N_a+V) for the total — ``corpus_kl_e9`` does
-    this with remainder refinement so no product ever exceeds BIGINT.
+    this with remainder refinement, summing in DECIMAL(38,0) behind a
+    loud guard so neither the per-token products (guarded here) nor the
+    vocabulary-wide total can overflow silently.
 
     In-plan guards raise (rather than overflow) when a token's
     (c_a+1) * |delta| product would exceed 2^62 — at ~1e11 occurrences
@@ -304,17 +306,42 @@ def corpus_kl_e9(drift: DataFrame) -> DataFrame:
     table: sum the per-token numerators, divide by the (constant) norm
     with integer remainder refinement — quotient*1000 + carry — so the
     e9 precision costs no product beyond what the drift table already
-    guarded."""
+    guarded. The vocabulary-wide SUM itself runs in DECIMAL(38,0) (the
+    per-token guard bounds each term, not the total; at ~9.2e18
+    e6-weighted nats — a few trillion tokens of drift — a BIGINT sum
+    would overflow: wrapping silently under non-ANSI configs, or dying
+    with a generic overflow under ANSI) and converts back behind a loud
+    in-plan guard. Empty drift tables total 0, not NULL."""
+    limit = (1 << 62) - 1
     s = drift.agg(
-        # KL >= 0 exactly; a (tiny) negative quantized sum is LUT noise,
-        # and clamping keeps the integer division positive-only, where
-        # Spark DIV (truncate) and DuckDB // (floor) agree
-        F.greatest(F.sum("contrib_num"), F.lit(0).cast("long")).alias("__s"),
-        F.max("norm_a").alias("__n"),
+        F.coalesce(
+            F.sum(F.col("contrib_num").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__sd"),
+        F.coalesce(F.max("norm_a"), F.lit(1).cast("long")).alias("__n"),
     )
-    return s.select(
-        (
-            F.expr("(__s DIV __n) * 1000")
-            + F.expr("((__s % __n) * 1000) DIV __n")
-        ).alias("kl_e9")
+    s_long = F.when(
+        F.abs(F.col("__sd")) > F.lit(limit).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit("corpus_kl_e9: total drift numerator "),
+                F.col("__sd").cast("string"),
+                F.lit(
+                    " exceeds exact BIGINT range — pre-scale the token "
+                    "counts (e.g. aggregate per thousand)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sd").cast("long"))
+    # KL >= 0 exactly; a (tiny) negative quantized sum is LUT noise, and
+    # clamping keeps the integer division positive-only, where Spark DIV
+    # (truncate) and DuckDB // (floor) agree
+    return (
+        s.withColumn("__s", F.greatest(s_long, F.lit(0).cast("long")))
+        .select(
+            (
+                F.expr("(__s DIV __n) * 1000")
+                + F.expr("((__s % __n) * 1000) DIV __n")
+            ).alias("kl_e9")
+        )
     )

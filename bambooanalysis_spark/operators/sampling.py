@@ -271,7 +271,7 @@ def token_budget_mix(
        identically. Weights are therefore capped at ``ratio_scale``
        (ValueError above it): with w <= ratio_scale a quantization
        mis-order can distort a stratum's share by at most w/ratio_scale
-       < 1 token before the clamp in step 4, so invariant (a) holds
+       <= 1 token before the clamp in step 4, so invariant (a) holds
        unconditionally (review r10: uncapped weights let a mis-ordered
        stratum be handed a proportional share far above its
        availability);
@@ -333,7 +333,16 @@ def token_budget_mix(
     counts = (
         df.where(F.col(strata).isNotNull())
         .groupBy(F.col(strata).cast("string").alias("strata"))
-        .agg(F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens"))
+        # NULL token counts are 0, matching materialize_token_mix — and
+        # keeping an all-NULL stratum's sum at 0 instead of NULL, which
+        # would slip past the negative guard, sort NULLS-FIRST in Spark
+        # vs NULLS-LAST in DuckDB, AND be handed real budget (review r10
+        # pass 2, confirmed repro)
+        .agg(
+            F.sum(
+                F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+            ).alias("avail_tokens")
+        )
     )
     if wmap:
         spark = df.sparkSession

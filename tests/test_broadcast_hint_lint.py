@@ -87,6 +87,9 @@ ALLOWED = {
     ("sampling.py", "wdf"):
         "token_budget_mix mixture-weight table: one row per caller-"
         "supplied dict entry, parameter-sized by construction",
+    ("corpus.py", "totals"):
+        "corpus_kl_drift vocabulary/total counts: ONE-ROW aggregate "
+        "(the lm.py/retrieval.py stats pattern)",
     ("sampling.py", "al"):
         "materialize_token_mix allocation table joined onto BUCKET rows: "
         "one row per stratum (token_budget_mix output), domain-count "

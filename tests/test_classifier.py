@@ -282,3 +282,23 @@ def test_threshold_sweep_rejects_string_labels(spark):
     )
     with pytest.raises(Exception, match="must be 0/1"):
         threshold_sweep(df, "score", "label").collect()
+
+
+def test_threshold_sweep_rejects_fractional_labels(spark):
+    """Review r10 pass 2 repro: a probability column (0.7) long-truncates
+    to 0 and must trip the guard, not silently count as a negative."""
+    import pytest
+
+    from bambooanalysis_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 5, 0.7), (2, 7, 1.0)], "doc_id long, score long, label double"
+    )
+    with pytest.raises(Exception, match="must be 0/1"):
+        threshold_sweep(df, "score", "label").collect()
+    # exact 0.0/1.0 doubles round-trip cleanly and stay accepted
+    ok = spark.createDataFrame(
+        [(1, 5, 0.0), (2, 7, 1.0)], "doc_id long, score long, label double"
+    )
+    rows = threshold_sweep(ok, "score", "label").collect()
+    assert sum(r["tp"] for r in rows) > 0

@@ -96,3 +96,9 @@ def test_corpus_kl_plan_no_python_and_bounded_broadcasts(spark):
     assert "ArrowEval" not in plan and "BatchEval" not in plan
     # the vocabulary is never windowed in a single partition
     assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_corpus_kl_e9_empty_is_zero_not_null(spark):
+    a = spark.createDataFrame([], "doc_id long, text string")
+    drift = corpus_kl_drift(a, a, "text")
+    assert corpus_kl_e9(drift).collect()[0]["kl_e9"] == 0

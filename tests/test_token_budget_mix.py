@@ -377,3 +377,18 @@ def test_materialize_duplicate_alloc_rows_healed(spark):
     assert len(out) == 10  # no row multiplication
     kept_tokens = sum(10 for r in out if r["kept_i"] == 1)
     assert kept_tokens <= 30  # MIN allocation wins
+
+
+def test_token_budget_mix_null_token_stratum_counts_zero(spark):
+    """Review r10 pass 2 repro: an all-NULL-token stratum must count as 0
+    available (matching materialize_token_mix's NULL-is-0), not slip
+    through as NULL and be handed real budget."""
+    df = spark.createDataFrame(
+        [(0, "a", 100), (1, "b", None), (2, "b", None)],
+        "doc_id long, src string, toks long",
+    )
+    rows = {r["strata"]: r for r in
+            token_budget_mix(df, "src", "toks", 150).collect()}
+    assert rows["b"]["avail_tokens"] == 0
+    assert rows["b"]["alloc_tokens"] == 0 and rows["b"]["saturated"]
+    assert rows["a"]["alloc_tokens"] == 100
