@@ -2873,3 +2873,82 @@ FROM d ORDER BY token
 
 
 register("corpus_kl_drift", q_corpus_kl_drift, _oracle_kl_drift())
+
+
+# --- dedup: LSH recall probe (sampled generator validation) --------------------
+
+_RP_FRAC_BUCKETS, _RP_T = 5000, 6000  # sample_frac=0.5, threshold 0.6
+
+
+def q_dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled validation of the banded-LSH candidate generator
+    (operators/dedup.py:lsh_recall_probe): on a deterministic half
+    sample, exact distinct-shingle Jaccard truth at t=0.6 vs the
+    k=16/bands=8 band collisions — the confusion counts and fixed-point
+    recall/precision one reads before trusting the generator at a scale
+    where exact all-pairs is unrunnable. Every label is md5/integer, so
+    the single-row result is exactly oracle-hashed."""
+    from ..operators.dedup import lsh_recall_probe
+
+    return lsh_recall_probe(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id", "text",
+        threshold_e4=_RP_T, sample_frac=_RP_FRAC_BUCKETS / 10_000,
+        k=16, bands=8, shingle_k=2, salt="recall",
+    )
+
+
+def _oracle_recall_probe() -> str:
+    from .extensions import _D_BUCKET, _D_TOKENS, _lsh_pairs_sql
+
+    bucket = _D_BUCKET.format(k="doc_id", salt="recall")
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH sampled AS (
+    SELECT doc_id, text FROM documents WHERE {bucket} < {_RP_FRAC_BUCKETS}
+),
+std AS (SELECT doc_id, {toks} AS toks FROM sampled),
+shl AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, GREATEST(len(toks), 1)),
+                                 i -> concat_ws(' ', toks[i], toks[i + 1]))) AS sh
+    FROM std
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shl a JOIN shl b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b, 1 AS t FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE (i * 10000) // (sa.n + sb.n - i) >= {_RP_T}
+),
+cands AS (
+    SELECT doc_a, doc_b, 1 AS c FROM ({_lsh_pairs_sql("sampled")})
+),
+u AS (
+    SELECT t.t, c.c FROM truth t
+    FULL OUTER JOIN cands c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+s AS (
+    SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS n_hit
+    FROM u
+)
+SELECT n_truth, n_candidates, n_hit,
+       CAST(CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
+                 ELSE 1000000 END AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN n_candidates > 0 THEN (n_hit * 1000000) // n_candidates
+                 ELSE 1000000 END AS BIGINT) AS precision_e6
+FROM s
+"""
+
+
+register(
+    "dedup_lsh_recall_probe", q_dedup_lsh_recall_probe, _oracle_recall_probe()
+)

@@ -1068,3 +1068,105 @@ def keep_best_per_cluster(
         out_col,
         (F.row_number().over(w) == 1).cast("long"),
     )
+
+
+def lsh_recall_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_e4: int = 6000,
+    sample_frac: float = 0.2,
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+    salt: str = "recall",
+) -> DataFrame:
+    """Measure the banded-LSH candidate generator against exact truth on
+    a deterministic hash sample — the tuning instrument for (k, bands)
+    at corpus scale, where exact all-pairs is unrunnable but a sampled
+    recall estimate is cheap. Returns ONE row: n_truth (pairs in the
+    sample with true distinct-shingle Jaccard >= threshold_e4),
+    n_candidates (LSH band-collision pairs in the sample), n_hit (their
+    intersection), recall_e6 = n_hit/n_truth and precision_e6 =
+    n_hit/n_candidates in fixed point (both 1e6 — vacuously perfect —
+    when their denominator is 0).
+
+    Statistics note: a pair is sampled iff BOTH endpoints are (P =
+    sample_frac^2), and each sampled pair's truth/candidate labels are
+    the same as in the full corpus (signatures and Jaccard are per-doc /
+    per-pair functions), so the sampled recall is an unbiased estimate
+    of pair-level recall. Compare against the analytic S-curve
+    1 - (1 - s^rows)^bands to validate the generator end-to-end.
+
+    Everything is md5/integer (the sample membership, the shingle sets,
+    the signatures, the fixed-point Jaccard), so the WHOLE probe —
+    including which pairs are truth and which collide — is reproduced
+    exactly by the DuckDB oracle.
+
+    Scale shape: the quadratic work (exact shingle posting join) runs
+    ONLY on the sample — sample_frac^2 of the corpus pair volume; the
+    LSH side is the standard banded plan on the sample. No collects.
+    """
+    from .sampling import hash_sample
+
+    sampled = hash_sample(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+        sample_frac,
+        salt,
+    )
+    sh = sampled.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.shingles(F.col("__text"), shingle_k))
+        ).alias("__sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "__sh")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "__sh"), "__sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb")),
+            "doc_b",
+        )
+        .where(
+            F.expr(f"(__i * 10000) DIV (__na + __nb - __i) >= {int(threshold_e4)}")
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("__t"))
+    )
+    cands = minhash_lsh_pairs(
+        sampled, "doc_id", "__text", k=k, bands=bands, shingle_k=shingle_k
+    ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
+    u = truth.join(cands, ["doc_a", "doc_b"], "full_outer")
+    stats = u.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0, F.expr("(n_hit * 1000000) DIV n_truth")
+        )
+        .otherwise(F.lit(1_000_000).cast("long"))
+        .alias("recall_e6"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("(n_hit * 1000000) DIV n_candidates"),
+        )
+        .otherwise(F.lit(1_000_000).cast("long"))
+        .alias("precision_e6"),
+    )

@@ -3416,3 +3416,57 @@ def test_keep_best_differs_from_min_id_representative(spark):
     rows = {r["doc_id"]: r["kept_best_i"] for r in
             keep_best_per_cluster(df, "cluster_id", "quality", "doc_id").collect()}
     assert rows == {10: 0, 11: 1}
+
+
+def test_lsh_recall_probe_planted_pair_and_vacuous_cases(spark):
+    from bambooanalysis_spark.operators.dedup import lsh_recall_probe
+
+    # doc 0/1: near-identical (Jaccard >> 0.6); doc 2: unrelated.
+    # sample_frac=1.0 keeps everything so the planted pair must be truth.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    row = lsh_recall_probe(
+        docs, sample_frac=1.0, threshold_e4=6000, k=16, bands=8, shingle_k=2
+    ).collect()[0]
+    assert row["n_truth"] == 1  # only (0,1) passes t=0.6 on shingles
+    assert row["n_hit"] == 1 and row["recall_e6"] == 1_000_000
+    assert row["n_candidates"] >= 1
+    # empty sample -> one row, vacuously perfect ratios
+    row = lsh_recall_probe(docs, sample_frac=0.0).collect()[0]
+    assert (row["n_truth"], row["n_candidates"], row["n_hit"]) == (0, 0, 0)
+    assert row["recall_e6"] == 1_000_000 and row["precision_e6"] == 1_000_000
+
+
+def test_lsh_recall_probe_stricter_banding_generates_subset(spark):
+    """bands=1 (one 16-row band) collides only on FULL signature match,
+    which implies every 2-row band matches — so its candidate count is
+    bounded by the bands=8 run's."""
+    from bambooanalysis_spark.operators.dedup import lsh_recall_probe
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common text body shared tokens here w{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    loose = lsh_recall_probe(docs, sample_frac=1.0, k=16, bands=8).collect()[0]
+    strict = lsh_recall_probe(docs, sample_frac=1.0, k=16, bands=1).collect()[0]
+    assert strict["n_candidates"] <= loose["n_candidates"]
+    assert strict["n_truth"] == loose["n_truth"]  # truth is band-independent
+
+
+def test_lsh_recall_probe_stable_under_repartition(spark):
+    from bambooanalysis_spark.operators.dedup import lsh_recall_probe
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 5} alpha beta gamma token{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = lsh_recall_probe(docs, sample_frac=0.5).collect()[0]
+    b = lsh_recall_probe(docs.repartition(11), sample_frac=0.5).collect()[0]
+    assert a.asDict() == b.asDict()
