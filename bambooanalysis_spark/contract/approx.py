@@ -2952,3 +2952,87 @@ FROM s
 register(
     "dedup_lsh_recall_probe", q_dedup_lsh_recall_probe, _oracle_recall_probe()
 )
+
+
+# --- streaming-adjacent: windowed distribution drift vs reference --------------
+
+def q_events_type_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour drift of the event_type distribution against the
+    whole-corpus reference (operators/corpus.py:windowed_kl_vs_reference over
+    streaming/windows.py:windowed_value_counts — the SAME transformation
+    pair a streaming deployment runs with a watermark, driven batch here
+    so the per-window KL table is exactly oracle-hashed; the streaming
+    path is gated by test_windowed_value_counts_streaming_matches_batch)."""
+    from ..operators.corpus import windowed_kl_vs_reference
+    from ..streaming.windows import windowed_value_counts
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)
+    wc = windowed_value_counts(ev, "ts", "event_type", "1 hour")
+    ref = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = windowed_kl_vs_reference(wc, ref)
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "n_tokens",
+        "v_union",
+        "kl_e9",
+    ).orderBy("window_start_us")
+
+
+def _oracle_type_drift() -> str:
+    from ..operators.classifier import (
+        ilog_e6_oracle_sql as ilog,
+        log_lut_values_sql,
+    )
+
+    return f"""
+WITH lut(m, ln_e6) AS (VALUES {log_lut_values_sql()}),
+wc AS (
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS ws,
+           CAST(event_type AS VARCHAR) AS token, COUNT(*) AS n_win
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+ref AS (
+    SELECT CAST(event_type AS VARCHAR) AS token, COUNT(*) AS n_ref
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+wins AS (SELECT DISTINCT ws FROM wc),
+expanded AS (SELECT w.ws, r.token, r.n_ref FROM wins w CROSS JOIN ref r),
+j0 AS (
+    SELECT COALESCE(e.ws, c.ws) AS ws, COALESCE(e.token, c.token) AS token,
+           COALESCE(c.n_win, 0) AS n_win, COALESCE(e.n_ref, 0) AS n_ref
+    FROM expanded e FULL OUTER JOIN wc c ON e.ws = c.ws AND e.token = c.token
+),
+tot AS (
+    SELECT ws, COUNT(*) AS v, SUM(n_win) AS nw, SUM(n_ref) AS nr
+    FROM j0 GROUP BY 1
+),
+d AS (
+    SELECT j0.ws, j0.n_win,
+           CAST({ilog('j0.n_win + 1')} - {ilog('j0.n_ref + 1')}
+                + {ilog('t.nr + t.v')} - {ilog('t.nw + t.v')} AS BIGINT) AS delta,
+           t.v, t.nw
+    FROM j0 JOIN tot t ON t.ws = j0.ws
+),
+agg AS (
+    SELECT ws, MAX(nw) AS n_tokens, MAX(v) AS v_union,
+           SUM((n_win + 1) * delta) AS s, MAX(nw) + MAX(v) AS norm
+    FROM d GROUP BY 1
+)
+SELECT ws AS window_start_us,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(v_union AS BIGINT) AS v_union,
+       CAST((GREATEST(s, 0) // norm) * 1000
+            + ((GREATEST(s, 0) % norm) * 1000) // norm AS BIGINT) AS kl_e9
+FROM agg ORDER BY 1
+"""
+
+
+register(
+    "events_type_drift_windowed", q_events_type_drift_windowed,
+    _oracle_type_drift(),
+)

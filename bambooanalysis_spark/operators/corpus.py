@@ -345,3 +345,116 @@ def corpus_kl_e9(drift: DataFrame) -> DataFrame:
             ).alias("kl_e9")
         )
     )
+
+
+def windowed_kl_vs_reference(
+    wc: DataFrame,
+    ref: DataFrame,
+) -> DataFrame:
+    """Per-window distribution drift against a reference: for each
+    event-time window in ``wc`` (window_start, token, n — e.g. from
+    streaming/windows.windowed_value_counts), KL(P_window || P_ref) over
+    Laplace-smoothed distributions, where P_ref comes from ``ref``
+    (token, n) — a curated reference table (yesterday's corpus, the
+    training mix, the SLA distribution). The alerting primitive for
+    "did this hour's traffic/crawl change shape".
+
+    Same fixed-point discipline as ``corpus_kl_drift``: the union
+    vocabulary is per-window (a window missing a reference token still
+    pays its mass), every ln is the shared 1023-row LUT, the per-window
+    numerator sums in DECIMAL(38,0) behind a guard, and the result —
+    (window_start, n_tokens, v_union, kl_e9) — is engine-exact.
+
+    Scale shape: windows x |ref| expansion via ONE broadcast of the
+    reference (bounded: a reference distribution is a curated table,
+    not a corpus), a full-outer join against the window counts
+    partitioned by (window, token), per-window totals as a groupBy
+    joined back on window (window-count-sized), LUT broadcasts; no
+    single-partition windows anywhere.
+    """
+    from .classifier import _attach_ilog, log_lut
+
+    spark = wc.sparkSession
+    lut_df = spark.createDataFrame(log_lut(), "m int, ln_e6 long")
+
+    refc = ref.select(
+        F.col("token").cast("string").alias("token"),
+        F.col("n").cast("long").alias("n_ref"),
+    ).groupBy("token").agg(F.sum("n_ref").alias("n_ref"))
+    # both join sides derive from wc: alias every column to FRESH
+    # attributes so the full-outer join cannot see conflicting references
+    # (a memory-sink/view lineage fails resolution otherwise — caught by
+    # the streaming==batch gate)
+    windows = (
+        wc.select(F.col("window_start").alias("__ws")).distinct()
+    )
+    expanded = windows.crossJoin(F.broadcast(refc))
+    counts = wc.select(
+        F.col("window_start").alias("__ws"),
+        F.col("token").cast("string").alias("token"),
+        F.col("n").cast("long").alias("n_win"),
+    )
+    j = (
+        expanded.join(counts, ["__ws", "token"], "full_outer")
+        .withColumn("n_win", F.coalesce(F.col("n_win"), F.lit(0).cast("long")))
+        .withColumn("n_ref", F.coalesce(F.col("n_ref"), F.lit(0).cast("long")))
+    )
+    totals = j.groupBy("__ws").agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("n_win").alias("__nw"),
+        F.sum("n_ref").alias("__nr"),
+    )
+    j = j.join(totals, "__ws").withColumnRenamed("__ws", "window_start")
+
+    j = _attach_ilog(j, "n_win + 1", "__lw", lut_df, "wkl")
+    j = _attach_ilog(j, "n_ref + 1", "__lr", lut_df, "rkl")
+    j = _attach_ilog(j, "__nw + __v", "__lnw", lut_df, "nwkl")
+    j = _attach_ilog(j, "__nr + __v", "__lnr", lut_df, "nrkl")
+    delta = (
+        F.col("__lw") - F.col("__lr") + F.col("__lnr") - F.col("__lnw")
+    ).cast("long")
+    limit = (1 << 62) - 1
+    contrib = F.when(
+        (F.col("n_win") + 1) > F.lit(limit) / (F.abs(delta) + F.lit(1)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "windowed_kl_vs_reference: contribution overflow for "
+                    "token "
+                ),
+                F.col("token"),
+                F.lit(" — pre-scale the counts"),
+            )
+        ).cast("long"),
+    ).otherwise((F.col("n_win") + F.lit(1)) * delta)
+
+    per_win = j.groupBy("window_start").agg(
+        F.max("__nw").alias("n_tokens"),
+        F.max("__v").alias("v_union"),
+        F.coalesce(
+            F.sum(contrib.cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__sd"),
+        (F.max("__nw") + F.max("__v")).alias("__norm"),
+    )
+    s_long = F.when(
+        F.abs(F.col("__sd")) > F.lit(limit).cast("decimal(38,0)"),
+        F.raise_error(
+            F.lit(
+                "windowed_kl_vs_reference: window drift numerator exceeds "
+                "exact BIGINT range — pre-scale the counts"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sd").cast("long"))
+    return (
+        per_win.withColumn("__s", F.greatest(s_long, F.lit(0).cast("long")))
+        .select(
+            "window_start",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("v_union").cast("long").alias("v_union"),
+            (
+                F.expr("(__s DIV __norm) * 1000")
+                + F.expr("((__s % __norm) * 1000) DIV __norm")
+            ).alias("kl_e9"),
+        )
+    )

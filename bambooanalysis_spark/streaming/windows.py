@@ -269,3 +269,35 @@ def abandoned_views(
             F.unix_micros(F.col("view_ts")).alias("view_us"),
         )
     )
+
+
+def windowed_value_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time counts of a categorical column — the
+    (window_start, token, n) table the drift monitor consumes
+    (operators/corpus.py:windowed_kl_vs_reference). One transformation,
+    both engines: on ``spark.read`` it is a batch rollup; on
+    ``spark.readStream`` (+ ``watermark``) it is an incremental
+    streaming aggregation whose closed windows feed the drift
+    computation batch-side (per-window KL needs per-window totals — a
+    second stateful aggregate — so the monitor runs over the sink table
+    or in foreachBatch, the standard Structured Streaming split between
+    in-stream rollup and post-hoc analytics). NULL values are excluded
+    (they have no distribution identity)."""
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(value_col).cast("string").alias("token"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "token", "n")
+    )

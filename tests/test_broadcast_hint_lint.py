@@ -90,6 +90,10 @@ ALLOWED = {
     ("corpus.py", "totals"):
         "corpus_kl_drift vocabulary/total counts: ONE-ROW aggregate "
         "(the lm.py/retrieval.py stats pattern)",
+    ("corpus.py", "refc"):
+        "windowed_kl_vs_reference reference distribution: a curated "
+        "(token, n) table — reference-vocabulary-sized metadata, not a "
+        "corpus, documented as the operator's contract",
     ("sampling.py", "al"):
         "materialize_token_mix allocation table joined onto BUCKET rows: "
         "one row per stratum (token_budget_mix output), domain-count "

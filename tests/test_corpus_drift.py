@@ -102,3 +102,87 @@ def test_corpus_kl_e9_empty_is_zero_not_null(spark):
     a = spark.createDataFrame([], "doc_id long, text string")
     drift = corpus_kl_drift(a, a, "text")
     assert corpus_kl_e9(drift).collect()[0]["kl_e9"] == 0
+
+
+# --- windowed drift vs reference (streaming-adjacent) ---------------------------
+
+def test_windowed_value_counts_streaming_matches_batch(spark, tmp_path, sf_oracle):
+    """The SAME rollup as a real Structured Streaming query (file source,
+    availableNow, memory sink) and as batch — results must agree; the
+    drift computed from each must agree too."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.operators.corpus import windowed_kl_vs_reference
+    from bambooanalysis_spark.streaming.windows import windowed_value_counts
+
+    events = _events(spark, sf_oracle).limit(2000)
+    src = str(tmp_path / "drift_stream")
+    events.write.parquet(src)
+    events = spark.read.parquet(src)  # fix the row set for both paths
+
+    batch_wc = windowed_value_counts(events, "ts", "event_type", "1 hour")
+    batch = {(r["window_start"], r["token"]): r["n"] for r in batch_wc.collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_value_counts(stream, "ts", "event_type", "1 hour",
+                                watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("drift_wc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_wc = spark.sql("SELECT * FROM drift_wc")
+    got = {(r["window_start"], r["token"]): r["n"] for r in got_wc.collect()}
+    assert got == batch and len(got) > 0
+
+    ref = events.groupBy(
+        events.event_type.cast("string").alias("token")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = {r["window_start"]: r["kl_e9"]
+         for r in windowed_kl_vs_reference(batch_wc, ref).collect()}
+    b = {r["window_start"]: r["kl_e9"]
+         for r in windowed_kl_vs_reference(got_wc, ref).collect()}
+    assert a == b
+
+
+def test_windowed_kl_identical_reference_near_zero(spark):
+    """A window whose distribution IS the reference drifts ~0 (smoothing
+    noise only); a window missing a dominant reference token drifts more."""
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.corpus import windowed_kl_vs_reference
+
+    wc = spark.createDataFrame(
+        [
+            # window 1: matches reference shape exactly
+            (datetime(2024, 1, 1, 0), "click", 80),
+            (datetime(2024, 1, 1, 0), "view", 20),
+            # window 2: 'click' collapsed
+            (datetime(2024, 1, 1, 1), "click", 2),
+            (datetime(2024, 1, 1, 1), "view", 98),
+        ],
+        "window_start timestamp, token string, n long",
+    )
+    ref = spark.createDataFrame(
+        [("click", 800), ("view", 200)], "token string, n long"
+    )
+    rows = {r["window_start"].hour: r
+            for r in windowed_kl_vs_reference(wc, ref).collect()}
+    assert rows[0]["kl_e9"] < 5_000_000       # < 0.005 nats: same shape
+    assert rows[1]["kl_e9"] > 100_000_000     # > 0.1 nats: collapsed head
+    assert rows[0]["n_tokens"] == 100 and rows[0]["v_union"] == 2
+
+
+def test_windowed_kl_token_missing_from_reference_counted(spark):
+    """Union-vocabulary semantics: a window token absent from the
+    reference still enters V and contributes positive drift."""
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.corpus import windowed_kl_vs_reference
+
+    wc = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0), "novel", 50),
+         (datetime(2024, 1, 1, 0), "click", 50)],
+        "window_start timestamp, token string, n long",
+    )
+    ref = spark.createDataFrame([("click", 100)], "token string, n long")
+    row = windowed_kl_vs_reference(wc, ref).collect()[0]
+    assert row["v_union"] == 2
+    assert row["kl_e9"] > 0
