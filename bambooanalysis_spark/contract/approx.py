@@ -3036,3 +3036,62 @@ register(
     "events_type_drift_windowed", q_events_type_drift_windowed,
     _oracle_type_drift(),
 )
+
+
+# --- drift: numeric-column KS between cohorts ----------------------------------
+
+def q_events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift (operators/corpus.py:ks_drift): the exact
+    Kolmogorov–Smirnov statistic between the even- and odd-user cohorts'
+    event-value distributions (cents fixed-point) — CDFs compared
+    cross-multiplied in DECIMAL(38,0), final ratio by integral division,
+    so the single-row result (including WHERE the max gap sits) is
+    exactly oracle-hashed."""
+    from ..operators.corpus import ks_drift
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    return ks_drift(
+        ev.where("user_id % 2 = 0"), ev.where("user_id % 2 <> 0"), "vc"
+    )
+
+
+ORACLE_EVENTS_VALUE_KS_DRIFT = """
+WITH base AS (
+    SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+ca AS (SELECT vc AS v, COUNT(*) AS c_a FROM base WHERE user_id % 2 = 0 GROUP BY 1),
+cb AS (SELECT vc AS v, COUNT(*) AS c_b FROM base WHERE user_id % 2 <> 0 GROUP BY 1),
+j AS (
+    SELECT COALESCE(ca.v, cb.v) AS v,
+           COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+s AS (
+    SELECT v,
+           SUM(c_a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           SUM(c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+           SUM(c_a) OVER () AS n_a,
+           SUM(c_b) OVER () AS n_b
+    FROM j
+),
+d AS (SELECT *, ABS(cum_a * n_b - cum_b * n_a) AS diff FROM s)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST((MAX(diff) * 1000000) // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS ks_e6,
+       CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END)
+            AS BIGINT) AS ks_at_value
+FROM d
+"""
+
+
+register(
+    "events_value_ks_drift", q_events_value_ks_drift,
+    ORACLE_EVENTS_VALUE_KS_DRIFT,
+)

@@ -458,3 +458,85 @@ def windowed_kl_vs_reference(
             ).alias("kl_e9"),
         )
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Kolmogorov–Smirnov drift between two snapshots of a NUMERIC
+    column — the companion to the KL family above (KL reads categorical
+    shape; KS reads a numeric column's whole CDF, catching mean/tail
+    shifts a histogram bucketing would blur). Returns ONE row:
+    (n_a, n_b, n_values, ks_e6, ks_at_value) where ks_e6 =
+    floor(1e6 * max_v |CDF_a(v) - CDF_b(v)|) and ks_at_value is the
+    smallest value attaining the max.
+
+    Exactness: ``value_col`` must be integer fixed-point (cents, *_e4 —
+    cast to BIGINT; floats would make both the distinct-value table and
+    the tie behavior engine-fragile). The CDF comparison is
+    cross-multiplied — |cum_a * n_b - cum_b * n_a| in DECIMAL(38,0), so
+    nothing overflows below 1e38 — and the final ratio is integral
+    division, bit-identical in both engines. NULL values are excluded.
+    Degenerate inputs: both sides empty -> ks 0; exactly one side empty
+    -> ks 1e6 (total drift).
+
+    Scale shape: one map-side-combined count aggregate per side keyed by
+    VALUE, a full-outer join of the two value tables, and cumulative
+    sums over the distinct-value table — bounded by the fixed-point
+    RESOLUTION, not the corpus (the threshold_sweep argument), so the
+    single-partition ordered window is bounded metadata.
+    """
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).cast("long").alias("v"))
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    j = (
+        counts(df_a, "a").join(counts(df_b, "b"), "v", "full_outer")
+        .withColumn("c_a", F.coalesce(F.col("c_a"), F.lit(0).cast("long")))
+        .withColumn("c_b", F.coalesce(F.col("c_b"), F.lit(0).cast("long")))
+    )
+    order = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    everything = Window.partitionBy()
+    staged = (
+        j.withColumn("cum_a", F.sum("c_a").over(order))
+        .withColumn("cum_b", F.sum("c_b").over(order))
+        .withColumn("n_a", F.sum("c_a").over(everything))
+        .withColumn("n_b", F.sum("c_b").over(everything))
+        .withColumn(
+            "diff",
+            F.abs(
+                F.col("cum_a").cast("decimal(38,0)")
+                * F.col("n_b").cast("decimal(38,0)")
+                - F.col("cum_b").cast("decimal(38,0)")
+                * F.col("n_a").cast("decimal(38,0)")
+            ),
+        )
+    )
+    staged = staged.withColumn("__maxdiff", F.max("diff").over(everything))
+    na = F.coalesce(F.max("n_a"), F.lit(0).cast("long"))
+    nb = F.coalesce(F.max("n_b"), F.lit(0).cast("long"))
+    return staged.agg(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.when((na == 0) & (nb == 0), F.lit(0).cast("long"))
+        .when((na == 0) | (nb == 0), F.lit(1_000_000).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(max(diff) * CAST(1000000 AS DECIMAL(38,0)) AS "
+                "DECIMAL(38,0)) DIV (CAST(max(n_a) AS DECIMAL(38,0)) * "
+                "CAST(max(n_b) AS DECIMAL(38,0)))"
+            ).cast("long")
+        )
+        .alias("ks_e6"),
+        F.min(F.when(F.col("diff") == F.col("__maxdiff"), F.col("v")))
+        .cast("long")
+        .alias("ks_at_value"),
+    )

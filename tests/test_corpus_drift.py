@@ -186,3 +186,56 @@ def test_windowed_kl_token_missing_from_reference_counted(spark):
     row = windowed_kl_vs_reference(wc, ref).collect()[0]
     assert row["v_union"] == 2
     assert row["kl_e9"] > 0
+
+
+# --- KS drift (numeric CDF) -----------------------------------------------------
+
+def test_ks_drift_hand_computed_and_reference(spark):
+    import random
+
+    from bambooanalysis_spark.operators.corpus import ks_drift
+
+    # A={1,2,3,4}, B={3,4,5,6}: CDFs diverge most at v=2 (1.0-0.5... 0.5)
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v long")
+    b = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], "v long")
+    r = ks_drift(a, b, "v").collect()[0]
+    assert (r["ks_e6"], r["ks_at_value"]) == (500_000, 2)
+    assert (r["n_a"], r["n_b"], r["n_values"]) == (4, 4, 6)
+
+    # independent cross-multiplied Python reference on random integers
+    rng = random.Random(5)
+    xa = [rng.randint(0, 30) for _ in range(200)]
+    xb = [rng.randint(5, 35) for _ in range(150)]
+    na, nb = len(xa), len(xb)
+    best = max(
+        abs(sum(1 for x in xa if x <= v) * nb - sum(1 for x in xb if x <= v) * na)
+        for v in set(xa) | set(xb)
+    )
+    want = (best * 1_000_000) // (na * nb)
+    sa = spark.createDataFrame([(v,) for v in xa], "v long")
+    sb = spark.createDataFrame([(v,) for v in xb], "v long")
+    assert ks_drift(sa, sb, "v").collect()[0]["ks_e6"] == want
+
+
+def test_ks_drift_identical_zero_and_degenerate(spark):
+    from bambooanalysis_spark.operators.corpus import ks_drift
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 2, 9]], "v long")
+    assert ks_drift(a, a, "v").collect()[0]["ks_e6"] == 0
+    e = spark.createDataFrame([], "v long")
+    both = ks_drift(e, e, "v").collect()[0]
+    assert both["ks_e6"] == 0 and both["n_values"] == 0
+    assert ks_drift(a, e, "v").collect()[0]["ks_e6"] == 1_000_000
+    assert ks_drift(e, a, "v").collect()[0]["ks_e6"] == 1_000_000
+
+
+def test_ks_drift_shift_detected(spark):
+    """A location shift the same histogram bucketing could blur is the
+    KS statistic's home turf: +10 shift on identical shapes -> large KS."""
+    from bambooanalysis_spark.operators.corpus import ks_drift
+
+    base = [v % 20 for v in range(200)]
+    a = spark.createDataFrame([(v,) for v in base], "v long")
+    b = spark.createDataFrame([(v + 10,) for v in base], "v long")
+    r = ks_drift(a, b, "v").collect()[0]
+    assert r["ks_e6"] == 500_000  # half the mass separates at the midpoint
