@@ -202,6 +202,50 @@ def corpus_datacard(
     return agg.orderBy(*groups) if groups else agg
 
 
+# shared fixed-point KL plumbing (corpus_kl_drift / corpus_kl_e9 /
+# windowed_kl_vs_reference — review r10 pass 3: one copy of the overflow
+# guards and the remainder-refined e9 division, not three)
+_KL_LIMIT = (1 << 62) - 1
+
+
+def _kl_contrib_guarded(n_col, delta, token, op: str):
+    """(n+1) * delta with the in-plan overflow raise (division-form test,
+    so the guard itself cannot overflow)."""
+    return F.when(
+        (n_col + 1) > F.lit(_KL_LIMIT) / (F.abs(delta) + F.lit(1)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: contribution overflow for token "),
+                token,
+                F.lit(" — pre-aggregate or pre-scale the counts first"),
+            )
+        ).cast("long"),
+    ).otherwise((n_col + F.lit(1)) * delta)
+
+
+def _kl_e9_refined(df: DataFrame, sd_col: str, norm_col: str, op: str) -> DataFrame:
+    """DECIMAL(38,0) numerator -> guarded BIGINT -> >=0 clamp (KL is
+    non-negative; a tiny negative sum is LUT noise, and positivity keeps
+    Spark DIV truncation and DuckDB // flooring identical) -> e9 via
+    quotient*1000 + refined remainder. Adds ``__kl_e9``."""
+    s_long = F.when(
+        F.abs(F.col(sd_col)) > F.lit(_KL_LIMIT).cast("decimal(38,0)"),
+        F.raise_error(
+            F.lit(
+                f"{op}: drift numerator exceeds exact BIGINT range — "
+                "pre-scale the counts (e.g. aggregate per thousand)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(sd_col).cast("long"))
+    return df.withColumn(
+        "__s", F.greatest(s_long, F.lit(0).cast("long"))
+    ).withColumn(
+        "__kl_e9",
+        F.expr(f"(__s DIV {norm_col}) * 1000")
+        + F.expr(f"((__s % {norm_col}) * 1000) DIV {norm_col}"),
+    )
+
+
 def corpus_kl_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -279,18 +323,9 @@ def corpus_kl_drift(
     delta = (
         F.col("__la") - F.col("__lb") + F.col("__lnb") - F.col("__lna")
     ).cast("long")
-    limit = (1 << 62) - 1
-    guarded = F.when(
-        (F.col("count_a") + 1)
-        > F.lit(limit) / (F.abs(delta) + F.lit(1)),
-        F.raise_error(
-            F.concat(
-                F.lit("corpus_kl_drift: contribution overflow for token "),
-                F.col("token"),
-                F.lit(" — pre-aggregate or sample the corpus first"),
-            )
-        ).cast("long"),
-    ).otherwise((F.col("count_a") + F.lit(1)) * delta)
+    guarded = _kl_contrib_guarded(
+        F.col("count_a"), delta, F.col("token"), "corpus_kl_drift"
+    )
     return j.select(
         "token",
         F.col("count_a").cast("long").alias("count_a"),
@@ -312,7 +347,6 @@ def corpus_kl_e9(drift: DataFrame) -> DataFrame:
     would overflow: wrapping silently under non-ANSI configs, or dying
     with a generic overflow under ANSI) and converts back behind a loud
     in-plan guard. Empty drift tables total 0, not NULL."""
-    limit = (1 << 62) - 1
     s = drift.agg(
         F.coalesce(
             F.sum(F.col("contrib_num").cast("decimal(38,0)")),
@@ -320,30 +354,8 @@ def corpus_kl_e9(drift: DataFrame) -> DataFrame:
         ).alias("__sd"),
         F.coalesce(F.max("norm_a"), F.lit(1).cast("long")).alias("__n"),
     )
-    s_long = F.when(
-        F.abs(F.col("__sd")) > F.lit(limit).cast("decimal(38,0)"),
-        F.raise_error(
-            F.concat(
-                F.lit("corpus_kl_e9: total drift numerator "),
-                F.col("__sd").cast("string"),
-                F.lit(
-                    " exceeds exact BIGINT range — pre-scale the token "
-                    "counts (e.g. aggregate per thousand)"
-                ),
-            )
-        ).cast("long"),
-    ).otherwise(F.col("__sd").cast("long"))
-    # KL >= 0 exactly; a (tiny) negative quantized sum is LUT noise, and
-    # clamping keeps the integer division positive-only, where Spark DIV
-    # (truncate) and DuckDB // (floor) agree
-    return (
-        s.withColumn("__s", F.greatest(s_long, F.lit(0).cast("long")))
-        .select(
-            (
-                F.expr("(__s DIV __n) * 1000")
-                + F.expr("((__s % __n) * 1000) DIV __n")
-            ).alias("kl_e9")
-        )
+    return _kl_e9_refined(s, "__sd", "__n", "corpus_kl_e9").select(
+        F.col("__kl_e9").alias("kl_e9")
     )
 
 
@@ -404,29 +416,21 @@ def windowed_kl_vs_reference(
         F.sum("n_win").alias("__nw"),
         F.sum("n_ref").alias("__nr"),
     )
+    # the totals' ilogs are constant per window: attach them on the
+    # window-count-sized totals table (W rows through the LUT joins),
+    # not on the W x |ref| expanded table (review r10 pass 3)
+    totals = _attach_ilog(totals, "__nw + __v", "__lnw", lut_df, "nwkl")
+    totals = _attach_ilog(totals, "__nr + __v", "__lnr", lut_df, "nrkl")
     j = j.join(totals, "__ws").withColumnRenamed("__ws", "window_start")
 
     j = _attach_ilog(j, "n_win + 1", "__lw", lut_df, "wkl")
     j = _attach_ilog(j, "n_ref + 1", "__lr", lut_df, "rkl")
-    j = _attach_ilog(j, "__nw + __v", "__lnw", lut_df, "nwkl")
-    j = _attach_ilog(j, "__nr + __v", "__lnr", lut_df, "nrkl")
     delta = (
         F.col("__lw") - F.col("__lr") + F.col("__lnr") - F.col("__lnw")
     ).cast("long")
-    limit = (1 << 62) - 1
-    contrib = F.when(
-        (F.col("n_win") + 1) > F.lit(limit) / (F.abs(delta) + F.lit(1)),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "windowed_kl_vs_reference: contribution overflow for "
-                    "token "
-                ),
-                F.col("token"),
-                F.lit(" — pre-scale the counts"),
-            )
-        ).cast("long"),
-    ).otherwise((F.col("n_win") + F.lit(1)) * delta)
+    contrib = _kl_contrib_guarded(
+        F.col("n_win"), delta, F.col("token"), "windowed_kl_vs_reference"
+    )
 
     per_win = j.groupBy("window_start").agg(
         F.max("__nw").alias("n_tokens"),
@@ -437,26 +441,13 @@ def windowed_kl_vs_reference(
         ).alias("__sd"),
         (F.max("__nw") + F.max("__v")).alias("__norm"),
     )
-    s_long = F.when(
-        F.abs(F.col("__sd")) > F.lit(limit).cast("decimal(38,0)"),
-        F.raise_error(
-            F.lit(
-                "windowed_kl_vs_reference: window drift numerator exceeds "
-                "exact BIGINT range — pre-scale the counts"
-            )
-        ).cast("long"),
-    ).otherwise(F.col("__sd").cast("long"))
-    return (
-        per_win.withColumn("__s", F.greatest(s_long, F.lit(0).cast("long")))
-        .select(
-            "window_start",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("v_union").cast("long").alias("v_union"),
-            (
-                F.expr("(__s DIV __norm) * 1000")
-                + F.expr("((__s % __norm) * 1000) DIV __norm")
-            ).alias("kl_e9"),
-        )
+    return _kl_e9_refined(
+        per_win, "__sd", "__norm", "windowed_kl_vs_reference"
+    ).select(
+        "window_start",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("v_union").cast("long").alias("v_union"),
+        F.col("__kl_e9").alias("kl_e9"),
     )
 
 

@@ -1070,6 +1070,42 @@ def keep_best_per_cluster(
     )
 
 
+def _exact_jaccard_pairs_from_units(
+    units: DataFrame, threshold_e4: int
+) -> DataFrame:
+    """Exact set-Jaccard pairs (doc_a < doc_b) over a generic
+    (doc_id, __u) unit table via the plain postings join — the core
+    lsh_recall_probe scores its TRUTH with, factored so a threshold- or
+    join-shape fix serves every caller (review r10 pass 3). Distinct
+    units expected (dedupe upstream). Uses integer ``DIV`` throughout;
+    ``jaccard_pairs``'s public strategies keep their own oracle-matched
+    plans (incl. the float-floor ratio and the max_df fan-out guard)."""
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        units.select(F.col("doc_id").alias("doc_a"), "__u")
+        .join(units.select(F.col("doc_id").alias("doc_b"), "__u"), "__u")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb")),
+            "doc_b",
+        )
+        .where(
+            F.expr(
+                f"(__i * 10000) DIV (__na + __nb - __i) >= {int(threshold_e4)}"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def lsh_recall_probe(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1115,33 +1151,14 @@ def lsh_recall_probe(
         sample_frac,
         salt,
     )
-    sh = sampled.select(
+    units = sampled.select(
         "doc_id",
         F.explode(
             F.array_distinct(T.shingles(F.col("__text"), shingle_k))
-        ).alias("__sh"),
+        ).alias("__u"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "__sh")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "__sh"), "__sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb")),
-            "doc_b",
-        )
-        .where(
-            F.expr(f"(__i * 10000) DIV (__na + __nb - __i) >= {int(threshold_e4)}")
-        )
-        .select("doc_a", "doc_b", F.lit(1).alias("__t"))
+    truth = _exact_jaccard_pairs_from_units(units, threshold_e4).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
     )
     cands = minhash_lsh_pairs(
         sampled, "doc_id", "__text", k=k, bands=bands, shingle_k=shingle_k

@@ -127,7 +127,8 @@ def test_windowed_value_counts_streaming_matches_batch(spark, tmp_path, sf_oracl
                                 watermark="2 hours")
     q = (out.writeStream.format("memory").queryName("drift_wc")
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # a timeout must fail HERE, not as a confusing partial-result diff
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got_wc = spark.sql("SELECT * FROM drift_wc")
     got = {(r["window_start"], r["token"]): r["n"] for r in got_wc.collect()}
     assert got == batch and len(got) > 0
