@@ -2983,7 +2983,10 @@ def q_events_type_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start_us")
 
 
-def _oracle_type_drift() -> str:
+def _type_drift_ctes() -> str:
+    """Shared CTE chain through the per-(window, token) drift rows `d` —
+    the aggregate and top-movers oracles compose on it, mirroring the
+    operators' shared _windowed_drift_rows plan builder."""
     from ..operators.classifier import (
         ilog_e6_oracle_sql as ilog,
         log_lut_values_sql,
@@ -3012,12 +3015,17 @@ tot AS (
     FROM j0 GROUP BY 1
 ),
 d AS (
-    SELECT j0.ws, j0.n_win,
+    SELECT j0.ws, j0.token, j0.n_win, j0.n_ref,
            CAST({ilog('j0.n_win + 1')} - {ilog('j0.n_ref + 1')}
                 + {ilog('t.nr + t.v')} - {ilog('t.nw + t.v')} AS BIGINT) AS delta,
            t.v, t.nw
     FROM j0 JOIN tot t ON t.ws = j0.ws
-),
+)
+"""
+
+
+def _oracle_type_drift() -> str:
+    return _type_drift_ctes() + """,
 agg AS (
     SELECT ws, MAX(nw) AS n_tokens, MAX(v) AS v_union,
            SUM((n_win + 1) * delta) AS s, MAX(nw) + MAX(v) AS norm
@@ -3035,6 +3043,61 @@ FROM agg ORDER BY 1
 register(
     "events_type_drift_windowed", q_events_type_drift_windowed,
     _oracle_type_drift(),
+)
+
+
+def q_events_type_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detail behind the drift alert (operators/corpus.py:
+    windowed_kl_top_movers): per hour window, the 2 event types
+    contributing most divergence from the whole-corpus reference — what
+    one reads after events_type_drift_windowed fires. Same exact
+    fixed-point rows (shared plan builder), so the ranked detail table
+    is oracle-hashed too."""
+    from ..operators.corpus import windowed_kl_top_movers
+    from ..streaming.windows import windowed_value_counts
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir)
+    wc = windowed_value_counts(ev, "ts", "event_type", "1 hour")
+    ref = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = windowed_kl_top_movers(wc, ref, k=2)
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "token",
+        "n_win",
+        "n_ref",
+        "delta_log_e6",
+        "contrib_num",
+        "mover_rank",
+    ).orderBy("window_start_us", "mover_rank")
+
+
+def _oracle_type_drift_movers() -> str:
+    return _type_drift_ctes() + """,
+ranked AS (
+    SELECT ws, token, n_win, n_ref, delta,
+           (n_win + 1) * delta AS contrib,
+           ROW_NUMBER() OVER (PARTITION BY ws
+               ORDER BY ABS((n_win + 1) * delta) DESC, token) AS rk
+    FROM d
+)
+SELECT ws AS window_start_us, token,
+       CAST(n_win AS BIGINT) AS n_win,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       delta AS delta_log_e6,
+       CAST(contrib AS BIGINT) AS contrib_num,
+       CAST(rk AS BIGINT) AS mover_rank
+FROM ranked WHERE rk <= 2 ORDER BY 1, 7
+"""
+
+
+register(
+    "events_type_drift_movers", q_events_type_drift_movers,
+    _oracle_type_drift_movers(),
 )
 
 

@@ -359,31 +359,11 @@ def corpus_kl_e9(drift: DataFrame) -> DataFrame:
     )
 
 
-def windowed_kl_vs_reference(
-    wc: DataFrame,
-    ref: DataFrame,
-) -> DataFrame:
-    """Per-window distribution drift against a reference: for each
-    event-time window in ``wc`` (window_start, token, n — e.g. from
-    streaming/windows.windowed_value_counts), KL(P_window || P_ref) over
-    Laplace-smoothed distributions, where P_ref comes from ``ref``
-    (token, n) — a curated reference table (yesterday's corpus, the
-    training mix, the SLA distribution). The alerting primitive for
-    "did this hour's traffic/crawl change shape".
-
-    Same fixed-point discipline as ``corpus_kl_drift``: the union
-    vocabulary is per-window (a window missing a reference token still
-    pays its mass), every ln is the shared 1023-row LUT, the per-window
-    numerator sums in DECIMAL(38,0) behind a guard, and the result —
-    (window_start, n_tokens, v_union, kl_e9) — is engine-exact.
-
-    Scale shape: windows x |ref| expansion via ONE broadcast of the
-    reference (bounded: a reference distribution is a curated table,
-    not a corpus), a full-outer join against the window counts
-    partitioned by (window, token), per-window totals as a groupBy
-    joined back on window (window-count-sized), LUT broadcasts; no
-    single-partition windows anywhere.
-    """
+def _windowed_drift_rows(wc: DataFrame, ref: DataFrame, op: str) -> DataFrame:
+    """Shared per-(window, token) drift rows for the windowed KL family:
+    (window_start, token, n_win, n_ref, __nw, __nr, __v, delta_log_e6,
+    contrib_num). The aggregate (windowed_kl_vs_reference) and the
+    detail view (windowed_kl_top_movers) both read this one plan."""
     from .classifier import _attach_ilog, log_lut
 
     spark = wc.sparkSession
@@ -428,15 +408,84 @@ def windowed_kl_vs_reference(
     delta = (
         F.col("__lw") - F.col("__lr") + F.col("__lnr") - F.col("__lnw")
     ).cast("long")
-    contrib = _kl_contrib_guarded(
-        F.col("n_win"), delta, F.col("token"), "windowed_kl_vs_reference"
+    contrib = _kl_contrib_guarded(F.col("n_win"), delta, F.col("token"), op)
+    return j.withColumn("delta_log_e6", delta).withColumn(
+        "contrib_num", contrib.cast("long")
     )
+
+
+def windowed_kl_top_movers(
+    wc: DataFrame,
+    ref: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The detail behind a drift alert: per window, the ``k`` tokens
+    contributing MOST divergence (by |contrib_num|, ties by token) —
+    what an on-call engineer reads after windowed_kl_vs_reference fires.
+    Columns: (window_start, token, n_win, n_ref, delta_log_e6,
+    contrib_num, mover_rank). Same exact fixed-point rows as the
+    aggregate — the two views share one plan builder.
+
+    Scale shape: one rank window partitioned BY WINDOW over the
+    per-window union vocabulary; Spark's window-group-limit pushes the
+    rank <= k cutoff into the ranking (the per_group_cap argument), so a
+    large vocabulary never materializes its full ranked list per task.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rows = _windowed_drift_rows(wc, ref, "windowed_kl_top_movers")
+    w = Window.partitionBy("window_start").orderBy(
+        F.abs(F.col("contrib_num")).desc(), F.col("token").asc()
+    )
+    return (
+        rows.withColumn("mover_rank", F.row_number().over(w))
+        .where(F.col("mover_rank") <= k)
+        .select(
+            "window_start",
+            "token",
+            "n_win",
+            "n_ref",
+            "delta_log_e6",
+            "contrib_num",
+            F.col("mover_rank").cast("long").alias("mover_rank"),
+        )
+    )
+
+
+def windowed_kl_vs_reference(
+    wc: DataFrame,
+    ref: DataFrame,
+) -> DataFrame:
+    """Per-window distribution drift against a reference: for each
+    event-time window in ``wc`` (window_start, token, n — e.g. from
+    streaming/windows.windowed_value_counts), KL(P_window || P_ref) over
+    Laplace-smoothed distributions, where P_ref comes from ``ref``
+    (token, n) — a curated reference table (yesterday's corpus, the
+    training mix, the SLA distribution). The alerting primitive for
+    "did this hour's traffic/crawl change shape".
+
+    Same fixed-point discipline as ``corpus_kl_drift``: the union
+    vocabulary is per-window (a window missing a reference token still
+    pays its mass), every ln is the shared 1023-row LUT, the per-window
+    numerator sums in DECIMAL(38,0) behind a guard, and the result —
+    (window_start, n_tokens, v_union, kl_e9) — is engine-exact.
+
+    Scale shape: windows x |ref| expansion via ONE broadcast of the
+    reference (bounded: a reference distribution is a curated table,
+    not a corpus), a full-outer join against the window counts
+    partitioned by (window, token), per-window totals as a groupBy
+    joined back on window (window-count-sized), LUT broadcasts; no
+    single-partition windows anywhere.
+    """
+    j = _windowed_drift_rows(wc, ref, "windowed_kl_vs_reference")
 
     per_win = j.groupBy("window_start").agg(
         F.max("__nw").alias("n_tokens"),
         F.max("__v").alias("v_union"),
         F.coalesce(
-            F.sum(contrib.cast("decimal(38,0)")),
+            F.sum(F.col("contrib_num").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("__sd"),
         (F.max("__nw") + F.max("__v")).alias("__norm"),

@@ -240,3 +240,78 @@ def test_ks_drift_shift_detected(spark):
     b = spark.createDataFrame([(v + 10,) for v in base], "v long")
     r = ks_drift(a, b, "v").collect()[0]
     assert r["ks_e6"] == 500_000  # half the mass separates at the midpoint
+
+
+def test_windowed_kl_top_movers_planted(spark):
+    """The collapsed-head window's top mover must be the collapsed token,
+    with the sign telling the direction (under-represented -> negative
+    delta)."""
+    from datetime import datetime
+
+    import pytest
+
+    from bambooanalysis_spark.operators.corpus import windowed_kl_top_movers
+
+    wc = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0), "click", 80),
+            (datetime(2024, 1, 1, 0), "view", 20),
+            (datetime(2024, 1, 1, 1), "click", 2),
+            (datetime(2024, 1, 1, 1), "view", 98),
+        ],
+        "window_start timestamp, token string, n long",
+    )
+    ref = spark.createDataFrame(
+        [("click", 800), ("view", 200)], "token string, n long"
+    )
+    rows = windowed_kl_top_movers(wc, ref, k=1).collect()
+    by_hour = {r["window_start"].hour: r for r in rows}
+    assert len(rows) == 2  # k=1 per window
+    # KL(P_window || P_ref) weights by the WINDOW's probability, so the
+    # token that absorbed the mass ('view', now 96%) is the top mover,
+    # with a positive delta; the collapsed head ranks below it
+    assert by_hour[1]["token"] == "view"
+    assert by_hour[1]["delta_log_e6"] > 0
+    two = windowed_kl_top_movers(wc, ref, k=2).collect()
+    h1 = {r["token"]: r for r in two if r["window_start"].hour == 1}
+    assert h1["click"]["mover_rank"] == 2
+    assert h1["click"]["delta_log_e6"] < 0  # under-represented vs reference
+    # rank bound respected at larger k than vocab
+    allrows = windowed_kl_top_movers(wc, ref, k=10).collect()
+    assert max(r["mover_rank"] for r in allrows) <= 2  # union vocab is 2
+    with pytest.raises(ValueError, match="k must be"):
+        windowed_kl_top_movers(wc, ref, k=0)
+
+
+def test_windowed_kl_movers_consistent_with_aggregate(spark):
+    """Summing EVERY per-token contribution (k >= vocab) and dividing by
+    the window norm reproduces the aggregate's kl_e9 — the two views
+    really are one computation."""
+    from datetime import datetime
+
+    from bambooanalysis_spark.operators.corpus import (
+        windowed_kl_top_movers, windowed_kl_vs_reference,
+    )
+
+    wc = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), t, n)
+         for h, pairs in [(0, [("a", 50), ("b", 30), ("c", 20)]),
+                          (1, [("a", 5), ("b", 90), ("d", 5)])]
+         for t, n in pairs],
+        "window_start timestamp, token string, n long",
+    )
+    ref = spark.createDataFrame(
+        [("a", 400), ("b", 300), ("c", 200), ("d", 100)],
+        "token string, n long",
+    )
+    agg = {r["window_start"]: r
+           for r in windowed_kl_vs_reference(wc, ref).collect()}
+    movers = windowed_kl_top_movers(wc, ref, k=100).collect()
+    per_win = {}
+    for r in movers:
+        per_win.setdefault(r["window_start"], []).append(r["contrib_num"])
+    for ws, contribs in per_win.items():
+        norm = agg[ws]["n_tokens"] + agg[ws]["v_union"]
+        s = max(sum(contribs), 0)
+        want = (s // norm) * 1000 + ((s % norm) * 1000) // norm
+        assert agg[ws]["kl_e9"] == want
