@@ -2525,7 +2525,11 @@ WITH counts AS (
     -- fixture) falls back to the operator's default weight 1 instead of
     -- diverging or crashing the CAST (review r10)
     SELECT source AS strata,
-           SUM(n_chars) AS avail_tokens,
+           -- COALESCE mirrors the Spark operator (ADVICE r10): an
+           -- all-NULL-token stratum must contribute avail_tokens 0, not
+           -- NULL (plain SUM over all NULLs is NULL, which would poison
+           -- the fixpoint arithmetic where Spark water-fills with 0)
+           SUM(COALESCE(n_chars, 0)) AS avail_tokens,
            CASE WHEN regexp_matches(source, '^src([0-9]|[1-5][0-9]|6[0-3])$')
                 THEN 1 + (CAST(substr(source, 4) AS BIGINT) % 4)
                 ELSE 1 END AS weight
@@ -3144,10 +3148,20 @@ s AS (
     FROM j
 ),
 d AS (SELECT *, ABS(cum_a * n_b - cum_b * n_a) AS diff FROM s)
-SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
-       CAST(MAX(n_b) AS BIGINT) AS n_b,
+-- degenerate arms mirror operators/corpus.py ks_drift exactly (ADVICE
+-- r10): both cohorts empty -> ks 0 (d has no rows; MAX/COUNT must not
+-- surface NULL/0-division), exactly one empty -> ks 1e6 (total drift,
+-- where the cross-multiplied ratio would divide by n*0)
+SELECT CAST(COALESCE(MAX(n_a), 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(MAX(n_b), 0) AS BIGINT) AS n_b,
        CAST(COUNT(*) AS BIGINT) AS n_values,
-       CAST((MAX(diff) * 1000000) // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS ks_e6,
+       CAST(CASE
+            WHEN COALESCE(MAX(n_a), 0) = 0 AND COALESCE(MAX(n_b), 0) = 0
+                 THEN 0
+            WHEN COALESCE(MAX(n_a), 0) = 0 OR COALESCE(MAX(n_b), 0) = 0
+                 THEN 1000000
+            ELSE (MAX(diff) * 1000000) // (MAX(n_a) * MAX(n_b))
+            END AS BIGINT) AS ks_e6,
        CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END)
             AS BIGINT) AS ks_at_value
 FROM d

@@ -209,10 +209,17 @@ _KL_LIMIT = (1 << 62) - 1
 
 
 def _kl_contrib_guarded(n_col, delta, token, op: str):
-    """(n+1) * delta with the in-plan overflow raise (division-form test,
-    so the guard itself cannot overflow)."""
+    """(n+1) * delta with the in-plan overflow raise. The test multiplies
+    in DECIMAL(38,0) — any BIGINT pair's product is < 2^126/2 ~ 8.5e37 <
+    1e38, so the guard product itself can never overflow, and the bound
+    is EXACT: (n+1)*(|delta|+1) > LIMIT is the integer-floor-division
+    condition (n+1) > LIMIT div (|delta|+1) with no double-rounding fuzz
+    (ADVICE r10: the previous LIMIT / (|delta|+1) double division was
+    ~2^10 ulps approximate near 2^62)."""
+    dec = "decimal(38,0)"
     return F.when(
-        (n_col + 1) > F.lit(_KL_LIMIT) / (F.abs(delta) + F.lit(1)),
+        (n_col + F.lit(1)).cast(dec) * (F.abs(delta) + F.lit(1)).cast(dec)
+        > F.lit(_KL_LIMIT).cast(dec),
         F.raise_error(
             F.concat(
                 F.lit(f"{op}: contribution overflow for token "),

@@ -315,3 +315,47 @@ def test_windowed_kl_movers_consistent_with_aggregate(spark):
         s = max(sum(contribs), 0)
         want = (s // norm) * 1000 + ((s % norm) * 1000) // norm
         assert agg[ws]["kl_e9"] == want
+
+
+def test_ks_drift_oracle_degenerate_cohorts_parity(spark):
+    """ADVICE r10: the registered KS oracle must carry the operator's
+    degenerate arms (both cohorts empty -> 0, one empty -> 1e6), not
+    divide by MAX(n)*0. Runs the REGISTERED oracle SQL in DuckDB on
+    events fixtures with one/both cohorts empty and compares against the
+    Spark operator on the same rows."""
+    import duckdb
+    import pandas as pd
+
+    from bambooanalysis_spark.contract.approx import (
+        ORACLE_EVENTS_VALUE_KS_DRIFT,
+    )
+    from bambooanalysis_spark.operators.corpus import ks_drift
+
+    def both_sides(events_pdf):
+        con = duckdb.connect()
+        con.register("events", events_pdf)
+        duck = con.execute(ORACLE_EVENTS_VALUE_KS_DRIFT).df()
+        con.close()
+        ev = spark.createDataFrame(
+            events_pdf if len(events_pdf) else [],
+            "user_id long, value double",
+        ).withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+        got = ks_drift(
+            ev.where("user_id % 2 = 0"), ev.where("user_id % 2 <> 0"), "vc"
+        ).toPandas()
+        return got, duck
+
+    # one cohort empty: every user_id even
+    one = pd.DataFrame(
+        {"user_id": [0, 2, 4, 6], "value": [1.0, 2.5, 2.5, 9.0]}
+    )
+    got, duck = both_sides(one)
+    assert int(got["ks_e6"][0]) == 1_000_000
+    for c in ("n_a", "n_b", "n_values", "ks_e6", "ks_at_value"):
+        assert got[c].fillna(-1).tolist() == duck[c].fillna(-1).tolist(), c
+
+    # both cohorts empty
+    got, duck = both_sides(pd.DataFrame({"user_id": [], "value": []}))
+    assert int(got["ks_e6"][0]) == 0 and int(got["n_values"][0]) == 0
+    for c in ("n_a", "n_b", "n_values", "ks_e6"):
+        assert got[c].fillna(-1).tolist() == duck[c].fillna(-1).tolist(), c

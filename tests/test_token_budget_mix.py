@@ -392,3 +392,46 @@ def test_token_budget_mix_null_token_stratum_counts_zero(spark):
     assert rows["b"]["avail_tokens"] == 0
     assert rows["b"]["alloc_tokens"] == 0 and rows["b"]["saturated"]
     assert rows["a"]["alloc_tokens"] == 100
+
+
+def test_token_budget_mix_oracle_all_null_stratum_parity():
+    """ADVICE r10: the contract oracle's counts CTE must COALESCE per-row
+    (SUM over an all-NULL stratum is NULL in plain SQL) to mirror the
+    operator's NULL-is-0. Runs the REGISTERED oracle SQL in DuckDB on a
+    fixture containing an all-NULL-token stratum and checks the
+    avail/alloc columns against the independent Python water-fill."""
+    import duckdb
+    import pandas as pd
+
+    from bambooanalysis_spark.contract.approx import (
+        _TBM_BUDGET,
+        ORACLE_SAMPLING_TOKEN_BUDGET_MIX,
+    )
+
+    rows = []
+    did = 0
+    for i in range(8):
+        src = f"src{i}"
+        for j in range(20):
+            # src3 is the all-NULL stratum the ADVICE hazard names
+            n = None if i == 3 else 700 + 31 * i + j
+            rows.append((did, src, n))
+            did += 1
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    docs["n_chars"] = docs["n_chars"].astype("Int64")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = {
+        r[0]: r
+        for r in con.execute(ORACLE_SAMPLING_TOKEN_BUDGET_MIX).fetchall()
+    }
+    con.close()
+
+    avail_w = {}
+    for i in range(8):
+        a = 0 if i == 3 else sum(700 + 31 * i + j for j in range(20))
+        avail_w[f"src{i}"] = (a, 1 + (i % 4))
+    want = _py_waterfill(avail_w, _TBM_BUDGET)
+    assert got["src3"][1] == 0, "all-NULL stratum must have avail 0, not NULL"
+    for s, (alloc, sat) in want.items():
+        assert got[s][4] == alloc and got[s][3] == sat, (s, got[s], alloc, sat)
