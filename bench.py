@@ -7,11 +7,16 @@ chars, so the LAST line must stay compact): the full record (per-entry
 load evidence + host block) is printed as an earlier stdout line and
 written to BENCH_DETAIL.json; the FINAL line is the compact summary
 
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <scale factor>,
-   "sf1": {"value": ..., "queries": {...}, "dir": ...}}
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "queries": {...K slowest entries...},
+   "detail": "BENCH_DETAIL.json",
+   "sf1": {"value": ..., "n_queries": N, "queries": {...}, "dir": ...}}
 
-length-asserted < FINAL_LINE_MAX (1900) at runtime and in
+Round-11 succession (VERDICT r10 #4): the final line keeps only the
+COMPACT_TOP_K slowest entries per section, so its length is independent
+of how many standing entries exist; full per-query timings are in
+BENCH_DETAIL.json and the earlier full-record stdout line.
+Length-asserted < FINAL_LINE_MAX (1900) at runtime and in
 tests/test_bench_output.py.
 
 Each query is executed to completion (count() over the result — full
@@ -288,13 +293,36 @@ def _sf1_dir() -> str | None:
 FINAL_LINE_MAX = 1900
 
 
+COMPACT_TOP_K = 5  # slowest entries kept in the final line, per section
+
+
 def compact_summary(out: dict) -> dict:
-    """The final-stdout-line subset: metric/value/unit/queries/sf (+ the
-    sf1 value/queries/dir) — no per-entry load maps, no host block."""
-    slim = {k: out[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    """The final-stdout-line subset. Round-11 succession (VERDICT r10 #4):
+    the per-query map grew ~55 chars/entry, so at 32+ entries the full
+    dict would overflow the driver's 2000-char tail window. The final
+    line now carries totals, entry counts, and only the COMPACT_TOP_K
+    slowest entries per section — its length is bounded by K, not by the
+    entry count. Full per-query timings stay in BENCH_DETAIL.json and
+    the earlier full-record stdout line."""
+
+    def slowest(qs: dict) -> dict:
+        return dict(sorted(qs.items(), key=lambda kv: -kv[1])[:COMPACT_TOP_K])
+
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(out["queries"]),
+        "queries": slowest(out["queries"]),
+        "detail": "BENCH_DETAIL.json",
+    }
     if "sf1" in out:
         slim["sf1"] = {
-            k: out["sf1"][k] for k in ("value", "queries", "dir")
+            "value": out["sf1"]["value"],
+            "n_queries": len(out["sf1"]["queries"]),
+            "queries": slowest(out["sf1"]["queries"]),
+            "dir": out["sf1"]["dir"],
         }
     return slim
 
