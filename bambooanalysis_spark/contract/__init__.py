@@ -88,3 +88,4 @@ from . import pipeline  # noqa: E402,F401
 from . import approx  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import scale  # noqa: E402,F401
+from . import crawl  # noqa: E402,F401

@@ -2515,29 +2515,39 @@ def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("strata")
 
 
-# shared CTE chain: per-source counts -> water-filling fixpoint -> `alloc`
-# (strata, avail_tokens, weight, saturated, alloc_tokens); the materializer
-# oracle composes on top of it
-_TBM_CTES = f"""
-WITH counts AS (
-    -- weight mirrors the Spark query's dict EXACTLY: srcN for N in 0..63
-    -- gets 1 + (N % 4); anything else (renamed/extra sources in a future
-    -- fixture) falls back to the operator's default weight 1 instead of
-    -- diverging or crashing the CAST (review r10)
+# weight rule shared by every mixture oracle: mirrors the Spark queries'
+# dict EXACTLY — srcN for N in 0..63 gets 1 + (N % 4); anything else
+# (renamed/extra sources in a future fixture) falls back to the
+# operator's default weight 1 instead of diverging or crashing the CAST
+# (review r10)
+_SRC_WEIGHT_SQL = """CASE WHEN regexp_matches(source, '^src([0-9]|[1-5][0-9]|6[0-3])$')
+                THEN 1 + (CAST(substr(source, 4) AS BIGINT) % 4)
+                ELSE 1 END"""
+
+
+def tbm_ctes_sql(
+    src: str, budget: int, weight_sql: str, scale: int,
+    tok_expr: str = "n_chars",
+) -> str:
+    """Water-filling CTE chain body (``counts`` .. ``alloc``) over any
+    (source, token) relation — shared by the standalone solver oracle,
+    the materializer oracle, the crawl-to-shards pipeline oracle and
+    the slot-50 manifest oracle (round 11), so the fixpoint SQL exists
+    exactly once. ``alloc`` exposes (strata, avail_tokens, weight,
+    saturated, alloc_tokens)."""
+    return f"""counts AS (
     SELECT source AS strata,
            -- COALESCE mirrors the Spark operator (ADVICE r10): an
            -- all-NULL-token stratum must contribute avail_tokens 0, not
            -- NULL (plain SUM over all NULLs is NULL, which would poison
            -- the fixpoint arithmetic where Spark water-fills with 0)
-           SUM(COALESCE(n_chars, 0)) AS avail_tokens,
-           CASE WHEN regexp_matches(source, '^src([0-9]|[1-5][0-9]|6[0-3])$')
-                THEN 1 + (CAST(substr(source, 4) AS BIGINT) % 4)
-                ELSE 1 END AS weight
-    FROM documents WHERE source IS NOT NULL GROUP BY source
+           SUM(COALESCE({tok_expr}, 0)) AS avail_tokens,
+           {weight_sql} AS weight
+    FROM {src} WHERE source IS NOT NULL GROUP BY source
 ),
 keyed AS (
-    SELECT *, (avail_tokens // weight) * {_TBM_SCALE}
-            + ((avail_tokens % weight) * {_TBM_SCALE}) // weight AS rkey
+    SELECT *, (avail_tokens // weight) * {scale}
+            + ((avail_tokens % weight) * {scale}) // weight AS rkey
     FROM counts
 ),
 flagged AS (
@@ -2551,7 +2561,7 @@ flagged AS (
 ),
 sat AS (
     SELECT *,
-        MIN(CASE WHEN avail_tokens * w_rem <= ({_TBM_BUDGET} - a_prev) * weight
+        MIN(CASE WHEN avail_tokens * w_rem <= ({budget} - a_prev) * weight
                  THEN 1 ELSE 0 END)
             OVER (ORDER BY rkey, strata
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
@@ -2560,7 +2570,7 @@ sat AS (
 ),
 solved AS (
     SELECT *,
-        {_TBM_BUDGET} - SUM(CASE WHEN saturated THEN avail_tokens ELSE 0 END)
+        {budget} - SUM(CASE WHEN saturated THEN avail_tokens ELSE 0 END)
             OVER () AS r_budget,
         SUM(CASE WHEN saturated THEN 0 ELSE weight END) OVER () AS w_unsat
     FROM sat
@@ -2589,8 +2599,53 @@ alloc AS (
                     avail_tokens)
            END AS alloc_tokens
     FROM ranked
-)
-"""
+)"""
+
+
+def materialize_ctes_sql(
+    src: str, salt: str, tok_expr: str = "n_chars",
+) -> str:
+    """Mixture-executor CTE chain (``mdocs`` .. ``mixed``) reproducing
+    materialize_token_mix's two-grain kept decision over any
+    (doc_id, source, token) relation; composes after ``tbm_ctes_sql``
+    (joins its ``alloc``). ``mixed`` exposes (doc_id, source, t,
+    kept_i)."""
+    return f"""mdocs AS (
+    SELECT doc_id, source,
+           CAST(COALESCE({tok_expr}, 0) AS BIGINT) AS t,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT) AS h
+    FROM {src} WHERE source IS NOT NULL
+),
+mstaged AS (SELECT *, CAST(h % 10000 AS INT) AS b FROM mdocs),
+mpb AS (SELECT source, b, SUM(t) AS bt FROM mstaged GROUP BY 1, 2),
+mcumb AS (
+    SELECT *, COALESCE(SUM(bt) OVER (PARTITION BY source ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM mpb
+),
+mbstat AS (
+    SELECT c.source, c.b,
+           (c.cum_before + c.bt <= COALESCE(a.alloc_tokens, 0)) AS full_b,
+           GREATEST(COALESCE(a.alloc_tokens, 0) - c.cum_before, 0) AS remaining
+    FROM mcumb c LEFT JOIN alloc a ON a.strata = c.source
+),
+mixed AS (
+    SELECT s.doc_id, s.source, s.t,
+           CAST(CASE WHEN bs.full_b THEN 1
+                     WHEN SUM(s.t) OVER (PARTITION BY s.source, s.b
+                             ORDER BY s.h, s.doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          <= bs.remaining THEN 1 ELSE 0 END AS BIGINT) AS kept_i
+    FROM mstaged s JOIN mbstat bs ON bs.source = s.source AND bs.b = s.b
+)"""
+
+
+# shared CTE chain: per-source counts -> water-filling fixpoint -> `alloc`
+# (strata, avail_tokens, weight, saturated, alloc_tokens); the materializer
+# oracle composes on top of it
+_TBM_CTES = "\nWITH " + tbm_ctes_sql(
+    "documents", _TBM_BUDGET, _SRC_WEIGHT_SQL, _TBM_SCALE, "n_chars"
+) + "\n"
 
 ORACLE_SAMPLING_TOKEN_BUDGET_MIX = _TBM_CTES + """
 SELECT strata,
@@ -2781,34 +2836,11 @@ def q_sampling_materialize_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-ORACLE_SAMPLING_MATERIALIZE_MIX = _TBM_CTES + f""",
-docs AS (
-    SELECT doc_id, source,
-           CAST(n_chars AS BIGINT) AS t,
-           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)) AS BIGINT) AS h
-    FROM documents WHERE source IS NOT NULL
-),
-staged AS (SELECT *, CAST(h % 10000 AS INT) AS b FROM docs),
-pb AS (SELECT source, b, SUM(t) AS bt FROM staged GROUP BY 1, 2),
-cumb AS (
-    SELECT *, COALESCE(SUM(bt) OVER (PARTITION BY source ORDER BY b
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-    FROM pb
-),
-bstat AS (
-    SELECT c.source, c.b,
-           (c.cum_before + c.bt <= COALESCE(a.alloc_tokens, 0)) AS full_b,
-           GREATEST(COALESCE(a.alloc_tokens, 0) - c.cum_before, 0) AS remaining
-    FROM cumb c LEFT JOIN alloc a ON a.strata = c.source
-)
-SELECT s.doc_id, s.source, s.t AS n_chars,
-       CAST(CASE WHEN bs.full_b THEN 1
-                 WHEN SUM(s.t) OVER (PARTITION BY s.source, s.b
-                         ORDER BY s.h, s.doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      <= bs.remaining THEN 1 ELSE 0 END AS BIGINT) AS kept_i
-FROM staged s JOIN bstat bs ON bs.source = s.source AND bs.b = s.b
-ORDER BY s.doc_id
+ORACLE_SAMPLING_MATERIALIZE_MIX = _TBM_CTES + ",\n" + materialize_ctes_sql(
+    "documents", "mix", "n_chars"
+) + """
+SELECT doc_id, source, t AS n_chars, kept_i
+FROM mixed ORDER BY doc_id
 """
 
 

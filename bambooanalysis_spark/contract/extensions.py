@@ -251,17 +251,22 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_sql(src: str = "documents") -> str:
+def _lsh_pairs_sql(src: str = "documents", shingle_k: int = 2) -> str:
     """LSH candidate-pair SQL over any (doc_id, text) source — the
-    pipeline oracle reuses it over the quality-filtered dedup set."""
+    pipeline oracles reuse it over their quality-filtered dedup sets.
+    ``shingle_k`` mirrors the Spark side's word-gram width (the range
+    bound reproduces shingles_from_tokens' too-short-doc empty list:
+    len < k yields no shingles, so the all--1 signature sentinel
+    filters the doc from banding on both engines)."""
+    gram = ", ".join(f"toks[i + {j}]" for j in range(shingle_k))
     return f"""
 WITH d AS (
     SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM {src}
 ),
 sh AS (
     SELECT doc_id,
-           list_transform(range(1, GREATEST(len(toks), 1)),
-                          i -> concat_ws(' ', toks[i], toks[i + 1])) AS sh
+           list_transform(range(1, GREATEST(len(toks) - {shingle_k - 2}, 1)),
+                          i -> concat_ws(' ', {gram})) AS sh
     FROM d
 ),
 sig AS (SELECT doc_id, {_D_SIG} AS sig FROM sh),

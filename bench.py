@@ -46,6 +46,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # so the two full-analysis numbers measure the single-pass jobs themselves.
 def _headline():
     from bambooanalysis_spark.contract import approx as ca
+    from bambooanalysis_spark.contract import crawl as cc
     from bambooanalysis_spark.contract import extensions as ce
     from bambooanalysis_spark.contract import hep as ch
     from bambooanalysis_spark.contract import pipeline as cp
@@ -112,6 +113,12 @@ def _headline():
         # over the strata table (the mixture-design step every
         # multi-source pretraining corpus runs before sampling), entry 28
         "token_mix": ca.q_sampling_token_budget_mix,
+        # round-11 addition (VERDICT r10 #1): the crawl-to-shards
+        # end-to-end chain — WET parse -> robots -> blocklist -> quality
+        # -> LSH dedup + keep-best -> token mix -> shard export +
+        # read-back, entry 29 (the WET fixture is memoized per sf dir,
+        # so warm runs time the pipeline, not fixture synthesis)
+        "crawl_to_shards": cc.pipeline_crawl_to_shards,
     }
 
 
