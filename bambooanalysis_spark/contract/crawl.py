@@ -291,7 +291,7 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle() -> str:
-    from .approx import _SRC_WEIGHT_SQL, materialize_ctes_sql, tbm_ctes_sql
+    from .mixsql import _SRC_WEIGHT_SQL, materialize_ctes_sql, tbm_ctes_sql
     from .extensions import _lsh_pairs_sql
 
     return f"""

@@ -28,12 +28,25 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import register
+from . import read_table, register
 from ..driver import run_pipeline
 from ..sources.catalog import parse_catalog
 
 _LUMI = 3000000  # pb^-1, HL-LHC (phaseII-analysis-FS.yml shape)
 _XSEC = 950.0  # pb, ttbar-like
+
+# round-11 widening (VERDICT r10 #2): the slot-50 manifest additionally
+# routes the documents table through the round-10 curation core —
+# near-dup clustering + quality-aware keep-best, then the token-budget
+# water-fill + materialization pair — so the DRIVER's own 50-slot
+# CORRECTNESS window hash-checks those operators, not only the in-repo
+# gate. Budget sits below the deduped availability at every fixture
+# scale so the mix actually decides; 3-gram shingles keep the synthetic
+# corpus' clusters (and the oracle's recursive closure) bounded.
+_MIX_BUDGET = 60_000
+_MIX_SCALE = 10_000
+_MIX_SALT = "p50"
+_MIX_WEIGHTS = {f"src{i}": 1 + (i % 4) for i in range(64)}
 
 _CATALOG = {
     "eras": {"HL-LHC": {"luminosity": _LUMI}},
@@ -109,11 +122,116 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(r.sum_weights) * scale,
                 )
             )
+    rows.extend(_corpus_mix_rows(spark, sf_dir))
     return spark.createDataFrame(
         rows,
         "sample string, selection string, seq bigint, num_events bigint, "
         "sum_weights double, scale double, yield_norm double",
     ).orderBy("sample", "seq")
+
+
+def _corpus_mix_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The round-10 curation core as two manifest rows: documents ->
+    near_dup_clusters -> keep_best_per_cluster (by n_chars), then
+    token_budget_mix + materialize_token_mix over the kept-best set.
+    num_events = docs, sum_weights/yield_norm = chars (exact integer
+    sums rendered as doubles, < 2^53 so bit-identical on both
+    engines); scale = 1.0 (unnormalized corpus stages)."""
+    from ..operators.dedup import keep_best_per_cluster, near_dup_clusters
+    from ..operators.sampling import materialize_token_mix, token_budget_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        k=16, bands=8, shingle_k=3,
+    )
+    best = keep_best_per_cluster(
+        clusters.select("doc_id", "cluster_id").join(
+            docs.select(
+                "doc_id", "source",
+                F.col("n_chars").cast("long").alias("n_tok"),
+            ),
+            "doc_id",
+        ),
+        "cluster_id", "n_tok", "doc_id",
+    )
+    bk = best.where(F.col("kept_best_i") == 1).select(
+        "doc_id", "source", "n_tok"
+    )
+    alloc = token_budget_mix(
+        bk, "source", "n_tok", budget=_MIX_BUDGET, weights=_MIX_WEIGHTS,
+        ratio_scale=_MIX_SCALE,
+    )
+    mixed = materialize_token_mix(
+        bk, alloc, "source", "n_tok", "doc_id", salt=_MIX_SALT
+    )
+
+    def stat(df, cond):
+        r = df.agg(
+            F.count(F.when(cond, True)),
+            F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
+        ).collect()[0]
+        return int(r[0]), float(r[1])
+
+    nb, tb = stat(bk, F.lit(True))
+    nm, tm = stat(mixed, F.col("kept_i") == 1)
+    return [
+        ("CORPUS", "dedup_best", 6, nb, tb, 1.0, tb),
+        ("CORPUS", "token_mix", 7, nm, tm, 1.0, tm),
+    ]
+
+
+def _corpus_mix_oracle_arm() -> str:
+    """The CORPUS manifest rows as one self-contained subquery (its own
+    WITH RECURSIVE scope, evaluated once for both rows): the same
+    cluster-closure + keep-best + water-fill + materializer SQL the
+    standalone oracles use, via the shared generators."""
+    # mixsql registers nothing (safe at slot-50 import time);
+    # extensions precedes pipeline in the registration order
+    from .extensions import _lsh_pairs_sql
+    from .mixsql import _SRC_WEIGHT_SQL, materialize_ctes_sql, tbm_ctes_sql
+
+    return f"""
+SELECT * FROM (
+    WITH RECURSIVE ck AS (
+        SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    pairs AS ({_lsh_pairs_sql('ck', shingle_k=3)}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, anc) AS (
+        SELECT doc_id, doc_id FROM ck
+        UNION
+        SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+        SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
+    ),
+    bk AS (
+        SELECT k.doc_id, k.source, k.n_tok
+        FROM ck k JOIN clusters c USING (doc_id)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.cluster_id ORDER BY k.n_tok DESC, k.doc_id
+        ) = 1
+    ),
+    {tbm_ctes_sql('bk', _MIX_BUDGET, _SRC_WEIGHT_SQL, _MIX_SCALE, 'n_tok')},
+    {materialize_ctes_sql('bk', _MIX_SALT, 'n_tok')}
+              SELECT 'CORPUS' AS sample, 'dedup_best' AS selection,
+                     CAST(6 AS BIGINT) AS seq,
+                     CAST(COUNT(*) AS BIGINT) AS num_events,
+                     CAST(COALESCE(SUM(n_tok), 0) AS DOUBLE) AS sum_weights,
+                     CAST(1.0 AS DOUBLE) AS scale,
+                     CAST(COALESCE(SUM(n_tok), 0) AS DOUBLE) AS yield_norm
+              FROM bk
+    UNION ALL SELECT 'CORPUS', 'token_mix', 7, COUNT(*),
+                     CAST(COALESCE(SUM(t), 0) AS DOUBLE), CAST(1.0 AS DOUBLE),
+                     CAST(COALESCE(SUM(t), 0) AS DOUBLE)
+              FROM mixed WHERE kept_i = 1
+)"""
 
 
 def _oracle() -> str:
@@ -149,6 +267,8 @@ JOIN (VALUES ('noSel', 0), ('nmumu', 1), ('InvM', 2), ('njet', 3), ('btag', 4), 
      AS s(selection, seq) ON s.seq = c.seq
 JOIN gen g ON g.sample = c.sample
 WHERE c.num_events > 0
+UNION ALL
+{_corpus_mix_oracle_arm()}
 """
 
 
