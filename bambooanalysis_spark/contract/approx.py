@@ -2400,7 +2400,7 @@ register("text_nb_predict_log", q_text_nb_predict_log, _oracle_nb_log())
 _WIN_K, _WIN_W = 7, 4
 
 
-def _winnow_ctes() -> str:
+def _winnow_ctes(src: str = "documents") -> str:
     from ..operators.fingerprint import (
         hashes_sql,
         squash_sql,
@@ -2410,7 +2410,7 @@ def _winnow_ctes() -> str:
     return f"""
 WITH s AS (
     SELECT doc_id, {squash_sql('text', 'duck')} AS sq
-    FROM documents WHERE text IS NOT NULL
+    FROM {src} WHERE text IS NOT NULL
 ),
 h AS (SELECT doc_id, {hashes_sql('sq', _WIN_K, 'duck')} AS hs FROM s),
 sel AS (SELECT doc_id, hs,
@@ -2468,14 +2468,23 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_WINNOW_PAIRS = _winnow_ctes() + """,
+def _winnow_pairs_sql(
+    src: str = "documents", min_shared: int = 3, max_df: int = 5,
+) -> str:
+    """Winnow overlap-pair SQL over any (doc_id, text) source — shared
+    by the standalone pair oracle and the recall probe's candidate
+    side (round 11)."""
+    return _winnow_ctes(src) + f""",
 d AS (SELECT DISTINCT doc_id AS i, fp_hash FROM fps),
-rare AS (SELECT fp_hash FROM d GROUP BY 1 HAVING COUNT(*) <= 5),
+rare AS (SELECT fp_hash FROM d GROUP BY 1 HAVING COUNT(*) <= {max_df}),
 keyed AS (SELECT i, d.fp_hash FROM d JOIN rare USING (fp_hash))
 SELECT a.i AS i, b.i AS j, COUNT(*) AS n_shared
 FROM keyed a JOIN keyed b ON a.fp_hash = b.fp_hash AND a.i < b.i
-GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY 1, 2
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 """
+
+
+ORACLE_DEDUP_WINNOW_PAIRS = _winnow_pairs_sql() + " ORDER BY 1, 2"
 
 
 register(
@@ -2869,6 +2878,89 @@ FROM s
 
 register(
     "dedup_lsh_recall_probe", q_dedup_lsh_recall_probe, _oracle_recall_probe()
+)
+
+
+def q_dedup_winnow_recall_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The winnow candidate generator measured on the SAME sampled
+    exact-Jaccard truth as the LSH probe (VERDICT r10 #6):
+    winnow_overlap_pairs at the registered production thresholds
+    (min_shared=3, max_df=5, k=7/w=4) vs distinct-2-shingle Jaccard
+    >= 0.6 on the deterministic half sample. Winnow's no-miss guarantee
+    is about shared LITERAL RUNS, not Jaccard mass, and its pair layer
+    deliberately drops one-run and boilerplate-only overlaps — this row
+    is where that recall price is measured instead of asserted
+    (tradeoff numbers recorded in PERFORMANCE.md §65)."""
+    from ..operators.dedup import lsh_recall_probe
+
+    return lsh_recall_probe(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id", "text",
+        threshold_e4=_RP_T, sample_frac=_RP_FRAC_BUCKETS / 10_000,
+        shingle_k=2, salt="recall",
+        generator="winnow",
+        winnow_k=_WIN_K, winnow_w=_WIN_W,
+        winnow_min_shared=3, winnow_max_df=5,
+    )
+
+
+def _oracle_winnow_recall_probe() -> str:
+    from .extensions import _D_BUCKET, _D_TOKENS
+
+    bucket = _D_BUCKET.format(k="doc_id", salt="recall")
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH sampled AS (
+    SELECT doc_id, text FROM documents WHERE {bucket} < {_RP_FRAC_BUCKETS}
+),
+std AS (SELECT doc_id, {toks} AS toks FROM sampled),
+shl AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, GREATEST(len(toks), 1)),
+                                 i -> concat_ws(' ', toks[i], toks[i + 1]))) AS sh
+    FROM std
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shl a JOIN shl b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b, 1 AS t FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE (i * 10000) // (sa.n + sb.n - i) >= {_RP_T}
+),
+cands AS (
+    SELECT i AS doc_a, j AS doc_b, 1 AS c
+    FROM ({_winnow_pairs_sql('sampled', min_shared=3, max_df=5)})
+),
+u AS (
+    SELECT t.t, c.c FROM truth t
+    FULL OUTER JOIN cands c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+s AS (
+    SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS n_hit
+    FROM u
+)
+SELECT n_truth, n_candidates, n_hit,
+       CAST(CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
+                 ELSE 1000000 END AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN n_candidates > 0 THEN (n_hit * 1000000) // n_candidates
+                 ELSE 1000000 END AS BIGINT) AS precision_e6
+FROM s
+"""
+
+
+register(
+    "dedup_winnow_recall_probe", q_dedup_winnow_recall_probe,
+    _oracle_winnow_recall_probe(),
 )
 
 

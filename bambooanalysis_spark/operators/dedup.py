@@ -1116,16 +1116,30 @@ def lsh_recall_probe(
     bands: int = 8,
     shingle_k: int = 2,
     salt: str = "recall",
+    generator: str = "lsh",
+    winnow_k: int = 7,
+    winnow_w: int = 4,
+    winnow_min_shared: int = 2,
+    winnow_max_df: int = 50,
 ) -> DataFrame:
-    """Measure the banded-LSH candidate generator against exact truth on
-    a deterministic hash sample — the tuning instrument for (k, bands)
+    """Measure a candidate generator against exact truth on a
+    deterministic hash sample — the tuning instrument for (k, bands)
     at corpus scale, where exact all-pairs is unrunnable but a sampled
     recall estimate is cheap. Returns ONE row: n_truth (pairs in the
     sample with true distinct-shingle Jaccard >= threshold_e4),
-    n_candidates (LSH band-collision pairs in the sample), n_hit (their
+    n_candidates (generator pairs in the sample), n_hit (their
     intersection), recall_e6 = n_hit/n_truth and precision_e6 =
     n_hit/n_candidates in fixed point (both 1e6 — vacuously perfect —
     when their denominator is 0).
+
+    ``generator`` picks the candidate side (round 11, VERDICT r10 #6):
+    ``"lsh"`` = minhash_lsh_pairs band collisions (tuned by k/bands/
+    shingle_k); ``"winnow"`` = fingerprint.winnow_overlap_pairs (tuned
+    by winnow_k/winnow_w/winnow_min_shared/winnow_max_df), measured on
+    the SAME truth — winnow guarantees shared fingerprints for long
+    literal runs but its pair layer deliberately trades Jaccard-style
+    recall via min_shared/max_df, and this probe is how that tradeoff
+    is measured rather than asserted (PERFORMANCE §65).
 
     Statistics note: a pair is sampled iff BOTH endpoints are (P =
     sample_frac^2), and each sampled pair's truth/candidate labels are
@@ -1160,9 +1174,28 @@ def lsh_recall_probe(
     truth = _exact_jaccard_pairs_from_units(units, threshold_e4).select(
         "doc_a", "doc_b", F.lit(1).alias("__t")
     )
-    cands = minhash_lsh_pairs(
-        sampled, "doc_id", "__text", k=k, bands=bands, shingle_k=shingle_k
-    ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
+    if generator == "lsh":
+        cands = minhash_lsh_pairs(
+            sampled, "doc_id", "__text", k=k, bands=bands,
+            shingle_k=shingle_k,
+        ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
+    elif generator == "winnow":
+        from .fingerprint import winnow_overlap_pairs
+
+        # i < j numerically, matching the truth side's doc_a < doc_b
+        cands = winnow_overlap_pairs(
+            sampled, k=winnow_k, w=winnow_w,
+            min_shared=winnow_min_shared, max_df=winnow_max_df,
+            text_col="__text", id_col="doc_id",
+        ).select(
+            F.col("i").alias("doc_a"),
+            F.col("j").alias("doc_b"),
+            F.lit(1).alias("__c"),
+        )
+    else:
+        raise ValueError(
+            f"generator must be lsh|winnow, got {generator!r}"
+        )
     u = truth.join(cands, ["doc_a", "doc_b"], "full_outer")
     stats = u.agg(
         F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_truth"),

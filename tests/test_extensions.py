@@ -3470,3 +3470,37 @@ def test_lsh_recall_probe_stable_under_repartition(spark):
     a = lsh_recall_probe(docs, sample_frac=0.5).collect()[0]
     b = lsh_recall_probe(docs.repartition(11), sample_frac=0.5).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_recall_probe_winnow_generator_planted_and_invalid(spark):
+    """generator='winnow' (r11): a planted long-literal-overlap pair
+    must be caught at min_shared=1 (the fingerprint layer's no-miss
+    guarantee: any common squashed run >= k+w-1 shares a fingerprint),
+    the truth side is generator-independent, and an unknown generator
+    raises."""
+    import pytest
+
+    from bambooanalysis_spark.operators.dedup import lsh_recall_probe
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    w = lsh_recall_probe(
+        docs, sample_frac=1.0, threshold_e4=6000, generator="winnow",
+        winnow_min_shared=1, winnow_max_df=10,
+    ).collect()[0]
+    assert w["n_truth"] == 1  # same truth as the lsh run in the test above
+    assert w["n_hit"] == 1 and w["recall_e6"] == 1_000_000
+    # strict production thresholds can only shrink the candidate set
+    strict = lsh_recall_probe(
+        docs, sample_frac=1.0, threshold_e4=6000, generator="winnow",
+        winnow_min_shared=3, winnow_max_df=5,
+    ).collect()[0]
+    assert strict["n_candidates"] <= w["n_candidates"]
+    with pytest.raises(ValueError, match="generator"):
+        lsh_recall_probe(docs, generator="nope")
