@@ -663,8 +663,8 @@ def list_keys(path: str) -> list[tuple[str, str, str, int]]:
     """Walk the TKey chain: (classname, name, title, cycle) per key."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    _compress, fend, _large = _check_header(buf)
-    keys, seek = [], FBEGIN
+    _compress, fbegin, fend, _large = _check_header(buf)
+    keys, seek = [], fbegin
     while seek < fend:
         gap = _gap_skip(buf, seek)
         if gap is not None:
@@ -694,10 +694,18 @@ def _gap_skip(buf: bytes, seek: int) -> int | None:
     return None
 
 
-def _check_header(buf: bytes) -> tuple[int, int, bool]:
-    """Validate magic + version; returns (fCompress, fEND, large_file).
-    Compression is handled per-key (see _decompress_frames), so any
-    fCompress value is acceptable here.
+def _check_header(buf: bytes) -> tuple[int, int, int, bool]:
+    """Validate magic + version; returns (fCompress, fBEGIN, fEND,
+    large_file). Compression is handled per-key (see _decompress_frames),
+    so any fCompress value is acceptable here.
+
+    fBEGIN is READ from the header (bytes 8:12 in both layouts) rather
+    than assumed 100, and validated: the first record cannot start inside
+    the reserved header block or past fEND (r11 framing fuzz: a bit flip
+    in fBEGIN previously sent sniff_file walking from a garbage offset —
+    silently reporting zero or nonsense keys — while read_flat_tree
+    ignored the field entirely; now both raise on a corrupt value and
+    both honor a legitimate one).
 
     Real ROOT switches to the 64-bit ("large-file") header once the file
     outgrows ~2 GB — fVersion gains +1000000 and fEND/fSeekFree/fSeekInfo
@@ -713,15 +721,24 @@ def _check_header(buf: bytes) -> tuple[int, int, bool]:
         # on the compress field read below)
         raise ValueError("not a ROOT file (shorter than the header block)")
     version = struct.unpack(">i", buf[4:8])[0]
+    fbegin = struct.unpack(">i", buf[8:12])[0]
     if version >= 1000000:
         # fBEGIN i32 @8, fEND i64 @12, fSeekFree i64 @20, fNbytesFree i32,
         # nfree i32, fNbytesName i32, fUnits u8 (=8), fCompress i32
         fend = struct.unpack(">q", buf[12:20])[0]
         compress = struct.unpack(">i", buf[41:45])[0]
-        return compress, fend, True
-    fend = struct.unpack(">i", buf[12:16])[0]
-    compress_off = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 1
-    return struct.unpack(">i", buf[compress_off : compress_off + 4])[0], fend, False
+        large = True
+    else:
+        fend = struct.unpack(">i", buf[12:16])[0]
+        compress_off = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 1
+        compress = struct.unpack(">i", buf[compress_off : compress_off + 4])[0]
+        large = False
+    if not (FBEGIN <= fbegin <= fend):
+        raise ValueError(
+            f"corrupt TFile header: fBEGIN {fbegin} outside "
+            f"[{FBEGIN}, fEND={fend}]"
+        )
+    return compress, fbegin, fend, large
 
 
 def _split_tree_spec(tree: str | None) -> tuple[str | None, int | None]:
@@ -785,7 +802,7 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     (no stdlib codec)."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    _compress, fend, _large = _check_header(buf)
+    _compress, fbegin, fend, _large = _check_header(buf)
     want, want_cycle = _split_tree_spec(tree)
     want_full = tree.rsplit(";", 1)[0] if tree and ";" in tree else tree
 
@@ -794,7 +811,7 @@ def read_flat_tree(path: str, tree: str | None = None) -> dict[str, list]:
     ttree_meta: dict[str, dict[int, bytes]] = {}  # tree -> cycle -> blob
     trees = set()
     basket_trees = set()
-    seek = FBEGIN
+    seek = fbegin
     while seek < fend:
         gap = _gap_skip(buf, seek)
         if gap is not None:
@@ -995,20 +1012,11 @@ def sniff_file(path: str) -> dict:
         # a struct.error from a partial field read
         raise ValueError("not a ROOT file (shorter than the header block)")
     version = struct.unpack(">i", buf[4:8])[0]
-    large = version >= 1000000
-    if large:
-        # 64-bit header: fBEGIN i32, then fEND/fSeekFree are i64
-        begin = struct.unpack(">i", buf[8:12])[0]
-        fend = struct.unpack(">q", buf[12:20])[0]
-        # ... fSeekFree q, fNbytesFree i, nfree i, fNbytesName i, fUnits B
-        compress = struct.unpack(">i", buf[20 + 8 + 4 + 4 + 4 + 1 : 20 + 8 + 4 + 4 + 4 + 1 + 4])[0]
-    else:
-        begin = struct.unpack(">i", buf[8:12])[0]
-        compress, fend, _ = _check_header(buf)
-    if begin < 4:
-        # garbage fBEGIN would index the buffer negatively below (Python
-        # slices wrap) — a real TFile's key chain starts at 100
-        raise ValueError(f"not a ROOT file (fBEGIN {begin})")
+    # shared header parse: validates magic, header-block length and that
+    # fBEGIN lands inside [100, fEND] (r11 framing fuzz — a corrupt
+    # fBEGIN previously sent this walk off from a garbage offset,
+    # silently reporting zero or nonsense keys)
+    compress, begin, fend, large = _check_header(buf)
 
     keys: list[tuple[str, str, str, int, int, int]] = []
     trees: dict[str, int | None] = {}
