@@ -22,6 +22,12 @@ Exclusions, by design rather than omission (logged in the JSON):
 
 Run SOLO (concurrent Spark sessions fake 1.4-2x regressions, §28).
 Usage: python scripts/bench_scale.py [dir] [label]
+         [--only name1,name2] [--out FILE]
+
+--only runs a subset of entries; --out MERGES the run's sections into
+FILE (creating it if absent), so a long rehearsal can be executed as
+several sequential solo chunks and still produce one artifact (r11: the
+full 37-entry sf10 pass exceeds a single supervised invocation window).
 """
 
 from __future__ import annotations
@@ -47,8 +53,22 @@ EXCLUDED = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf10"
-    label = sys.argv[2] if len(sys.argv) > 2 else "sf10"
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    out_file: str | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        out_file = args[i + 1]
+        del args[i : i + 2]
+    single = "--single" in args  # one execution, recorded as cold only
+    if single:
+        args.remove("--single")
+    sf_dir = args[0] if len(args) > 0 else ".scale/sf10"
+    label = args[1] if len(args) > 1 else "sf10"
     if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
         raise SystemExit(f"fixture missing: {sf_dir} (run make_scale_data.py first)")
 
@@ -67,6 +87,24 @@ def main() -> None:
     queries["url_dedup"] = ca.q_text_url_dedup
     queries["url_domain_stats"] = ca.q_text_url_domain_stats
     queries["url_registered_domain_psl"] = ca.q_text_url_registered_domain_psl
+    # round-11 (VERDICT r10 #3): the round-10 families previously without
+    # a 100x datapoint — winnow fingerprints + capped pair join, the
+    # snapshot-KL and exact-KS drift monitors, robots exclusion, HTML
+    # main-content extraction, and the mixture EXECUTOR (the solver is
+    # headline entry 28; crawl_to_shards arrives via _headline as entry
+    # 29 and carries the WET parse at 100x)
+    queries["winnow_fingerprints"] = ca.q_text_winnow_fingerprints
+    queries["winnow_pairs"] = ca.q_dedup_winnow_pairs
+    queries["corpus_kl_drift"] = ca.q_corpus_kl_drift
+    queries["ks_drift"] = ca.q_events_value_ks_drift
+    queries["robots_filter"] = ca.q_text_url_robots
+    queries["html_extract"] = ca.q_text_html_extract
+    queries["materialize_mix"] = ca.q_sampling_materialize_mix
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"--only names not in the entry set: {unknown}")
+        queries = {k: v for k, v in queries.items() if k in only}
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -94,20 +132,37 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             cold[name] = round(time.perf_counter() - t0, 3)
-        with _ExtLoad() as ww:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            warm[name] = round(time.perf_counter() - t0, 3)
+        if single:
+            # --single: one execution, cold section only (entries whose
+            # cold+warm pair exceeds a supervision window, r11); the
+            # warm/queries section deliberately omits the entry rather
+            # than faking a steady-state number
+            ww_cores = wc.cores
+            warm_str = "SINGLE"
+        else:
+            with _ExtLoad() as ww:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            ww_cores = ww.cores
+            warm_str = f"{warm[name]:.3f}s"
         rows[name] = n
         load[name] = {"ts": round(ts, 1), "load1": round(load1, 2),
                       "cold_ext_cores": round(wc.cores, 2),
-                      "warm_ext_cores": round(ww.cores, 2)}
-        print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm[name]:.3f}s "
-              f"({n} rows, load1={load1:.1f}, ext={ww.cores:.2f})",
+                      "warm_ext_cores": round(ww_cores, 2)}
+        print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm_str} "
+              f"({n} rows, load1={load1:.1f}, ext={ww_cores:.2f})",
               file=sys.stderr)
         spark.stop()
+        if out_file:
+            # merge after EVERY entry: a chunked rehearsal invocation that
+            # hits its supervision timeout must not lose the entries that
+            # already completed (r11)
+            _merge_out(out_file, label, sf_dir,
+                       {"queries": warm, "cold": cold, "rows": rows,
+                        "load": load})
 
-    print(json.dumps({
+    record = {
         "metric": f"headline queries at {label} ({sf_dir}), cold + warm run",
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
@@ -117,7 +172,32 @@ def main() -> None:
         "load": load,
         "excluded": EXCLUDED,
         "dir": sf_dir,
-    }))
+    }
+    if out_file:
+        total = _merge_out(out_file, label, sf_dir, record)
+        print(f"# merged {len(record['queries'])} entries into {out_file} "
+              f"(total {total})", file=sys.stderr)
+    print(json.dumps(record))
+
+
+def _merge_out(out_file: str, label: str, sf_dir: str, record: dict) -> int:
+    merged = {
+        "metric": f"headline queries at {label} ({sf_dir}), cold + warm run",
+        "unit": "sec",
+    }
+    if os.path.exists(out_file):
+        with open(out_file) as fh:
+            merged = json.load(fh)
+    for section in ("queries", "cold", "rows", "load"):
+        merged.setdefault(section, {}).update(record.get(section, {}))
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    merged["excluded"] = EXCLUDED
+    merged["dir"] = sf_dir
+    tmp = out_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+    os.replace(tmp, out_file)
+    return len(merged["queries"])
 
 
 if __name__ == "__main__":
