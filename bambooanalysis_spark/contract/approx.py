@@ -2516,9 +2516,8 @@ def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import token_budget_mix
 
     docs = read_table(spark, sf_dir, "documents")
-    weights = {f"src{i}": 1 + (i % 4) for i in range(64)}
     out = token_budget_mix(
-        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=weights,
+        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=SRC_WEIGHTS,
         ratio_scale=_TBM_SCALE,
     )
     return out.orderBy("strata")
@@ -2526,6 +2525,7 @@ def q_sampling_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .mixsql import (  # noqa: F401 — re-exported for existing importers
     _SRC_WEIGHT_SQL,
+    SRC_WEIGHTS,
     materialize_ctes_sql,
     tbm_ctes_sql,
 )
@@ -2711,9 +2711,8 @@ def q_sampling_materialize_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(
         F.col("source").isNotNull()
     )
-    weights = {f"src{i}": 1 + (i % 4) for i in range(64)}
     alloc = token_budget_mix(
-        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=weights,
+        docs, "source", "n_chars", budget=_TBM_BUDGET, weights=SRC_WEIGHTS,
         ratio_scale=_TBM_SCALE,
     )
     flagged = materialize_token_mix(
@@ -2825,8 +2824,14 @@ def q_dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_recall_probe() -> str:
-    from .extensions import _D_BUCKET, _D_TOKENS, _lsh_pairs_sql
+def _recall_probe_oracle(cands_sql: str) -> str:
+    """Shared sampled-recall-probe oracle scaffold (review r11): ONE
+    definition of the sample, the exact distinct-2-shingle Jaccard
+    truth, and the confusion/ratio arithmetic — the generators differ
+    only in ``cands_sql`` (a SELECT producing (doc_a, doc_b, c) over
+    the ``sampled`` CTE), so the two probes can never drift onto
+    different truths."""
+    from .extensions import _D_BUCKET, _D_TOKENS
 
     bucket = _D_BUCKET.format(k="doc_id", salt="recall")
     toks = _D_TOKENS.format(t="text")
@@ -2853,9 +2858,7 @@ truth AS (
     JOIN sizes sb ON sb.doc_id = inter.doc_b
     WHERE (i * 10000) // (sa.n + sb.n - i) >= {_RP_T}
 ),
-cands AS (
-    SELECT doc_a, doc_b, 1 AS c FROM ({_lsh_pairs_sql("sampled")})
-),
+cands AS ({cands_sql}),
 u AS (
     SELECT t.t, c.c FROM truth t
     FULL OUTER JOIN cands c
@@ -2874,6 +2877,14 @@ SELECT n_truth, n_candidates, n_hit,
                  ELSE 1000000 END AS BIGINT) AS precision_e6
 FROM s
 """
+
+
+def _oracle_recall_probe() -> str:
+    from .extensions import _lsh_pairs_sql
+
+    return _recall_probe_oracle(
+        f'SELECT doc_a, doc_b, 1 AS c FROM ({_lsh_pairs_sql("sampled")})'
+    )
 
 
 register(
@@ -2907,55 +2918,10 @@ def q_dedup_winnow_recall_probe(
 
 
 def _oracle_winnow_recall_probe() -> str:
-    from .extensions import _D_BUCKET, _D_TOKENS
-
-    bucket = _D_BUCKET.format(k="doc_id", salt="recall")
-    toks = _D_TOKENS.format(t="text")
-    return f"""
-WITH sampled AS (
-    SELECT doc_id, text FROM documents WHERE {bucket} < {_RP_FRAC_BUCKETS}
-),
-std AS (SELECT doc_id, {toks} AS toks FROM sampled),
-shl AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(range(1, GREATEST(len(toks), 1)),
-                                 i -> concat_ws(' ', toks[i], toks[i + 1]))) AS sh
-    FROM std
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY 1),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM shl a JOIN shl b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-truth AS (
-    SELECT doc_a, doc_b, 1 AS t FROM inter
-    JOIN sizes sa ON sa.doc_id = inter.doc_a
-    JOIN sizes sb ON sb.doc_id = inter.doc_b
-    WHERE (i * 10000) // (sa.n + sb.n - i) >= {_RP_T}
-),
-cands AS (
-    SELECT i AS doc_a, j AS doc_b, 1 AS c
-    FROM ({_winnow_pairs_sql('sampled', min_shared=3, max_df=5)})
-),
-u AS (
-    SELECT t.t, c.c FROM truth t
-    FULL OUTER JOIN cands c
-      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
-),
-s AS (
-    SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_truth,
-           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
-           CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS n_hit
-    FROM u
-)
-SELECT n_truth, n_candidates, n_hit,
-       CAST(CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
-                 ELSE 1000000 END AS BIGINT) AS recall_e6,
-       CAST(CASE WHEN n_candidates > 0 THEN (n_hit * 1000000) // n_candidates
-                 ELSE 1000000 END AS BIGINT) AS precision_e6
-FROM s
-"""
+    return _recall_probe_oracle(
+        "SELECT i AS doc_a, j AS doc_b, 1 AS c\n"
+        f"    FROM ({_winnow_pairs_sql('sampled', min_shared=3, max_df=5)})"
+    )
 
 
 register(

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import read_table, register
+from .mixsql import SRC_WEIGHTS
 
 _AGENT = "curator"
 _QMIN, _QMAX = 120, 20_000  # quality gate: chars (the token-proxy unit)
@@ -60,7 +61,6 @@ _SALT = "crawl"
 _SHARDS = 8
 _SEED = 11
 _N_SEGMENTS = 16
-_WEIGHTS = {f"src{i}": 1 + (i % 4) for i in range(64)}
 
 # robots bodies AS DATA: host a pins prefix matching (block the src1*
 # sources via the /src1 path prefix), host b pins named-group selection
@@ -77,8 +77,6 @@ _ROBOTS = [
     ("crawl-d.example", "User-agent: *\nDisallow: /src\nAllow: /src2\n"),
 ]
 _BLOCKLIST = ["crawl-c.example"]
-
-_FIXTURE_CACHE: dict[str, str] = {}
 
 
 def _wet_record(url: str, text: str) -> bytes:
@@ -106,6 +104,13 @@ def crawl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     serving short."""
     docs = read_table(spark, sf_dir, "documents")
     n = docs.count()
+    # cache identity = row count + the source parquet's (size, mtime)
+    # metadata (review r11): a regenerated fixture with the SAME row
+    # count must rebuild, not serve stale segments — and parquet
+    # metadata is free to read, unlike a content digest
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    src_id = f"{st.st_size}:{int(st.st_mtime_ns)}"
     base = os.path.join(
         tempfile.gettempdir(),
         "bamboo-wet-%s-%d"
@@ -113,9 +118,15 @@ def crawl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     marker = os.path.join(base, "_SUCCESS")
     if os.path.exists(marker):
-        with open(marker) as fh:
-            if json.load(fh).get("records") == n:
-                return base
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+        except (ValueError, OSError):
+            # half-written marker from a killed run: rebuild (review
+            # r11 — json.load would otherwise crash forever)
+            meta = {}
+        if meta.get("records") == n and meta.get("source") == src_id:
+            return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
@@ -151,7 +162,7 @@ def crawl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     total = sum(r["n"] for r in manifest)
     assert total == n, f"fixture wrote {total} records, expected {n}"
     with open(marker, "w") as fh:
-        json.dump({"records": n, "segments": len(manifest)}, fh)
+        json.dump({"records": n, "segments": len(manifest), "source": src_id}, fh)
     return base
 
 
@@ -195,9 +206,12 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.layout import export_training_shards
 
     seg_dir = crawl_fixture_dir(spark, sf_dir)
-    # thin per-doc flag table, materialized once: every stage aggregate
-    # and the dedup/mix jobs would otherwise re-run the WARC parse
-    flags = crawl_stage_frames(spark, seg_dir + "/*.wet.gz").localCheckpoint()
+    # thin per-doc flag table, materialized ONCE and RELEASED on exit
+    # (review r11): persist, not localCheckpoint — same single
+    # materialization (the frow collect forces it), but unpersist()
+    # actually frees the blocks, so repeated bench/gate invocations in
+    # one session don't pin N dead corpus copies in the block manager
+    flags = crawl_stage_frames(spark, seg_dir + "/*.wet.gz").persist()
     kept = flags.where(
         F.col("allowed") & ~F.col("blocked") & F.col("quality_ok")
     ).select("doc_id", "source", "n_tok", "text")
@@ -212,63 +226,69 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cluster_id", "n_tok", "doc_id",
     )
+    # bk is consumed by FOUR downstream jobs (its own stage aggregate,
+    # the water-fill, the materializer, the shard export) — without a
+    # persist each re-runs the LSH + connected-components chain above
+    # (review r11: the dedup pass dominated the timed entry twice over)
     bk = best.where(F.col("kept_best_i") == 1).select(
         "doc_id", "source", "n_tok"
-    )
-    alloc = token_budget_mix(
-        bk, "source", "n_tok", budget=_BUDGET, weights=_WEIGHTS,
-        ratio_scale=_SCALE,
-    )
-    mixed = materialize_token_mix(
-        bk, alloc, "source", "n_tok", "doc_id", salt=_SALT
-    )
-    final = (
-        mixed.where(F.col("kept_i") == 1)
-        .join(kept.select("doc_id", "text"), "doc_id")
-        .select("doc_id", "source", "n_tok", "text")
-    )
-
-    def _nd(cond):
-        return [
-            F.count(F.when(cond, True)),
-            F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
-        ]
-
-    ok_host = F.col("allowed") & ~F.col("blocked")
-    frow = flags.agg(
-        *_nd(F.lit(True)),
-        *_nd(F.col("allowed")),
-        *_nd(ok_host),
-        *_nd(ok_host & F.col("quality_ok")),
-    ).collect()[0]
-    brow = best.agg(
-        F.count(F.when(F.col("kept_best_i") == 1, True)),
-        F.coalesce(
-            F.sum(F.when(F.col("kept_best_i") == 1, F.col("n_tok"))),
-            F.lit(0),
-        ),
-    ).collect()[0]
-
-    shard_dir = tempfile.mkdtemp(prefix="bamboo-shards-")
+    ).persist()
     try:
-        manifest = export_training_shards(
-            final, shard_dir, key_col="doc_id", shards=_SHARDS, seed=_SEED
+        alloc = token_budget_mix(
+            bk, "source", "n_tok", budget=_BUDGET, weights=SRC_WEIGHTS,
+            ratio_scale=_SCALE,
         )
-        assert os.path.exists(os.path.join(shard_dir, "_manifest.json"))
-        back = (
-            spark.read.parquet(shard_dir)
-            .agg(
-                F.count(F.lit(1)),
-                F.coalesce(F.sum("n_tok"), F.lit(0)),
+        mixed = materialize_token_mix(
+            bk, alloc, "source", "n_tok", "doc_id", salt=_SALT
+        )
+        final = (
+            mixed.where(F.col("kept_i") == 1)
+            .join(kept.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "source", "n_tok", "text")
+        )
+
+        def _nd(cond):
+            return [
+                F.count(F.when(cond, True)),
+                F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
+            ]
+
+        ok_host = F.col("allowed") & ~F.col("blocked")
+        frow = flags.agg(
+            *_nd(F.lit(True)),
+            *_nd(F.col("allowed")),
+            *_nd(ok_host),
+            *_nd(ok_host & F.col("quality_ok")),
+        ).collect()[0]
+        brow = bk.agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.sum("n_tok"), F.lit(0)),
+        ).collect()[0]
+
+        shard_dir = tempfile.mkdtemp(prefix="bamboo-shards-")
+        try:
+            manifest = export_training_shards(
+                final, shard_dir, key_col="doc_id", shards=_SHARDS,
+                seed=_SEED,
             )
-            .collect()[0]
-        )
-        assert manifest["total_records"] == back[0], (
-            "shard manifest/read-back mismatch: "
-            f"{manifest['total_records']} vs {back[0]}"
-        )
+            assert os.path.exists(os.path.join(shard_dir, "_manifest.json"))
+            back = (
+                spark.read.parquet(shard_dir)
+                .agg(
+                    F.count(F.lit(1)),
+                    F.coalesce(F.sum("n_tok"), F.lit(0)),
+                )
+                .collect()[0]
+            )
+            assert manifest["total_records"] == back[0], (
+                "shard manifest/read-back mismatch: "
+                f"{manifest['total_records']} vs {back[0]}"
+            )
+        finally:
+            shutil.rmtree(shard_dir, ignore_errors=True)
     finally:
-        shutil.rmtree(shard_dir, ignore_errors=True)
+        bk.unpersist()
+        flags.unpersist()
 
     rows = [
         (0, "wet_parsed", int(frow[0]), int(frow[1])),
@@ -291,8 +311,12 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle() -> str:
-    from .mixsql import _SRC_WEIGHT_SQL, materialize_ctes_sql, tbm_ctes_sql
-    from .extensions import _lsh_pairs_sql
+    from .mixsql import (
+        _SRC_WEIGHT_SQL,
+        cluster_keepbest_ctes_sql,
+        materialize_ctes_sql,
+        tbm_ctes_sql,
+    )
 
     return f"""
 WITH RECURSIVE u AS (
@@ -315,27 +339,7 @@ crawl_kept AS (
     SELECT doc_id, source, text, n_tok FROM f
     WHERE allowed AND NOT blocked AND quality_ok
 ),
-pairs AS ({_lsh_pairs_sql('crawl_kept', shingle_k=3)}),
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-reach(id, anc) AS (
-    SELECT doc_id, doc_id FROM crawl_kept
-    UNION
-    SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
-),
-clusters AS (
-    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
-),
-bk AS (
-    SELECT k.doc_id, k.source, k.n_tok
-    FROM crawl_kept k JOIN clusters c USING (doc_id)
-    QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY c.cluster_id ORDER BY k.n_tok DESC, k.doc_id
-    ) = 1
-),
+{cluster_keepbest_ctes_sql('crawl_kept', shingle_k=3, tok_expr='n_tok')},
 {tbm_ctes_sql('bk', _BUDGET, _SRC_WEIGHT_SQL, _SCALE, 'n_tok')},
 {materialize_ctes_sql('bk', _SALT, 'n_tok')},
 mixkept AS (SELECT doc_id, source, t AS n_tok FROM mixed WHERE kept_i = 1)

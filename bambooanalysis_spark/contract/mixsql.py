@@ -18,6 +18,46 @@ _SRC_WEIGHT_SQL = """CASE WHEN regexp_matches(source, '^src([0-9]|[1-5][0-9]|6[0
                 THEN 1 + (CAST(substr(source, 4) AS BIGINT) % 4)
                 ELSE 1 END"""
 
+# the Spark-side twin of _SRC_WEIGHT_SQL — ONE definition (review r11:
+# four modules had their own copy of this comprehension; a one-sided
+# weight-rule change would break engine parity for only some queries)
+SRC_WEIGHTS = {f"src{i}": 1 + (i % 4) for i in range(64)}
+
+
+def cluster_keepbest_ctes_sql(
+    src: str, shingle_k: int = 3, tok_expr: str = "n_tok",
+) -> str:
+    """LSH candidate pairs -> symmetric edges -> recursive closure ->
+    min-anchor clusters -> keep-best (`bk`: one row per kept-best doc,
+    (doc_id, source, {tok_expr})) over any (doc_id, text, source,
+    token) relation — shared by the crawl-pipeline oracle and the
+    slot-50 corpus arm (review r11: the chain was copy-pasted; a
+    closure/tie-break fix must hit both oracles at once). The enclosing
+    statement must be WITH RECURSIVE."""
+    from .extensions import _lsh_pairs_sql  # fully loaded before callers run
+
+    return f"""pairs AS ({_lsh_pairs_sql(src, shingle_k=shingle_k)}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+    SELECT doc_id, doc_id FROM {src}
+    UNION
+    SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (
+    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
+),
+bk AS (
+    SELECT k.doc_id, k.source, k.{tok_expr}
+    FROM {src} k JOIN clusters c USING (doc_id)
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c.cluster_id ORDER BY k.{tok_expr} DESC, k.doc_id
+    ) = 1
+)"""
+
 
 def tbm_ctes_sql(
     src: str, budget: int, weight_sql: str, scale: int,

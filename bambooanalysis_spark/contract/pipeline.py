@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import read_table, register
+from .mixsql import SRC_WEIGHTS
 from ..driver import run_pipeline
 from ..sources.catalog import parse_catalog
 
@@ -46,7 +47,6 @@ _XSEC = 950.0  # pb, ttbar-like
 _MIX_BUDGET = 60_000
 _MIX_SCALE = 10_000
 _MIX_SALT = "p50"
-_MIX_WEIGHTS = {f"src{i}": 1 + (i % 4) for i in range(64)}
 
 _CATALOG = {
     "eras": {"HL-LHC": {"luminosity": _LUMI}},
@@ -155,26 +155,32 @@ def _corpus_mix_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
         ),
         "cluster_id", "n_tok", "doc_id",
     )
+    # bk feeds THREE jobs (its stage aggregate, the water-fill, the
+    # materializer): persist so the LSH + connected-components chain
+    # above runs once, and release before returning (review r11)
     bk = best.where(F.col("kept_best_i") == 1).select(
         "doc_id", "source", "n_tok"
-    )
-    alloc = token_budget_mix(
-        bk, "source", "n_tok", budget=_MIX_BUDGET, weights=_MIX_WEIGHTS,
-        ratio_scale=_MIX_SCALE,
-    )
-    mixed = materialize_token_mix(
-        bk, alloc, "source", "n_tok", "doc_id", salt=_MIX_SALT
-    )
+    ).persist()
+    try:
+        alloc = token_budget_mix(
+            bk, "source", "n_tok", budget=_MIX_BUDGET, weights=SRC_WEIGHTS,
+            ratio_scale=_MIX_SCALE,
+        )
+        mixed = materialize_token_mix(
+            bk, alloc, "source", "n_tok", "doc_id", salt=_MIX_SALT
+        )
 
-    def stat(df, cond):
-        r = df.agg(
-            F.count(F.when(cond, True)),
-            F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
-        ).collect()[0]
-        return int(r[0]), float(r[1])
+        def stat(df, cond):
+            r = df.agg(
+                F.count(F.when(cond, True)),
+                F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
+            ).collect()[0]
+            return int(r[0]), float(r[1])
 
-    nb, tb = stat(bk, F.lit(True))
-    nm, tm = stat(mixed, F.col("kept_i") == 1)
+        nb, tb = stat(bk, F.lit(True))
+        nm, tm = stat(mixed, F.col("kept_i") == 1)
+    finally:
+        bk.unpersist()
     return [
         ("CORPUS", "dedup_best", 6, nb, tb, 1.0, tb),
         ("CORPUS", "token_mix", 7, nm, tm, 1.0, tm),
@@ -186,10 +192,13 @@ def _corpus_mix_oracle_arm() -> str:
     WITH RECURSIVE scope, evaluated once for both rows): the same
     cluster-closure + keep-best + water-fill + materializer SQL the
     standalone oracles use, via the shared generators."""
-    # mixsql registers nothing (safe at slot-50 import time);
-    # extensions precedes pipeline in the registration order
-    from .extensions import _lsh_pairs_sql
-    from .mixsql import _SRC_WEIGHT_SQL, materialize_ctes_sql, tbm_ctes_sql
+    # mixsql registers nothing (safe at slot-50 import time)
+    from .mixsql import (
+        _SRC_WEIGHT_SQL,
+        cluster_keepbest_ctes_sql,
+        materialize_ctes_sql,
+        tbm_ctes_sql,
+    )
 
     return f"""
 SELECT * FROM (
@@ -197,27 +206,7 @@ SELECT * FROM (
         SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_tok
         FROM documents
     ),
-    pairs AS ({_lsh_pairs_sql('ck', shingle_k=3)}),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach(id, anc) AS (
-        SELECT doc_id, doc_id FROM ck
-        UNION
-        SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    clusters AS (
-        SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
-    ),
-    bk AS (
-        SELECT k.doc_id, k.source, k.n_tok
-        FROM ck k JOIN clusters c USING (doc_id)
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY c.cluster_id ORDER BY k.n_tok DESC, k.doc_id
-        ) = 1
-    ),
+    {cluster_keepbest_ctes_sql('ck', shingle_k=3, tok_expr='n_tok')},
     {tbm_ctes_sql('bk', _MIX_BUDGET, _SRC_WEIGHT_SQL, _MIX_SCALE, 'n_tok')},
     {materialize_ctes_sql('bk', _MIX_SALT, 'n_tok')}
               SELECT 'CORPUS' AS sample, 'dedup_best' AS selection,

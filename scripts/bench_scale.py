@@ -28,6 +28,9 @@ Usage: python scripts/bench_scale.py [dir] [label]
 FILE (creating it if absent), so a long rehearsal can be executed as
 several sequential solo chunks and still produce one artifact (r11: the
 full 37-entry sf10 pass exceeds a single supervised invocation window).
+--single runs each entry ONCE and records it under the cold section only
+(for entries whose cold+warm pair exceeds a supervision window); the
+warm/queries section omits the entry rather than faking a steady state.
 """
 
 from __future__ import annotations
@@ -136,8 +139,10 @@ def main() -> None:
             # --single: one execution, cold section only (entries whose
             # cold+warm pair exceeds a supervision window, r11); the
             # warm/queries section deliberately omits the entry rather
-            # than faking a steady-state number
-            ww_cores = wc.cores
+            # than faking a steady-state number — and so does the warm
+            # load telemetry (review r11: recording the cold window's
+            # ext-cores under warm_ext_cores fabricated a datapoint)
+            ww_cores = None
             warm_str = "SINGLE"
         else:
             with _ExtLoad() as ww:
@@ -148,10 +153,11 @@ def main() -> None:
             warm_str = f"{warm[name]:.3f}s"
         rows[name] = n
         load[name] = {"ts": round(ts, 1), "load1": round(load1, 2),
-                      "cold_ext_cores": round(wc.cores, 2),
-                      "warm_ext_cores": round(ww_cores, 2)}
+                      "cold_ext_cores": round(wc.cores, 2)}
+        if ww_cores is not None:
+            load[name]["warm_ext_cores"] = round(ww_cores, 2)
         print(f"# {label}/{name}: cold {cold[name]:.3f}s warm {warm_str} "
-              f"({n} rows, load1={load1:.1f}, ext={ww_cores:.2f})",
+              f"({n} rows, load1={load1:.1f}, ext={wc.cores:.2f})",
               file=sys.stderr)
         spark.stop()
         if out_file:
@@ -188,6 +194,13 @@ def _merge_out(out_file: str, label: str, sf_dir: str, record: dict) -> int:
     if os.path.exists(out_file):
         with open(out_file) as fh:
             merged = json.load(fh)
+        if merged.get("dir") not in (None, sf_dir):
+            # refuse a mixed-provenance artifact (review r11): chunks
+            # from different fixtures must not sum into one total
+            raise SystemExit(
+                f"--out {out_file} holds a {merged.get('dir')} run; "
+                f"this chunk is {sf_dir} — use a different file"
+            )
     for section in ("queries", "cold", "rows", "load"):
         merged.setdefault(section, {}).update(record.get(section, {}))
     merged["value"] = round(sum(merged["queries"].values()), 3)
