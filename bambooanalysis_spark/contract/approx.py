@@ -2487,12 +2487,39 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 ORACLE_DEDUP_WINNOW_PAIRS = _winnow_pairs_sql() + " ORDER BY 1, 2"
 
 
+def q_text_winnow_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint document-frequency histogram
+    (operators/fingerprint.py:fingerprint_df_histogram) — the table one
+    reads to CHOOSE winnow_overlap_pairs' max_df (PERFORMANCE §65a: the
+    cap must sit above the corpus' duplication factor and below
+    boilerplate df; at a replicated corpus a too-low cap silently drops
+    whole duplicate families). Pure integer counts over the same
+    dialect-templated fingerprint selection, so the histogram is exactly
+    oracle-hashed."""
+    from ..operators.fingerprint import fingerprint_df_histogram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint_df_histogram(docs, k=_WIN_K, w=_WIN_W).orderBy("df")
+
+
+ORACLE_TEXT_WINNOW_DF_PROFILE = _winnow_ctes() + """,
+d AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+per_hash AS (SELECT fp_hash, COUNT(*) AS df FROM d GROUP BY 1)
+SELECT df, COUNT(*) AS n_hashes, df * COUNT(*) AS n_postings
+FROM per_hash GROUP BY df ORDER BY df
+"""
+
+
 register(
     "text_winnow_fingerprints", q_text_winnow_fingerprints,
     ORACLE_TEXT_WINNOW_FINGERPRINTS,
 )
 register(
     "dedup_winnow_pairs", q_dedup_winnow_pairs, ORACLE_DEDUP_WINNOW_PAIRS,
+)
+register(
+    "text_winnow_df_profile", q_text_winnow_df_profile,
+    ORACLE_TEXT_WINNOW_DF_PROFILE,
 )
 
 

@@ -262,3 +262,45 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def fingerprint_df_histogram(
+    df: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-frequency histogram of winnow fingerprints: one row per
+    occurring df value — (df, n_hashes, n_postings) where n_hashes =
+    distinct fingerprint hashes appearing in exactly ``df`` documents
+    and n_postings = df * n_hashes (the join fan-in those hashes would
+    contribute).
+
+    This is the datum ``winnow_overlap_pairs``' ``max_df`` must be read
+    from (measured rule, PERFORMANCE §65a): the cap has to sit ABOVE
+    the corpus' duplication factor — at a 10x-replicated corpus the
+    production df<=5 cap dropped whole replica families and recall fell
+    0.56 -> 0.08 — while staying BELOW boilerplate df (thousands).
+    The histogram's gap between the duplicate-family mode and the
+    boilerplate tail is where max_df belongs; eyeball it, or take the
+    largest df whose cumulative n_postings keeps the pair join budget.
+
+    Scale shape: fingerprints (shuffle-free HOF pass) -> distinct ->
+    ONE map-side-combined aggregate per grain (hash -> df, df -> count).
+    Output is bounded by the distinct df VALUES (<= max family size),
+    metadata-sized at any corpus scale.
+    """
+    fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
+        id_col, "fp_hash"
+    ).distinct()
+    per_hash = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        per_hash.groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_hashes"))
+        .select(
+            "df",
+            "n_hashes",
+            (F.col("df") * F.col("n_hashes")).alias("n_postings"),
+        )
+    )

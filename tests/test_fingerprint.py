@@ -163,3 +163,37 @@ def test_winnow_exploded_identity(spark):
          for r in W.winnow_fingerprints_exploded(df, k=5, w=3).collect()}
     assert a == b
     assert len(a) > 500  # the sweep actually exercised real content
+
+
+def test_df_histogram_hand_computed_and_consistent(spark):
+    """Planted corpus: doc 0 == doc 1 == doc 2 (a 3-family), doc 3
+    unique. Every shared fingerprint of the family has df=3 (identical
+    squashed text -> identical selection); doc 3's prints have df=1
+    unless they collide with the family's. The histogram must also be
+    globally consistent: sum(n_postings) == total distinct (doc, hash)
+    postings."""
+    from pyspark.sql import functions as F
+
+    from bambooanalysis_spark.operators.fingerprint import (
+        fingerprint_df_histogram,
+        winnow_fingerprints,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, fam), (1, fam), (2, fam),
+         (3, "completely different words with zero overlap here xyzzy")],
+        "doc_id long, text string",
+    )
+    hist = {r["df"]: (r["n_hashes"], r["n_postings"])
+            for r in fingerprint_df_histogram(docs).collect()}
+    assert 3 in hist and hist[3][0] > 0  # the family's shared prints
+    assert 1 in hist                      # doc 3's unique prints
+    assert all(df in (1, 3) for df in hist)
+    total_postings = (
+        winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+        .count()
+    )
+    assert sum(p for _, p in hist.values()) == total_postings
+    for df, (n, p) in hist.items():
+        assert p == df * n
