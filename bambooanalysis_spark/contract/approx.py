@@ -1225,6 +1225,95 @@ register(
 )
 
 
+def q_dedup_lsh_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup, oracle-checked end-to-end:
+    the corpus arrives as two snapshots (doc_id parity), each deduped
+    against the PERSISTED LSH band-key store of everything kept so far
+    (operators/dedup.lsh_dedup_incremental — the near-dup counterpart of
+    `dedup_incremental_store` above, same snapshot protocol). Output:
+    every kept row with the snapshot that admitted it and whether it
+    participated in banding. The DuckDB oracle replays both rounds
+    relationally over the SAME bit-exact band keys (_lsh_banded_sql):
+    round 1 is the pure first-claim rule, round 2 drops history hits
+    before voting."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import lsh_dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="bamboo-lsh-store-")
+    try:
+        b1 = docs.where(F.col("doc_id") % 2 == 0)
+        b2 = docs.where(F.col("doc_id") % 2 == 1)
+        k1 = lsh_dedup_incremental(b1, "doc_id", "text", store).withColumn(
+            "batch", F.lit(1).cast("long")
+        )
+        k2 = lsh_dedup_incremental(b2, "doc_id", "text", store).withColumn(
+            "batch", F.lit(2).cast("long")
+        )
+        return k1.unionByName(k2).select("batch", "doc_id", "banded_i")
+    finally:
+        # kept sets are localCheckpointed (eager) inside the operator —
+        # the returned frame never re-reads the store
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _oracle_lsh_incremental_store() -> str:
+    from .extensions import _lsh_banded_sql
+
+    return f"""
+WITH {_lsh_banded_sql("documents")},
+b1 AS (SELECT doc_id, band_key FROM banded WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id, band_key FROM banded WHERE doc_id % 2 = 1),
+f1 AS (SELECT band_key, MIN(doc_id) AS fid FROM b1 GROUP BY band_key),
+k1 AS (
+    SELECT b1.doc_id FROM b1 JOIN f1 USING (band_key)
+    GROUP BY b1.doc_id
+    HAVING MIN(CASE WHEN b1.doc_id = fid THEN 1 ELSE 0 END) = 1
+),
+t1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM b1)
+),
+store1 AS (
+    SELECT DISTINCT band_key FROM b1
+    WHERE doc_id IN (SELECT doc_id FROM k1)
+),
+hist2 AS (
+    SELECT DISTINCT doc_id FROM b2
+    WHERE band_key IN (SELECT band_key FROM store1)
+),
+s2 AS (
+    SELECT doc_id, band_key FROM b2
+    WHERE doc_id NOT IN (SELECT doc_id FROM hist2)
+),
+f2 AS (SELECT band_key, MIN(doc_id) AS fid FROM s2 GROUP BY band_key),
+k2 AS (
+    SELECT s2.doc_id FROM s2 JOIN f2 USING (band_key)
+    GROUP BY s2.doc_id
+    HAVING MIN(CASE WHEN s2.doc_id = fid THEN 1 ELSE 0 END) = 1
+),
+t2 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM b2)
+)
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, CAST(1 AS BIGINT) AS banded_i FROM k1
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, CAST(0 AS BIGINT) AS banded_i FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id, CAST(1 AS BIGINT) AS banded_i FROM k2
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id, CAST(0 AS BIGINT) AS banded_i FROM t2
+"""
+
+
+register(
+    "dedup_lsh_incremental_store", q_dedup_lsh_incremental_store,
+    _oracle_lsh_incremental_store(),
+)
+
+
 def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — the classic 3-way join + filtered aggregate +
     top-k: BUILDING-segment customers' orders placed before a date, their

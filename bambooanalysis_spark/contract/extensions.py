@@ -251,16 +251,17 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_sql(src: str = "documents", shingle_k: int = 2) -> str:
-    """LSH candidate-pair SQL over any (doc_id, text) source — the
-    pipeline oracles reuse it over their quality-filtered dedup sets.
-    ``shingle_k`` mirrors the Spark side's word-gram width (the range
-    bound reproduces shingles_from_tokens' too-short-doc empty list:
-    len < k yields no shingles, so the all--1 signature sentinel
-    filters the doc from banding on both engines)."""
+def _lsh_banded_sql(src: str = "documents", shingle_k: int = 2) -> str:
+    """CTE chain (d/sh/sig/banded) producing the LSH band memberships
+    (doc_id, band_key) over any (doc_id, text) source — the shared core
+    of the pair oracle below and the incremental-store oracle
+    (contract/approx.py). ``shingle_k`` mirrors the Spark side's
+    word-gram width (the range bound reproduces shingles_from_tokens'
+    too-short-doc empty list: len < k yields no shingles, so the all--1
+    signature sentinel filters the doc from banding on both engines)."""
     gram = ", ".join(f"toks[i + {j}]" for j in range(shingle_k))
     return f"""
-WITH d AS (
+d AS (
     SELECT doc_id, {_D_TOKENS.format(t='text')} AS toks FROM {src}
 ),
 sh AS (
@@ -281,7 +282,14 @@ banded AS (
     -- to shingle share the all--1 signature and would otherwise band into
     -- one giant spurious clique
     FROM sig WHERE sig[1] <> -1
-)
+)"""
+
+
+def _lsh_pairs_sql(src: str = "documents", shingle_k: int = 2) -> str:
+    """LSH candidate-pair SQL over any (doc_id, text) source — the
+    pipeline oracles reuse it over their quality-filtered dedup sets."""
+    return f"""
+WITH {_lsh_banded_sql(src, shingle_k)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_key = b.band_key AND a.doc_id < b.doc_id

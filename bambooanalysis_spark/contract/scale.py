@@ -202,6 +202,60 @@ FROM (
 """
     return _oracle_kmeans(final=final)
 
+def q_sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch end-to-end (operators/retrieval.
+    hdr_sketch/hdr_merge/hdr_quantiles — HdrHistogram's exponential
+    buckets with 2^4 linear subdivisions): per-language document-length
+    sketches built on two DISJOINT shards (doc_id parity), merged by
+    summing bucket counts, then p50/p90/p99/max read off the merged
+    sketch. The shard split exercises mergeability inside the oracle
+    gate itself — the DuckDB oracle sketches the whole table in one
+    pass, so any key mishandling in the merge breaks the hash match.
+    Everything is integer arithmetic (floor(log2) via length(bin)), so
+    the oracle is exact, not tolerance-based."""
+    from ..operators.retrieval import hdr_merge, hdr_quantiles, hdr_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = hdr_sketch(docs.where(F.col("doc_id") % 2 == 0), ["lang"], "n_chars")
+    b = hdr_sketch(docs.where(F.col("doc_id") % 2 == 1), ["lang"], "n_chars")
+    merged = hdr_merge([a, b], ["lang"])
+    return hdr_quantiles(merged, ["lang"], [0.5, 0.9, 0.99, 1.0]).select(
+        "lang", "q_e6", "value_low", F.col("n").cast("long").alias("n")
+    )
+
+
+ORACLE_SKETCH_HDR_QUANTILES = """
+WITH v AS (
+    SELECT lang,
+           CASE WHEN n_chars < 32 THEN n_chars
+                ELSE (length(bin(n_chars)) - 5) * 16
+                     + (n_chars >> (length(bin(n_chars)) - 5))
+           END AS bucket
+    FROM documents WHERE n_chars IS NOT NULL
+),
+sk AS (SELECT lang, bucket, COUNT(*) AS cnt FROM v GROUP BY lang, bucket),
+cum AS (
+    SELECT lang, bucket,
+           SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+           SUM(cnt) OVER (PARTITION BY lang) AS n
+    FROM sk
+),
+qs AS (SELECT * FROM (VALUES (500000), (900000), (990000), (1000000)) t(q_e6)),
+hit AS (
+    SELECT lang, q_e6, MIN(bucket) AS bucket, MAX(n) AS n
+    FROM cum CROSS JOIN qs
+    WHERE cum >= (q_e6 * n + 999999) // 1000000
+    GROUP BY lang, q_e6
+)
+SELECT lang, CAST(q_e6 AS BIGINT) AS q_e6,
+       CAST(CASE WHEN bucket < 32 THEN bucket
+            ELSE ((bucket % 16) + 16) * (1::BIGINT << (bucket // 16 - 1))
+            END AS BIGINT) AS value_low,
+       CAST(n AS BIGINT) AS n
+FROM hit
+"""
+
+
 def _register() -> None:
     register(
         "events_interval_join", q_events_interval_join, ORACLE_EVENTS_INTERVAL_JOIN
@@ -219,6 +273,10 @@ def _register() -> None:
         _oracle_random_projection(),
     )
     register("sketch_kmv_set_ops", q_sketch_kmv_set_ops)
+    register(
+        "sketch_hdr_quantiles", q_sketch_hdr_quantiles,
+        ORACLE_SKETCH_HDR_QUANTILES,
+    )
 
 
 _register()

@@ -1033,6 +1033,95 @@ def exact_dedup_incremental(
     return keep
 
 
+def lsh_dedup_incremental(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    k: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup: the LSH counterpart of
+    `exact_dedup_incremental`, completing the same triangle the exact
+    family has (one-shot batch `lsh_first_claim_keeps` / streaming
+    `streaming_lsh_band_votes` / this durable-store incremental form).
+    A batch document is dropped iff
+
+    - any of its LSH band keys was claimed by a document kept in a PRIOR
+      batch (recorded in the persisted band-key store), or
+    - among this batch's history-clean documents, it is not the earliest
+      (min id) member of every band bucket it occupies — exactly the
+      `lsh_first_claim_keeps` rule, restricted to history-clean docs.
+
+    Restricting the within-batch vote to history-clean documents mirrors
+    the sequential online replay: a document dropped by history never
+    entered the store, so it must not block a later arrival (with an
+    empty store the rule reduces bit-for-bit to `lsh_first_claim_keeps`).
+    Kept documents' band keys are appended so snapshot N+1 dedups against
+    the union of snapshots 1..N without rescanning them.
+
+    Returns (id_col, banded_i): one row per KEPT document, banded_i=1 if
+    it participated in banding (0 = too short to shingle, trivially kept
+    and never stored — the `banded_docs` sentinel contract).
+
+    Scale shape: the store holds `bands` short hash rows per kept doc
+    (never text); the batch pays the per-row signature map (zero
+    shuffle), one semi-join of its band memberships against the store
+    scan, one groupBy(band_key) min and one groupBy(id) vote — every
+    exchanged key is a bounded-width hash. Kept rows and the appended
+    keys are materialized (localCheckpoint) BEFORE the store append so
+    the returned frame cannot observe its own write.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = batch.sparkSession
+    # persisted across the keep/append actions: the per-row signature map
+    # runs once, and both consumers exchange only (id, 32-char key) rows
+    banded = banded_docs(batch, id_col, text_col, k, bands, shingle_k).persist()
+    store = f"{store_dir}/band_keys.parquet"
+    # existence probe through Spark itself, NOT os.path — the store lives
+    # on whatever filesystem the session reaches (s3a://, hdfs://, local)
+    try:
+        history = spark.read.parquet(store)
+    except AnalysisException:  # first batch: store not created yet
+        history = None
+    try:
+        if history is not None:
+            hist_hit = banded.join(
+                history.select("band_key"), "band_key", "left_semi"
+            ).select(id_col).distinct()
+            surv = banded.join(hist_hit, id_col, "left_anti")
+        else:
+            surv = banded
+        firsts = surv.groupBy("band_key").agg(F.min(id_col).alias("__first"))
+        decided = (
+            surv.join(firsts, "band_key")
+            .groupBy(id_col)
+            .agg(
+                F.min((F.col(id_col) == F.col("__first")).cast("long")).alias(
+                    "__kept"
+                )
+            )
+        )
+        kept_banded = decided.where(F.col("__kept") == 1).select(
+            F.col(id_col), F.lit(1).cast("long").alias("banded_i")
+        )
+        trivial = (
+            batch.select(id_col)
+            .join(banded.select(id_col).distinct(), id_col, "left_anti")
+            .select(F.col(id_col), F.lit(0).cast("long").alias("banded_i"))
+        )
+        keep = kept_banded.unionByName(trivial).localCheckpoint(eager=True)
+        new_keys = banded.join(
+            kept_banded.select(id_col), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        new_keys.write.mode("append").parquet(store)
+    finally:
+        banded.unpersist()
+    return keep
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     cluster_col: str = "cluster_id",

@@ -433,3 +433,125 @@ def kmv_set_ops(
         .withColumn("jaccard_e6", F.round(rho * F.lit(1e6)).cast("long"))
         .drop(ka, kb, ma, mb, "__u", "__um")
     )
+
+
+# --- HDR histogram (mergeable quantile sketch, bounded relative error) -------
+
+def hdr_bucket(value: Column, sub_bits: int = 4) -> Column:
+    """Monotonic HDR-histogram bucket id of a non-negative integer value
+    (HdrHistogram's exponential-buckets-with-linear-subdivision scheme —
+    the public design behind latency/length histograms that must merge
+    across shards). Values below 2^(sub_bits+1) map to THEMSELVES (exact);
+    above, each power-of-two decade splits into 2^sub_bits linear
+    sub-buckets, so the relative width of any bucket is <= 2^-sub_bits.
+
+    Everything is integer arithmetic (floor(log2(v)) via length(bin(v))-1,
+    then shifts) — a floating log2 would misbucket exact powers of two on
+    engines where log(8)/log(2) = 2.9999999999999996, and the DuckDB
+    oracle replicates the bucket id bit-for-bit instead. Negative inputs
+    raise in-plan (a silent drop would corrupt the sketch unnoticed);
+    NULLs pass through as NULL for the caller's count to skip."""
+    v = value.cast("long")
+    S = 1 << sub_bits
+    e = F.length(F.bin(v)) - F.lit(1)
+    b = F.greatest(e - F.lit(sub_bits), F.lit(0))
+    small = v < F.lit(2 * S)
+    # call_function: the pyspark wrappers take only literal ints for the
+    # shift amount; the SQL ShiftRight/ShiftLeft accept a column
+    bucket = F.when(small, v).otherwise(
+        b.cast("long") * F.lit(S)
+        + F.call_function("shiftright", v, b.cast("int"))
+    )
+    return F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(F.lit("hdr_bucket: negative value "), v.cast("string"))
+        ).cast("long"),
+    ).otherwise(bucket)
+
+
+def hdr_bucket_low(bucket: Column, sub_bits: int = 4) -> Column:
+    """Inverse lower bound of a bucket id: the smallest value that maps
+    into it (== the id itself for the exact small-value range). The true
+    value behind any member is in [low, low * (1 + 2^-sub_bits))."""
+    S = 1 << sub_bits
+    b = F.shiftright(bucket.cast("long"), sub_bits).cast("int") - F.lit(1)
+    sub = bucket.cast("long").bitwiseAND(F.lit(S - 1)) + F.lit(S)
+    return F.when(bucket < F.lit(2 * S), bucket.cast("long")).otherwise(
+        F.call_function("shiftleft", sub, b)
+    )
+
+
+def hdr_sketch(
+    df: DataFrame, keys: Sequence[str], col: str, sub_bits: int = 4
+) -> DataFrame:
+    """Per-group HDR histogram sketch: keys + (bucket, cnt) rows. The
+    quantile-sketch member of the mergeable-summaries family (HLL =
+    distinct, KMV = set ops, count-min = frequency; this = quantiles):
+    per-shard/day sketches merge by summing counts (`hdr_merge`) without
+    rescanning history, which an exact percentile fundamentally cannot
+    (rank is not decomposable; bucket counts are).
+
+    Plan: one groupBy with map-side combine — each task emits at most
+    (64 - sub_bits) * 2^sub_bits + 2^(sub_bits+1) rows per group
+    (sub_bits=4: <= 992) regardless of input size. NULL values are
+    skipped (cnt counts non-null rows only)."""
+    return (
+        df.select(*keys, hdr_bucket(F.col(col), sub_bits).alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Union sketch partials on the group keys: counts add. The result is
+    IDENTICAL to sketching the concatenated inputs (exactly — not just
+    approximately — since bucketing is per-row), which is the property
+    that makes per-shard maintenance sound."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Quantiles from a sketch: for each group and each q, the LOWER
+    BOUND of the bucket holding the ceil(q*n)-th smallest value (the true
+    quantile is within a 2^-sub_bits relative band above it — gated by
+    tests/test_scale_ops.py). q rides as e6 fixed-point so the rank
+    target ceil(q_e6 * n / 1e6) is integer-exact on both engines.
+
+    Plan: the cumulative window runs over the BUCKET table (bounded per
+    group — see hdr_sketch), never the data; the q list joins as a tiny
+    broadcast. Output: keys + q_e6 + value_low + n."""
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in qs], "q_e6 long"
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*keys))
+    )
+    # integer ceil-div: a double division here would misrank once q_e6*n
+    # exceeds 2^53 (the r10-ADVICE KL-guard lesson); exact up to n ~ 9.2e12
+    target = F.expr("(q_e6 * n + 999999) DIV 1000000")
+    hit = cum.join(F.broadcast(qdf)).where(F.col("cum") >= target)
+    best = hit.groupBy(*keys, "q_e6").agg(
+        F.min("bucket").alias("bucket"), F.max("n").alias("n")
+    )
+    return best.select(
+        *keys,
+        "q_e6",
+        hdr_bucket_low(F.col("bucket"), sub_bits).alias("value_low"),
+        "n",
+    )

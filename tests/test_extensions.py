@@ -2713,6 +2713,78 @@ def test_exact_dedup_incremental_store_rounds(spark, tmp_path):
     assert stored.count() == 4  # aa bb cc dd — one row per distinct doc
 
 
+def test_lsh_dedup_incremental_store_rounds(spark, tmp_path):
+    """Persisted band-key store NEAR-dup semantics across three
+    snapshots: empty-store reduction to the batch first-claim rule,
+    cross-snapshot suppression of exact (all-band) copies, trivial keep
+    of too-short docs, store holds only kept docs' keys."""
+    from bambooanalysis_spark.operators.dedup import (
+        banded_docs,
+        lsh_dedup_incremental,
+        lsh_first_claim_keeps,
+    )
+
+    store = str(tmp_path / "lsh-store")
+    A = "the quick brown fox jumps over the lazy dog near the river bank"
+    B = "completely different content about distributed query engines here"
+    C = "a third family of text concerning mergeable sketches and stores"
+    D = "unrelated fourth snapshot material on histogram buckets and shards"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = batch([(1, A), (2, A + " extra"), (3, B), (4, "short")])
+    k1 = lsh_dedup_incremental(b1, "doc_id", "text", store).collect()
+    # empty store: kept set must equal the one-shot batch first-claim rule
+    fc = {
+        r["doc_id"]
+        for r in lsh_first_claim_keeps(
+            b1, "doc_id", "text", k=16, bands=8, shingle_k=2
+        ).collect()
+        if r["kept_i"] == 1
+    }
+    assert {r["doc_id"] for r in k1} == fc
+    assert {r["doc_id"] for r in k1 if r["banded_i"] == 0} == {4}
+
+    # snapshot 2: 10 is an exact copy of kept doc 1 (all bands collide
+    # with history -> dropped); 11/12 are identical novel docs (11 wins
+    # the within-batch vote); 13 is too short (trivially kept, unstored)
+    k2 = lsh_dedup_incremental(
+        batch([(10, A), (11, C), (12, C), (13, "x")]), "doc_id", "text", store
+    ).collect()
+    assert {(r["doc_id"], r["banded_i"]) for r in k2} == {(11, 1), (13, 0)}
+
+    # snapshot 3: 20 collides with snapshot-2 history (C); 21 is novel
+    k3 = lsh_dedup_incremental(
+        batch([(20, C), (21, D)]),
+        "doc_id", "text", store,
+    ).collect()
+    assert 20 not in {r["doc_id"] for r in k3}
+    assert 21 in {r["doc_id"] for r in k3}
+
+    # the store holds band keys ONLY for kept banded docs, and all of them
+    stored_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/band_keys.parquet")
+        .select("doc_id").distinct().collect()
+    }
+    kept_banded = {
+        r["doc_id"] for r in k1 + k2 + k3 if r["banded_i"] == 1
+    }
+    assert stored_ids == kept_banded
+    # and the stored keys are exactly those docs' banded memberships
+    expect_keys = (
+        banded_docs(
+            batch([(i, t) for i, t in [(1, A), (2, A + " extra"), (3, B),
+                                       (11, C),
+                                       (21, D)]
+                   if i in kept_banded]),
+            "doc_id", "text", 16, 8, 2,
+        ).count()
+    )
+    assert spark.read.parquet(f"{store}/band_keys.parquet").count() == expect_keys
+
+
 def test_streaming_ingest_pipeline_matches_batch(spark, tmp_path):
     """Composed streaming ingestion (quality gate -> fingerprint ->
     stateful dedup) must land the same kept set as running the IDENTICAL

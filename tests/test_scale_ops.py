@@ -605,3 +605,131 @@ def test_prototype_prune_drop_rule(spark, emb):
         want = [i for i in range(1, n + 1) if i * 100 <= 25 * n]
         assert dropped == want, (cell, n)
         assert sorted(r["proto_rank"] for r in rows) == list(range(1, n + 1))
+
+
+# --- HDR histogram quantile sketch (operators/retrieval) --------------------
+
+def _hdr_bucket_py(v: int, sub_bits: int = 4) -> int:
+    """Independent pure-Python transcription of the HdrHistogram bucket
+    scheme (exponential buckets, 2^sub_bits linear subdivision)."""
+    S = 1 << sub_bits
+    if v < 2 * S:
+        return v
+    e = v.bit_length() - 1
+    b = e - sub_bits
+    return b * S + (v >> b)
+
+
+def _hdr_low_py(bucket: int, sub_bits: int = 4) -> int:
+    S = 1 << sub_bits
+    if bucket < 2 * S:
+        return bucket
+    b = (bucket >> sub_bits) - 1
+    return ((bucket & (S - 1)) + S) << b
+
+
+def test_hdr_bucket_matches_python_reference(spark):
+    """Spark's integer-only bucket id equals the independent Python
+    reference on the adversarial set (zero, exact powers of two +- 1 —
+    where a floating log2 misbuckets — and LONG_MAX), is monotonic, and
+    its inverse lower bound brackets every value within the advertised
+    2^-sub_bits relative band."""
+    from bambooanalysis_spark.operators.retrieval import hdr_bucket, hdr_bucket_low
+
+    vals = sorted(
+        {0, 1, 2, 15, 16, 17, 31, 32, 33, 255, 256, 257, 2**31 - 1, 2**31,
+         2**31 + 1, 10**12, 2**62 - 1, 2**62, 2**63 - 1}
+        | {2**e + d for e in range(4, 40, 3) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: (r["bucket"], r["low"])
+        for r in df.select(
+            "v",
+            hdr_bucket(F.col("v")).alias("bucket"),
+            hdr_bucket_low(hdr_bucket(F.col("v"))).alias("low"),
+        ).collect()
+    }
+    prev_bucket = -1
+    for v in vals:
+        bucket, low = got[v]
+        assert bucket == _hdr_bucket_py(v), v
+        assert low == _hdr_low_py(bucket), v
+        assert low <= v <= low + max(low >> 4, 0), v  # relative band
+        assert bucket >= prev_bucket  # monotonic in v
+        prev_bucket = bucket
+
+
+def test_hdr_bucket_negative_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from bambooanalysis_spark.operators.retrieval import hdr_bucket
+
+    df = spark.createDataFrame([(-3,)], "v long")
+    try:
+        df.select(hdr_bucket(F.col("v"))).collect()
+        raise AssertionError("negative value must raise")
+    except (Py4JJavaError, SparkRuntimeException, PythonException) as e:
+        assert "negative value" in str(e)
+
+
+def test_hdr_merge_equals_direct_sketch(spark):
+    """Counts add: sketching two shards and merging is IDENTICAL to
+    sketching the concatenation — the property that makes per-shard
+    maintenance sound (exact, not approximate: bucketing is per-row)."""
+    from bambooanalysis_spark.operators.retrieval import hdr_merge, hdr_sketch
+
+    a = spark.range(0, 4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 17 % 9973).alias("v"),
+    )
+    b = spark.range(4000, 7000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 17 % 9973).alias("v"),
+    )
+    merged = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hdr_merge(
+            [hdr_sketch(a, ["g"], "v"), hdr_sketch(b, ["g"], "v")], ["g"]
+        ).collect()
+    }
+    direct = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hdr_sketch(a.unionByName(b), ["g"], "v").collect()
+    }
+    assert merged == direct
+
+
+def test_hdr_quantiles_error_bound(spark):
+    """For every group and q, the reported value_low must bracket the
+    EXACT ceil(q*n)-rank order statistic within the 2^-sub_bits relative
+    band — checked against a driver-side sort of the same planted data
+    (skewed lognormal-ish integer mix, plus ties and zeros)."""
+    import random
+
+    from bambooanalysis_spark.operators.retrieval import hdr_quantiles, hdr_sketch
+
+    rng = random.Random(42)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(5000):
+            v = int(rng.expovariate(1.0 / 500)) if g == "x" else rng.randint(0, 30)
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.5, 0.9, 0.99, 1.0]
+    out = {
+        (r["g"], r["q_e6"]): (r["value_low"], r["n"])
+        for r in hdr_quantiles(hdr_sketch(df, ["g"], "v"), ["g"], qs).collect()
+    }
+    by_g = {"x": sorted(v for g, v in rows if g == "x"),
+            "y": sorted(v for g, v in rows if g == "y")}
+    for g, vals in by_g.items():
+        n = len(vals)
+        for q in qs:
+            q_e6 = int(round(q * 1_000_000))
+            rank = (q_e6 * n + 999_999) // 1_000_000  # integer ceil-div
+            exact = vals[rank - 1]
+            low, n_out = out[(g, q_e6)]
+            assert n_out == n
+            assert low <= exact <= low + max(low >> 4, 0), (g, q, low, exact)
