@@ -2603,6 +2603,43 @@ register(
     "text_winnow_fingerprints", q_text_winnow_fingerprints,
     ORACLE_TEXT_WINNOW_FINGERPRINTS,
 )
+
+
+def q_text_winnow_fingerprints_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME winnow aggregate through the Arrow-batched numpy
+    fingerprint stage (operators/fingerprint.winnow_fingerprints_numpy)
+    — the measured scale path for large corpora (PERFORMANCE §70: the
+    interpreted HOF constant is ~30 ms/doc vs ~0.1 ms/doc vectorized).
+    Checked against the IDENTICAL DuckDB oracle as the HOF registration,
+    so the driver's own gate pins the two implementations to each other
+    every round. The Python stage appears in the plan as MapInPandas
+    (Arrow-batched; the no-Python rule's documented-exception class —
+    the budget counters track ArrowEvalPython/BatchEvalPython, which
+    stay 0 here)."""
+    from ..operators.fingerprint import winnow_fingerprints_numpy
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints_numpy(docs, k=_WIN_K, w=_WIN_W)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count_distinct("fp_hash").alias("n_distinct"),
+            F.min("fp_hash").alias("min_fp"),
+            F.max("fp_hash").alias("max_fp"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_winnow_fingerprints_arrow", q_text_winnow_fingerprints_arrow,
+    ORACLE_TEXT_WINNOW_FINGERPRINTS,
+)
 register(
     "dedup_winnow_pairs", q_dedup_winnow_pairs, ORACLE_DEDUP_WINNOW_PAIRS,
 )

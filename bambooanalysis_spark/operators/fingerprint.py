@@ -222,6 +222,26 @@ def winnow_fingerprints_exploded(
     return sel
 
 
+def _fingerprint_impl(impl: str):
+    """Resolve a fingerprint-stage implementation by name: 'hof' (pure
+    JVM array algebra, the no-Python-plan default), 'exploded'
+    (codegen'd window formulation, PERFORMANCE §56), or 'numpy'
+    (Arrow-batched vectorized — the measured scale path for large
+    corpora, §70: the interpreted O(m*w) HOF constant is ~30 ms/doc
+    vs ~0.1 ms/doc vectorized; at 100x corpus scale that is the
+    difference between the slowest rehearsal entry and a scan-bound
+    one). All three are output-identical (identity gates in
+    tests/test_fingerprint.py)."""
+    impls = {
+        "hof": winnow_fingerprints,
+        "exploded": winnow_fingerprints_exploded,
+        "numpy": winnow_fingerprints_numpy,
+    }
+    if impl not in impls:
+        raise ValueError(f"unknown winnow impl {impl!r}; one of {sorted(impls)}")
+    return impls[impl]
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     k: int = 7,
@@ -230,6 +250,7 @@ def winnow_overlap_pairs(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "hof",
 ) -> DataFrame:
     """Candidate near-dup/overlap pairs: documents sharing >=
     ``min_shared`` DISTINCT fingerprint hashes. The no-miss guarantee
@@ -244,7 +265,7 @@ def winnow_overlap_pairs(
     overlaps carried ONLY by boilerplate fingerprints are skipped too.
     Set min_shared=1, max_df=corpus size to recover the raw guarantee
     at the join's quadratic risk."""
-    fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
+    fps = _fingerprint_impl(impl)(df, k, w, text_col, id_col).select(
         F.col(id_col).alias("i"), "fp_hash"
     ).distinct()
     rare = (
@@ -270,6 +291,7 @@ def fingerprint_df_histogram(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "hof",
 ) -> DataFrame:
     """Document-frequency histogram of winnow fingerprints: one row per
     occurring df value — (df, n_hashes, n_postings) where n_hashes =
@@ -291,7 +313,7 @@ def fingerprint_df_histogram(
     Output is bounded by the distinct df VALUES (<= max family size),
     metadata-sized at any corpus scale.
     """
-    fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
+    fps = _fingerprint_impl(impl)(df, k, w, text_col, id_col).select(
         id_col, "fp_hash"
     ).distinct()
     per_hash = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
@@ -304,3 +326,76 @@ def fingerprint_df_histogram(
             (F.col("df") * F.col("n_hashes")).alias("n_postings"),
         )
     )
+
+
+def winnow_fingerprints_numpy(
+    df: DataFrame,
+    k: int = 7,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched numpy twin of `winnow_fingerprints` — identical
+    output (pinned by test_winnow_numpy_identity), third cost model
+    beside the HOF default and the exploded-window variant: the per-row
+    O(m*w) interpreted-expression constant becomes ~k+2 vectorized
+    passes per document (polynomial gram hash as k strided
+    multiply-adds — no per-gram mod needed, the flat sum maxes at
+    ~2.5e17, inside int64 like the SQL fragment — then a
+    sliding_window_view rightmost-argmin for the winnow). This is the
+    documented-extension-path exception to the no-Python rule
+    (PERFORMANCE §70 measures when it pays): one ArrowEval stage, zero
+    shuffles, O(batch) task memory.
+
+    Semantics notes pinned by the identity gate: squash is the same
+    '[^a-z0-9]' class after lower() (post-squash text is pure ASCII, so
+    np.frombuffer of the encoded bytes matches SQL ascii()); reversed
+    argmin takes the FIRST minimum of the reversed window = the
+    paper's rightmost tie rule; m < w degrades to one whole-array
+    window; NULL/too-short docs contribute no rows."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pw = [B ** (k - 1 - j) for j in range(k)]
+    pat = re.compile("[^a-z0-9]")
+    out_schema = f"{id_col} long, pos long, fp_hash long"
+
+    def run(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, poss, hss = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                sq = pat.sub("", txt.lower())
+                if len(sq) < k:
+                    continue
+                arr = np.frombuffer(sq.encode("ascii"), dtype=np.uint8)
+                n = len(sq) - k + 1
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h += arr[j : j + n].astype(np.int64) * pw[j]
+                h %= M
+                if n < w:
+                    sel = np.array([n - 1 - h[::-1].argmin()])
+                else:
+                    wv = sliding_window_view(h, w)
+                    ridx = wv[:, ::-1].argmin(axis=1)
+                    sel = np.arange(n - w + 1) + (w - 1 - ridx)
+                sel = np.unique(sel)
+                ids.append(np.full(len(sel), did, dtype=np.int64))
+                poss.append(sel + 1)
+                hss.append(h[sel])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "fp_hash": np.concatenate(hss),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

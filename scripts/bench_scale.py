@@ -98,6 +98,11 @@ def main() -> None:
     # 29 and carries the WET parse at 100x)
     queries["winnow_fingerprints"] = ca.q_text_winnow_fingerprints
     queries["winnow_pairs"] = ca.q_dedup_winnow_pairs
+    # round-11 continuation: the Arrow-vectorized winnow twin — same
+    # output, ~15-18x measured over the interpreted HOF at 10x/100x
+    # (PERFORMANCE §70); tracked beside the HOF entry so the ratio
+    # stays a standing rehearsal fact, not a one-off
+    queries["winnow_fingerprints_arrow"] = ca.q_text_winnow_fingerprints_arrow
     queries["corpus_kl_drift"] = ca.q_corpus_kl_drift
     queries["ks_drift"] = ca.q_events_value_ks_drift
     queries["robots_filter"] = ca.q_text_url_robots

@@ -165,6 +165,34 @@ def test_winnow_exploded_identity(spark):
     assert len(a) > 500  # the sweep actually exercised real content
 
 
+def test_winnow_numpy_identity(spark):
+    """The Arrow/numpy formulation must select EXACTLY the same
+    (doc, pos, hash) set as the HOF path — same sweep as the exploded
+    identity gate (ties, m < w, NULLs, empty docs) plus a NULL-text row
+    and mixed-case/punctuation squash checks."""
+    rnd = random.Random(4242)
+    alpha = "abcd x9"
+    texts = ["", "ab", "exactly", "A-B! c9  d#E", None] + [
+        "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 150)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints(df, k=5, w=3).collect()}
+    b = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints_numpy(df, k=5, w=3).collect()}
+    assert a == b
+    assert len(a) > 500
+    # default (k=7, w=4) geometry too, on the fixture-like mixed texts
+    a7 = {(r["doc_id"], r["pos"], r["fp_hash"])
+          for r in W.winnow_fingerprints(df).collect()}
+    b7 = {(r["doc_id"], r["pos"], r["fp_hash"])
+          for r in W.winnow_fingerprints_numpy(df).collect()}
+    assert a7 == b7
+
+
 def test_df_histogram_hand_computed_and_consistent(spark):
     """Planted corpus: doc 0 == doc 1 == doc 2 (a 3-family), doc 3
     unique. Every shared fingerprint of the family has df=3 (identical
