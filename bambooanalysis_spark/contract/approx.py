@@ -3297,3 +3297,77 @@ register(
     "events_value_ks_drift", q_events_value_ks_drift,
     ORACLE_EVENTS_VALUE_KS_DRIFT,
 )
+
+
+def q_events_windowed_value_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-window value quantiles from the mergeable HDR sketch
+    (streaming/windows.windowed_hdr_sketch + retrieval.hdr_quantiles):
+    hourly p50/p90/p99/max of the event value in integer cents — the
+    quantile-drift monitor a stream can actually maintain (bucket
+    counts are an incrementally-mergeable aggregation state;
+    percentile_approx per open window is not). The SAME rollup runs as
+    a real Structured Streaming query in
+    test_windowed_hdr_sketch_streaming_matches_batch. Cents via
+    round(value*100) — both engines round the near-integer double to
+    the same BIGINT (a bare CAST would truncate on Spark and round on
+    DuckDB)."""
+    from ..operators.retrieval import hdr_quantiles
+    from ..streaming.windows import windowed_hdr_sketch
+
+    from .extensions import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    sk = windowed_hdr_sketch(ev, "ts", "vc", "1 hour")
+    out = hdr_quantiles(sk, ["window_start"], [0.5, 0.9, 0.99, 1.0])
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "q_e6",
+        "value_low",
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("window_start_us", "q_e6")
+
+
+ORACLE_EVENTS_WINDOWED_VALUE_QUANTILES = """
+WITH v AS (
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS ws,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+b AS (
+    SELECT ws,
+           CASE WHEN vc < 32 THEN vc
+                ELSE (length(bin(vc)) - 5) * 16 + (vc >> (length(bin(vc)) - 5))
+           END AS bucket
+    FROM v
+),
+sk AS (SELECT ws, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+    SELECT ws, bucket,
+           SUM(cnt) OVER (PARTITION BY ws ORDER BY bucket) AS cum,
+           SUM(cnt) OVER (PARTITION BY ws) AS n
+    FROM sk
+),
+qs AS (SELECT * FROM (VALUES (500000), (900000), (990000), (1000000)) t(q_e6)),
+hit AS (
+    SELECT ws, q_e6, MIN(bucket) AS bucket, MAX(n) AS n
+    FROM cum CROSS JOIN qs
+    WHERE cum >= (q_e6 * n + 999999) // 1000000
+    GROUP BY 1, 2
+)
+SELECT ws AS window_start_us, CAST(q_e6 AS BIGINT) AS q_e6,
+       CAST(CASE WHEN bucket < 32 THEN bucket
+            ELSE ((bucket % 16) + 16) * (1::BIGINT << (bucket // 16 - 1))
+            END AS BIGINT) AS value_low,
+       CAST(n AS BIGINT) AS n
+FROM hit ORDER BY 1, 2
+"""
+
+
+register(
+    "events_windowed_value_quantiles", q_events_windowed_value_quantiles,
+    ORACLE_EVENTS_WINDOWED_VALUE_QUANTILES,
+)

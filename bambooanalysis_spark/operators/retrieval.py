@@ -483,7 +483,11 @@ def hdr_bucket_low(bucket: Column, sub_bits: int = 4) -> Column:
 
 
 def hdr_sketch(
-    df: DataFrame, keys: Sequence[str], col: str, sub_bits: int = 4
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    sub_bits: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group HDR histogram sketch: keys + (bucket, cnt) rows. The
     quantile-sketch member of the mergeable-summaries family (HLL =
@@ -495,12 +499,28 @@ def hdr_sketch(
     Plan: one groupBy with map-side combine — each task emits at most
     (64 - sub_bits) * 2^sub_bits + 2^(sub_bits+1) rows per group
     (sub_bits=4: <= 992) regardless of input size. NULL values are
-    skipped (cnt counts non-null rows only)."""
+    skipped (cnt counts non-null rows only). ``weight_col`` makes cnt a
+    weight SUM instead of a row count (integer weights — e.g. token
+    counts, so quantiles answer "the doc length below which X% of
+    TOKENS sit", the mixture-design grain); rows with NULL weight are
+    skipped like NULL values."""
+    agg = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    src = df
+    if weight_col is not None:
+        src = src.where(F.col(weight_col).isNotNull())
     return (
-        df.select(*keys, hdr_bucket(F.col(col), sub_bits).alias("bucket"))
+        src.select(
+            *keys,
+            hdr_bucket(F.col(col), sub_bits).alias("bucket"),
+            *( [weight_col] if weight_col is not None else [] ),
+        )
         .where(F.col("bucket").isNotNull())
         .groupBy(*keys, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
 
 

@@ -301,3 +301,39 @@ def windowed_value_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "token", "n")
     )
+
+
+def windowed_hdr_sketch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = None,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Tumbling event-time HDR histogram of a non-negative integer
+    column — the (window_start, bucket, cnt) sketch table a
+    quantile-drift monitor consumes (operators/retrieval.hdr_quantiles
+    with keys=['window_start']). Same split as windowed_value_counts:
+    ONE transformation, both engines — a batch rollup on ``spark.read``,
+    an incremental streaming aggregation on ``spark.readStream`` (+
+    ``watermark``); the quantile read-off runs batch-side over the sink
+    table (rank extraction needs the closed window's cumulative counts).
+    This is exactly what exact per-window percentiles CANNOT do in a
+    stream — percentile_approx is not an incrementally-mergeable
+    aggregation state here, while bucket counts sum. NULL values are
+    excluded; negative values raise in-plan (hdr_bucket's guard)."""
+    from ..operators.retrieval import hdr_bucket
+
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            hdr_bucket(F.col(value_col), sub_bits).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "cnt")
+    )

@@ -359,3 +359,43 @@ def test_ks_drift_oracle_degenerate_cohorts_parity(spark):
     assert int(got["ks_e6"][0]) == 0 and int(got["n_values"][0]) == 0
     for c in ("n_a", "n_b", "n_values", "ks_e6"):
         assert got[c].fillna(-1).tolist() == duck[c].fillna(-1).tolist(), c
+
+
+def test_windowed_hdr_sketch_streaming_matches_batch(spark, tmp_path, sf_oracle):
+    """The windowed HDR sketch as a real Structured Streaming query
+    (file source, availableNow, memory sink) and as batch — the bucket
+    tables must agree exactly, and the quantiles read off each must
+    agree too (the monitor's full path: in-stream mergeable rollup,
+    batch-side rank extraction)."""
+    from bambooanalysis_spark.contract.extensions import _events
+    from bambooanalysis_spark.operators.retrieval import hdr_quantiles
+    from bambooanalysis_spark.streaming.windows import windowed_hdr_sketch
+
+    events = (
+        _events(spark, sf_oracle).limit(2000)
+        .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+    )
+    src = str(tmp_path / "hdr_stream")
+    events.write.parquet(src)
+    events = spark.read.parquet(src)  # fix the row set for both paths
+
+    batch_sk = windowed_hdr_sketch(events, "ts", "vc", "1 hour")
+    batch = {(r["window_start"], r["bucket"]): r["cnt"]
+             for r in batch_sk.collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_hdr_sketch(stream, "ts", "vc", "1 hour",
+                              watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("hdr_sk")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
+    got_sk = spark.sql("SELECT * FROM hdr_sk")
+    got = {(r["window_start"], r["bucket"]): r["cnt"]
+           for r in got_sk.collect()}
+    assert got == batch and len(got) > 0
+
+    qa = {(r["window_start"], r["q_e6"]): (r["value_low"], r["n"])
+          for r in hdr_quantiles(batch_sk, ["window_start"], [0.5, 0.99]).collect()}
+    qb = {(r["window_start"], r["q_e6"]): (r["value_low"], r["n"])
+          for r in hdr_quantiles(got_sk, ["window_start"], [0.5, 0.99]).collect()}
+    assert qa == qb and len(qa) > 0

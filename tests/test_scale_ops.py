@@ -733,3 +733,26 @@ def test_hdr_quantiles_error_bound(spark):
             low, n_out = out[(g, q_e6)]
             assert n_out == n
             assert low <= exact <= low + max(low >> 4, 0), (g, q, low, exact)
+
+
+def test_hdr_sketch_weighted_quantiles(spark):
+    """weight_col: bucket counts become weight sums — the quantile then
+    brackets the exact WEIGHTED order statistic (token-grain quantiles).
+    Checked against a driver-side expansion of each row weight times."""
+    from bambooanalysis_spark.operators.retrieval import hdr_quantiles, hdr_sketch
+
+    rows = [("g", v, wgt) for v, wgt in
+            [(10, 1), (100, 5), (1000, 3), (40, 0), (7, 2), (None, 9), (55, None)]]
+    df = spark.createDataFrame(rows, "g string, v long, wt long")
+    sk = hdr_sketch(df, ["g"], "v", weight_col="wt")
+    total = {r["bucket"]: r["cnt"] for r in sk.collect()}
+    assert sum(total.values()) == 1 + 5 + 3 + 0 + 2  # NULL v / NULL wt skipped
+    out = {r["q_e6"]: (r["value_low"], r["n"])
+           for r in hdr_quantiles(sk, ["g"], [0.5, 1.0]).collect()}
+    expanded = sorted([10] * 1 + [100] * 5 + [1000] * 3 + [7] * 2)
+    n = len(expanded)
+    for q_e6, (low, n_out) in out.items():
+        assert n_out == n
+        rank = (q_e6 * n + 999_999) // 1_000_000
+        exact = expanded[rank - 1]
+        assert low <= exact <= low + max(low >> 4, 0)
