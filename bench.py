@@ -51,6 +51,7 @@ def _headline():
     from bambooanalysis_spark.contract import hep as ch
     from bambooanalysis_spark.contract import pipeline as cp
     from bambooanalysis_spark.contract import relational as cr
+    from bambooanalysis_spark.contract import scale as cs
 
     return {
         "hep_cleaning_chain": ch.q_cleaned_jets,
@@ -119,6 +120,15 @@ def _headline():
         # read-back, entry 29 (the WET fixture is memoized per sf dir,
         # so warm runs time the pipeline, not fixture synthesis)
         "crawl_to_shards": cc.pipeline_crawl_to_shards,
+        # round-11 continuation: the Arrow-vectorized winnow twin
+        # (PERFORMANCE §70 — 15-18x over the interpreted HOF at
+        # 10x/100x; standing entry so the ratio and the Arrow-path cost
+        # stay tracked round-over-round), entry 30
+        "winnow_arrow": ca.q_text_winnow_fingerprints_arrow,
+        # round-11 continuation: the mergeable HDR quantile sketch
+        # (parity-shard build + merge + read-off — the quantile member
+        # of the sketch family), entry 31
+        "hdr_quantiles": cs.q_sketch_hdr_quantiles,
     }
 
 

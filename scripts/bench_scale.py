@@ -101,7 +101,11 @@ def main() -> None:
     # round-11 continuation: the Arrow-vectorized winnow twin — same
     # output, ~15-18x measured over the interpreted HOF at 10x/100x
     # (PERFORMANCE §70); tracked beside the HOF entry so the ratio
-    # stays a standing rehearsal fact, not a one-off
+    # stays a standing rehearsal fact, not a one-off. bench._headline
+    # now ALSO carries it (standing entry 30, key "winnow_arrow") —
+    # drop that key here so the rehearsal times it once, under the
+    # name the r11 artifact already records
+    queries.pop("winnow_arrow", None)
     queries["winnow_fingerprints_arrow"] = ca.q_text_winnow_fingerprints_arrow
     queries["corpus_kl_drift"] = ca.q_corpus_kl_drift
     queries["ks_drift"] = ca.q_events_value_ks_drift
