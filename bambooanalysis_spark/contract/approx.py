@@ -3371,3 +3371,45 @@ register(
     "events_windowed_value_quantiles", q_events_windowed_value_quantiles,
     ORACLE_EVENTS_WINDOWED_VALUE_QUANTILES,
 )
+
+
+def q_rel_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-before-you-salt diagnostic (operators/joins.
+    key_skew_profile): heaviest event_type values with absolute and
+    cumulative corpus share in e6 fixed-point — the table that decides
+    between plain AQE, `salted_join`, or special-casing a degenerate
+    hot key. ONE map-side-combined count + TakeOrdered top-k; the
+    cumulative window runs over top_k rows only."""
+    from ..operators.joins import key_skew_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "event_type", top_k=5)
+
+
+ORACLE_REL_KEY_SKEW_PROFILE = """
+WITH c AS (
+    SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n
+    FROM events GROUP BY 1
+),
+t AS (SELECT SUM(n) AS n_total, COUNT(*) AS n_distinct FROM c),
+top AS (SELECT key, n FROM c ORDER BY n DESC, key ASC NULLS FIRST LIMIT 5),
+r AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, key ASC NULLS FIRST) AS rank,
+           key, n,
+           SUM(n) OVER (ORDER BY n DESC, key ASC NULLS FIRST
+                        ROWS UNBOUNDED PRECEDING) AS cum_n
+    FROM top
+)
+SELECT CAST(rank AS BIGINT) AS rank, key, n,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       CAST(n * 1000000 // t.n_total AS BIGINT) AS frac_e6,
+       CAST(cum_n * 1000000 // t.n_total AS BIGINT) AS cum_frac_e6
+FROM r CROSS JOIN t
+"""
+
+
+register(
+    "rel_key_skew_profile", q_rel_key_skew_profile,
+    ORACLE_REL_KEY_SKEW_PROFILE,
+)

@@ -678,11 +678,22 @@ def banded_docs(
             F.col(id_col),
             minhash_signature_from_hashes(F.col("__hsh"), k).alias("__sig"),
         )
-    ).where(F.element_at("__sig", 1) != -1)
+    )
+    # The sentinel guard lives INSIDE the projection (explode of a
+    # conditional array — NULL emits nothing), NOT a .where(): the
+    # barriers block project collapsing but not PREDICATE pushdown, and
+    # a .where(sig[1] != -1) gets pushed below the exchange with the
+    # whole signature expression cloned into it — the full interpreted
+    # HOF chain then evaluates TWICE per row, on the narrow pre-shuffle
+    # stage (measured: a 25k-doc snapshot ground >5 min single-threaded
+    # vs ~6 s fixed; the same hazard minhash_lsh_pairs:283 documents).
     return staged.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(lsh_band_keys(F.col("__sig"), bands, rows))
+            F.when(
+                F.try_element_at(F.col("__sig"), F.lit(1)) != -1,
+                F.array_distinct(lsh_band_keys(F.col("__sig"), bands, rows)),
+            )
         ).alias("band_key"),
     )
 
@@ -1076,6 +1087,10 @@ def lsh_dedup_incremental(
     from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
+    # fan out narrow (few-split) inputs before the compute-heavy per-row
+    # signature stage — same conditional staging as minhash_lsh_pairs; a
+    # wide production source passes through untouched
+    batch = _fan_out(batch, id_col)
     # persisted across the keep/append actions: the per-row signature map
     # runs once, and both consumers exchange only (id, 32-char key) rows
     banded = banded_docs(batch, id_col, text_col, k, bands, shingle_k).persist()

@@ -756,3 +756,28 @@ def test_hdr_sketch_weighted_quantiles(spark):
         rank = (q_e6 * n + 999_999) // 1_000_000
         exact = expanded[rank - 1]
         assert low <= exact <= low + max(low >> 4, 0)
+
+
+def test_key_skew_profile_planted(spark):
+    """Planted skew with a NULL key and a tie: ranks, fracs and the
+    cumulative share must match the hand computation; composite keys
+    profile as their unit-separated concat."""
+    from bambooanalysis_spark.operators.joins import key_skew_profile
+
+    rows = (
+        [("hot", 1)] * 60 + [("warm", 1)] * 25 + [("cool", 1)] * 10
+        + [(None, 1)] * 10 + [("tie_a", 1)] * 5 + [("tie_b", 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = key_skew_profile(df, "k", top_k=4).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in out] == [
+        (1, "hot", 60), (2, "warm", 25), (3, None, 10), (4, "cool", 10),
+    ]
+    total = 115
+    assert all(r["n_total"] == total and r["n_distinct"] == 6 for r in out)
+    assert out[0]["frac_e6"] == 60 * 1_000_000 // total
+    assert out[-1]["cum_frac_e6"] == 105 * 1_000_000 // total
+
+    comp = key_skew_profile(df.withColumn("k2", F.lit("x")), ["k", "k2"],
+                            top_k=1).collect()
+    assert comp[0]["key"] == "hot\x1fx" and comp[0]["n"] == 60
