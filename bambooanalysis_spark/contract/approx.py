@@ -2510,15 +2510,13 @@ fps AS (SELECT doc_id, pos, hs[CAST(pos AS BIGINT)] AS fp_hash FROM fp)
 """
 
 
-def q_text_winnow_fingerprints(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..operators.fingerprint import winnow_fingerprints
-
-    docs = read_table(spark, sf_dir, "documents")
+def _winnow_doc_aggregate(fps: DataFrame) -> DataFrame:
+    """Shared per-doc summary over a (doc_id, pos, fp_hash) fingerprint
+    frame — ONE definition for the HOF and Arrow registrations below, so
+    the two entries that claim to be pinned to each other cannot drift
+    by a column added to only one aggregate (review finding, r11)."""
     return (
-        winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
-        .groupBy("doc_id")
+        fps.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fps"),
             F.count_distinct("fp_hash").alias("n_distinct"),
@@ -2529,6 +2527,15 @@ def q_text_winnow_fingerprints(
         )
         .orderBy("doc_id")
     )
+
+
+def q_text_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.fingerprint import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _winnow_doc_aggregate(winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W))
 
 
 ORACLE_TEXT_WINNOW_FINGERPRINTS = _winnow_ctes() + """
@@ -2621,18 +2628,8 @@ def q_text_winnow_fingerprints_arrow(
     from ..operators.fingerprint import winnow_fingerprints_numpy
 
     docs = read_table(spark, sf_dir, "documents")
-    return (
+    return _winnow_doc_aggregate(
         winnow_fingerprints_numpy(docs, k=_WIN_K, w=_WIN_W)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fps"),
-            F.count_distinct("fp_hash").alias("n_distinct"),
-            F.min("fp_hash").alias("min_fp"),
-            F.max("fp_hash").alias("max_fp"),
-            F.min("pos").alias("first_pos"),
-            F.max("pos").alias("last_pos"),
-        )
-        .orderBy("doc_id")
     )
 
 

@@ -1103,9 +1103,12 @@ def lsh_dedup_incremental(
         history = None
     try:
         if history is not None:
+            # no .distinct() on the semi-join output: anti-join semantics
+            # ignore duplicate probe rows, so the extra aggregation would
+            # only add a shuffle (review finding, this round)
             hist_hit = banded.join(
                 history.select("band_key"), "band_key", "left_semi"
-            ).select(id_col).distinct()
+            ).select(id_col)
             surv = banded.join(hist_hit, id_col, "left_anti")
         else:
             surv = banded
@@ -1128,8 +1131,14 @@ def lsh_dedup_incremental(
             .select(F.col(id_col), F.lit(0).cast("long").alias("banded_i"))
         )
         keep = kept_banded.unionByName(trivial).localCheckpoint(eager=True)
+        # derive new_keys from the CHECKPOINTED keep set, not from
+        # kept_banded's live lineage — the first-claim vote (two groupBys
+        # + join) would otherwise re-execute a second time for this
+        # action (review finding, this round)
         new_keys = banded.join(
-            kept_banded.select(id_col), id_col, "left_semi"
+            keep.where(F.col("banded_i") == 1).select(id_col),
+            id_col,
+            "left_semi",
         ).localCheckpoint(eager=True)
         new_keys.write.mode("append").parquet(store)
     finally:

@@ -360,7 +360,11 @@ def winnow_fingerprints_numpy(
 
     pw = [B ** (k - 1 - j) for j in range(k)]
     pat = re.compile("[^a-z0-9]")
-    out_schema = f"{id_col} long, pos long, fp_hash long"
+    # carry the caller's id type through — the three impls behind
+    # _fingerprint_impl are interchangeable, so a string/int doc id must
+    # work here exactly as it does on the HOF and exploded paths
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos long, fp_hash long"
 
     def run(batches):
         from numpy.lib.stride_tricks import sliding_window_view
@@ -386,13 +390,13 @@ def winnow_fingerprints_numpy(
                     ridx = wv[:, ::-1].argmin(axis=1)
                     sel = np.arange(n - w + 1) + (w - 1 - ridx)
                 sel = np.unique(sel)
-                ids.append(np.full(len(sel), did, dtype=np.int64))
+                ids.extend([did] * len(sel))  # id-type-generic
                 poss.append(sel + 1)
                 hss.append(h[sel])
             if ids:
                 yield pd.DataFrame(
                     {
-                        id_col: np.concatenate(ids),
+                        id_col: ids,
                         "pos": np.concatenate(poss),
                         "fp_hash": np.concatenate(hss),
                     }

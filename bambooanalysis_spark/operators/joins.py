@@ -102,10 +102,14 @@ def key_skew_profile(
     from pyspark.sql import Window
 
     key_cols = [keys] if isinstance(keys, str) else list(keys)
+    def _flagged(c: str):
+        v = F.col(c).cast("string")
+        return F.when(v.isNull(), F.lit("0")).otherwise(F.concat(F.lit("1"), v))
+
     key = (
         F.col(key_cols[0]).cast("string")
         if len(key_cols) == 1
-        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        else F.concat_ws("\x1f", *[_flagged(c) for c in key_cols])
     )
     counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n"))
     totals = counts.agg(

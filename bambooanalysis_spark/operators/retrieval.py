@@ -502,16 +502,33 @@ def hdr_sketch(
     skipped (cnt counts non-null rows only). ``weight_col`` makes cnt a
     weight SUM instead of a row count (integer weights — e.g. token
     counts, so quantiles answer "the doc length below which X% of
-    TOKENS sit", the mixture-design grain); rows with NULL weight are
-    skipped like NULL values."""
+    TOKENS sit", the mixture-design grain); rows with NULL or ZERO
+    weight are skipped (they contribute nothing — and dropping them
+    means an all-zero-weight group emits NO buckets and so NO quantile
+    rows, instead of a fabricated quantile over an empty distribution);
+    negative weights raise in-plan, the same guard negative values get
+    (a silent negative would subtract from bucket counts and skew every
+    downstream quantile unnoticed)."""
     agg = (
         F.count(F.lit(1))
         if weight_col is None
-        else F.sum(F.col(weight_col).cast("long"))
+        else F.sum(
+            F.when(
+                F.col(weight_col) < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("hdr_sketch: negative weight "),
+                        F.col(weight_col).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(weight_col).cast("long"))
+        )
     )
     src = df
     if weight_col is not None:
-        src = src.where(F.col(weight_col).isNotNull())
+        src = src.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) != 0)
+        )
     return (
         src.select(
             *keys,

@@ -225,3 +225,18 @@ def test_df_histogram_hand_computed_and_consistent(spark):
     assert sum(p for _, p in hist.values()) == total_postings
     for df, (n, p) in hist.items():
         assert p == df * n
+
+
+def test_winnow_numpy_string_ids(spark):
+    """The three impls behind _fingerprint_impl are interchangeable —
+    the numpy path must accept non-long doc ids like the HOF path does."""
+    df = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps over the lazy dog today"),
+         ("doc-b", "too short")],
+        "doc_id string, text string",
+    )
+    a = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints(df).collect()}
+    b = {(r["doc_id"], r["pos"], r["fp_hash"])
+         for r in W.winnow_fingerprints_numpy(df).collect()}
+    assert a == b and len(a) > 0

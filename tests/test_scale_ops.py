@@ -779,5 +779,8 @@ def test_key_skew_profile_planted(spark):
     assert out[-1]["cum_frac_e6"] == 105 * 1_000_000 // total
 
     comp = key_skew_profile(df.withColumn("k2", F.lit("x")), ["k", "k2"],
-                            top_k=1).collect()
-    assert comp[0]["key"] == "hot\x1fx" and comp[0]["n"] == 60
+                            top_k=6).collect()
+    assert comp[0]["key"] == "1hot\x1f1x" and comp[0]["n"] == 60
+    # NULL components carry a flag instead of being dropped by concat_ws:
+    # (NULL, 'x') must NOT merge with ('x', <dropped>) shapes
+    assert ("0\x1f1x", 10) in [(r["key"], r["n"]) for r in comp]
