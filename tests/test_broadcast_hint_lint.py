@@ -48,6 +48,10 @@ ALLOWED = {
     ("pretrain.py", "bench_keys"):
         "benchmark band keys; eval sets are fixed-size",
     ("retrieval.py", "dvals"): "count-min depth values, d rows",
+    ("retrieval.py", "qdf"):
+        "hdr_quantiles q list, len(qs) rows (caller parameter)",
+    ("joins.py", "totals"):
+        "key_skew_profile 1-row total/distinct aggregate",
     ("retrieval.py", "sketch"): "count-min sketch, d x width parameter-sized",
     ("retrieval.py", "stats"): "1-row corpus aggregate (BM25 avgdl)",
     ("retrieval.py", "qterms"):
