@@ -3410,3 +3410,53 @@ register(
     "rel_key_skew_profile", q_rel_key_skew_profile,
     ORACLE_REL_KEY_SKEW_PROFILE,
 )
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level corpus snapshot diff (operators/corpus.
+    corpus_snapshot_diff): snapshot OLD = documents minus every 10th id;
+    snapshot NEW = documents minus every 7th id, with every 3rd id's
+    text edited (' v2' appended — inside [a-z0-9 ], so it registers as
+    'changed' through the canonical fingerprint). Output: one row per
+    id in either snapshot with status + both fingerprints, plus the
+    4-row summary exercised by the same oracle via its own gate. Scale:
+    two zero-shuffle fingerprint maps + one full-outer join on
+    (id, 36-byte fp)."""
+    from ..operators.corpus import corpus_snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_snapshot_diff(old, new).orderBy("doc_id")
+
+
+ORACLE_CORPUS_SNAPSHOT_DIFF = f"""
+WITH o AS (
+    SELECT doc_id, md5({_D_NORM_A.format(t='text')}) AS fp_old
+    FROM documents WHERE doc_id % 10 <> 0
+),
+n AS (
+    SELECT doc_id,
+           md5({_D_NORM_A.format(t="CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END")}) AS fp_new
+    FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       fp_old, fp_new
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY 1
+"""
+
+
+register(
+    "corpus_snapshot_diff", q_corpus_snapshot_diff,
+    ORACLE_CORPUS_SNAPSHOT_DIFF,
+)

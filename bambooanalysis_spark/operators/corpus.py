@@ -587,3 +587,47 @@ def ks_drift(
         .cast("long")
         .alias("ks_at_value"),
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level diff between two corpus snapshots — the dataset-card
+    question "what changed since the last crawl?" as one row per doc id
+    present in EITHER snapshot: status in {'added', 'removed', 'changed',
+    'unchanged'} (changed = both present, canonical fingerprint differs;
+    the fingerprint is md5 of the normalized text, so formatting-only
+    edits outside [a-z0-9 ] read as unchanged — the same canonical form
+    exact dedup keys on). fp_old/fp_new ride along for downstream joins
+    (e.g. route 'changed' docs back through quality scoring).
+
+    Scale shape: two per-row fingerprint maps (zero shuffle, text never
+    leaves its partition) + ONE full-outer hash join on (id, 36-byte
+    fp) rows. Compose with `snapshot_diff_summary` for the aggregate
+    card, or `exact_dedup_incremental` when you want the durable-store
+    continuous form instead of a two-snapshot compare."""
+    from . import text as T
+
+    o = old.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp_old")
+    )
+    n = new.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp_new")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"), "fp_old", "fp_new")
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n_docs) rollup of `corpus_snapshot_diff` — the 4-row
+    dataset-card header. One map-side-combined aggregate."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))

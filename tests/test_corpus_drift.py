@@ -399,3 +399,32 @@ def test_windowed_hdr_sketch_streaming_matches_batch(spark, tmp_path, sf_oracle)
     qb = {(r["window_start"], r["q_e6"]): (r["value_low"], r["n"])
           for r in hdr_quantiles(got_sk, ["window_start"], [0.5, 0.99]).collect()}
     assert qa == qb and len(qa) > 0
+
+
+def test_corpus_snapshot_diff_planted(spark):
+    """Planted two-snapshot fixture covering all four statuses, plus the
+    canonicalization contract: a punctuation-only edit is 'unchanged'."""
+    from bambooanalysis_spark.operators.corpus import (
+        corpus_snapshot_diff, snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text"),
+         (4, "delta text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha text"),          # unchanged
+         (2, "beta text!!!"),        # punctuation-only -> unchanged
+         (3, "gamma text edited"),   # changed
+         (5, "epsilon text")],       # added; 4 removed
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}
+    summary = {r["status"]: r["n_docs"]
+               for r in snapshot_diff_summary(
+                   corpus_snapshot_diff(old, new)).collect()}
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
