@@ -617,14 +617,26 @@ def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph) plus (round 3) the online first-claim keep bit — kept iff the
     doc is the earliest in EVERY band bucket it occupies, the batch mirror
     of the streaming band-vote dedup
-    (streaming/stateful.py:streaming_lsh_band_votes)."""
+    (streaming/stateful.py:streaming_lsh_band_votes).
+
+    r11 optimization: BOTH consumers (pair graph -> CC, and the
+    first-claim band votes) read ONE shared banded_docs table,
+    materialized once — the signature chain (shingle -> md5 -> 16 affine
+    mins), the compute-heavy stage, previously ran twice per invocation
+    (identical k/bands/shingle_k on both paths; values unchanged, see
+    minhash_lsh_pairs' banded note)."""
     from ..operators import dedup as D
 
+    docs = _docs(spark, sf_dir)
+    banded = D.banded_docs(
+        D._fan_out(docs.select("doc_id", "text"), "doc_id"),
+        "doc_id", "text", k=16, bands=8, shingle_k=2,
+    ).localCheckpoint(eager=True)
     clusters = D.near_dup_clusters(
-        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
+        docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
     )
     fc = D.lsh_first_claim_keeps(
-        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=8, shingle_k=2
+        docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
     ).select("doc_id", F.col("kept_i").alias("first_claim_kept_i"))
     return clusters.join(fc, "doc_id").orderBy("doc_id")
 
@@ -2316,30 +2328,36 @@ FROM b JOIN th ON b.source = th.source
 def q_pretrain_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, hits AND verdict per training document:
     distinct shared 5-gram count against the benchmark half
-    (contamination_hits) plus the anti-join keep decision (decontaminate)
-    as a 0/1 long. Merges round-2 pretrain_contamination_hits +
-    pretrain_decontaminate; both operators run."""
+    (contamination_hits) plus the keep decision as a 0/1 long. Merges
+    round-2 pretrain_contamination_hits + pretrain_decontaminate.
+
+    r11 optimization (guide §1.2 "don't compute things you throw away"):
+    ``decontaminate`` is BY DEFINITION the anti-join on contamination_hits
+    (operators/pretrain.py:79), so kept_i == (no hit row) — the verdict is
+    derived from the SAME left join instead of running the whole 5-gram
+    explode + benchmark join a second time (the oracle has always computed
+    kept_i this way). Plan: 12 -> 6 parquet scans, Exchange 9 -> 5;
+    measured 9.7 -> ~5 s at 10x. ``decontaminate`` keeps its own identity
+    gate (tests/test_pretrain.py) and test_extensions pins this query's
+    kept_i against a direct decontaminate() run."""
     from ..operators import sampling as S
-    from ..operators.pretrain import contamination_hits, decontaminate
+    from ..operators.pretrain import contamination_hits
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     b = S.hash_bucket(F.col("doc_id"), "decontam")
     train = d.where(b < 9000)
     bench = d.where(b >= 9000)
     hits = contamination_hits(train, bench, n=5)
-    kept = (
-        decontaminate(train, bench, n=5)
-        .select("doc_id")
-        .withColumn("__kept", F.lit(1))
-    )
     return (
         train.select("doc_id")
         .join(hits, "doc_id", "left")
-        .join(kept, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
-            F.coalesce(F.col("__kept"), F.lit(0)).cast("long").alias("kept_i"),
+            F.when(F.col("n_hit_grams").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_i"),
         )
     )
 

@@ -77,10 +77,22 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, "TT_FS").otherwise("TT_Delphes"),
     )
     out_dir = tempfile.mkdtemp(prefix="bamboo-pipeline-")
+    # r11 (guide §2.6 overlap independent jobs): the HEP pipeline (fused
+    # histogrammer job + driver-side matplotlib rendering) and the corpus
+    # curation chain (LSH dedup -> keep-best -> token mix) share no
+    # inputs — run the corpus chain on a second driver thread so its
+    # Spark jobs back-fill executors idled by the HEP job's tail and by
+    # the pure-driver PNG rendering phase (FIFO scheduling does exactly
+    # this). Saves min(hep, corpus) wall per invocation; results are
+    # byte-identical (the two chains touch disjoint fixtures).
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        manifest = run_pipeline(
-            spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
-        )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            mix_fut = pool.submit(_corpus_mix_rows, spark, sf_dir)
+            manifest = run_pipeline(
+                spark, "phase2", parse_catalog(_CATALOG), out_dir, events_tagged=tagged
+            )
         # wiring check: every artifact family the reference's postprocess
         # phase writes (phaseII-analysis.py:270-286) must actually be on disk
         for path in (
@@ -93,6 +105,7 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             assert os.path.exists(path), f"pipeline artifact missing: {path}"
         assert manifest["plot_images"], "pipeline wrote no plot images"
         assert int(manifest["stacked"]["group"].nunique()) == 2
+        mix_rows = mix_fut.result()
     finally:
         # the hash-checked payload below is built from driver-side manifest
         # numbers, never re-read from disk — so the artifact tree (60+ PNGs
@@ -122,7 +135,7 @@ def pipeline_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(r.sum_weights) * scale,
                 )
             )
-    rows.extend(_corpus_mix_rows(spark, sf_dir))
+    rows.extend(mix_rows)
     return spark.createDataFrame(
         rows,
         "sample string, selection string, seq bigint, num_events bigint, "

@@ -251,8 +251,17 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    ``banded`` (r11): a precomputed (id_col, band_key) membership table
+    (banded_docs with the SAME k/bands/shingle_k) — callers that consume
+    band memberships more than once (pair graph + first-claim votes)
+    pass one shared table so the signature chain — the compute-heavy
+    stage — runs once, not per consumer. Values are identical: a doc's 8
+    band keys are pairwise distinct (each embeds its band index), so
+    banded_docs' array_distinct is a no-op vs the inline explode here.
 
     Plan shape: per-row signature (no shuffle) -> explode bands (k small
     keys/doc) -> self-join on band key -> distinct pairs. The join key is a
@@ -264,6 +273,10 @@ def minhash_lsh_pairs(
     mandatory on adversarial crawl corpora, where connectivity consumers
     lose nothing but pair-level recall inside capped cliques drops.
     """
+    if banded is not None:
+        return bucket_pairs(
+            banded, "band_key", id_col, "doc_a", "doc_b", max_bucket=max_bucket
+        )
     rows = k // bands
     # fan the compute-heavy signature stage out across cores — but only on
     # narrow (local small-file) inputs; see _fan_out
@@ -556,11 +569,19 @@ def _jaccard_bitset64(toks: DataFrame, threshold_e4: int) -> DataFrame:
         "tokens; use the prefix or postings strategy') AS INT) "
         "ELSE __idx END)"
     )
+    # r11 optimization (guide §2.4/§1.2): materialize the mask table ONCE.
+    # Both sides of the pair enumeration read the same n-row (doc, mask,
+    # size) table; without the checkpoint the full build subtree (scan ->
+    # token explode -> df-cutoff anti-join -> vocab window -> bit_or
+    # aggregate) executes twice — the BEFORE plan carried two identical
+    # 56-operator branches (plans/r11/dedup_jaccard_before.txt). The
+    # table is 24 bytes/doc, so the checkpoint blocks are corpus-count
+    # metadata, not corpus payload.
     masks = (
         toks.join(F.broadcast(vocab_idx), "tok")
         .groupBy("doc_id")
         .agg(F.bit_or(bit).alias("__m"), F.count(F.lit(1)).alias("__n"))
-    )
+    ).localCheckpoint(eager=True)
     a = masks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("__m").alias("__ma"),
@@ -572,16 +593,27 @@ def _jaccard_bitset64(toks: DataFrame, threshold_e4: int) -> DataFrame:
         F.col("__n").alias("n_b"),
     )
     inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+    union = F.col("n_a") + F.col("n_b") - inter
+    # The threshold predicate lives IN the join condition, in pure-integer
+    # form, with the cheap id compare FIRST (r11, guide §1.2 per-pair
+    # work): floor(inter*1e4/union) >= t  <=>  inter*1e4 >= t*union for
+    # union >= 1, so the n^2/2 failing pairs never pay the double casts +
+    # division + FLOOR the old post-join filter pushed into the BNLJ —
+    # and the doc_a < doc_b short-circuit drops half of all n^2
+    # evaluations after one long compare. jaccard_e4 itself (unchanged
+    # fixed-point floor-division semantics) is computed post-join for
+    # surviving pairs only.
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("doc_a") < F.col("doc_b"))
+            & (inter * F.lit(10000) >= F.lit(threshold_e4) * union),
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.floor(inter * 10000 / (F.col("n_a") + F.col("n_b") - inter))
-            .cast("long")
-            .alias("jaccard_e4"),
+            F.floor(inter * 10000 / union).cast("long").alias("jaccard_e4"),
         )
-        .where(F.col("jaccard_e4") >= threshold_e4)
     )
 
 
@@ -622,26 +654,33 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    label_t = labels.schema["label"].dataType  # id-type-generic NULL below
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+            F.col("dst").alias("id"), F.col("label"), F.lit(None).cast(label_t).alias("__old")
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        # convergence: count of rows whose label changed this round —
-        # overflow-free for any id domain (a sum of 62-bit hash ids could
-        # exceed int64 under ANSI; round-4 review finding). Labels are
-        # element-wise non-increasing, so changed == 0 means fixpoint.
+        # carry each node's previous label THROUGH the aggregation
+        # (min ignores NULLs, and every id contributes exactly one
+        # non-NULL __old — its own row), so the convergence check below
+        # is a scan of the freshly checkpointed blocks instead of a
+        # joins-both-sides-again job per round (r11: after a
+        # localCheckpoint the partitioning is opaque to the planner, so
+        # the old new-vs-old join re-shuffled BOTH label tables every
+        # iteration — one full extra job per round, now gone).
+        new_full = (
+            labels.select("id", "label", F.col("label").alias("__old"))
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+        ).localCheckpoint(eager=True)
+        # convergence: any row whose label changed this round — labels are
+        # element-wise non-increasing, so none-changed means fixpoint
+        # (limit(1).count() not a sum: 62-bit hash ids could overflow a
+        # SUM under ANSI; round-4 review finding).
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_full.where(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_full.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -705,6 +744,7 @@ def lsh_first_claim_keeps(
     k: int = 16,
     bands: int = 8,
     shingle_k: int = 2,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Online (first-claim) near-dup dedup, batch form: a document is kept
     iff it is the EARLIEST (min id) document in every LSH band bucket it
@@ -717,8 +757,11 @@ def lsh_first_claim_keeps(
     Scale shape: one groupBy(band_key) min + one count-sized join back +
     one groupBy(id) — all keys bounded by the banding, no pair expansion
     at all (cheaper than the pair/cluster pipeline when only a keep-list
-    is needed; unlike connected components it needs no iteration)."""
-    banded = banded_docs(df, id_col, text_col, k, bands, shingle_k)
+    is needed; unlike connected components it needs no iteration).
+    ``banded`` (r11): optionally share a precomputed banded_docs table —
+    see minhash_lsh_pairs."""
+    if banded is None:
+        banded = banded_docs(df, id_col, text_col, k, bands, shingle_k)
     firsts = banded.groupBy("band_key").agg(F.min(id_col).alias("__first"))
     votes = banded.join(firsts, "band_key")
     decided = votes.groupBy(id_col).agg(
@@ -814,6 +857,7 @@ def near_dup_clusters(
     bands: int = 8,
     shingle_k: int = 2,
     max_bucket: int | None = 1,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs -> connected components -> cluster table
     (id, cluster_id, is_representative): the standard large-scale near-dup
@@ -835,7 +879,7 @@ def near_dup_clusters(
     everywhere."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k=k, bands=bands, shingle_k=shingle_k,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, banded=banded,
     )
     return connected_components(pairs, df, id_col)
 

@@ -2981,6 +2981,30 @@ def test_triangle_counts_hand_computed(spark):
     assert total == 3 * 10  # each triangle counted once per member
 
 
+def test_decontamination_query_kept_matches_operator(spark, sf_oracle):
+    """r11 optimization gate: q_pretrain_decontamination derives kept_i
+    from the contamination_hits left join (one gram pass) instead of
+    re-running the full anti-join operator — the derived verdict must be
+    IDENTICAL to a direct decontaminate() run on the same split."""
+    from bambooanalysis_spark.contract.extensions import (
+        _docs,
+        q_pretrain_decontamination,
+    )
+    from bambooanalysis_spark.operators import sampling as S
+    from bambooanalysis_spark.operators.pretrain import decontaminate
+
+    d = _docs(spark, sf_oracle).select("doc_id", "text")
+    b = S.hash_bucket(F.col("doc_id"), "decontam")
+    train = d.where(b < 9000)
+    bench = d.where(b >= 9000)
+    direct = {r["doc_id"] for r in decontaminate(train, bench, n=5).collect()}
+    rows = q_pretrain_decontamination(spark, sf_oracle).collect()
+    derived = {r["doc_id"] for r in rows if r["kept_i"] == 1}
+    assert derived == direct
+    # and the verdict is consistent with the hit count on every row
+    assert all((r["kept_i"] == 1) == (r["n_hit_grams"] == 0) for r in rows)
+
+
 def test_fuzzy_decontaminate_catches_paraphrase(spark):
     """Planted contamination: a lightly-edited copy of a benchmark doc
     (one token changed) must be removed; an unrelated doc survives; the
