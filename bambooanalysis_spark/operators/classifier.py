@@ -309,20 +309,28 @@ def nb_predict(
     w = Window.partitionBy("doc_id").orderBy(
         F.col(score_col).desc(), F.col("label").asc()
     )
-    ranked = scored.withColumn("__rk", F.row_number().over(w))
-    best = ranked.where(F.col("__rk") == 1).select(
+    # r11 (guide §1.2 "don't compute things you throw away"): the
+    # runner-up is lead() over the SAME window at rank 1 — the old
+    # rk==1 / rk==2 split + left join executed the whole nb_scores
+    # subtree (tokenize -> model joins -> aggregate -> window) TWICE and
+    # re-sorted both halves for a SortMergeJoin (105-operator plan,
+    # plans/r11/nb_predict_before.txt). lead() on the identical
+    # (partition, order) spec shares one window pass; values unchanged:
+    # the row after rank 1 in this ordering IS the old __rk == 2 row,
+    # and a single-label doc gets NULL -> COALESCE 0 exactly as the
+    # left join produced.
+    ranked = scored.select(
+        "doc_id",
+        "label",
+        F.col(score_col),
+        F.row_number().over(w).alias("__rk"),
+        F.lead(score_col).over(w).alias("__second"),
+    )
+    return ranked.where(F.col("__rk") == 1).select(
         "doc_id",
         F.col("label").alias("predicted"),
         F.col(score_col).alias("best_e6"),
-    )
-    second = ranked.where(F.col("__rk") == 2).select(
-        "doc_id", F.col(score_col).alias("second_e6")
-    )
-    return best.join(second, "doc_id", "left").select(
-        "doc_id",
-        "predicted",
-        "best_e6",
-        (F.col("best_e6") - F.coalesce(F.col("second_e6"), F.lit(0)))
+        (F.col(score_col) - F.coalesce(F.col("__second"), F.lit(0)))
         .cast("long")
         .alias("margin_e6"),
     )

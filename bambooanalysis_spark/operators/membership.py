@@ -294,19 +294,36 @@ def bloom_might_contain(
         return _probe_shuffle(df, words, key_col, m_bits, k, out_col)
 
     orig_cols = df.columns
-    out = df
-    for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
-        w = words.select(
-            F.col("word_idx").alias(f"__bf_i{i}"),
-            F.col("word").alias(f"__bf_w{i}"),
-        )
-        out = out.withColumn(f"__bf_p{i}", p).join(
-            F.broadcast(w), _word_idx(i) == F.col(f"__bf_i{i}"), "left"
-        )
+    # r11 (guide §2.4 remove shuffles/joins outright): ONE one-row
+    # broadcast attach of the whole word table as a map replaces the
+    # old k separate broadcast joins — the filter-build lineage then
+    # executes once instead of per hash function (the before plan
+    # carried k identical build subtrees, plans/r11/bloom_probe_before
+    # .txt), and the corpus pays k map lookups per row instead of k
+    # join probes. Same bytes broadcast (the word table), k times
+    # fewer broadcasts. Values unchanged: try_element_at on a missing
+    # or NULL word_idx yields NULL -> coalesce 0, exactly what the old
+    # left join produced; word_idx keys are unique post-aggregation so
+    # the map is well-formed.
+    w = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bf_map")
+    )
+    out = df.select(
+        "*",
+        *[
+            p.alias(f"__bf_p{i}")
+            for i, p in enumerate(_positions(F.col(key_col), m_bits, k))
+        ],
+    ).join(F.broadcast(w))
     cond = F.lit(True)
     for i in range(k):
         cond = cond & (
-            F.coalesce(F.col(f"__bf_w{i}"), F.lit(0)).bitwiseAND(_mask(i))
+            F.coalesce(
+                F.try_element_at(F.col("__bf_map"), _word_idx(i)),
+                F.lit(0),
+            ).bitwiseAND(_mask(i))
             != 0
         )
     # NULL key -> NULL positions -> NULL cond without this guard

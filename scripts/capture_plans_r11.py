@@ -41,6 +41,9 @@ def main() -> None:
         yield "bigram_coherence", lambda: ce.q_text_bigram_coherence(spark, SF_DIR)
         yield "nb_predict", lambda: ca.q_text_nb_predict(spark, SF_DIR)
         yield "bloom_probe", lambda: ca.q_dedup_bloom_membership(spark, SF_DIR)
+        yield "winnow_arrow", lambda: ca.q_text_winnow_fingerprints_arrow(
+            spark, SF_DIR
+        )
         # near_dup_clusters' iterative CC cannot be captured as one plan;
         # its last-round label aggregation is what explain() shows
         yield "dedup_clusters_capped", lambda: ce.q_dedup_near_dup_clusters(

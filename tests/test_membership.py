@@ -184,8 +184,11 @@ def test_bloom_probe_heals_duplicate_word_rows(spark):
 
 
 def test_bloom_probe_plan_is_broadcast_only(spark):
-    """Broadcast mode: the probed corpus must stream map-side — k
-    broadcast hash joins, no SortMergeJoin on the probe side."""
+    """Broadcast mode (r11 shape): the probed corpus must stream
+    map-side — ONE one-row broadcast attach of the whole word table as
+    a map (so the filter-build lineage executes once, not per hash
+    function), no SortMergeJoin and no per-hash broadcast hash joins on
+    the probe side."""
     docs = _docs(spark, 100)
     filt = M.bloom_build(docs, "fp", m_bits=1 << 12, k=4)
     plan = (
@@ -193,14 +196,15 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan
-    # build's own aggregate shuffles (parameter-sized); the probe side
-    # adds only BroadcastExchanges
-    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("BroadcastHashJoin") == 0
+    # the single one-row map attach
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastExchange") == 1
 
 
 def test_bloom_auto_mode_switches_on_m(spark):
-    """auto = broadcast under the threshold, shuffle above it (the
-    plan stops containing k probe-side broadcast joins)."""
+    """auto = broadcast under the threshold (the one-row map attach),
+    shuffle above it (no broadcast attach on the probe side)."""
     docs = _docs(spark, 100)
     filt = M.bloom_build(docs, "fp", m_bits=1 << 12, k=4)
     big = (
@@ -208,13 +212,13 @@ def test_bloom_auto_mode_switches_on_m(spark):
             docs, filt, "fp", probe_mode="auto", broadcast_max_bits=1 << 10
         )._jdf.queryExecution().executedPlan().toString()
     )
-    assert big.count("BroadcastHashJoin") < 4
+    assert big.count("BroadcastNestedLoopJoin") == 0
     small = (
         M.bloom_might_contain(
             docs, filt, "fp", probe_mode="auto", broadcast_max_bits=1 << 20
         )._jdf.queryExecution().executedPlan().toString()
     )
-    assert small.count("BroadcastHashJoin") == 4
+    assert small.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_bloom_word_table_is_parameter_sized(spark):
