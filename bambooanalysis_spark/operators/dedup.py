@@ -582,7 +582,14 @@ def _jaccard_bitset64(toks: DataFrame, threshold_e4: int) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.bit_or(bit).alias("__m"), F.count(F.lit(1)).alias("__n"))
     ).localCheckpoint(eager=True)
-    a = masks.select(
+    # r11 (guide §2.5 input skew): AQE coalesces the tiny mask aggregate
+    # to 1-2 partitions, and the checkpoint freezes that — the n^2/2 pair
+    # enumeration (the actual work) then runs on 1-2 cores while 30 idle.
+    # Fan the STREAM side back out to the cluster's parallelism (the
+    # build side is broadcast, its partitioning is irrelevant). Measured
+    # sf1: 17.2 s -> ~1.5 s for the join stage, identical rows.
+    stream = _fan_out(masks, "doc_id")
+    a = stream.select(
         F.col("doc_id").alias("doc_a"),
         F.col("__m").alias("__ma"),
         F.col("__n").alias("n_a"),
@@ -638,8 +645,12 @@ def connected_components(
     vector reaches a fixpoint. Rounds = graph eccentricity of the min-id
     node, and near-dup graphs are dense near-cliques (bands link most
     members pairwise), so 2-3 rounds is typical; max_iter bounds pathological
-    chains. Per round: one broadcast/shuffled hash join edges x labels + one
-    groupBy min — both partition-parallel, nothing driver-sized except the
+    chains, and a per-round pointer jump (each node also takes l(l(x)))
+    compresses long label chains — star-capped graphs whose bucket-min
+    chains span many bands converge in roughly two-thirds the rounds.
+    Per round: one broadcast/shuffled hash join edges x labels, one label
+    self-join (its broadcast is plan-identical and reused), + one groupBy
+    min — all partition-parallel, nothing driver-sized except the
     1-row convergence aggregate. Lineage is cut every round
     (localCheckpoint) so the plan does not grow with the iteration count —
     on a cluster with a checkpoint dir configured, prefer df.checkpoint()
@@ -659,6 +670,26 @@ def connected_components(
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label"), F.lit(None).cast(label_t).alias("__old")
         )
+        # pointer jump (r11, guide §1.2 — fewer rounds beats cheaper
+        # rounds when each round is a fixed-overhead Spark job): x also
+        # learns l(l(x)) each round. Every label IS a node id (labels
+        # start as own ids and only ever take mins of other labels), so
+        # one self-join of the checkpointed label table looks the parent
+        # label up; its BroadcastExchange is plan-identical to prop's and
+        # is reused, so the round gains a probe, not a broadcast build.
+        # Labels stay monotone non-increasing and always name a node in
+        # the same component, so the fixpoint (and the result: component
+        # min everywhere) is unchanged — the sf1 star graph converges in
+        # 6 rounds instead of 9 (measured 5.7 -> 4.6 s; identical rows).
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("b.label").alias("label"),
+                F.lit(None).cast(label_t).alias("__old"),
+            )
+        )
         # carry each node's previous label THROUGH the aggregation
         # (min ignores NULLs, and every id contributes exactly one
         # non-NULL __old — its own row), so the convergence check below
@@ -670,6 +701,7 @@ def connected_components(
         new_full = (
             labels.select("id", "label", F.col("label").alias("__old"))
             .unionByName(prop)
+            .unionByName(jump)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
         ).localCheckpoint(eager=True)

@@ -584,3 +584,20 @@ def test_tpch_shapes_round7(spark, sf_oracle):
     plan = _plan(QUERIES["rel_waiting_suppliers"](spark, sf_oracle))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_jaccard_bitset64_stream_side_fans_out(spark, sf_oracle):
+    """r11: AQE coalesces the tiny (doc, mask) aggregate to 1-2 partitions
+    and localCheckpoint freezes that, so without an explicit fan-out the
+    n^2/2 BNLJ pair enumeration — the entry's actual work — runs on 1-2
+    cores (measured 17.2 s -> ~1.5 s at sf1 when spread). The BNLJ output
+    inherits the stream side's partitioning, so pin it >= parallelism."""
+    from bambooanalysis_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    parallelism = max(spark.sparkContext.defaultParallelism, 4)
+    out = jaccard_pairs(
+        docs, "doc_id", "text", threshold_e4=6000, max_df_frac=0.9,
+        strategy="bitset64",
+    )
+    assert out.rdd.getNumPartitions() >= parallelism
