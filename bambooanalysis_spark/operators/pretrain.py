@@ -236,9 +236,14 @@ def fuzzy_decontaminate(
         src = df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
         )
-        staged = _barrier(src.withColumn("__sh", shingles(F.col("__text"), shingle_k)))
+        # shingling + hashing fused into ONE stage (r11): a HOF's input
+        # argument is evaluated once (only lambda bodies lack CSE), so
+        # the intermediate shingle-string array never materializes —
+        # see minhash_lsh_pairs
         staged = _barrier(
-            staged.withColumn("__hsh", hashed_shingles(F.col("__sh")))
+            src.withColumn(
+                "__hsh", hashed_shingles(shingles(F.col("__text"), shingle_k))
+            )
         )
         staged = _barrier(
             staged.withColumn(
