@@ -43,6 +43,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _fan_out
 from .similarity import _maybe_broadcast
 from .text import tokens
 
@@ -147,7 +148,12 @@ def train_nb(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> NBModel:
-    toks = docs.select(
+    # fan out on narrow local scans: the explode + both aggregates' map
+    # sides otherwise run on the scan's 1-2 splits (r11, guide §2.5;
+    # no-op on many-split inputs at scale)
+    toks = _fan_out(
+        docs.select(F.col(id_col), F.col(label_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(label_col).alias("label"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -190,7 +196,7 @@ def nb_scores(
     if mode == "log":
         return _nb_scores_log(model, docs, id_col, text_col,
                               broadcast_limit)
-    toks = docs.select(
+    toks = _fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
@@ -255,7 +261,7 @@ def _nb_scores_log(
         "__ln_tv",
         F.expr("__ln_nd - __ln_ndt").alias("prior_log_e6"),
     )
-    toks = docs.select(
+    toks = _fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )

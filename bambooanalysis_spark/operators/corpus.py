@@ -85,9 +85,16 @@ def doc_bigrams(
     lambdas, so an inlined ``split()`` would re-tokenize the whole document
     for every element access — 2 x len(doc) full splits per document
     (PERFORMANCE.md: HOF lambda CSE absence; measured 3x on this operator)."""
-    from .dedup import _barrier
+    from .dedup import _barrier, _fan_out
 
-    staged = _barrier(docs.withColumn("__toks", tokens(F.col(text_col))))
+    # fan out on narrow (local small-file) inputs: tokenize + the bigram
+    # explode + the map-side partial aggregate all run BEFORE the first
+    # exchange, i.e. on the scan's split count — 1-2 tasks for a local
+    # single-file corpus (r11, guide §2.5 input skew; no-op at scale)
+    staged = _barrier(
+        _fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .withColumn("__toks", tokens(F.col(text_col)))
+    )
     t = F.col("__toks")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)

@@ -792,8 +792,12 @@ def banded_docs(
     trivially kept. Signature staged once per row (barrier), distinct
     band keys per doc (a doc never votes twice in one bucket)."""
     rows = k // bands
+    # fan the compute-heavy signature stage out across cores on narrow
+    # (local small-file) inputs — the same guard minhash_lsh_pairs:283
+    # carries; a pre-fanned caller makes this a no-op (see _fan_out)
+    src = _fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
     staged = _barrier(
-        df.select(
+        src.select(
             F.col(id_col),
             hashed_shingles(T.shingles(F.col(text_col), shingle_k)).alias("__hsh"),
         )

@@ -59,6 +59,7 @@ def train_bigram_lm(
     as unseen at apply time, which only lowers their smoothed probability.
     Prefix counts and V are computed BEFORE pruning so the probability
     denominator stays the true MLE denominator."""
+    from .dedup import _fan_out
     from .text import tokens
 
     bg = doc_bigrams(docs, id_col, text_col).select(
@@ -70,7 +71,10 @@ def train_bigram_lm(
         cbg = cbg.where(F.col("c12") >= min_count)
     cpre = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        # fan out on narrow local scans (r11, guide §2.5): the explode +
+        # distinct-count map side otherwise run on the scan's 1-2 splits
+        _fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
     return BigramLM(cbg, cpre, vocab)

@@ -224,6 +224,7 @@ def fuzzy_decontaminate(
     Docs too short to shingle never band (sentinel guard) and are kept."""
     from .dedup import (
         _barrier,
+        _fan_out,
         hashed_shingles,
         lsh_band_keys,
         minhash_signature_from_hashes,
@@ -233,8 +234,11 @@ def fuzzy_decontaminate(
     rows = k // bands
 
     def banded(df: DataFrame) -> DataFrame:
-        src = df.select(
-            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        # fan out on narrow local scans so the fused shingle+hash stage
+        # uses the cluster, not the scan's 1-2 splits (r11, guide §2.5)
+        src = _fan_out(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+            "__id",
         )
         # shingling + hashing fused into ONE stage (r11): a HOF's input
         # argument is evaluated once (only lambda bodies lack CSE), so

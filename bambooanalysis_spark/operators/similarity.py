@@ -893,11 +893,17 @@ def kmeans_fit_int8(
     Cells that lose all members drop out of the codebook (k shrinks)."""
     from pyspark import StorageLevel
 
+    from .dedup import _fan_out
+
     # n_iter+1 jobs consume the quantized corpus; without a persist each one
     # would re-scan the source and re-quantize — at 100 TB that multiplies
     # the dominant cost by the iteration count. int8 codes are 4x smaller
     # than the float input, so the materialized form is the cheap one.
-    qz = quantize_int8(df, id_col, vec_col).select(id_col, "qvec")
+    # _fan_out (r11, guide §2.5 input skew): a local single-file embedding
+    # table arrives as 1-2 scan splits and the persist FREEZES that, so
+    # every iteration's HOF scoring ran on 1-2 of the cluster's cores;
+    # no-op at scale where inputs arrive many-split.
+    qz = quantize_int8(_fan_out(df, id_col), id_col, vec_col).select(id_col, "qvec")
     qz = qz.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = qz.orderBy(id_col).limit(k).collect()
     cents = [(i, [int(x) for x in r["qvec"]]) for i, r in enumerate(init_rows)]
@@ -939,8 +945,11 @@ def kmeans_assign_int8(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell): nearest trained centroid per vector — literal codebook,
-    per-row expression, zero shuffle."""
-    qz = quantize_int8(df, id_col, vec_col)
+    per-row expression, zero shuffle on wide inputs (narrow local scans
+    fan out first — see kmeans_fit_int8)."""
+    from .dedup import _fan_out
+
+    qz = quantize_int8(_fan_out(df, id_col), id_col, vec_col)
     cell = F.array_max(_int_cell_scores("qvec", centroids))["cid"]
     return qz.select(id_col, cell.cast("int").alias("cell"))
 
