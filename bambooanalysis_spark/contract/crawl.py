@@ -233,6 +233,9 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = best.where(F.col("kept_best_i") == 1).select(
         "doc_id", "source", "n_tok"
     ).persist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
     try:
         alloc = token_budget_mix(
             bk, "source", "n_tok", budget=_BUDGET, weights=SRC_WEIGHTS,
@@ -254,12 +257,21 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
 
         ok_host = F.col("allowed") & ~F.col("blocked")
-        frow = flags.agg(
-            *_nd(F.lit(True)),
-            *_nd(F.col("allowed")),
-            *_nd(ok_host),
-            *_nd(ok_host & F.col("quality_ok")),
-        ).collect()[0]
+        # r11 (guide §2.6 overlap independent jobs): the stage-funnel
+        # aggregate reads only the flags persist (filled by the CC loop's
+        # jobs above) — run it on a second driver thread so its job
+        # back-fills executors while the main thread runs the keep-best
+        # aggregate and the shard export. Byte-identical results; FIFO
+        # scheduling does the back-fill.
+        def _frow():
+            return flags.agg(
+                *_nd(F.lit(True)),
+                *_nd(F.col("allowed")),
+                *_nd(ok_host),
+                *_nd(ok_host & F.col("quality_ok")),
+            ).collect()[0]
+
+        frow_fut = pool.submit(_frow)
         brow = bk.agg(
             F.count(F.lit(1)),
             F.coalesce(F.sum("n_tok"), F.lit(0)),
@@ -286,7 +298,9 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             shutil.rmtree(shard_dir, ignore_errors=True)
+        frow = frow_fut.result()
     finally:
+        pool.shutdown(wait=True)
         bk.unpersist()
         flags.unpersist()
 

@@ -1292,6 +1292,32 @@ def _ivf_pq_codebooks(
 ):
     """Derive the coarse centroids + PQ codebook (bounded metadata; the
     only collects in the index lifecycle)."""
+    if coarse_train_iters == 0 and train_iters == 0:
+        # both default codebooks read the SAME first-rows-by-id prefix
+        # (quantization is per-row, so the shared prefix is row-identical
+        # to two separate limit() collects) — ONE tiny job instead of two
+        # (r11; each collect is a full fixed-overhead job on a served
+        # index path that is all fixed overhead)
+        n_init = max(n_centroids, ksub)
+        init = (
+            quantize_int8(corpus.orderBy(id_col).limit(n_init), id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        coarse = [
+            (int(r[id_col]), [int(x) for x in r["qvec"]])
+            for r in init[:n_centroids]
+        ]
+        dim = len(init[0]["qvec"])
+        dsub = dim // m
+        cb = [
+            [
+                [int(x) for x in r["qvec"][s * dsub : (s + 1) * dsub]]
+                for r in init[:ksub]
+            ]
+            for s in range(m)
+        ]
+        return coarse, cb
     if coarse_train_iters > 0:
         coarse = kmeans_fit_int8(
             corpus, k=n_centroids, n_iter=coarse_train_iters,
