@@ -720,7 +720,32 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
     label_t = labels.schema["label"].dataType  # id-type-generic NULL below
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if it == 0:
+            # round 1 runs over IDENTITY labels (label(x) = x), so the
+            # propagation join degenerates to the edge list itself and
+            # the pointer jump to the self branch — skip both joins and
+            # feed the edges straight into the min-aggregate (r11; one
+            # broadcast build + two probes saved on the first, never-
+            # converged round; labels identical by substitution)
+            prop = edges.select(
+                F.col("dst").alias("id"),
+                F.col("src").alias("label"),
+                F.lit(None).cast(label_t).alias("__old"),
+            )
+            new_full = (
+                labels.select("id", "label", F.col("label").alias("__old"))
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_full.where(F.col("label") != F.col("__old")).limit(1).count()
+            )
+            labels = new_full.select("id", "label")
+            if changed == 0:
+                break
+            continue
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label"), F.lit(None).cast(label_t).alias("__old")
         )
