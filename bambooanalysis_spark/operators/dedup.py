@@ -49,7 +49,15 @@ def _fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     the source has fewer partitions than the cluster's parallelism.
     The partition probe reads the physical plan's partitioning (no job).
     Pinned by tests/test_plan_shapes.py::test_fan_out_skips_wide_inputs.
+
+    Streaming inputs pass through untouched: a stream's parallelism is
+    governed by its source (and `.rdd` is illegal on a streaming frame —
+    AnalysisException), so the guard applies to batch plans only; the
+    micro-batch twins fan out inside foreachBatch where the frame is a
+    plain batch DataFrame.
     """
+    if df.isStreaming:
+        return df
     parallelism = max(df.sparkSession.sparkContext.defaultParallelism, 4)
     if df.rdd.getNumPartitions() >= parallelism:
         return df
