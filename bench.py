@@ -8,16 +8,19 @@ load evidence + host block) is printed as an earlier stdout line and
 written to BENCH_DETAIL.json; the FINAL line is the compact summary
 
   {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
-   "n_queries": N, "queries": {...K slowest entries...},
-   "detail": "BENCH_DETAIL.json",
-   "sf1": {"value": ..., "n_queries": N, "queries": {...}, "dir": ...}}
+   "n_queries": N, "queries": {ALL entries, 2 dp},
+   "sf1": {"value": ..., "n_queries": N, "queries": {ALL entries}}}
 
-Round-11 succession (VERDICT r10 #4): the final line keeps only the
-COMPACT_TOP_K slowest entries per section, so its length is independent
-of how many standing entries exist; full per-query timings are in
-BENCH_DETAIL.json and the earlier full-record stdout line.
-Length-asserted < FINAL_LINE_MAX (1900) at runtime and in
-tests/test_bench_output.py.
+Round-12 succession (VERDICT r11 #1): round 11's top-5-only final line
+blinded the driver's per-query differ (24 false "dropped", a 4-entry
+geomean), so the final line again carries EVERY entry's timing — made
+to fit the tail window by shortening the metric string, rounding the
+compact form to 2 dp, and dropping the detail/dir keys (all still in
+BENCH_DETAIL*.json and the earlier full-record stdout line). Worst-case
+length for the current 31-entry set is ~1770 < FINAL_LINE_MAX (1900),
+asserted at runtime and pinned in tests/test_bench_output.py; if the
+entry set ever outgrows the window, compact_summary degrades to the
+slowest-K form rather than overflowing.
 
 Each query is executed to completion (count() over the result — full
 materialization, nothing cached between queries beyond the shared session
@@ -310,37 +313,48 @@ def _sf1_dir() -> str | None:
 FINAL_LINE_MAX = 1900
 
 
-COMPACT_TOP_K = 5  # slowest entries kept in the final line, per section
+COMPACT_TOP_K = 5  # slowest entries kept in the OVERFLOW fallback only
+
+# The compact form's metric string: the full descriptive metric (~110
+# chars) lives in BENCH_DETAIL*.json and the earlier full-record line.
+COMPACT_METRIC = "headline engine queries"
 
 
 def compact_summary(out: dict) -> dict:
-    """The final-stdout-line subset. Round-11 succession (VERDICT r10 #4):
-    the per-query map grew ~55 chars/entry, so at 32+ entries the full
-    dict would overflow the driver's 2000-char tail window. The final
-    line now carries totals, entry counts, and only the COMPACT_TOP_K
-    slowest entries per section — its length is bounded by K, not by the
-    entry count. Full per-query timings stay in BENCH_DETAIL.json and
-    the earlier full-record stdout line."""
+    """The final-stdout-line subset — EVERY entry's timing (VERDICT r11
+    #1: the driver's PERF differ reads only this line; round 11's
+    slowest-K form produced 24 false "dropped" entries). Fits the tail
+    window via a short metric string, 2-dp rounding, and no detail/dir
+    keys. If the entry set ever outgrows FINAL_LINE_MAX, degrade to the
+    slowest-K form (still parseable) instead of overflowing the window.
+    """
+
+    def _slim(qs_fn) -> dict:
+        slim = {
+            "metric": COMPACT_METRIC,
+            "value": out["value"],
+            "unit": out["unit"],
+            "sf": out["sf"],
+            "n_queries": len(out["queries"]),
+            "queries": qs_fn(out["queries"]),
+        }
+        if "sf1" in out:
+            slim["sf1"] = {
+                "value": out["sf1"]["value"],
+                "n_queries": len(out["sf1"]["queries"]),
+                "queries": qs_fn(out["sf1"]["queries"]),
+            }
+        return slim
+
+    def full(qs: dict) -> dict:
+        return {k: round(v, 2) for k, v in qs.items()}
 
     def slowest(qs: dict) -> dict:
-        return dict(sorted(qs.items(), key=lambda kv: -kv[1])[:COMPACT_TOP_K])
+        return dict(sorted(full(qs).items(), key=lambda kv: -kv[1])[:COMPACT_TOP_K])
 
-    slim = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": out["unit"],
-        "sf": out["sf"],
-        "n_queries": len(out["queries"]),
-        "queries": slowest(out["queries"]),
-        "detail": "BENCH_DETAIL.json",
-    }
-    if "sf1" in out:
-        slim["sf1"] = {
-            "value": out["sf1"]["value"],
-            "n_queries": len(out["sf1"]["queries"]),
-            "queries": slowest(out["sf1"]["queries"]),
-            "dir": out["sf1"]["dir"],
-        }
+    slim = _slim(full)
+    if len(json.dumps(slim)) >= FINAL_LINE_MAX:
+        slim = _slim(slowest)
     return slim
 
 
@@ -396,14 +410,17 @@ def main() -> None:
             "dir": sf1,
         }
 
-    # full record (incl. per-entry load + host) -> sidecar file AND an
+    # full record (incl. per-entry load + host) -> sidecar files AND an
     # earlier stdout line; the LAST line stays inside the driver's tail
-    # window so BENCH_r{N}.json parses (VERDICT r9 #1)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(out, fh)
+    # window so BENCH_r{N}.json parses (VERDICT r9 #1). The sidecar is
+    # ALSO written keyed by core count (VERDICT r11 #7): the driver's
+    # 8-core scaling pass used to clobber the 32-core per-entry record,
+    # so BENCH_DETAIL_c8.json and BENCH_DETAIL_c32.json now coexist.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        with open(os.path.join(here, name), "w") as fh:
+            json.dump(out, fh)
     print(json.dumps(out))
     final = json.dumps(compact_summary(out))
     assert len(final) < FINAL_LINE_MAX, (

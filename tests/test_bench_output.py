@@ -1,11 +1,11 @@
 """The driver's bench gate reads only the last ~2000 stdout chars;
 round 9's single 7k-char line made BENCH_r09.json unparseable (VERDICT
-r9 #1), and by round 10 the full per-query dict was within ~4 entries of
-the cap again. Round-11 succession (VERDICT r10 #4): the compact final
-line carries totals + entry counts + only the K slowest entries, so its
-length is bounded by K — pinned here both for the CURRENT entry set and
-for a synthetic 200-entry set (adding entries can never overflow the
-window again; the full per-query map lives in BENCH_DETAIL.json)."""
+r9 #1), and round 11's slowest-K-only final line blinded the driver's
+per-query differ (24 false "dropped" entries, VERDICT r11 #1). The
+round-12 final line carries EVERY entry again — short metric, 2 dp, no
+detail/dir keys — pinned here at worst-case rendering for the CURRENT
+entry set, with an overflow fallback (slowest-K) that keeps the line
+parseable if the entry set ever outgrows the window."""
 
 import json
 
@@ -13,14 +13,14 @@ import bench
 
 
 def _out_for(labels) -> dict:
-    # every timing at its widest plausible rendering (5-digit seconds,
-    # 3 decimals — an entry slower than 99999s would be a dead bench)
-    timings = {k: 99999.999 for k in labels}
+    # every timing at its widest plausible rendering: an entry slower
+    # than 999 s or a section slower than 9999 s would be a dead bench
+    timings = {k: 999.994 for k in labels}
     return {
         "metric": "headline engine queries (phaseII/jet_test single-pass "
         "analyses, relational joins/windows, dedup, similarity, text, "
         "event windows)",
-        "value": 999999.999,
+        "value": 9999.994,
         "unit": "sec",
         "queries": timings,
         "load": {k: {"ts": 1e9, "load1": 99.99, "ext_cores": 99.99,
@@ -29,7 +29,7 @@ def _out_for(labels) -> dict:
                  "ext_cores_threshold": 2.0},
         "sf": 0.1,
         "sf1": {
-            "value": 999999.999,
+            "value": 9999.994,
             "queries": dict(timings),
             "load": {},
             "dir": "/root/repo/.scale/sf1",
@@ -45,9 +45,21 @@ def test_final_line_fits_driver_tail_window():
     )
 
 
-def test_final_line_length_independent_of_entry_count():
-    # 200 synthetic entries with bench-realistic label widths: the line
-    # must stay bounded because only COMPACT_TOP_K entries survive
+def test_final_line_carries_every_entry():
+    # VERDICT r11 #1: the driver's PERF differ reads ONLY the final
+    # line; every standing entry's timing must be present in both
+    # sections or the differ reports false "dropped" entries.
+    labels = list(bench._headline())
+    d = json.loads(json.dumps(bench.compact_summary(_out_for(labels))))
+    assert sorted(d["queries"]) == sorted(labels)
+    assert sorted(d["sf1"]["queries"]) == sorted(labels)
+    assert d["n_queries"] == len(labels)
+    assert d["sf1"]["n_queries"] == len(labels)
+
+
+def test_overflow_falls_back_to_slowest_k_not_truncation():
+    # If the entry set ever outgrows the window, the final line must
+    # degrade to the slowest-K form (parseable) instead of overflowing.
     labels = [f"some_longish_entry_label_{i:03d}" for i in range(200)]
     line = json.dumps(bench.compact_summary(_out_for(labels)))
     assert len(line) < bench.FINAL_LINE_MAX
@@ -57,18 +69,11 @@ def test_final_line_length_independent_of_entry_count():
     assert len(d["sf1"]["queries"]) == bench.COMPACT_TOP_K
 
 
-def test_compact_summary_drops_load_and_host():
+def test_compact_summary_shape():
     d = json.loads(json.dumps(bench.compact_summary(_out_for(["a", "b"]))))
     assert set(d) == {
         "metric", "value", "unit", "queries", "sf", "sf1", "n_queries",
-        "detail",
     }
-    assert set(d["sf1"]) == {"value", "queries", "dir", "n_queries"}
-    assert d["detail"] == "BENCH_DETAIL.json"
-
-
-def test_compact_summary_keeps_the_slowest_entries():
-    out = _out_for([f"e{i}" for i in range(10)])
-    out["queries"] = {f"e{i}": float(i) for i in range(10)}
-    d = bench.compact_summary(out)
-    assert sorted(d["queries"]) == sorted(f"e{i}" for i in range(5, 10))
+    assert set(d["sf1"]) == {"value", "queries", "n_queries"}
+    # 2-dp rounding is part of the length budget
+    assert d["queries"]["a"] == 999.99
