@@ -244,6 +244,20 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed = materialize_token_mix(
             bk, alloc, "source", "n_tok", "doc_id", salt=_SALT
         )
+        # The dedup_best totals ride the EXPORT job as observe() metrics
+        # (r12, guide §1.2 — one fewer serialized action): mixed's rows
+        # are exactly bk's rows, and CollectMetrics is a predicate-
+        # pushdown barrier, so the metrics see every pre-filter row while
+        # the export writes the kept subset. Previously a separate
+        # bk-aggregate collect job ran before the export.
+        from pyspark.sql import Observation
+
+        bobs = Observation()
+        mixed = mixed.observe(
+            bobs,
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tb"),
+        )
         final = (
             mixed.where(F.col("kept_i") == 1)
             .join(kept.select("doc_id", "text"), "doc_id")
@@ -272,11 +286,6 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]
 
         frow_fut = pool.submit(_frow)
-        brow = bk.agg(
-            F.count(F.lit(1)),
-            F.coalesce(F.sum("n_tok"), F.lit(0)),
-        ).collect()[0]
-
         shard_dir = tempfile.mkdtemp(prefix="bamboo-shards-")
         try:
             manifest = export_training_shards(
@@ -296,8 +305,18 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shard manifest/read-back mismatch: "
                 f"{manifest['total_records']} vs {back[0]}"
             )
+        except BaseException:
+            # surface a finished background-funnel failure first (it
+            # usually shares the root cause and is strictly earlier in
+            # the chain), instead of dropping it on the floor while
+            # pool.shutdown(wait=True) blocks on it (ADVICE r11)
+            if frow_fut.done() and frow_fut.exception() is not None:
+                raise frow_fut.exception()
+            frow_fut.cancel()
+            raise
         finally:
             shutil.rmtree(shard_dir, ignore_errors=True)
+        brow = bobs.get["nb"], bobs.get["tb"]
         frow = frow_fut.result()
     finally:
         pool.shutdown(wait=True)

@@ -624,7 +624,17 @@ def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once — the signature chain (shingle -> md5 -> 16 affine
     mins), the compute-heavy stage, previously ran twice per invocation
     (identical k/bands/shingle_k on both paths; values unchanged, see
-    minhash_lsh_pairs' banded note)."""
+    minhash_lsh_pairs' banded note).
+
+    r12 (guide §2.6 overlap independent jobs): past the shared banded
+    checkpoint the two consumers are fully independent, but the
+    first-claim chain used to execute inside the FINAL join's job —
+    serialized after the whole CC loop. It now materializes on a second
+    driver thread while the main thread runs the CC rounds, whose short
+    per-round jobs leave most cores idle for it to back-fill; the final
+    join then reads two checkpoints. Byte-identical rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators import dedup as D
 
     docs = _docs(spark, sf_dir)
@@ -632,12 +642,20 @@ def q_dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         D._fan_out(docs.select("doc_id", "text"), "doc_id"),
         "doc_id", "text", k=16, bands=8, shingle_k=2,
     ).localCheckpoint(eager=True)
-    clusters = D.near_dup_clusters(
-        docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
-    )
-    fc = D.lsh_first_claim_keeps(
-        docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
-    ).select("doc_id", F.col("kept_i").alias("first_claim_kept_i"))
+
+    def _fc():
+        return D.lsh_first_claim_keeps(
+            docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fc_fut = pool.submit(_fc)
+        clusters = D.near_dup_clusters(
+            docs, "doc_id", "text", k=16, bands=8, shingle_k=2, banded=banded
+        )
+        fc = fc_fut.result().select(
+            "doc_id", F.col("kept_i").alias("first_claim_kept_i")
+        )
     return clusters.join(fc, "doc_id").orderBy("doc_id")
 
 

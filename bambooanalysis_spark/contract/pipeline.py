@@ -183,15 +183,21 @@ def _corpus_mix_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
             bk, alloc, "source", "n_tok", "doc_id", salt=_MIX_SALT
         )
 
-        def stat(df, cond):
-            r = df.agg(
-                F.count(F.when(cond, True)),
-                F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)),
-            ).collect()[0]
-            return int(r[0]), float(r[1])
-
-        nb, tb = stat(bk, F.lit(True))
-        nm, tm = stat(mixed, F.col("kept_i") == 1)
+        # ONE stat job for both manifest rows (r12, guide §1.2 — the
+        # chain's wall at tiny scale is its serialized action count):
+        # materialize_token_mix returns exactly bk's rows plus the kept_i
+        # column, so the dedup_best totals (all rows) and the token_mix
+        # totals (kept_i = 1) are two conditional aggregates of the SAME
+        # frame — previously two sequential collect jobs.
+        kept_1 = F.col("kept_i") == 1
+        r = mixed.agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.sum("n_tok"), F.lit(0)),
+            F.count(F.when(kept_1, True)),
+            F.coalesce(F.sum(F.when(kept_1, F.col("n_tok"))), F.lit(0)),
+        ).collect()[0]
+        nb, tb = int(r[0]), float(r[1])
+        nm, tm = int(r[2]), float(r[3])
     finally:
         bk.unpersist()
     return [

@@ -1304,6 +1304,16 @@ def _ivf_pq_codebooks(
             .orderBy(id_col)
             .collect()
         )
+        # explicit guard (ADVICE r11): an empty/short corpus would
+        # otherwise surface as a bare IndexError here (and silently
+        # produce short codebooks), same fragility as the historical
+        # pq_default_codebook path
+        if len(init) < n_init:
+            raise ValueError(
+                f"ivf_pq default codebooks need at least {n_init} corpus "
+                f"rows (max(n_centroids={n_centroids}, ksub={ksub})); "
+                f"got {len(init)} — train the codebooks or shrink them"
+            )
         coarse = [
             (int(r[id_col]), [int(x) for x in r["qvec"]])
             for r in init[:n_centroids]
